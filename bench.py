@@ -1,0 +1,110 @@
+"""Benchmark harness — runs the headline operators at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Query set mirrors BASELINE.md's benchmarked operations (pack,
+pack_no_child_order, pack_streaming, pack_split_join, unpack, roundtrip) on
+the orders → lineitem hierarchy (~600k leaf rows at sf0.1), plus the
+cross-level operators. Results are forced with the ``noop`` datasource sink
+so the full plan (including list collection) executes without driver
+materialization skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from polars_nexpresso_spark import HierarchicalPacker  # noqa: E402
+from polars_nexpresso_spark.queries import (  # noqa: E402
+    OL_SPEC,
+    q_any_child,
+    q_enrich_stats,
+    q_multihop_count,
+    q_promote_sum,
+)
+from polars_nexpresso_spark.session import get_spark  # noqa: E402
+from polars_nexpresso_spark.sources.io import flat_orders_lineitem  # noqa: E402
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    spark = get_spark(app_name="pns-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        start = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    packer = HierarchicalPacker(OL_SPEC)
+    packer_unordered = HierarchicalPacker(OL_SPEC, preserve_child_order=False)
+
+    flat = flat_orders_lineitem(spark, sf_dir)
+    flat.cache()
+    flat.count()  # materialize input once so joins don't dominate pack timings
+
+    # --- BASELINE.md parity ops -------------------------------------------
+    bench("pack", lambda: force(packer.pack(flat, "orders")))
+    bench(
+        "pack_no_child_order",
+        lambda: force(packer_unordered.pack(flat, "orders")),
+    )
+    bench(
+        "pack_streaming",
+        lambda: force(packer.pack_streaming(flat, "orders", partitions=64)),
+    )
+    bench(
+        "pack_split_join",
+        lambda: force(packer.pack(flat, "orders", parent_strategy="split_join")),
+    )
+
+    packed_path = os.path.join(tempfile.gettempdir(), "pns_bench_packed.parquet")
+    packer.pack(flat, "orders").write.mode("overwrite").parquet(packed_path)
+    packed = spark.read.parquet(packed_path)
+    bench("unpack", lambda: force(packer.unpack(packed, "lineitem")))
+    bench(
+        "roundtrip",
+        lambda: force(packer.unpack(packer.pack(flat, "orders"), "lineitem")),
+    )
+
+    # --- Cross-level operators --------------------------------------------
+    bench("promote_sum", lambda: force(q_promote_sum(spark, sf_dir)))
+    bench("enrich_stats", lambda: force(q_enrich_stats(spark, sf_dir)))
+    bench("multihop_count", lambda: force(q_multihop_count(spark, sf_dir)))
+    bench("any_child", lambda: force(q_any_child(spark, sf_dir)))
+
+    flat.unpersist()
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "pns_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,865 @@
+"""HierarchicalPacker — the core reshaping engine, Spark-first.
+
+Re-expresses the reference's hierarchical pack/unpack system
+(``nexpresso/hierarchical_packer.py``, SURVEY §2.C) on the Spark DataFrame
+API. Design notes for scale (SURVEY §4):
+
+- The pack kernel is ``groupBy(ancestor_keys).agg(sorted collect_list(struct),
+  first(ignorenulls))`` — a plain shuffled hash aggregation that Catalyst
+  plans with partial/final phases and spill; an N-level pack to root is N
+  chained shuffles on progressively coarser keys. No global sort anywhere:
+  child-list order is established *inside* the aggregation via
+  ``array_sort`` with a key-only comparator, and the minimum child row-id is
+  carried upward per group so multi-level packs keep nested order without a
+  pipeline-breaking sort (reference ``:2641-2693``).
+- Top-level row order after pack is explicitly NOT guaranteed (reference
+  ``README.md:251-254``) — Spark's unordered shuffle matches the contract
+  as-is.
+- ``pack_streaming``'s hash-bucketing (reference ``:1103-1211``) exists to
+  bound peak memory in a single-process engine; Spark's shuffle already hash
+  partitions and spills, so the parity wrapper is ``repartition(K, root_keys)``
+  (+ optional parquet checkpoint for the disk-to-disk mode).
+- ``parent_strategy="split_join"`` (reference ``:1033-1072``) factors heavy
+  root attributes into a per-root-key dim table before the aggregation and
+  joins them back after — a shuffle-volume optimization Catalyst cannot infer
+  (it cannot know a column is group-uniform). The dim table has root-entity
+  cardinality, so the join is left to AQE (broadcast only when it is small).
+- Parent/carried attributes collapse with ``first(ignorenulls=True)`` —
+  order-independent dedup + null recovery (reference ``:2678``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Callable, Mapping, Sequence
+from typing import Literal
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StructType
+
+from polars_nexpresso_spark.columns import (
+    DEFAULT_ESCAPE_CHAR,
+    DEFAULT_SEPARATOR,
+    ORDER_TEMP_COLUMN_PREFIX,
+    ROW_ID_COLUMN,
+    escape_field,
+    join_path,
+    qcol,
+    split_path,
+    unescape_field,
+    with_field,
+)
+from polars_nexpresso_spark.operators.crosslevel import CrossLevelMixin
+from polars_nexpresso_spark.operators.introspect import IntrospectionMixin
+from polars_nexpresso_spark.plans.spec import (
+    ExtraColumnsMode,
+    HierarchySpec,
+    HierarchyValidationError,
+    LevelMetadata,
+    ParentStrategy,
+    build_metadata,
+)
+
+
+def _struct_key_comparator(key_fields: Sequence[str]) -> Callable[[Column, Column], Column]:
+    """Comparator over wrapper structs that compares ONLY the sort-key fields.
+
+    ``F.array_sort`` without a comparator compares every struct field — which
+    would (a) tie-break on the payload, unlike the reference's stable
+    ``sort_by``, and (b) fail outright if the payload contains a non-orderable
+    type (e.g. a map). The comparator restricts comparison to the key fields,
+    with nulls ordered first (the reference's ``sort_by`` default).
+    """
+
+    def cmp(left: Column, right: Column) -> Column:
+        result = F.lit(0)
+        for k in reversed(key_fields):
+            lk, rk = left[k], right[k]
+            result = (
+                F.when(lk.isNull() & rk.isNull(), result)
+                .when(lk.isNull(), F.lit(-1))
+                .when(rk.isNull(), F.lit(1))
+                .when(lk < rk, F.lit(-1))
+                .when(lk > rk, F.lit(1))
+                .otherwise(result)
+            )
+        return result
+
+    return cmp
+
+
+class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
+    """Pack/unpack nested hierarchies on Spark DataFrames.
+
+    Assumes a configurable separator-based naming scheme and a strict tree
+    (no cross-links); all behavior is driven by a :class:`HierarchySpec`.
+
+    Args:
+        spec: The hierarchy specification.
+        granularity_separator: Separator between hierarchy levels in column
+            names (default ``"."``; every such column is referenced through
+            backtick quoting internally).
+        escape_char: Escapes the separator inside field names (default ``\\``).
+        preserve_child_order: Keep best-effort input row order when packing
+            children into lists. Spark has no contractual input-order row id;
+            this uses ``monotonically_increasing_id()``, which follows file /
+            partition read order in practice (stable for Parquet scans) but is
+            only *guaranteed* deterministic when a level declares ``order_by``
+            (SURVEY §7.3 item 2).
+        validate_on_pack: Run the group-uniformity data check during pack.
+            Default False: the check costs one extra aggregation job per
+            packed level. (The reference defaults True but silently skips it
+            for lazy inputs — reference ``:1000-1001`` — and Spark frames are
+            always lazy; an explicit flag replaces the implicit skip.)
+    """
+
+    def __init__(
+        self,
+        spec: HierarchySpec,
+        *,
+        granularity_separator: str = DEFAULT_SEPARATOR,
+        escape_char: str = DEFAULT_ESCAPE_CHAR,
+        preserve_child_order: bool = True,
+        validate_on_pack: bool = False,
+    ) -> None:
+        if escape_char == granularity_separator:
+            raise ValueError(
+                f"escape_char '{escape_char}' cannot be the same as "
+                f"granularity_separator '{granularity_separator}'."
+            )
+        self.spec: HierarchySpec = spec
+        self.separator: str = granularity_separator
+        self.escape_char: str = escape_char
+        self.preserve_child_order: bool = preserve_child_order
+        self.validate_on_pack: bool = validate_on_pack
+        self._levels_meta: list[LevelMetadata] = build_metadata(
+            spec, granularity_separator, escape_char
+        )
+        self._computed_exprs: dict[str, Column] = self._collect_computed_exprs()
+
+    # ------------------------------------------------------------------
+    # Separator escaping (instance-configured wrappers)
+    # ------------------------------------------------------------------
+
+    def _escape_field(self, name: str) -> str:
+        return escape_field(name, self.separator, self.escape_char)
+
+    def _unescape_field(self, name: str) -> str:
+        return unescape_field(name, self.separator, self.escape_char)
+
+    def _split_path(self, path: str) -> list[str]:
+        return split_path(path, self.separator, self.escape_char)
+
+    def _join_path(self, components: Sequence[str]) -> str:
+        return join_path(components, self.separator, self.escape_char)
+
+    # ------------------------------------------------------------------
+    # Core public API: pack / unpack
+    # ------------------------------------------------------------------
+
+    def pack(
+        self,
+        frame: DataFrame,
+        to_level: str,
+        *,
+        extra_columns: ExtraColumnsMode = "preserve",
+        parent_strategy: ParentStrategy = "aggregate",
+    ) -> DataFrame:
+        """Fold flat columns into nested ``array<struct>`` per level, leaf →
+        ``to_level``, grouping each level by its ancestor keys.
+
+        Args:
+            frame: Flat (or partially packed) DataFrame.
+            to_level: Target level; this level and everything finer is folded.
+                Packing to the root collapses the root itself into a single
+                bare struct column.
+            extra_columns: Non-hierarchy columns: ``"preserve"`` keeps them
+                (aggregated ``first(ignorenulls)`` — they must be uniform per
+                group), ``"drop"`` drops them, ``"error"`` raises.
+            parent_strategy: ``"aggregate"`` (default) carries root attributes
+                through the group-by; ``"split_join"`` factors them into a
+                per-root-key dim table and reattaches after packing — far
+                cheaper when root attributes are heavy relative to child data
+                (payload not replicated through the shuffle), a regression
+                when child data dominates; kept opt-in exactly like the
+                reference.
+
+        Raises:
+            KeyError: If the level is not found.
+            HierarchyValidationError: On extra_columns="error" violations, or
+                non-uniform group values when ``validate_on_pack`` is set.
+        """
+        if parent_strategy == "split_join":
+            return self._pack_split_join(frame, to_level, extra_columns=extra_columns)
+
+        df, added_cols = self._prepare_frame(frame)
+
+        extra_cols = self._identify_extra_columns(df.columns)
+        if extra_cols:
+            if extra_columns == "error":
+                raise HierarchyValidationError(
+                    f"Found {len(extra_cols)} column(s) not part of the hierarchy: "
+                    f"{extra_cols[:5]}{'...' if len(extra_cols) > 5 else ''}. "
+                    "Use extra_columns='preserve' to keep them or 'drop' to "
+                    "remove them.",
+                    details={"extra_columns": extra_cols},
+                )
+            if extra_columns == "drop":
+                df = df.drop(*extra_cols)
+
+        target_idx = self.spec.index_of(to_level)
+        for level_idx in reversed(range(target_idx, len(self._levels_meta))):
+            df = self._pack_single_level(df, level_idx, validate=self.validate_on_pack)
+
+        if added_cols:
+            df = df.drop(*added_cols)
+        return self._drop_internal_columns(df)
+
+    def _root_attribute_columns(self, columns: Sequence[str]) -> list[str]:
+        """Columns owned by the root level itself (attrs, not keys/children)."""
+        root = self._levels_meta[0]
+        child = self._levels_meta[1] if len(self._levels_meta) > 1 else None
+        id_columns = set(root.id_columns)
+        attrs: list[str] = []
+        for col in columns:
+            if not col.startswith(root.prefix) or col in id_columns:
+                continue
+            if child is not None and col.startswith(child.prefix):
+                continue
+            if col == ROW_ID_COLUMN:
+                continue
+            attrs.append(col)
+        return attrs
+
+    def _pack_split_join(
+        self, frame: DataFrame, to_level: str, *, extra_columns: ExtraColumnsMode
+    ) -> DataFrame:
+        """Pack with root attributes reattached via a dim-table join.
+
+        Plan shape: ``dropDuplicates(root_keys)`` dim + left join after the
+        pack. Join strategy (broadcast vs shuffle) is left to AQE — the dim
+        has one row per root entity, which at scale is NOT broadcastable in
+        general.
+        """
+        df, _added = self._prepare_frame(frame)
+        root = self._levels_meta[0]
+        root_keys = list(root.id_columns)
+        attr_cols = self._root_attribute_columns(df.columns)
+
+        if not root_keys or not attr_cols:
+            return self.pack(frame, to_level, extra_columns=extra_columns)
+
+        dim = df.select(
+            *[qcol(c) for c in (*root_keys, *attr_cols)]
+        ).dropDuplicates(root_keys)
+        structural = df.drop(*attr_cols)
+        packed = self.pack(structural, to_level, extra_columns=extra_columns)
+
+        if to_level != root.name:
+            # Root stays flat at the top → a plain row join reattaches it.
+            result = packed.join(dim, on=root_keys, how="left")
+        else:
+            # Packing to root collapsed each entity into one struct column;
+            # reattach attributes as struct fields.
+            struct_col = root.path
+            prefix_len = len(root.prefix)
+            with_keys = packed
+            for key in root_keys:
+                with_keys = with_keys.withColumn(
+                    key, qcol(struct_col)[key[prefix_len:]]
+                )
+            joined = with_keys.join(dim, on=root_keys, how="left")
+            rebuilt = qcol(struct_col)
+            for col in attr_cols:
+                rebuilt = with_field(rebuilt, col[prefix_len:], qcol(col))
+            result = joined.withColumn(struct_col, rebuilt).drop(
+                *root_keys, *attr_cols
+            )
+        return result
+
+    def unpack(self, frame: DataFrame, to_level: str) -> DataFrame:
+        """Unpack nested columns root → ``to_level``: ``explode_outer`` each
+        list level and unnest its struct with the path prefix."""
+        df = frame
+        for level in self._levels_meta:
+            if level.path not in df.columns:
+                continue
+            df = self._explode_and_unnest(df, level)
+            if level.name == to_level:
+                break
+        return self._drop_internal_columns(df)
+
+    # ------------------------------------------------------------------
+    # Streaming (out-of-core) parity wrappers
+    # ------------------------------------------------------------------
+
+    def pack_streaming(
+        self,
+        source: DataFrame | str,
+        to_level: str,
+        *,
+        partitions: int = 16,
+        tmp_dir: str | None = None,
+        defer: bool = True,
+        extra_columns: ExtraColumnsMode = "preserve",
+        spark: SparkSession | None = None,
+    ) -> DataFrame:
+        """Memory-bounded pack — API parity with the reference ``:1103-1211``.
+
+        The reference hash-buckets rows by root key, packs each bucket and
+        sinks parquet to cap peak RSS (5.8× slower, 0.42× memory per
+        BASELINE.md). Spark's shuffled aggregation already hash-partitions and
+        spills, so this is expressed as ``repartition(partitions, root_keys)``
+        + the normal pack (one job, no K-pass re-reads). ``defer=False``
+        reproduces the disk-to-disk mode with a parquet checkpoint.
+        """
+        df = self._resolve_source(source, spark)
+        root_keys = [
+            k for k in self._levels_meta[0].id_columns if k in df.columns
+        ] or list(self._levels_meta[0].id_columns)
+        df = df.repartition(partitions, *[qcol(k) for k in root_keys])
+        packed = self.pack(df, to_level, extra_columns=extra_columns)
+        if defer:
+            return packed
+        target = tmp_dir or os.path.join(
+            tempfile.gettempdir(), f"pns_pack_{uuid.uuid4().hex}"
+        )
+        packed.write.mode("overwrite").parquet(target)
+        return packed.sparkSession.read.parquet(target)
+
+    def unpack_streaming(
+        self,
+        source: DataFrame | str,
+        to_level: str,
+        *,
+        sink_path: str | None = None,
+        spark: SparkSession | None = None,
+    ) -> DataFrame:
+        """Unpack with optional parquet sink + re-scan (disk-to-disk mode)."""
+        df = self._resolve_source(source, spark)
+        result = self.unpack(df, to_level)
+        if sink_path is None:
+            return result
+        result.write.mode("overwrite").parquet(sink_path)
+        return result.sparkSession.read.parquet(sink_path)
+
+    @staticmethod
+    def _resolve_source(
+        source: DataFrame | str, spark: SparkSession | None
+    ) -> DataFrame:
+        if isinstance(source, DataFrame):
+            return source
+        session = spark or SparkSession.getActiveSession()
+        if session is None:
+            raise ValueError("A SparkSession is required to read a path source.")
+        return session.read.parquet(str(source))
+
+    # ------------------------------------------------------------------
+    # Relational bridge
+    # ------------------------------------------------------------------
+
+    def split_levels(self, frame: DataFrame) -> dict[str, DataFrame]:
+        """Split a packed frame into one standalone table per level.
+
+        Per level: unpack to it, drop finer-level columns, and drop rows that
+        exist only as null placeholders (null ancestor keys of the next level,
+        or null required fields at the leaf).
+        """
+        df, added_cols = self._prepare_frame(frame)
+        outputs: dict[str, DataFrame] = {}
+        current = df
+
+        for level in self._levels_meta:
+            if level.path not in current.columns:
+                continue
+
+            level_table = self.unpack(current, level.name)
+            output_table = level_table
+
+            next_meta = (
+                self._levels_meta[level.index + 1]
+                if level.index + 1 < len(self._levels_meta)
+                else None
+            )
+            if next_meta:
+                drop_cols = [
+                    c
+                    for c in output_table.columns
+                    if c.startswith(next_meta.prefix) or c == next_meta.path
+                ]
+                if drop_cols:
+                    output_table = output_table.drop(*drop_cols)
+                subset = [
+                    c for c in next_meta.ancestor_keys if c in output_table.columns
+                ]
+                output_table = self._drop_nulls(output_table, subset)
+            elif level.required_columns:
+                subset = [
+                    c for c in level.required_columns if c in output_table.columns
+                ]
+                output_table = self._drop_nulls(output_table, subset)
+
+            if added_cols:
+                drop_candidates = [c for c in added_cols if c in output_table.columns]
+                if drop_candidates:
+                    output_table = output_table.drop(*drop_candidates)
+
+            outputs[level.name] = self._drop_internal_columns(output_table)
+            current = level_table
+        return outputs
+
+    @staticmethod
+    def _drop_nulls(df: DataFrame, subset: Sequence[str]) -> DataFrame:
+        """Drop rows where ANY subset column is null (dotted-name safe)."""
+        if not subset:
+            return df
+        cond = qcol(subset[0]).isNotNull()
+        for c in subset[1:]:
+            cond = cond & qcol(c).isNotNull()
+        return df.filter(cond)
+
+    def normalize(
+        self, frame: DataFrame, *, root_level: str | None = None
+    ) -> dict[str, DataFrame]:
+        """Pack to the root level, then split into normalized per-level tables."""
+        target = root_level or self._levels_meta[0].name
+        return self.split_levels(self.pack(frame, target))
+
+    def denormalize(
+        self,
+        tables: Mapping[str, DataFrame],
+        *,
+        target_level: str | None = None,
+    ) -> DataFrame:
+        """Reconstruct nested columns from per-level tables (inverse of
+        :meth:`normalize`): deepest → root, pack each child table one level
+        and left-join its struct column onto the parent on ancestor keys."""
+        if not tables:
+            raise HierarchyValidationError(
+                "Expected at least one table to denormalize.",
+                details={"tables_provided": 0},
+            )
+
+        target_name = target_level or self._levels_meta[0].name
+        target_idx = self.spec.index_of(target_name)
+
+        root_name = self._levels_meta[0].name
+        if root_name not in tables:
+            raise HierarchyValidationError(
+                f"Missing root level '{root_name}' in table mapping.",
+                level=root_name,
+                details={"provided_levels": list(tables.keys())},
+            )
+
+        prepared: dict[str, DataFrame] = {}
+        alias_map: dict[str, tuple[str, ...]] = {}
+        for name, table in tables.items():
+            df, added = self._prepare_frame(table)
+            prepared[name] = df
+            alias_map[name] = added
+
+        for level_idx in reversed(range(1, len(self._levels_meta))):
+            level = self._levels_meta[level_idx]
+            parent_meta = self._levels_meta[level_idx - 1]
+
+            child_df = prepared.get(level.name)
+            if child_df is None:
+                if level_idx <= target_idx:
+                    raise HierarchyValidationError(
+                        f"Missing table for level '{level.name}'.",
+                        level=level.name,
+                        details={"provided_levels": list(tables.keys())},
+                    )
+                continue
+
+            parent_df = prepared.get(parent_meta.name)
+            if parent_df is None:
+                raise HierarchyValidationError(
+                    f"Missing table for parent level '{parent_meta.name}'.",
+                    level=parent_meta.name,
+                    details={"provided_levels": list(tables.keys())},
+                )
+
+            child_packed = self._pack_single_level(child_df, level_idx, validate=False)
+            join_keys = list(level.ancestor_keys)
+            child_struct_frame = child_packed.select(
+                *[qcol(k) for k in join_keys], qcol(level.path)
+            )
+            child_added = alias_map.get(level.name, ())
+            if child_added:
+                child_packed = child_packed.drop(*child_added)
+                child_struct_frame = child_struct_frame.drop(*child_added)
+
+            prepared[level.name] = child_packed
+            prepared[parent_meta.name] = parent_df.join(
+                child_struct_frame, on=join_keys, how="left"
+            )
+
+        result = prepared.get(target_name)
+        if result is None:
+            raise HierarchyValidationError(
+                f"Missing table for level '{target_name}'.", level=target_name
+            )
+        added_aliases = alias_map.get(target_name, ())
+        if added_aliases:
+            result = result.drop(*added_aliases)
+        return self._drop_internal_columns(result)
+
+    def build_from_tables(
+        self,
+        tables: Mapping[str, DataFrame],
+        *,
+        target_level: str | None = None,
+        join_type: Literal["left", "inner"] = "left",
+    ) -> DataFrame:
+        """Build the nested hierarchy from raw relational tables.
+
+        Each table has its own column names plus FK ``parent_keys``; tables
+        are prefix-renamed, joined leaf → root on
+        ``parent.id_columns == child's prefixed parent_keys`` (equi-join —
+        AQE picks broadcast vs sort-merge), FK duplicates dropped, then packed
+        to ``target_level``. ``"left"`` drops orphan children and keeps
+        childless parents with null child structs.
+        """
+        if not tables:
+            raise HierarchyValidationError(
+                "Expected at least one table to build from.",
+                details={"tables_provided": 0},
+            )
+
+        target_name = target_level or self._levels_meta[0].name
+        target_idx = self.spec.index_of(target_name)
+
+        for i, meta in enumerate(self._levels_meta):
+            if i > target_idx:
+                break
+            if meta.name not in tables:
+                raise HierarchyValidationError(
+                    f"Missing table for level '{meta.name}'.",
+                    level=meta.name,
+                    details={"provided_levels": list(tables.keys())},
+                )
+
+        prepared: dict[str, DataFrame] = {}
+        for level_idx, meta in enumerate(self._levels_meta):
+            if meta.name not in tables:
+                continue
+            prepared[meta.name] = self._prepare_level_table_internal(
+                tables[meta.name], level_idx
+            )
+
+        for level_idx in reversed(range(1, len(self._levels_meta))):
+            level = self._levels_meta[level_idx]
+            level_spec = self.spec.levels[level_idx]
+            if level.name not in prepared:
+                continue
+            parent_meta = self._levels_meta[level_idx - 1]
+            if parent_meta.name not in prepared:
+                continue
+
+            child_df = prepared[level.name]
+            parent_df = prepared[parent_meta.name]
+
+            parent_keys = level_spec.parent_keys
+            if not parent_keys:
+                raise HierarchyValidationError(
+                    f"Level '{level.name}' must have parent_keys defined for "
+                    "build_from_tables.",
+                    level=level.name,
+                )
+
+            parent_id_cols = list(parent_meta.id_columns)
+            if len(parent_keys) != len(parent_id_cols):
+                raise HierarchyValidationError(
+                    f"Level '{level.name}' has {len(parent_keys)} parent_keys "
+                    f"but parent '{parent_meta.name}' has {len(parent_id_cols)} "
+                    "id_fields.",
+                    level=level.name,
+                    details={
+                        "parent_keys": list(parent_keys),
+                        "parent_id_columns": parent_id_cols,
+                    },
+                )
+
+            qualified_parent_keys = [f"{level.prefix}{pk}" for pk in parent_keys]
+            cond = None
+            for a, b in zip(parent_id_cols, qualified_parent_keys):
+                clause = qcol(a) == qcol(b)
+                cond = clause if cond is None else (cond & clause)
+            joined = parent_df.join(child_df, on=cond, how=join_type).drop(
+                *qualified_parent_keys
+            )
+            prepared[parent_meta.name] = joined
+
+        result = prepared[self._levels_meta[0].name]
+        return self.pack(result, target_name)
+
+    def prepare_level_table(
+        self,
+        level_name: str,
+        data: DataFrame,
+        column_mapping: dict[str, str] | None = None,
+    ) -> DataFrame:
+        """Rename raw columns via ``column_mapping`` then add the level prefix."""
+        level_idx = self.spec.index_of(level_name)
+        df = data
+        if column_mapping:
+            exprs = []
+            for col in df.columns:
+                if col in column_mapping:
+                    exprs.append(qcol(col).alias(column_mapping[col]))
+                else:
+                    exprs.append(qcol(col))
+            df = df.select(*exprs)
+        return self._prepare_level_table_internal(df, level_idx)
+
+    def _prepare_level_table_internal(self, df: DataFrame, level_idx: int) -> DataFrame:
+        """Prefix every column (FK parent_keys included) with the level path."""
+        meta = self._levels_meta[level_idx]
+        return df.select(
+            *[qcol(c).alias(f"{meta.prefix}{c}") for c in df.columns]
+        )
+
+    # ------------------------------------------------------------------
+    # Internal: frame preparation
+    # ------------------------------------------------------------------
+
+    def _prepare_frame(self, frame: DataFrame) -> tuple[DataFrame, tuple[str, ...]]:
+        """Materialize key aliases, the best-effort row id, and computed fields."""
+        df, added = self._ensure_key_columns(frame)
+        if self.preserve_child_order:
+            df = self._with_row_id(df)
+        df = self._ensure_computed_fields(df)
+        return df, tuple(added)
+
+    def _with_row_id(self, df: DataFrame) -> DataFrame:
+        if not self.preserve_child_order or ROW_ID_COLUMN in df.columns:
+            return df
+        # Partition-ordered, non-contiguous — best-effort input order only
+        # (contractual child order requires LevelSpec.order_by; SURVEY §7.3).
+        return df.withColumn(ROW_ID_COLUMN, F.monotonically_increasing_id())
+
+    def _ensure_key_columns(self, df: DataFrame) -> tuple[DataFrame, list[str]]:
+        added: list[str] = []
+        columns = set(df.columns)
+        for target, source in self.spec.key_aliases.items():
+            if target in columns or source not in columns:
+                continue
+            df = df.withColumn(target, qcol(source))
+            added.append(target)
+        return df, added
+
+    def _ensure_computed_fields(self, df: DataFrame) -> DataFrame:
+        if not self._computed_exprs:
+            return df
+        columns = set(df.columns)
+        missing = {
+            alias: expr
+            for alias, expr in self._computed_exprs.items()
+            if alias not in columns
+        }
+        if missing:
+            df = df.withColumns(missing)
+        return df
+
+    def _collect_computed_exprs(self) -> dict[str, Column]:
+        from polars_nexpresso_spark.plans.spec import column_alias
+
+        exprs: dict[str, Column] = {}
+        for meta in self._levels_meta:
+            for expression in (*meta.id_exprs, *meta.required_exprs):
+                alias = column_alias(expression)
+                if alias:
+                    exprs[alias] = expression
+        return exprs
+
+    def _drop_internal_columns(self, df: DataFrame) -> DataFrame:
+        if self.preserve_child_order and ROW_ID_COLUMN in df.columns:
+            df = df.drop(ROW_ID_COLUMN)
+        return df
+
+    def _identify_extra_columns(self, columns: Sequence[str]) -> list[str]:
+        """Columns not belonging to any hierarchy level (or aliases/internal)."""
+        extra: list[str] = []
+        root_prefix = f"{self._levels_meta[0].name}{self.separator}"
+        hierarchy_prefixes = [m.prefix for m in self._levels_meta if m.prefix]
+        hierarchy_paths = {m.path for m in self._levels_meta}
+        key_alias_targets = set(self.spec.key_aliases.keys())
+
+        for col in columns:
+            if col == ROW_ID_COLUMN:
+                continue
+            if col in hierarchy_paths or col in key_alias_targets:
+                continue
+            if any(col.startswith(p) for p in hierarchy_prefixes):
+                continue
+            if not col.startswith(root_prefix) and col != self._levels_meta[0].name:
+                extra.append(col)
+        return extra
+
+    def _qualify_field(self, level_idx: int, field: str) -> str:
+        """Qualify a field name with the level path prefix (idempotent)."""
+        if len(self._split_path(field)) > 1:
+            return field
+        level_names = [lvl.name for lvl in self.spec.levels[: level_idx + 1]]
+        path = self._join_path(level_names)
+        prefix = f"{path}{self.separator}" if path else ""
+        escaped = self._escape_field(field)
+        return f"{prefix}{escaped}" if prefix else escaped
+
+    # ------------------------------------------------------------------
+    # Internal: the pack kernel
+    # ------------------------------------------------------------------
+
+    def _pack_single_level(
+        self, df: DataFrame, level_idx: int, *, validate: bool = False
+    ) -> DataFrame:
+        """Fold one level's columns into a struct and group by ancestor keys.
+
+        The heart of the engine (reference ``:2614-2698``):
+
+        1. Fold all ``prefix``-matched columns into one struct column named by
+           the level path, fields short-named.
+        2. ``groupBy(ancestor_keys)``: child structs collect into a list
+           (sorted in-agg by order_by temp columns and/or the row id via a
+           key-only comparator); every other column collapses with
+           ``first(ignorenulls=True)``; the min child row-id is carried upward
+           so coarser levels keep nested order without a global sort.
+
+        The root level (no ancestor keys) is folded but NOT grouped.
+        """
+        if self.preserve_child_order:
+            df = self._with_row_id(df)
+
+        meta = self._levels_meta[level_idx]
+        level_cols = [
+            c for c in df.columns if meta.prefix and c.startswith(meta.prefix)
+        ]
+        if not level_cols:
+            return df
+
+        group_keys = list(meta.ancestor_keys)
+
+        order_temp_cols: list[str] = []
+        if meta.order_by and group_keys:
+            order_exprs = {}
+            for i, expr in enumerate(meta.order_by):
+                name = f"{ORDER_TEMP_COLUMN_PREFIX}{i}"
+                # Plain strings are qualified column names, resolved lazily so
+                # specs can be declared before any SparkSession exists.
+                order_exprs[name] = qcol(expr) if isinstance(expr, str) else expr
+                order_temp_cols.append(name)
+            df = df.withColumns(order_exprs)
+
+        struct_expr = F.struct(
+            *[qcol(c).alias(c[len(meta.prefix) :]) for c in level_cols]
+        ).alias(meta.path)
+        keep = [c for c in df.columns if c not in set(level_cols)]
+        df = df.select(*[qcol(c) for c in keep], struct_expr)
+
+        if not group_keys:
+            return df
+
+        has_row_id = ROW_ID_COLUMN in df.columns
+        excluded = set(group_keys) | {meta.path} | set(order_temp_cols)
+        if has_row_id:
+            excluded.add(ROW_ID_COLUMN)
+        remaining_cols = [c for c in df.columns if c not in excluded]
+
+        if validate and remaining_cols:
+            self._validate_aggregation_uniformity(
+                df, group_keys, remaining_cols, meta.name
+            )
+
+        agg_exprs = [
+            F.first(qcol(c), ignorenulls=True).alias(c) for c in remaining_cols
+        ]
+
+        sort_by_cols = [*order_temp_cols]
+        if self.preserve_child_order and has_row_id:
+            sort_by_cols.append(ROW_ID_COLUMN)
+
+        if sort_by_cols:
+            # Wrap (sort keys, payload) into a struct, collect, sort by keys
+            # only (stable; nulls first), then project the payload back out.
+            key_aliases = [f"__k{i}" for i in range(len(sort_by_cols))]
+            pair = F.struct(
+                *[qcol(c).alias(a) for c, a in zip(sort_by_cols, key_aliases)],
+                qcol(meta.path).alias("__v"),
+            )
+            sorted_pairs = F.array_sort(
+                F.collect_list(pair), _struct_key_comparator(key_aliases)
+            )
+            child_list = F.transform(sorted_pairs, lambda x: x["__v"]).alias(meta.path)
+        else:
+            child_list = F.collect_list(qcol(meta.path)).alias(meta.path)
+        agg_exprs.append(child_list)
+
+        if self.preserve_child_order and has_row_id:
+            agg_exprs.append(F.min(qcol(ROW_ID_COLUMN)).alias(ROW_ID_COLUMN))
+
+        return df.groupBy(*[qcol(k) for k in group_keys]).agg(*agg_exprs)
+
+    def _validate_aggregation_uniformity(
+        self,
+        df: DataFrame,
+        group_keys: list[str],
+        value_cols: list[str],
+        level_name: str,
+    ) -> None:
+        """Raise if any carried column has >1 distinct non-null value per group.
+
+        One aggregation pass for all columns; ``countDistinct`` ignores nulls,
+        exactly matching the reference's ``drop_nulls().n_unique()``.
+        """
+        agg_exprs = [
+            F.countDistinct(qcol(c)).alias(f"__nuniq_{i}")
+            for i, c in enumerate(value_cols)
+        ]
+        grouped = df.groupBy(*[qcol(k) for k in group_keys]).agg(*agg_exprs)
+        bad_counts = grouped.agg(
+            *[
+                F.sum((F.col(f"__nuniq_{i}") > 1).cast("long")).alias(f"__bad_{i}")
+                for i in range(len(value_cols))
+            ]
+        ).collect()[0]
+        for i, col in enumerate(value_cols):
+            non_uniform = bad_counts[f"__bad_{i}"] or 0
+            if non_uniform > 0:
+                raise HierarchyValidationError(
+                    f"Column '{col}' has non-uniform values within groups. "
+                    f"Found {non_uniform} groups with differing values. "
+                    "Values at coarser granularity should be identical within "
+                    "each group.",
+                    level=level_name,
+                    details={
+                        "column": col,
+                        "non_uniform_groups": non_uniform,
+                        "group_keys": group_keys,
+                    },
+                )
+
+    def _explode_and_unnest(self, df: DataFrame, meta: LevelMetadata) -> DataFrame:
+        """Explode a level's list column (if a list) and unnest its struct
+        fields back to prefixed top-level columns."""
+        schema = {f.name: f.dataType for f in df.schema.fields}
+        dtype = schema[meta.path]
+        if isinstance(dtype, ArrayType):
+            df = df.withColumn(meta.path, F.explode_outer(qcol(meta.path)))
+            struct_type = dtype.elementType
+        else:
+            struct_type = dtype
+        if not isinstance(struct_type, StructType):
+            raise ValueError(
+                f"Column '{meta.path}' is not a struct/array<struct>; got "
+                f"{dtype.simpleString()}."
+            )
+        others = [c for c in df.columns if c != meta.path]
+        prefixed = [
+            qcol(meta.path)[f.name].alias(f"{meta.prefix}{f.name}")
+            for f in struct_type.fields
+        ]
+        return df.select(*[qcol(c) for c in others], *prefixed)

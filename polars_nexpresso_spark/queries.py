@@ -1,0 +1,438 @@
+"""Driver-facing query catalog: every operator as a (Spark query, oracle SQL)
+pair over the TPC-H-ish testdata.
+
+Each entry exercises one operator family from SURVEY §2 end-to-end on the
+``/root/testdata`` tables, producing a FLAT result whose column names match
+the oracle SQL's aliases exactly (the driver sorts columns by name before
+value-hashing). Floating aggregates are rounded identically on both sides to
+kill summation-order ulp noise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_nexpresso_spark import (
+    HierarchicalPacker,
+    HierarchySpec,
+    LevelAttribute,
+    LevelSpec,
+    apply_nested_operations,
+    qcol,
+    unnest_all,
+)
+from polars_nexpresso_spark.sources.io import (
+    flat_customer_orders,
+    flat_nation_customer_orders,
+    flat_region_nation_customer,
+    read_table,
+)
+
+# ---------------------------------------------------------------------------
+# Hierarchy specs over the testdata FK chain
+# ---------------------------------------------------------------------------
+
+RNC_SPEC = HierarchySpec.from_levels(
+    LevelSpec(name="region", id_fields=["r_regionkey"]),
+    LevelSpec(name="nation", id_fields=["n_nationkey"], parent_keys=["n_regionkey"]),
+    LevelSpec(name="customer", id_fields=["c_custkey"], parent_keys=["c_nationkey"]),
+)
+
+NC_SPEC = HierarchySpec.from_levels(
+    LevelSpec(name="nation", id_fields=["n_nationkey"]),
+    LevelSpec(name="customer", id_fields=["c_custkey"], parent_keys=["c_nationkey"]),
+)
+
+CO_SPEC = HierarchySpec.from_levels(
+    LevelSpec(name="customer", id_fields=["c_custkey"]),
+    LevelSpec(name="orders", id_fields=["o_orderkey"], parent_keys=["o_custkey"]),
+)
+
+NCO_SPEC = HierarchySpec.from_levels(
+    LevelSpec(name="nation", id_fields=["n_nationkey"]),
+    LevelSpec(name="customer", id_fields=["c_custkey"], parent_keys=["c_nationkey"]),
+    LevelSpec(name="orders", id_fields=["o_orderkey"], parent_keys=["o_custkey"]),
+)
+
+OL_SPEC = HierarchySpec.from_levels(
+    LevelSpec(name="orders", id_fields=["o_orderkey"]),
+    LevelSpec(
+        name="lineitem",
+        id_fields=["l_linenumber"],
+        parent_keys=["l_orderkey"],
+        # The synthetic data has duplicate l_linenumber per order; extend the
+        # sort key until unique so first/last are deterministic for the oracle.
+        order_by=[
+            "orders.lineitem.l_linenumber",
+            "orders.lineitem.l_quantity",
+            "orders.lineitem.l_extendedprice",
+        ],
+    ),
+)
+
+
+def _flat_nation_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = flat_nation_customer_orders(spark, sf_dir)
+    return df.select(
+        qcol("nation.n_nationkey"),
+        qcol("nation.n_name"),
+        qcol("nation.customer.c_custkey"),
+        qcol("nation.customer.c_acctbal"),
+    ).dropDuplicates(["nation.customer.c_custkey"])
+
+
+_RNC_FLAT_SQL = """
+    SELECT r.r_regionkey AS r_regionkey, r.r_name AS r_name,
+           n.n_nationkey AS n_nationkey, n.n_name AS n_name,
+           c.c_custkey AS c_custkey, c.c_name AS c_name,
+           c.c_acctbal AS c_acctbal, c.c_mktsegment AS c_mktsegment
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+"""
+
+
+def _rename_rnc_flat(df: DataFrame) -> DataFrame:
+    return df.select(
+        qcol("region.r_regionkey").alias("r_regionkey"),
+        qcol("region.r_name").alias("r_name"),
+        qcol("region.nation.n_nationkey").alias("n_nationkey"),
+        qcol("region.nation.n_name").alias("n_name"),
+        qcol("region.nation.customer.c_custkey").alias("c_custkey"),
+        qcol("region.nation.customer.c_name").alias("c_name"),
+        qcol("region.nation.customer.c_acctbal").alias("c_acctbal"),
+        qcol("region.nation.customer.c_mktsegment").alias("c_mktsegment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_pack_unpack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C4: pack to nation then unpack back to leaf is the identity."""
+    packer = HierarchicalPacker(RNC_SPEC)
+    flat = flat_region_nation_customer(spark, sf_dir)
+    packed = packer.pack(flat, "nation")
+    return _rename_rnc_flat(packer.unpack(packed, "customer"))
+
+
+def q_pack_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: split_join parent strategy is content-equivalent to aggregate."""
+    packer = HierarchicalPacker(RNC_SPEC)
+    flat = flat_region_nation_customer(spark, sf_dir)
+    packed = packer.pack(flat, "nation", parent_strategy="split_join")
+    return _rename_rnc_flat(packer.unpack(packed, "customer"))
+
+
+def q_pack_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: repartitioned (hash-bucketed) pack ≡ plain pack."""
+    packer = HierarchicalPacker(RNC_SPEC)
+    flat = flat_region_nation_customer(spark, sf_dir)
+    packed = packer.pack_streaming(flat, "nation", partitions=8)
+    return _rename_rnc_flat(packer.unpack(packed, "customer"))
+
+
+def q_build_from_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: raw relational tables → joined+packed hierarchy → flat again."""
+    packer = HierarchicalPacker(RNC_SPEC)
+    tables = {
+        "region": read_table(spark, sf_dir, "region").select("r_regionkey", "r_name"),
+        "nation": read_table(spark, sf_dir, "nation"),
+        "customer": read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"
+        ),
+    }
+    packed = packer.build_from_tables(tables, target_level="region", join_type="inner")
+    return _rename_rnc_flat(packer.unpack(packed, "customer"))
+
+
+def q_normalize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7+C8: normalize to per-level tables; return the nation-level table."""
+    packer = HierarchicalPacker(RNC_SPEC)
+    flat = flat_region_nation_customer(spark, sf_dir)
+    tables = packer.normalize(flat)
+    nation = tables["nation"]
+    return nation.select(
+        qcol("region.r_regionkey").alias("r_regionkey"),
+        qcol("region.r_name").alias("r_name"),
+        qcol("region.nation.n_nationkey").alias("n_nationkey"),
+        qcol("region.nation.n_name").alias("n_name"),
+    )
+
+
+def q_denormalize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: normalize → denormalize → unpack reproduces the flat input."""
+    packer = HierarchicalPacker(RNC_SPEC)
+    flat = flat_region_nation_customer(spark, sf_dir)
+    tables = packer.normalize(flat)
+    rebuilt = packer.denormalize(tables, target_level="customer")
+    return _rename_rnc_flat(packer.unpack(rebuilt, "customer"))
+
+
+def q_promote_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: promote sum(o_totalprice) from orders to customer."""
+    packer = HierarchicalPacker(CO_SPEC)
+    flat = flat_customer_orders(spark, sf_dir)
+    promoted = packer.promote_attribute(
+        flat, "o_totalprice", from_level="orders", to_level="customer",
+        agg="sum", alias="sum_totalprice",
+    )
+    return promoted.select(
+        qcol("customer.c_custkey").alias("c_custkey"),
+        F.round(qcol("customer.sum_totalprice"), 2).alias("sum_totalprice"),
+    )
+
+
+def q_enrich_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+D2: enrich nations with count/sum/mean/min/max of customer acctbal."""
+    packer = HierarchicalPacker(NC_SPEC)
+    flat = _flat_nation_customer(spark, sf_dir)
+    packed = packer.pack(flat, "customer")
+    enriched = packer.enrich(
+        packed,
+        LevelAttribute("c_custkey", "customer", "count", alias="cust_count"),
+        LevelAttribute("c_acctbal", "customer", "sum", alias="sum_acctbal"),
+        LevelAttribute("c_acctbal", "customer", "mean", alias="avg_acctbal"),
+        LevelAttribute("c_acctbal", "customer", "min", alias="min_acctbal"),
+        LevelAttribute("c_acctbal", "customer", "max", alias="max_acctbal"),
+        at_level="nation",
+    )
+    return enriched.select(
+        qcol("nation.n_nationkey").alias("n_nationkey"),
+        qcol("nation.n_name").alias("n_name"),
+        qcol("nation.cust_count").cast("bigint").alias("cust_count"),
+        F.round(qcol("nation.sum_acctbal"), 2).alias("sum_acctbal"),
+        F.round(qcol("nation.avg_acctbal"), 4).alias("avg_acctbal"),
+        qcol("nation.min_acctbal").alias("min_acctbal"),
+        qcol("nation.max_acctbal").alias("max_acctbal"),
+    )
+
+
+def q_any_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: nations having at least one customer with acctbal > 9000."""
+    packer = HierarchicalPacker(NC_SPEC)
+    packed = packer.pack(_flat_nation_customer(spark, sf_dir), "customer")
+    result = packer.any_child_satisfies(
+        packed,
+        from_level="customer",
+        to_level="nation",
+        condition=lambda e: e["c_acctbal"] > 9000,
+    )
+    return result.select(
+        qcol("nation.n_nationkey").alias("n_nationkey"),
+        qcol("nation.n_name").alias("n_name"),
+    )
+
+
+def q_all_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: nations where every customer has acctbal > -800."""
+    packer = HierarchicalPacker(NC_SPEC)
+    packed = packer.pack(_flat_nation_customer(spark, sf_dir), "customer")
+    result = packer.all_children_satisfy(
+        packed,
+        from_level="customer",
+        to_level="nation",
+        condition=lambda e: e["c_acctbal"] > -800,
+    )
+    return result.select(
+        qcol("nation.n_nationkey").alias("n_nationkey"),
+        qcol("nation.n_name").alias("n_name"),
+    )
+
+
+def q_multihop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 multi-hop: order count per nation (intermediate count sums inner)."""
+    packer = HierarchicalPacker(NCO_SPEC)
+    flat = flat_nation_customer_orders(spark, sf_dir)
+    packed = packer.pack(flat, "customer")
+    count_expr = packer.attribute_expr("o_orderkey", "orders", "nation", "count")
+    sum_expr = packer.attribute_expr("o_totalprice", "orders", "nation", "sum")
+    return packed.select(
+        qcol("nation.n_nationkey").alias("n_nationkey"),
+        qcol("nation.n_name").alias("n_name"),
+        count_expr.cast("bigint").alias("order_count"),
+        F.round(sum_expr, 2).alias("sum_totalprice"),
+    )
+
+
+def q_agg_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D table "set"/"single": distinct order statuses per customer."""
+    packer = HierarchicalPacker(CO_SPEC)
+    flat = flat_customer_orders(spark, sf_dir)
+    packed = packer.pack(flat, "orders")
+    set_expr = F.array_sort(
+        packer.attribute_expr("o_orderstatus", "orders", "customer", "set")
+    )
+    return packed.select(
+        qcol("customer.c_custkey").alias("c_custkey"),
+        set_expr.alias("statuses"),
+    )
+
+
+def q_nested_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A8: transform a field inside an array<struct> via the builder."""
+    packer = HierarchicalPacker(NC_SPEC)
+    packed = packer.pack(_flat_nation_customer(spark, sf_dir), "customer")
+    transformed = apply_nested_operations(
+        packed,
+        {"nation.customer": {"c_acctbal": lambda c: F.round(c * 2, 2)}},
+        struct_mode="with_fields",
+        use_with_columns=True,
+    )
+    flat = packer.unpack(transformed, "customer")
+    return flat.select(
+        qcol("nation.n_nationkey").alias("n_nationkey"),
+        qcol("nation.customer.c_custkey").alias("c_custkey"),
+        qcol("nation.customer.c_acctbal").alias("doubled_acctbal"),
+    )
+
+
+def q_unnest_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2+B3: recursive struct flattening."""
+    orders = read_table(spark, sf_dir, "orders")
+    nested = orders.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(F.col("o_totalprice").alias("price")).alias("detail"),
+        ).alias("info"),
+    )
+    flat = unnest_all(nested)
+    return flat.select(
+        F.col("o_orderkey"),
+        F.col("`info.status`").alias("status"),
+        F.col("`info.detail.price`").alias("price"),
+    )
+
+
+def q_order_by_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_by child ordering + first/last aggregations: per order, the
+    quantity of the first and last lineitem by linenumber."""
+    packer = HierarchicalPacker(OL_SPEC)
+    from polars_nexpresso_spark.sources.io import flat_orders_lineitem
+
+    flat = flat_orders_lineitem(spark, sf_dir)
+    packed = packer.pack(flat, "lineitem")
+    return packed.select(
+        qcol("orders.o_orderkey").alias("o_orderkey"),
+        packer.attribute_expr("l_quantity", "lineitem", "orders", "first").alias(
+            "first_qty"
+        ),
+        packer.attribute_expr("l_quantity", "lineitem", "orders", "last").alias(
+            "last_qty"
+        ),
+        packer.attribute_expr("l_linenumber", "lineitem", "orders", "count")
+        .cast("bigint")
+        .alias("line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pack_unpack_roundtrip": q_pack_unpack_roundtrip,
+    "pack_split_join": q_pack_split_join,
+    "pack_streaming": q_pack_streaming,
+    "build_from_tables": q_build_from_tables,
+    "normalize_split": q_normalize_split,
+    "denormalize_roundtrip": q_denormalize_roundtrip,
+    "promote_sum": q_promote_sum,
+    "enrich_stats": q_enrich_stats,
+    "any_child": q_any_child,
+    "all_children": q_all_children,
+    "multihop_count": q_multihop_count,
+    "agg_set": q_agg_set,
+    "nested_expr": q_nested_expr,
+    "unnest_all": q_unnest_all,
+    "order_by_first_last": q_order_by_first_last,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "pack_unpack_roundtrip": _RNC_FLAT_SQL,
+    "pack_split_join": _RNC_FLAT_SQL,
+    "pack_streaming": _RNC_FLAT_SQL,
+    "build_from_tables": _RNC_FLAT_SQL,
+    "denormalize_roundtrip": _RNC_FLAT_SQL,
+    "normalize_split": """
+        SELECT DISTINCT r.r_regionkey AS r_regionkey, r.r_name AS r_name,
+               n.n_nationkey AS n_nationkey, n.n_name AS n_name
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+    """,
+    "promote_sum": """
+        SELECT c.c_custkey AS c_custkey,
+               ROUND(SUM(o.o_totalprice), 2) AS sum_totalprice
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+    "enrich_stats": """
+        SELECT n.n_nationkey AS n_nationkey, n.n_name AS n_name,
+               COUNT(*) AS cust_count,
+               ROUND(SUM(c.c_acctbal), 2) AS sum_acctbal,
+               ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal,
+               MIN(c.c_acctbal) AS min_acctbal,
+               MAX(c.c_acctbal) AS max_acctbal
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_nationkey, n.n_name
+    """,
+    "any_child": """
+        SELECT n.n_nationkey AS n_nationkey, n.n_name AS n_name
+        FROM nation n
+        WHERE EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000
+        )
+    """,
+    "all_children": """
+        SELECT n.n_nationkey AS n_nationkey, n.n_name AS n_name
+        FROM nation n
+        WHERE EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal <= -800
+        )
+    """,
+    "multihop_count": """
+        SELECT n.n_nationkey AS n_nationkey, n.n_name AS n_name,
+               COUNT(*) AS order_count,
+               ROUND(SUM(o.o_totalprice), 2) AS sum_totalprice
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_nationkey, n.n_name
+    """,
+    "agg_set": """
+        SELECT c.c_custkey AS c_custkey,
+               list(DISTINCT o.o_orderstatus ORDER BY o.o_orderstatus) AS statuses
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    """,
+    "nested_expr": """
+        SELECT n.n_nationkey AS n_nationkey, c.c_custkey AS c_custkey,
+               ROUND(c.c_acctbal * 2, 2) AS doubled_acctbal
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    """,
+    "unnest_all": """
+        SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
+        FROM orders
+    """,
+    "order_by_first_last": """
+        SELECT o.o_orderkey AS o_orderkey,
+               FIRST(l.l_quantity ORDER BY l.l_linenumber, l.l_quantity,
+                     l.l_extendedprice) AS first_qty,
+               LAST(l.l_quantity ORDER BY l.l_linenumber, l.l_quantity,
+                    l.l_extendedprice) AS last_qty,
+               COUNT(*) AS line_count
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+    """,
+}

@@ -1,0 +1,129 @@
+"""Testdata loaders and flat-hierarchy builders over the TPC-H-ish tables.
+
+The driver's tables (``/root/testdata/sf*/``) form the FK chain
+``region → nation → customer → orders → lineitem`` (TESTDATA.md); these
+helpers load them and build the dotted flat representations the packer
+consumes. Reads are plain ``spark.read.parquet`` — filters/projections
+pushed down by Catalyst reach the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def prefix_columns(df: DataFrame, prefix: str) -> DataFrame:
+    """Rename every column to ``prefix + name`` (literal names, dot-safe)."""
+    return df.select(
+        *[F.col(f"`{c}`").alias(f"{prefix}{c}") for c in df.columns]
+    )
+
+
+def flat_region_nation_customer(
+    spark: SparkSession, sf_dir: str, *, how: str = "inner"
+) -> DataFrame:
+    """Flat dotted frame for the region → nation → customer hierarchy."""
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer")
+    df = (
+        region.join(nation, region["r_regionkey"] == nation["n_regionkey"], how)
+        .join(customer, nation["n_nationkey"] == customer["c_nationkey"], how)
+    )
+    cols = {
+        "region.r_regionkey": df["r_regionkey"],
+        "region.r_name": df["r_name"],
+        "region.nation.n_nationkey": df["n_nationkey"],
+        "region.nation.n_name": df["n_name"],
+        "region.nation.customer.c_custkey": df["c_custkey"],
+        "region.nation.customer.c_name": df["c_name"],
+        "region.nation.customer.c_acctbal": df["c_acctbal"],
+        "region.nation.customer.c_mktsegment": df["c_mktsegment"],
+    }
+    return df.select(*[v.alias(k) for k, v in cols.items()])
+
+
+def flat_customer_orders(
+    spark: SparkSession, sf_dir: str, *, how: str = "inner"
+) -> DataFrame:
+    """Flat dotted frame for the customer → orders hierarchy."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    df = customer.join(orders, customer["c_custkey"] == orders["o_custkey"], how)
+    cols = {
+        "customer.c_custkey": df["c_custkey"],
+        "customer.c_name": df["c_name"],
+        "customer.c_acctbal": df["c_acctbal"],
+        "customer.orders.o_orderkey": df["o_orderkey"],
+        "customer.orders.o_orderstatus": df["o_orderstatus"],
+        "customer.orders.o_totalprice": df["o_totalprice"],
+        "customer.orders.o_orderpriority": df["o_orderpriority"],
+    }
+    return df.select(*[v.alias(k) for k, v in cols.items()])
+
+
+def flat_nation_customer_orders(
+    spark: SparkSession, sf_dir: str, *, how: str = "inner"
+) -> DataFrame:
+    """Flat dotted frame for the nation → customer → orders hierarchy."""
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    df = (
+        nation.join(customer, nation["n_nationkey"] == customer["c_nationkey"], how)
+        .join(orders, customer["c_custkey"] == orders["o_custkey"], how)
+    )
+    cols = {
+        "nation.n_nationkey": df["n_nationkey"],
+        "nation.n_name": df["n_name"],
+        "nation.customer.c_custkey": df["c_custkey"],
+        "nation.customer.c_acctbal": df["c_acctbal"],
+        "nation.customer.orders.o_orderkey": df["o_orderkey"],
+        "nation.customer.orders.o_totalprice": df["o_totalprice"],
+    }
+    return df.select(*[v.alias(k) for k, v in cols.items()])
+
+
+def flat_orders_lineitem(
+    spark: SparkSession, sf_dir: str, *, how: str = "inner"
+) -> DataFrame:
+    """Flat dotted frame for the orders → lineitem hierarchy (bench-scale)."""
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    df = orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"], how)
+    cols = {
+        "orders.o_orderkey": df["o_orderkey"],
+        "orders.o_custkey": df["o_custkey"],
+        "orders.o_orderstatus": df["o_orderstatus"],
+        "orders.o_totalprice": df["o_totalprice"],
+        "orders.lineitem.l_linenumber": df["l_linenumber"],
+        "orders.lineitem.l_quantity": df["l_quantity"],
+        "orders.lineitem.l_extendedprice": df["l_extendedprice"],
+        "orders.lineitem.l_discount": df["l_discount"],
+        "orders.lineitem.l_returnflag": df["l_returnflag"],
+    }
+    return df.select(*[v.alias(k) for k, v in cols.items()])
