@@ -91,6 +91,21 @@ def main() -> None:
     bench("multihop_count", lambda: force(q_multihop_count(spark, sf_dir)))
     bench("any_child", lambda: force(q_any_child(spark, sf_dir)))
 
+    # --- Pipeline extensions ----------------------------------------------
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_cosine_topk,
+        q_exact_dedup,
+        q_language_id,
+        q_minhash_lsh,
+        q_text_stats,
+    )
+
+    bench("exact_dedup", lambda: force(q_exact_dedup(spark, sf_dir)))
+    bench("minhash_lsh", lambda: force(q_minhash_lsh(spark, sf_dir)))
+    bench("text_stats", lambda: force(q_text_stats(spark, sf_dir)))
+    bench("language_id", lambda: force(q_language_id(spark, sf_dir)))
+    bench("cosine_topk", lambda: force(q_cosine_topk(spark, sf_dir)))
+
     flat.unpersist()
     total = round(sum(timings.values()), 3)
     print(

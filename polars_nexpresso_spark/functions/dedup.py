@@ -1,0 +1,358 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale design (the point of these at 100 TB):
+
+- **Exact** — one shuffle on the 128-bit content fingerprint; the
+  aggregation is partial/final so the map side pre-collapses duplicates.
+- **N-gram Jaccard** — shingle-explode + equi-join on shingle, then a pair
+  aggregation. Hot (high-document-frequency) shingles create quadratic pair
+  blowup, so ``max_shingle_df`` drops shingles shared by more than N docs —
+  the standard scalable blocker (a shingle shared by 10k docs contributes
+  ~5·10⁷ pairs while carrying almost no signal).
+- **MinHash+LSH** — per-doc signatures are a map-side projection (no
+  shuffle); banding reduces the candidate join from O(n²) to near-linear:
+  only docs sharing a band bucket are paired, then verified with exact
+  Jaccard, so precision is exact and only recall depends on (bands, rows).
+- **SimHash** — 60-bit fingerprint; candidate blocking on 15-bit chunks
+  (any pair within Hamming distance 3 shares at least one of 4 chunks —
+  pigeonhole), verified by true Hamming distance.
+- **Embedding cosine** — LSH-free exact variant blocks on ``label`` (or any
+  coarse partitioner); see ``similarity.py`` for the ANN path.
+
+All hashing derives from md5 (``token_hash60``) so DuckDB oracles can
+reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from polars_nexpresso_spark.functions.text import (
+    doc_fingerprint,
+    simhash60,
+    word_ngrams,
+)
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup on normalized content: one row per distinct fingerprint.
+
+    Returns ``(fingerprint, keep_id, dup_count)`` with the smallest id as
+    the deterministic representative. Single shuffle on the fingerprint.
+    """
+    return (
+        df.select(
+            doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("__id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with word-``n``-gram Jaccard ≥ ``threshold``.
+
+    Exact (no approximation): explode distinct shingles, self-join on the
+    shingle, count shared shingles per pair, and compute
+    ``|∩| / (|A| + |B| - |∩|)``. ``max_shingle_df`` caps shingle document
+    frequency to keep the pair join near-linear at scale.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        word_ngrams(F.col(text_col), n).alias("__shingles"),
+    )
+    sizes = shingled.select("__id", F.size("__shingles").alias("__n_shingles"))
+
+    exploded = shingled.select(
+        "__id", F.explode("__shingles").alias("__shingle")
+    )
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("__shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__shingle")
+        )
+        exploded = exploded.join(hot, on="__shingle", how="left_anti")
+
+    left = exploded.select(
+        F.col("__id").alias("id_a"), F.col("__shingle").alias("__s")
+    )
+    right = exploded.select(
+        F.col("__id").alias("id_b"), F.col("__shingle").alias("__s")
+    )
+    pairs = (
+        left.join(right, on="__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__shared"))
+    )
+    with_sizes = (
+        pairs.join(sizes.withColumnsRenamed({"__id": "id_a", "__n_shingles": "__na"}), on="id_a")
+        .join(sizes.withColumnsRenamed({"__id": "id_b", "__n_shingles": "__nb"}), on="id_b")
+    )
+    jac = F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
+    return (
+        with_sizes.select(
+            "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+_MINHASH_PRIME = 4294967291  # largest 32-bit prime
+
+
+def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine permutation family,
+    derived from md5 so runs and machines agree with no RNG state."""
+    import hashlib
+
+    params = []
+    for i in range(num_hashes):
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        a = (int(h[:8], 16) % (2**31 - 1)) + 1
+        b = int(h[8:16], 16) % (2**31)
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature, map-side only (no shuffle).
+
+    One xxhash64 per shingle (JVM-side, seeded, deterministic), then
+    ``num_hashes`` affine permutations ``(a_i·h + b_i) mod p`` over the
+    32-bit folded base hash — the standard one-hash MinHash family, ~30×
+    cheaper than hashing each shingle ``num_hashes`` times. All arithmetic
+    stays within signed-64 range (a < 2³¹, h < 2³²)."""
+    shingles = word_ngrams(F.col(text_col), n)
+    base = F.transform(
+        shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+    sig_cols = []
+    for i, (a, b) in enumerate(_affine_params(num_hashes, seed)):
+        hashed = F.transform(
+            base, _affine_fn(a, b)
+        )
+        sig_cols.append(F.array_min(hashed).alias(f"mh_{i}"))
+    return df.select(F.col(id_col).alias("__id"), *sig_cols)
+
+
+def _affine_fn(a: int, b: int):
+    return lambda h: (h * a + b) % _MINHASH_PRIME
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
+
+    ``num_hashes`` minhashes split into ``bands`` bands of ``r`` rows; docs
+    sharing any band bucket become candidates (probability ≈
+    1-(1-j^r)^bands), then candidates are verified with exact shingle
+    Jaccard so every emitted pair truly satisfies ``jaccard ≥ threshold``.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    r = num_hashes // bands
+
+    sigs = minhash_signatures(
+        df, text_col, id_col, n=n, num_hashes=num_hashes
+    )
+    # One pass: band bucket ids as an array, then posexplode — the signature
+    # pipeline is evaluated once per row, not once per band (a 16-band union
+    # of selects would recompute all shingle hashing 16×).
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"mh_{b * r + j}") for j in range(r)]
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col("__id"), F.posexplode(band_hashes).alias("__band", "__bucket")
+    )
+
+    left = buckets.select(
+        F.col("__id").alias("id_a"), "__band", "__bucket"
+    )
+    right = buckets.select(
+        F.col("__id").alias("id_b"), "__band", "__bucket"
+    )
+    candidates = (
+        left.join(right, on=["__band", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        word_ngrams(F.col(text_col), n).alias("__shingles"),
+    )
+    verified = (
+        candidates.join(
+            shingled.withColumnsRenamed({"__id": "id_a", "__shingles": "__sa"}),
+            on="id_a",
+        )
+        .join(
+            shingled.withColumnsRenamed({"__id": "id_b", "__shingles": "__sb"}),
+            on="id_b",
+        )
+        .withColumn(
+            "__shared", F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("__shared")
+                / (F.size("__sa") + F.size("__sb") - F.col("__shared")),
+                6,
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Blocking: the 60-bit simhash splits into 4 chunks of 15 bits; by
+    pigeonhole, any pair within Hamming distance 3 agrees on ≥1 chunk, so
+    candidates come from an equi-join on (chunk_index, chunk_value) and are
+    then verified with the true bit_count of the XOR.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        simhash60(F.col(text_col)).alias("__sim"),
+    )
+    chunks = None
+    for c in range(4):
+        part = hashed.select(
+            "__id",
+            "__sim",
+            F.lit(c).alias("__chunk"),
+            F.shiftright(F.col("__sim"), c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias(
+                "__val"
+            ),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+
+    left = chunks.select(
+        F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), "__chunk", "__val"
+    )
+    right = chunks.select(
+        F.col("__id").alias("id_b"), F.col("__sim").alias("__sim_b"), "__chunk", "__val"
+    )
+    candidates = (
+        left.join(right, on=["__chunk", "__val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sim_a", "__sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
+    return (
+        candidates.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs with cosine similarity ≥ ``threshold``.
+
+    Exact within blocks: pairs are formed inside ``block_col`` partitions
+    (e.g. a cluster label or LSH bucket) to avoid the full n² cross join; a
+    null ``block_col`` compares everything (only for small inputs).
+
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm.alias("__norm"),
+        *( [F.col(block_col).alias("__blk")] if block_col else [F.lit(0).alias("__blk")] ),
+    )
+    left = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__norm").alias("__na"),
+        "__blk",
+    )
+    right = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__norm").alias("__nb"),
+        "__blk",
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosine = F.round(dot / (F.col("__na") * F.col("__nb")), 6)
+    return (
+        left.join(right, on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- :func:`cosine_topk` — exact brute-force top-k: the baseline. Query set is
+  broadcast (it is small by construction); scoring is a map-side
+  ``zip_with``/``aggregate`` dot product in codegen; top-k per query via a
+  window over (query, score). At 100 TB the corpus stays partitioned and
+  never shuffles — only the per-query candidate rows move.
+- :func:`lsh_ann_topk` — random-hyperplane LSH: deterministic pseudo-random
+  hyperplanes (seeded, md5-derived), bucket on the sign bit-vector, search
+  only within matching buckets (with multi-probe over 1-bit flips). Scale
+  path: the bucket join replaces the cross join, turning O(|corpus|·|q|)
+  into O(bucket size · |q|).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query vector by cosine.
+
+    Returns ``(query_id, neighbor_id, cosine, rank)`` with a deterministic
+    (cosine desc, neighbor_id asc) tie-break.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine",
+        F.round(_dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from md5 bits.
+
+    Box-Muller over md5-derived uniforms — reproducible across runs and
+    machines with no RNG state.
+    """
+    planes: list[list[float]] = []
+    for p in range(num_planes):
+        vals: list[float] = []
+        for d in range(0, dim, 2):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            u1 = (int(h[:8], 16) + 1) / (2**32 + 2)
+            u2 = (int(h[8:16], 16) + 1) / (2**32 + 2)
+            r = math.sqrt(-2.0 * math.log(u1))
+            vals.append(r * math.cos(2 * math.pi * u2))
+            if d + 1 < dim:
+                vals.append(r * math.sin(2 * math.pi * u2))
+        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / norm for v in vals[:dim]])
+    return planes
+
+
+def lsh_bucket_expr(vec_col, planes: list[list[float]]):
+    """Sign bit-vector bucket id of a vector under the given hyperplanes."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = _dot(vec_col, lit_plane)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_planes: int = 8,
+    multiprobe: int = 1,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing.
+
+    Candidates come from corpus rows sharing the query's bucket (plus all
+    1-bit-flip probe buckets when ``multiprobe=1``); exact cosine ranks the
+    candidates. Same output shape as :func:`cosine_topk`; recall < 1 by
+    construction.
+    """
+    dim = len(queries.select(vec_col).first()[0])
+    planes = _hyperplanes(num_planes, dim, seed)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket"),
+    )
+
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+        lsh_bucket_expr(F.col(vec_col), planes).alias("__qbucket"),
+    )
+    # Multi-probe: each query also probes buckets at Hamming distance 1.
+    probes = [F.col("__qbucket")]
+    if multiprobe >= 1:
+        probes += [
+            F.col("__qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)
+        ]
+    q = q_base.withColumn("__bucket", F.explode(F.array(*probes)))
+
+    joined = c.join(F.broadcast(q), on="__bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine",
+        F.round(_dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

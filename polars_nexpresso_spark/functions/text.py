@@ -1,0 +1,182 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is a pure Spark Column expression (JVM-side, whole-stage
+codegen, no Python in the hot path), designed so the identical computation is
+expressible in ANSI-ish SQL for the DuckDB oracle:
+
+- tokenization + token counting (whitespace),
+- quality scoring (length / token-length / stopword / uniqueness ratios),
+- marker-based language identification (occurrence-count scoring),
+- document fingerprinting (md5 of normalized text) and a 60-bit
+  md5-derived token hash shared bit-for-bit with DuckDB
+  (``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``).
+
+At 100 TB these are embarrassingly parallel map-side expressions: no
+shuffle, no state; they pushdown-project only the ``text`` column from
+parquet scans.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker vocabularies for the n-gram/stopword language-ID heuristic. Scores
+# are occurrence counts of space-padded markers — computable identically in
+# any SQL engine via length arithmetic.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "fast", "slow", "small", "big"],
+    "es": ["el", "la", "de", "que", "y", "una"],
+    "fr": ["le", "la", "et", "les", "une", "des"],
+    "de": ["der", "die", "und", "das", "ein", "nicht"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = [
+    "the", "a", "an", "of", "and", "or", "in", "on", "to", "is", "it",
+]
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, collapse whitespace runs to single spaces, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text (empty text → empty array)."""
+    norm = normalize_text(col)
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def avg_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.try_divide(total, F.size(toks))
+
+
+def unique_token_ratio(col: Column) -> Column:
+    toks = tokens(col)
+    return F.try_divide(F.size(F.array_distinct(toks)), F.size(toks))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.try_divide(hits, F.size(toks))
+
+
+def digit_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[0-9]", "")
+    return F.try_divide(F.length(col) - F.length(stripped), F.length(col))
+
+
+def marker_occurrences(col: Column, marker: str) -> Column:
+    """Count occurrences of a space-padded marker word.
+
+    ``(len(padded) - len(replace(padded, ' m '))) / len(' m ')`` — identical
+    arithmetic in Spark and DuckDB, so the oracle matches bit-for-bit.
+    """
+    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    needle = f" {marker} "
+    # Literal (non-regex) replace: same left-to-right non-overlapping
+    # semantics as SQL replace(), so the oracle arithmetic matches exactly.
+    stripped = F.replace(padded, F.lit(needle), F.lit(""))
+    return ((F.length(padded) - F.length(stripped)) / len(needle)).cast("long")
+
+
+def language_scores(col: Column, profiles: dict[str, list[str]] | None = None) -> dict[str, Column]:
+    """Per-language marker-occurrence totals."""
+    out: dict[str, Column] = {}
+    for lang, markers in (profiles or LANG_PROFILES).items():
+        score = reduce(
+            lambda a, b: a + b, [marker_occurrences(col, m) for m in markers]
+        )
+        out[lang] = score
+    return out
+
+
+def language_id(col: Column, profiles: dict[str, list[str]] | None = None) -> Column:
+    """Argmax language by marker score; alphabetical tie-break; 'und' if all 0."""
+    scores = language_scores(col, profiles)
+    best = None
+    for lang in sorted(scores):  # alphabetical order makes ties deterministic
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                (scores[lang] >= scores[other]) if other > lang else (scores[lang] > scores[other])
+                for other in sorted(scores)
+                if other != lang
+            ],
+        )
+        clause = F.when(cond & (scores[lang] > 0), F.lit(lang))
+        best = clause if best is None else best.when(cond & (scores[lang] > 0), F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of normalized text (same as SQL
+    ``md5(<normalization>)`` — exact-dedup key)."""
+    return F.md5(normalize_text(col))
+
+
+def token_hash60(col: Column) -> Column:
+    """60-bit integer hash of a token derived from md5.
+
+    Shared with DuckDB: ``CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)``.
+    15 hex chars = 60 bits, always within signed-long range.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash60(col: Column, bits: int = 60) -> Column:
+    """SimHash over whitespace tokens using the shared 60-bit token hash.
+
+    Bit *i* of the result is 1 when the majority of token hashes have bit
+    *i* set. Pure array expressions (one pass per bit) — no shuffle; at
+    scale this is a map-only projection.
+    """
+    toks = F.array_distinct(tokens(col))
+    hashes = F.transform(toks, lambda t: token_hash60(t))
+    n = F.size(hashes)
+    terms = []
+    for i in range(bits):
+        ones = F.size(
+            F.filter(hashes, _bit_set_fn(i))
+        )
+        terms.append(F.when(ones * 2 >= n, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    return reduce(lambda a, b: a + b, terms)
+
+
+def _bit_set_fn(i: int):
+    return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) of the normalized text.
+
+    Documents shorter than *n* tokens yield their full token sequence as a
+    single shingle so they still participate in similarity joins.
+    """
+    toks = tokens(col)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(shingles)

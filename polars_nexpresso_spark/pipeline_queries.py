@@ -1,0 +1,259 @@
+"""Pipeline-extension query catalog: dedup / similarity / text analysis /
+multimodal over the ``documents`` and ``embeddings`` tables.
+
+Every oracle replicates the exact computation in DuckDB SQL — including the
+md5-derived 60-bit hashes (``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``),
+shingling, and the marker-occurrence language scores — so value hashes
+match bit-for-bit, not just statistically. LSH-based operators whose output
+is approximation-dependent (`lsh_ann_topk`) are rows-only checked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_nexpresso_spark.functions.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from polars_nexpresso_spark.functions.multimodal import extract_features
+from polars_nexpresso_spark.functions.similarity import cosine_topk, lsh_ann_topk
+from polars_nexpresso_spark.functions.text import (
+    LANG_PROFILES,
+    STOPWORDS,
+    avg_token_length,
+    doc_fingerprint,
+    language_id,
+    simhash60,
+    stopword_ratio,
+    token_count,
+    unique_token_ratio,
+)
+from polars_nexpresso_spark.sources.io import read_table
+
+# DuckDB fragments shared by several oracles.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks)-2, 1)+1), "
+    "i -> array_to_string(list_slice(toks, i, i+2), ' ')))"
+)
+_HASHES = (
+    "list_transform(list_distinct(toks), "
+    "t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT))"
+)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.select(
+        F.col("doc_id"),
+        token_count(text).cast("bigint").alias("n_tokens"),
+        F.round(avg_token_length(text), 4).alias("avg_token_len"),
+        F.round(stopword_ratio(text), 4).alias("stopword_ratio"),
+        F.round(unique_token_ratio(text), 4).alias("uniq_ratio"),
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        language_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=16, threshold=0.8
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"), simhash60(F.col("text")).alias("simhash")
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=8)
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries, k=5)
+
+
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(emb, queries, k=5, num_planes=8, multiprobe=1)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text bytes as blobs → mapInPandas features."""
+    docs = read_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    feats = extract_features(media, n_features=4, fake=True)
+    return feats.select("media_id", "n_bytes")
+
+
+def _lang_score_sql(lang: str) -> str:
+    terms = []
+    for m in LANG_PROFILES[lang]:
+        needle = f" {m} "
+        terms.append(
+            f"CAST((length(padded) - length(replace(padded, '{needle}', '')))"
+            f" / {len(needle)} AS BIGINT)"
+        )
+    return " + ".join(terms)
+
+
+def _language_id_oracle() -> str:
+    langs = sorted(LANG_PROFILES)
+    score_cols = ",\n           ".join(
+        f"({_lang_score_sql(lang)}) AS s_{lang}" for lang in langs
+    )
+    cases = []
+    for lang in langs:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        ]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "\n               ".join(cases)
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, {score_cols}
+          FROM (SELECT doc_id, concat(' ', {_NORM}, ' ') AS padded FROM documents)
+        )
+        SELECT doc_id,
+               CASE {case_sql}
+               ELSE 'und' END AS lang_pred
+        FROM scored
+    """
+
+
+def _jaccard_pairs_oracle(threshold: float) -> str:
+    return f"""
+        WITH shingled AS (
+          SELECT doc_id, {_SHINGLES} AS sh
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                     6) AS jaccard
+        FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+        WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                    6) >= {threshold}
+    """
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_stats": q_text_stats,
+    "language_id": q_language_id,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_dedup": q_embedding_dedup,
+    "cosine_topk": q_cosine_topk,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+_sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+PIPELINE_ORACLE_SQL: dict[str, str] = {
+    "text_stats": f"""
+        SELECT doc_id,
+               len(toks)::BIGINT AS n_tokens,
+               ROUND(list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                     / len(toks), 4) AS avg_token_len,
+               ROUND(len(list_filter(toks, t -> list_contains([{_sw}], t)))::DOUBLE
+                     / len(toks), 4) AS stopword_ratio,
+               ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS uniq_ratio
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    """,
+    "language_id": _language_id_oracle(),
+    "exact_dedup": f"""
+        SELECT md5({_NORM}) AS fingerprint,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_count
+        FROM documents
+        GROUP BY 1
+    """,
+    "ngram_jaccard": _jaccard_pairs_oracle(0.8),
+    # minhash banding has recall 1-(1-j^2)^16 ≈ 1 at the 0.8 threshold on
+    # this data (planted near-dups have j ≈ 0.99), and verification is exact
+    # Jaccard — so the LSH output equals the brute-force pairs.
+    "minhash_lsh": _jaccard_pairs_oracle(0.8),
+    "simhash": f"""
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 60), i ->
+                   CASE WHEN len(list_filter(hashes, h -> (h >> i) & 1 = 1)) * 2
+                             >= len(hashes)
+                        THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS simhash
+        FROM (SELECT doc_id, {_HASHES} AS hashes
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+    """,
+    "embedding_dedup": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+    "cosine_topk": """
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                            DESC, c.vec_id ASC
+                 ) AS rank
+          FROM embeddings c
+          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+          WHERE c.vec_id != q.vec_id
+        ) WHERE rank <= 5
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    """,
+    # simhash_pairs and lsh_ann_topk are approximation-shaped (blocking
+    # recall / probe coverage): rows-only checks, no oracle entries.
+}

@@ -436,3 +436,16 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY o.o_orderkey
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Pipeline extensions (dedup / similarity / text / multimodal)
+# ---------------------------------------------------------------------------
+
+from polars_nexpresso_spark.pipeline_queries import (  # noqa: E402
+    PIPELINE_ORACLE_SQL,
+    PIPELINE_QUERIES,
+)
+
+QUERIES.update(PIPELINE_QUERIES)
+ORACLE_SQL.update(PIPELINE_ORACLE_SQL)

@@ -32,6 +32,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # The testdata events table stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long (ns since epoch) and convert explicitly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.driver.memory", os.environ.get("PNS_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

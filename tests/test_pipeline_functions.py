@@ -1,0 +1,208 @@
+"""Tests for the pipeline-extension operators: text analysis, dedup,
+similarity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from polars_nexpresso_spark.functions.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from polars_nexpresso_spark.functions.multimodal import (
+    attach_media_meta,
+    extract_features,
+    sample_frames,
+)
+from polars_nexpresso_spark.functions.similarity import cosine_topk, lsh_ann_topk
+from polars_nexpresso_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    simhash60,
+    token_count,
+    word_ngrams,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words entirely unrelated content here now"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_count(docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    assert got[1] == 9
+    assert got[5] == 0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, " HELLO   WORLD ")],
+        ["id", "t"],
+    )
+    fps = [r["fp"] for r in df.select(doc_fingerprint(F.col("t")).alias("fp")).collect()]
+    assert len(set(fps)) == 1
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the fast dog and the slow cat"),
+            (2, "el perro y la casa de que una"),
+            (3, "der hund und die katze das ein"),
+            (4, "zzz qqq xxx"),
+        ],
+        ["id", "t"],
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", language_id(F.col("t")).alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "de"
+    assert got[4] == "und"
+
+
+def test_exact_dedup(docs):
+    result = exact_dedup(docs, "text", "doc_id")
+    rows = {r["keep_id"]: r["dup_count"] for r in result.collect()}
+    assert rows[1] == 2  # docs 1 and 4 identical
+    assert result.count() == 4  # 5 docs → 4 distinct fingerprints
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0  # exact duplicates
+    assert (1, 2) in got  # near duplicates share most shingles
+    assert all(j >= 0.5 for j in got.values())
+    assert (1, 3) not in got
+
+
+def test_ngram_jaccard_hot_shingle_cap(docs):
+    # Cap df at 1 → every shared shingle is dropped → no pairs at all.
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.1, max_shingle_df=1
+    )
+    assert pairs.count() == 0
+
+
+def test_minhash_matches_bruteforce(docs):
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    # LSH verification is exact → precision 1 (subset); identical docs are
+    # always recalled.
+    assert lsh <= brute
+    assert (1, 4) in lsh
+
+
+def test_simhash_pairs_identical(docs):
+    pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 4)] == 0
+
+
+def test_simhash_deterministic(docs):
+    a = docs.select(simhash60(F.col("text")).alias("s")).collect()
+    b = docs.select(simhash60(F.col("text")).alias("s")).collect()
+    assert [r["s"] for r in a] == [r["s"] for r in b]
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.95, 0.05], 1),
+        (5, [0.0, 0.0, 1.0], 2),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_embedding_cosine_pairs(vectors):
+    pairs = embedding_cosine_pairs(vectors, "embedding", "vec_id", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (3, 4) in got
+    assert (1, 3) not in got
+
+
+def test_embedding_cosine_pairs_blocked(vectors):
+    pairs = embedding_cosine_pairs(
+        vectors, "embedding", "vec_id", threshold=0.0, block_col="label"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # only within-label pairs are compared
+    assert got == {(1, 2), (3, 4)}
+
+
+def test_cosine_topk(vectors):
+    queries = vectors.filter(F.col("vec_id") == 1)
+    result = cosine_topk(vectors, queries, k=2)
+    rows = sorted(
+        (r["rank"], r["neighbor_id"]) for r in result.collect()
+    )
+    assert rows[0] == (1, 2)  # closest neighbor of v1 is v2
+    assert len(rows) == 2
+
+
+def test_lsh_ann_subset_of_exact_topk(vectors):
+    queries = vectors.filter(F.col("vec_id") == 1)
+    ann = lsh_ann_topk(vectors, queries, k=2, num_planes=4, multiprobe=1)
+    rows = ann.collect()
+    assert all(r["query_id"] == 1 for r in rows)
+    assert rows[0]["neighbor_id"] == 2  # nearest found despite bucketing
+
+
+def test_multimodal_feature_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh")), (2, bytearray(b"")), (3, bytearray(b"\x00\xff"))],
+        "media_id long, content binary",
+    )
+    feats = extract_features(df, n_features=4, fake=True)
+    got = {r["media_id"]: r for r in feats.collect()}
+    assert got[1]["n_bytes"] == 8
+    assert got[2]["n_bytes"] == 0
+    assert len(got[1]["features"]) == 4
+    assert got[3]["byte_mean"] == pytest.approx((0 + 255) / 2)
+
+
+def test_multimodal_real_decode_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, content binary")
+    with pytest.raises(NotImplementedError):
+        extract_features(df, fake=False)
+
+
+def test_attach_media_meta(spark):
+    df = spark.createDataFrame([(1, bytearray(b"abc"))], "media_id long, content binary")
+    out = attach_media_meta(df, "content", "image/png")
+    row = out.collect()[0]
+    assert row["meta"]["format"] == "image/png"
+    assert row["meta"]["n_bytes"] == 3
+
+
+def test_sample_frames_row_expansion(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(10))))], "media_id long, content binary"
+    )
+    frames = sample_frames(df, every_n_bytes=4)
+    rows = sorted((r["frame_index"], r["offset"], r["frame_byte"]) for r in frames.collect())
+    assert rows == [(0, 0, 0), (1, 4, 4), (2, 8, 8)]
