@@ -144,28 +144,30 @@ def minhash_signatures(
     num_hashes: int = 32,
     seed: int = 42,
 ) -> DataFrame:
-    """Per-document MinHash signature, map-side only (no shuffle).
+    """Per-document MinHash signature via shingle-explode + grouped mins.
 
-    One xxhash64 per shingle (JVM-side, seeded, deterministic), then
-    ``num_hashes`` affine permutations ``(a_i·h + b_i) mod p`` over the
-    32-bit folded base hash — the standard one-hash MinHash family, ~30×
-    cheaper than hashing each shingle ``num_hashes`` times. All arithmetic
-    stays within signed-64 range (a < 2³¹, h < 2³²)."""
-    shingles = word_ngrams(F.col(text_col), n)
-    base = F.transform(
-        shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
+    One xxhash64 per shingle (JVM-side, deterministic), then ``num_hashes``
+    affine permutations ``(a_i·h + b_i) mod p`` over the 32-bit folded base
+    hash — the standard one-hash MinHash family. Shingling and hashing run
+    exactly ONCE per document (array expressions are interpreted, outside
+    whole-stage codegen, so inlining them per-signature is ~30× slower);
+    the 32 ``min`` aggregates are plain codegen'd long arithmetic with
+    map-side partial aggregation, so the shuffle carries one 32-long row
+    per (doc × partition). All arithmetic stays within signed-64 range
+    (a < 2³¹, h < 2³²)."""
+    shingle_rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__shingle"),
     )
-    sig_cols = []
-    for i, (a, b) in enumerate(_affine_params(num_hashes, seed)):
-        hashed = F.transform(
-            base, _affine_fn(a, b)
+    base = F.xxhash64(F.col("__shingle")).bitwiseAND(F.lit(0xFFFFFFFF))
+    hashed = shingle_rows.select(F.col("__id"), base.alias("__h"))
+    aggs = [
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(
+            f"mh_{i}"
         )
-        sig_cols.append(F.array_min(hashed).alias(f"mh_{i}"))
-    return df.select(F.col(id_col).alias("__id"), *sig_cols)
-
-
-def _affine_fn(a: int, b: int):
-    return lambda h: (h * a + b) % _MINHASH_PRIME
+        for i, (a, b) in enumerate(_affine_params(num_hashes, seed))
+    ]
+    return hashed.groupBy("__id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
