@@ -48,11 +48,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    # Reference methodology (BASELINE.md): 1 warmup + median of N repeats —
+    # kills JIT/codegen-compile first-run skew and VM noise spikes.
+    warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
 
     def bench(name: str, fn) -> None:
-        start = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - start, 3)
+        for _ in range(warmup):
+            fn()
+        runs = []
+        for _ in range(repeat):
+            start = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - start)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
 
     packer = HierarchicalPacker(OL_SPEC)
     packer_unordered = HierarchicalPacker(OL_SPEC, preserve_child_order=False)

@@ -224,19 +224,20 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        word_ngrams(F.col(text_col), n).alias("__shingles"),
-    )
+    # Join raw text onto the (near-linear) candidate set FIRST, then shingle:
+    # word_ngrams runs only on candidate rows instead of a third/fourth full
+    # corpus pass (the expensive part of verification is shingling, not the
+    # array_intersect).
+    texts = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
     verified = (
         candidates.join(
-            shingled.withColumnsRenamed({"__id": "id_a", "__shingles": "__sa"}),
-            on="id_a",
+            texts.withColumnsRenamed({"__id": "id_a", "__t": "__ta"}), on="id_a"
         )
         .join(
-            shingled.withColumnsRenamed({"__id": "id_b", "__shingles": "__sb"}),
-            on="id_b",
+            texts.withColumnsRenamed({"__id": "id_b", "__t": "__tb"}), on="id_b"
         )
+        .withColumn("__sa", word_ngrams(F.col("__ta"), n))
+        .withColumn("__sb", word_ngrams(F.col("__tb"), n))
         .withColumn(
             "__shared", F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
         )

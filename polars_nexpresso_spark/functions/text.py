@@ -87,13 +87,21 @@ def digit_ratio(col: Column) -> Column:
     return F.try_divide(F.length(col) - F.length(stripped), F.length(col))
 
 
-def marker_occurrences(col: Column, marker: str) -> Column:
+def pad_text(col: Column) -> Column:
+    """Space-pad normalized text for marker counting. Materialize this ONCE
+    in its own projection before scoring: every marker score references it,
+    and re-inlining the regex normalization per marker (~30×) is the
+    dominant cost of language-ID."""
+    return F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+
+
+def marker_occurrences(col: Column, marker: str, *, pre_padded: bool = False) -> Column:
     """Count occurrences of a space-padded marker word.
 
     ``(len(padded) - len(replace(padded, ' m '))) / len(' m ')`` — identical
     arithmetic in Spark and DuckDB, so the oracle matches bit-for-bit.
     """
-    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    padded = col if pre_padded else pad_text(col)
     needle = f" {marker} "
     # Literal (non-regex) replace: same left-to-right non-overlapping
     # semantics as SQL replace(), so the oracle arithmetic matches exactly.
@@ -101,20 +109,31 @@ def marker_occurrences(col: Column, marker: str) -> Column:
     return ((F.length(padded) - F.length(stripped)) / len(needle)).cast("long")
 
 
-def language_scores(col: Column, profiles: dict[str, list[str]] | None = None) -> dict[str, Column]:
+def language_scores(
+    col: Column,
+    profiles: dict[str, list[str]] | None = None,
+    *,
+    pre_padded: bool = False,
+) -> dict[str, Column]:
     """Per-language marker-occurrence totals."""
     out: dict[str, Column] = {}
     for lang, markers in (profiles or LANG_PROFILES).items():
         score = reduce(
-            lambda a, b: a + b, [marker_occurrences(col, m) for m in markers]
+            lambda a, b: a + b,
+            [marker_occurrences(col, m, pre_padded=pre_padded) for m in markers],
         )
         out[lang] = score
     return out
 
 
-def language_id(col: Column, profiles: dict[str, list[str]] | None = None) -> Column:
+def language_id(
+    col: Column,
+    profiles: dict[str, list[str]] | None = None,
+    *,
+    pre_padded: bool = False,
+) -> Column:
     """Argmax language by marker score; alphabetical tie-break; 'und' if all 0."""
-    scores = language_scores(col, profiles)
+    scores = language_scores(col, profiles, pre_padded=pre_padded)
     best = None
     for lang in sorted(scores):  # alphabetical order makes ties deterministic
         cond = reduce(

@@ -35,7 +35,7 @@ from polars_nexpresso_spark.functions.text import (
     token_count,
     unique_token_ratio,
 )
-from polars_nexpresso_spark.sources.io import read_table
+from polars_nexpresso_spark.sources.io import read_table, spread
 
 # DuckDB fragments shared by several oracles.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -52,7 +52,7 @@ _HASHES = (
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     text = F.col("text")
     return docs.select(
         F.col("doc_id"),
@@ -64,62 +64,71 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    from polars_nexpresso_spark.functions.text import pad_text
+
+    # Two projections: the regex-normalized padded text materializes once,
+    # then 31 marker counts reference it (CollapseProject keeps the split —
+    # it refuses to duplicate non-cheap exprs referenced more than once).
+    padded = docs.select(F.col("doc_id"), pad_text(F.col("text")).alias("__padded"))
+    return padded.select(
         F.col("doc_id"),
-        language_id(F.col("text")).alias("lang_pred"),
+        language_id(F.col("__padded"), pre_padded=True).alias("lang_pred"),
     )
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     return exact_dedup(docs, "text", "doc_id")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    # bands=8 (r=4): candidate probability 1-(1-j^4)^8 — ≈98.5% at j=0.8,
+    # ~6% at j=0.3; r=2 floods verification with low-similarity candidates
+    # (2314 vs 258 candidates on sf0.1's 5000 docs).
     return minhash_lsh_pairs(
-        docs, "text", "doc_id", n=3, num_hashes=32, bands=16, threshold=0.8
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
     )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     return docs.select(
         F.col("doc_id"), simhash60(F.col("text")).alias("simhash")
     )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     return simhash_pairs(docs, "text", "doc_id", max_hamming=8)
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     return embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(emb, queries, k=5)
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_ann_topk(emb, queries, k=5, num_planes=8, multiprobe=1)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text bytes as blobs → mapInPandas features."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("content"),

@@ -32,6 +32,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition a too-few-partitions input up to the session parallelism.
+
+    A single-row-group parquet file scans as ONE task, serializing any
+    CPU-heavy per-row computation (shingling, hashing, scoring) onto one
+    core regardless of cluster size. When the scan has fewer splits than
+    ``defaultParallelism``, a round-robin repartition (tiny shuffle — the
+    input is small by definition) restores parallelism. At real scale the
+    scan already has more splits than cores and this is an exact no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
 
