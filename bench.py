@@ -110,6 +110,9 @@ def main() -> None:
         q_text_stats,
     )
 
+    from polars_nexpresso_spark.queries import q_windowed_pack
+
+    bench("windowed_pack", lambda: force(q_windowed_pack(spark, sf_dir)))
     bench("exact_dedup", lambda: force(q_exact_dedup(spark, sf_dir)))
     bench("minhash_lsh", lambda: force(q_minhash_lsh(spark, sf_dir)))
     bench("text_stats", lambda: force(q_text_stats(spark, sf_dir)))

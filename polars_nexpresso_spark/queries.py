@@ -310,6 +310,81 @@ def q_unnest_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multihop_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 multi-hop ``mean``: mean-of-means BY DESIGN (reference
+    ``hierarchical_packer.py:1920-1921``) — the per-customer order-price
+    means averaged per nation, NOT the global per-nation mean."""
+    packer = HierarchicalPacker(NCO_SPEC)
+    flat = flat_nation_customer_orders(spark, sf_dir)
+    packed = packer.pack(flat, "customer")
+    mean_expr = packer.attribute_expr("o_totalprice", "orders", "nation", "mean")
+    return packed.select(
+        qcol("nation.n_nationkey").alias("n_nationkey"),
+        qcol("nation.n_name").alias("n_name"),
+        F.round(mean_expr, 4).alias("mean_of_means"),
+    )
+
+
+def q_nested_expr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 ``select`` struct mode: keep ONLY the specified struct fields (in
+    spec order), transforming one of them."""
+    packer = HierarchicalPacker(NC_SPEC)
+    packed = packer.pack(_flat_nation_customer(spark, sf_dir), "customer")
+    transformed = apply_nested_operations(
+        packed,
+        {
+            "nation.n_nationkey": None,
+            "nation.customer": {
+                "c_custkey": None,
+                "c_acctbal": lambda c: c * 3,
+            },
+        },
+        struct_mode="select",
+    )
+    flat = packer.unpack(transformed, "customer")
+    return flat.select(
+        qcol("nation.n_nationkey").alias("n_nationkey"),
+        qcol("nation.customer.c_custkey").alias("c_custkey"),
+        qcol("nation.customer.c_acctbal").alias("tripled_acctbal"),
+    )
+
+
+def q_windowed_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pack kernel on the events table (batch plan — identical to
+    the watermarked streaming plan): 1-hour tumbling windows per user with
+    in-agg (ts, event_id)-sorted child lists."""
+    from polars_nexpresso_spark.streaming.pack_stream import windowed_pack
+
+    ev = read_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP(NANOS), read as long ns (session nanosAsLong).
+    ev = ev.withColumn(
+        "ts_ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+    packed = windowed_pack(
+        ev,
+        event_time="ts_ts",
+        window_duration="1 hour",
+        watermark="10 minutes",
+        keys=["user_id"],
+        payload_cols=["event_id", "event_type", "value"],
+        order_by=["ts", "event_id"],
+    )
+    events_col = F.col("events")
+    sum_value = F.aggregate(
+        F.transform(events_col, lambda e: e["value"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return packed.select(
+        (F.unix_timestamp("window_start") / 3600).cast("bigint").alias("hour_id"),
+        F.col("user_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.get(events_col, 0)["event_type"].alias("first_type"),
+        F.get(events_col, F.size(events_col) - 1)["value"].alias("last_value"),
+        F.round(sum_value, 2).alias("sum_value"),
+    )
+
+
 def q_order_by_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """order_by child ordering + first/last aggregations: per order, the
     quantity of the first and last lineitem by linenumber."""
@@ -350,6 +425,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multihop_count": q_multihop_count,
     "agg_set": q_agg_set,
     "nested_expr": q_nested_expr,
+    "nested_expr_select": q_nested_expr_select,
+    "multihop_mean": q_multihop_mean,
+    "windowed_pack": q_windowed_pack,
     "unnest_all": q_unnest_all,
     "order_by_first_last": q_order_by_first_last,
 }
@@ -420,6 +498,33 @@ ORACLE_SQL: dict[str, str] = {
         SELECT n.n_nationkey AS n_nationkey, c.c_custkey AS c_custkey,
                ROUND(c.c_acctbal * 2, 2) AS doubled_acctbal
         FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    """,
+    "nested_expr_select": """
+        SELECT n.n_nationkey AS n_nationkey, c.c_custkey AS c_custkey,
+               c.c_acctbal * 3 AS tripled_acctbal
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    """,
+    "multihop_mean": """
+        SELECT n_nationkey, n_name, ROUND(AVG(cust_mean), 4) AS mean_of_means
+        FROM (
+            SELECT n.n_nationkey AS n_nationkey, n.n_name AS n_name,
+                   c.c_custkey, AVG(o.o_totalprice) AS cust_mean
+            FROM nation n
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY n.n_nationkey, n.n_name, c.c_custkey
+        )
+        GROUP BY n_nationkey, n_name
+    """,
+    "windowed_pack": """
+        SELECT CAST(floor(epoch_ns(ts) / 3600000000000.0) AS BIGINT) AS hour_id,
+               user_id,
+               COUNT(*) AS n_events,
+               FIRST(event_type ORDER BY ts, event_id) AS first_type,
+               LAST(value ORDER BY ts, event_id) AS last_value,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
     """,
     "unnest_all": """
         SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
