@@ -256,7 +256,10 @@ def build_metadata(
     ancestor_keys: list[str] = []
 
     for index, level in enumerate(spec.levels):
-        path_components.append(level.name)
+        # Escape level names so a name containing the separator cannot
+        # produce a path that splits differently than it was built
+        # (keeps build_metadata consistent with join_path/_qualify_field).
+        path_components.append(escape_field(level.name, separator, escape_char))
         path = separator.join(path_components)
         prefix = f"{path}{separator}" if path else ""
 

@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) for the engine-agnostic layers, plus
+metamorphic pack invariants the reference's suite checks by hand
+(``tests/test_streaming.py:60-147`` in the reference).
+
+The escaping state machine (SURVEY §7.3 item 9) is the riskiest pure-Python
+code: separators interact with user field names, configurable escape chars,
+and Spark backtick quoting. Properties beat examples here.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from polars_nexpresso_spark import HierarchicalPacker, HierarchySpec, LevelSpec, qcol
+from polars_nexpresso_spark.columns import (
+    escape_field,
+    join_path,
+    split_path,
+    unescape_field,
+)
+from tests.conftest import assert_same_rows, canonical_rows
+
+# Separator/escape chars the packer accepts (any distinct pair); sample a
+# hostile mix including regex metacharacters and multi-byte text.
+_chars = st.sampled_from([".", "/", ":", "|", "\\", "~", "$", "^", "§"])
+_names = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=12
+)
+
+
+@st.composite
+def _sep_esc(draw):
+    sep = draw(_chars)
+    esc = draw(_chars.filter(lambda c: c != sep))
+    return sep, esc
+
+
+@given(name=_names, cfg=_sep_esc())
+@settings(max_examples=300, deadline=None)
+def test_escape_unescape_roundtrip(name, cfg):
+    sep, esc = cfg
+    escaped = escape_field(name, sep, esc)
+    assert unescape_field(escaped, sep, esc) == name
+    # Escaped form never contains an unescaped separator: splitting yields
+    # exactly one component equal to the original name.
+    assert split_path(escaped, sep, esc) == [name] or name == ""
+
+
+@given(
+    components=st.lists(_names.filter(lambda s: s != ""), min_size=1, max_size=5),
+    cfg=_sep_esc(),
+)
+@settings(max_examples=300, deadline=None)
+def test_join_split_roundtrip(components, cfg):
+    sep, esc = cfg
+    assert split_path(join_path(components, sep, esc), sep, esc) == components
+
+
+@given(path=_names, cfg=_sep_esc())
+@settings(max_examples=300, deadline=None)
+def test_split_join_idempotent(path, cfg):
+    """join(split(p)) re-splits to the same components (split is a
+    left-inverse of join on split's own output)."""
+    sep, esc = cfg
+    parts = split_path(path, sep, esc)
+    assert split_path(join_path(parts, sep, esc), sep, esc) == parts
+
+
+# ---------------------------------------------------------------------------
+# Metamorphic pack invariants (SparkSession-backed, example-scale)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def shuffle_fixture(spark):
+    rows = [
+        (g, f"name{g}", i, float(i * 10))
+        for g in range(6)
+        for i in range(g * 4, g * 4 + 3)
+    ]
+    df = spark.createDataFrame(
+        rows, ["g.gid", "g.name", "g.item.iid", "g.item.val"]
+    )
+    spec = HierarchySpec.from_levels(
+        LevelSpec(name="g", id_fields=["gid"]),
+        LevelSpec(name="item", id_fields=["iid"], order_by=["g.item.iid"]),
+    )
+    return df, HierarchicalPacker(spec)
+
+
+def test_pack_row_shuffle_invariant(shuffle_fixture):
+    """Packing a row-shuffled input yields identical content when child
+    order is pinned by order_by (reference tests/test_streaming.py:60-69)."""
+    df, packer = shuffle_fixture
+    shuffled = df.orderBy(F.rand(seed=7))
+    assert canonical_rows(packer.pack(df, "g")) == canonical_rows(
+        packer.pack(shuffled, "g")
+    )
+
+
+def test_pack_streaming_partition_sweep(shuffle_fixture):
+    """pack_streaming ≡ pack for partitions ∈ {1, 4, 64} (reference
+    tests/test_streaming.py:140-147)."""
+    df, packer = shuffle_fixture
+    baseline = packer.pack(df, "g")
+    for parts in (1, 4, 64):
+        assert_same_rows(
+            packer.pack_streaming(df, "g", partitions=parts), baseline
+        )
+
+
+def test_computed_id_fields(spark):
+    """Computed (aliased-expression) id columns materialize before packing
+    and serve as group keys (reference hierarchical_packer.py:2550-2569)."""
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        ["g.item.iid", "g.tag", "g.item.val"],
+    )
+    spec = HierarchySpec.from_levels(
+        LevelSpec(name="g", id_fields=[("g.gid", F.upper(qcol("g.tag")))]),
+        LevelSpec(name="item", id_fields=["iid"], order_by=["g.item.iid"]),
+    )
+    packer = HierarchicalPacker(spec)
+    packed = packer.pack(df, "item")
+    rows = {r["g.gid"]: r for r in packed.collect()}
+    assert set(rows) == {"A", "B"}
+    assert [e["iid"] for e in rows["A"]["g.item"]] == [1, 2]
+    assert [e["iid"] for e in rows["B"]["g.item"]] == [3]
