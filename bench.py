@@ -86,6 +86,22 @@ def main() -> None:
         lambda: force(packer.pack(flat, "orders", parent_strategy="split_join")),
     )
 
+    # Parent-dominant scenario (BASELINE.md "parent-dominant"): a heavy
+    # group-uniform root payload (256 doubles per order, replicated on every
+    # lineitem row of the flat frame). split_join factors it into a dim table
+    # before the shuffle instead of dragging |children| copies through it.
+    heavy = flat.withColumn(
+        "orders.o_payload", F.array_repeat(F.col("`orders.o_totalprice`"), 256)
+    )
+    heavy.cache()
+    heavy.count()
+    bench("pack_parent_heavy", lambda: force(packer.pack(heavy, "orders")))
+    bench(
+        "pack_split_join_parent_heavy",
+        lambda: force(packer.pack(heavy, "orders", parent_strategy="split_join")),
+    )
+    heavy.unpersist()
+
     packed_path = os.path.join(tempfile.gettempdir(), "pns_bench_packed.parquet")
     packer.pack(flat, "orders").write.mode("overwrite").parquet(packed_path)
     packed = spark.read.parquet(packed_path)

@@ -1,0 +1,93 @@
+"""Physical-plan regression tests — the scale contract, asserted.
+
+Correctness tests prove the operators compute the right answer at sf0.001;
+these prove the PLANS stay the ones that survive 100 TB: projections pruned
+down to the scan, filters pushed, small sides broadcast, exactly one shuffle
+per pack level, and no Python (BatchEvalPython) in any hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_nexpresso_spark import HierarchicalPacker
+from polars_nexpresso_spark.queries import OL_SPEC
+from polars_nexpresso_spark.sources.io import flat_orders_lineitem, read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def packed_plan(spark):
+    packer = HierarchicalPacker(OL_SPEC)
+    return plan(packer.pack(flat_orders_lineitem(spark, SF), "orders"))
+
+
+def test_pack_scan_is_pruned(packed_plan):
+    """Unused lineitem columns never leave the parquet scan."""
+    for unused in ("l_partkey", "l_suppkey", "l_tax", "l_shipdate", "l_linestatus"):
+        assert unused not in packed_plan
+
+
+def test_pack_join_keys_pushed(packed_plan):
+    assert "PushedFilters: [IsNotNull(" in packed_plan
+
+
+def test_pack_single_shuffle_with_partial_agg(packed_plan):
+    """One hash-partition exchange per pack level, fed by a partial
+    (map-side) aggregation; the orders-side join is broadcast."""
+    assert packed_plan.count("Arguments: hashpartitioning") == 1
+    assert "partial_collect_list" in packed_plan
+    assert "BroadcastHashJoin" in packed_plan
+
+
+def test_pack_no_python_eval(packed_plan):
+    assert "BatchEvalPython" not in packed_plan
+    assert "ArrowEvalPython" not in packed_plan
+
+
+def test_minhash_scan_reads_two_columns(spark):
+    """MinHash signatures project only (doc_id, text) from the documents
+    scan — label/source/n_chars are pruned."""
+    from polars_nexpresso_spark.functions.dedup import minhash_signatures
+
+    docs = read_table(spark, SF, "documents")
+    p = plan(minhash_signatures(docs, "text", "doc_id"))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in p
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.similarity import cosine_topk
+
+    emb = read_table(spark, SF, "embeddings")
+    p = plan(cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_enrich_no_extra_shuffle(spark):
+    """Cross-level enrich is pure array expressions over the packed frame —
+    it must not add any exchange beyond the pack's own."""
+    from polars_nexpresso_spark.queries import NC_SPEC, _flat_nation_customer
+    from polars_nexpresso_spark import LevelAttribute
+
+    packer = HierarchicalPacker(NC_SPEC)
+    packed = packer.pack(_flat_nation_customer(spark, SF), "customer")
+    base_exchanges = plan(packed).count("Exchange")
+    enriched = packer.enrich(
+        packed,
+        LevelAttribute("c_acctbal", "customer", "sum", alias="s"),
+        LevelAttribute("c_acctbal", "customer", "mean", alias="m"),
+        at_level="nation",
+    )
+    assert plan(enriched).count("Exchange") == base_exchanges
