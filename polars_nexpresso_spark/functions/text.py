@@ -164,6 +164,41 @@ def token_hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# GPT-2-family pretokenizer shape (ASCII, lowercased): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs. Simple enough that
+# Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_TOKEN_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish regex pretokenization — the subword-boundary token stream a
+    byte-pair encoder would merge from. Map-side only."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_PATTERN), F.lit(0))
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+_FP_MOD = 2147483647  # 2^31 - 1 (Mersenne): keeps acc*base + x within int64
+_FP_BASE = 131
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling-hash document fingerprint over whitespace tokens.
+
+    ``h = fold(tokens, 0, (acc, t) -> (acc*131 + hash60(t) mod M) mod M)``
+    with M = 2^31-1 — order-sensitive (unlike the md5 content fingerprint)
+    and reproducible in DuckDB via ``list_reduce(list_prepend(0, ...))``.
+    """
+    hashes = F.transform(tokens(col), lambda t: token_hash60(t) % _FP_MOD)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _FP_BASE + x) % _FP_MOD,
+    )
+
+
 def simhash60(col: Column, bits: int = 60) -> Column:
     """SimHash over whitespace tokens using the shared 60-bit token hash.
 

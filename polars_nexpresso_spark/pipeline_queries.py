@@ -23,7 +23,11 @@ from polars_nexpresso_spark.functions.dedup import (
     simhash_pairs,
 )
 from polars_nexpresso_spark.functions.multimodal import extract_features
-from polars_nexpresso_spark.functions.similarity import cosine_topk, lsh_ann_topk
+from polars_nexpresso_spark.functions.similarity import (
+    cosine_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from polars_nexpresso_spark.functions.text import (
     LANG_PROFILES,
     STOPWORDS,
@@ -77,6 +81,23 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting + order-sensitive rolling-hash
+    fingerprint, both as single map-side projections."""
+    from polars_nexpresso_spark.functions.text import (
+        bpe_token_count,
+        rolling_fingerprint,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    text = F.col("text")
+    return docs.select(
+        F.col("doc_id"),
+        bpe_token_count(text).cast("bigint").alias("n_bpe_tokens"),
+        rolling_fingerprint(text).alias("fingerprint"),
+    )
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents"))
     return exact_dedup(docs, "text", "doc_id")
@@ -124,6 +145,12 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_ann_topk(emb, queries, k=5, num_planes=8, multiprobe=1)
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_ann_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,6 +218,7 @@ def _jaccard_pairs_oracle(threshold: float) -> str:
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
+    "token_fingerprint": q_token_fingerprint,
     "language_id": q_language_id,
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
@@ -200,6 +228,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dedup": q_embedding_dedup,
     "cosine_topk": q_cosine_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -215,6 +244,19 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                      / len(toks), 4) AS stopword_ratio,
                ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS uniq_ratio
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    """,
+    "token_fingerprint": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text),
+                   '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+'))::BIGINT
+                   AS n_bpe_tokens,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(toks, t ->
+                           CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                           % 2147483647)),
+                   (acc, x) -> (acc * 131 + x) % 2147483647) AS fingerprint
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     """,
     "language_id": _language_id_oracle(),
     "exact_dedup": f"""

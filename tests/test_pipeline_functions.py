@@ -172,6 +172,38 @@ def test_lsh_ann_subset_of_exact_topk(vectors):
     assert rows[0]["neighbor_id"] == 2  # nearest found despite bucketing
 
 
+def test_ivf_ann_finds_nearest(vectors):
+    from polars_nexpresso_spark.functions.similarity import ivf_ann_topk
+
+    queries = vectors.filter(F.col("vec_id") == 1)
+    ann = ivf_ann_topk(vectors, queries, k=2, n_centroids=2, n_probe=2)
+    rows = ann.collect()
+    assert all(r["query_id"] == 1 for r in rows)
+    # probing both of the 2 cells makes the search exhaustive: exact answer
+    assert rows[0]["neighbor_id"] == 2
+
+
+def test_bpe_tokens_and_rolling_fingerprint(spark):
+    from polars_nexpresso_spark.functions.text import (
+        bpe_token_count,
+        bpe_tokens,
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world's 42 cats!"), (2, "hello, world's 42 cats!"), (3, "cats 42")],
+        ["id", "t"],
+    )
+    toks = df.select("id", bpe_tokens(F.col("t")).alias("bp"), bpe_token_count(F.col("t")).alias("n")).collect()
+    by_id = {r["id"]: r for r in toks}
+    assert by_id[1]["bp"] == ["hello", ",", " world", "'s", " 42", " cats", "!"]
+    assert by_id[1]["n"] == 7
+    fps = {r["id"]: r["fp"] for r in df.select("id", rolling_fingerprint(F.col("t")).alias("fp")).collect()}
+    assert fps[1] == fps[2]  # case-insensitive normalization
+    assert fps[1] != fps[3]  # order/content sensitive
+    assert 0 <= fps[3] < 2147483647
+
+
 def test_multimodal_feature_plumbing(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"abcdefgh")), (2, bytearray(b"")), (3, bytearray(b"\x00\xff"))],
