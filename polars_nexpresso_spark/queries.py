@@ -358,7 +358,7 @@ def q_windowed_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     # ts is TIMESTAMP(NANOS), read as long ns (session nanosAsLong).
     ev = ev.withColumn(
-        "ts_ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     packed = windowed_pack(
         ev,
@@ -381,6 +381,39 @@ def q_windowed_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.get(events_col, 0)["event_type"].alias("first_type"),
         F.get(events_col, F.size(events_col) - 1)["value"].alias("last_value"),
+        F.round(sum_value, 2).alias("sum_value"),
+    )
+
+
+def q_session_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (native ``session_window`` state merging):
+    12-hour-gap sessions per user, in-agg (ts, event_id)-sorted children."""
+    from polars_nexpresso_spark.streaming.pack_stream import session_pack
+
+    ev = read_table(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    packed = session_pack(
+        ev,
+        event_time="ts_ts",
+        gap="12 hours",
+        watermark="1 hour",
+        keys=["user_id"],
+        payload_cols=["event_id", "event_type", "value"],
+        order_by=["ts", "event_id"],
+    )
+    events_col = F.col("events")
+    sum_value = F.aggregate(
+        F.transform(events_col, lambda e: e["value"]),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return packed.select(
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.col("user_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.get(events_col, 0)["event_type"].alias("first_type"),
         F.round(sum_value, 2).alias("sum_value"),
     )
 
@@ -428,6 +461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nested_expr_select": q_nested_expr_select,
     "multihop_mean": q_multihop_mean,
     "windowed_pack": q_windowed_pack,
+    "session_pack": q_session_pack,
     "unnest_all": q_unnest_all,
     "order_by_first_last": q_order_by_first_last,
 }
@@ -525,6 +559,28 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(value), 2) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "session_pack": """
+        WITH m AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         >= 43200000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m
+        )
+        SELECT MIN(epoch_us(ts)) AS session_start_us,
+               user_id,
+               COUNT(*) AS n_events,
+               FIRST(event_type ORDER BY ts, event_id) AS first_type,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM s GROUP BY user_id, sid
     """,
     "unnest_all": """
         SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price

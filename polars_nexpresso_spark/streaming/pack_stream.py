@@ -87,6 +87,64 @@ def windowed_pack(
     )
 
 
+def session_pack(
+    stream: DataFrame,
+    *,
+    event_time: str,
+    gap: str,
+    watermark: str,
+    keys: Sequence[str],
+    payload_cols: Sequence[str],
+    order_by: Sequence[str] = (),
+    child_name: str = "events",
+) -> DataFrame:
+    """Pack events into gap-separated sessions per entity.
+
+    Built on Spark's native ``session_window`` (merging state handled by the
+    engine — no custom stateful operator needed): consecutive events of the
+    same keys belong to one session while each gap to the previous event is
+    strictly less than ``gap``; a gap ≥ ``gap`` starts a new session. Works
+    identically on batch and streaming frames; on a stream, session state is
+    bounded by the watermark and closed sessions emit in append mode.
+
+    Returns one row per (keys, session) with ``session_start`` /
+    ``session_end`` (end = last event + gap), the sorted child list, and
+    ``n_{child_name}``.
+    """
+    df = stream
+    if df.isStreaming:
+        df = df.withWatermark(event_time, watermark)
+
+    payload = F.struct(*[qcol(c).alias(c) for c in payload_cols])
+    if order_by:
+        key_aliases = [f"__k{i}" for i in range(len(order_by))]
+        pair = F.struct(
+            *[qcol(c).alias(a) for c, a in zip(order_by, key_aliases)],
+            payload.alias("__v"),
+        )
+        child_list = F.transform(
+            F.array_sort(F.collect_list(pair), _struct_key_comparator(key_aliases)),
+            lambda x: x["__v"],
+        )
+    else:
+        child_list = F.collect_list(payload)
+
+    agg = df.groupBy(
+        F.session_window(qcol(event_time), gap).alias("__w"),
+        *[qcol(k) for k in keys],
+    ).agg(
+        child_list.alias(child_name),
+        F.count(F.lit(1)).alias(f"n_{child_name}"),
+    )
+    return agg.select(
+        F.col("__w.start").alias("session_start"),
+        F.col("__w.end").alias("session_end"),
+        *[qcol(k) for k in keys],
+        F.col(child_name),
+        F.col(f"n_{child_name}"),
+    )
+
+
 def unpack_stream(packed: DataFrame, child_name: str = "events") -> DataFrame:
     """Inverse: explode a windowed-pack result back to one row per event."""
     exploded = packed.withColumn(child_name, F.explode_outer(F.col(child_name)))
