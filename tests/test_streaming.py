@@ -160,6 +160,47 @@ def test_session_pack_gap_semantics(spark):
     assert [e["event_id"] for e in big["events"]] == [1, 2, 3]
 
 
+def test_streaming_exact_dedup_across_batches(spark):
+    """applyInPandasWithState dedup: duplicates are dropped across
+    micro-batches (maxFilesPerTrigger=1 forces one batch per file)."""
+    from polars_nexpresso_spark.streaming.stateful import streaming_exact_dedup
+
+    tmp = tempfile.mkdtemp(prefix="pns_dedup_")
+    try:
+        spark.createDataFrame(
+            [(1, "fp_a"), (2, "fp_b"), (3, "fp_c")], ["doc_id", "fingerprint"]
+        ).coalesce(1).write.parquet(f"{tmp}/in/batch0")
+        spark.createDataFrame(
+            [(4, "fp_b"), (5, "fp_d"), (6, "fp_a"), (7, "fp_d")],
+            ["doc_id", "fingerprint"],
+        ).coalesce(1).write.parquet(f"{tmp}/in/batch1")
+
+        schema = "doc_id long, fingerprint string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        deduped = streaming_exact_dedup(stream, fingerprint_col="fingerprint")
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("dedup_out").collect()
+        by_fp = {r["fingerprint"]: r["doc_id"] for r in rows}
+        # one row per distinct fingerprint; cross-batch dup fp_a/fp_b dropped,
+        # within-batch dup fp_d deduped too
+        assert len(rows) == 4
+        assert set(by_fp) == {"fp_a", "fp_b", "fp_c", "fp_d"}
+        assert by_fp["fp_d"] in (5, 7)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_windowed_pack_batch_roundtrip(spark, events_path):
     batch_df = spark.read.parquet(f"{events_path}/input")
     packed = windowed_pack(batch_df, **_pack_kwargs())
