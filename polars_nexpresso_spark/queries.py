@@ -385,6 +385,88 @@ def q_windowed_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_key_aliases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key_aliases: the missing supplier key column is cloned from the child
+    FK before packing (reference ``hierarchical_packer.py:2387-2413``), then
+    revenue promotes supplier-ward."""
+    spec = HierarchySpec.from_levels(
+        LevelSpec(name="supplier", id_fields=["s_suppkey"]),
+        LevelSpec(
+            name="lineitem",
+            id_fields=["l_orderkey", "l_linenumber"],
+            parent_keys=["l_suppkey"],
+            order_by=[
+                "supplier.lineitem.l_orderkey",
+                "supplier.lineitem.l_linenumber",
+                "supplier.lineitem.l_quantity",
+            ],
+        ),
+        key_aliases={"supplier.s_suppkey": "supplier.lineitem.l_suppkey"},
+    )
+    packer = HierarchicalPacker(spec)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("supplier.lineitem.l_orderkey"),
+        F.col("l_linenumber").alias("supplier.lineitem.l_linenumber"),
+        F.col("l_suppkey").alias("supplier.lineitem.l_suppkey"),
+        F.col("l_quantity").alias("supplier.lineitem.l_quantity"),
+        F.col("l_extendedprice").alias("supplier.lineitem.l_extendedprice"),
+    )
+    packed = packer.pack(li, "lineitem")
+    # The alias target is dropped from pack output (exactly like the
+    # reference test :129) — recover the group key with the "single" agg.
+    skey = packer.attribute_expr("l_suppkey", "lineitem", "supplier", "single")
+    revenue = packer.attribute_expr("l_extendedprice", "lineitem", "supplier", "sum")
+    count = packer.attribute_expr("l_orderkey", "lineitem", "supplier", "count")
+    return packed.select(
+        skey.alias("s_suppkey"),
+        F.round(revenue, 2).alias("revenue"),
+        count.cast("bigint").alias("n_lines"),
+    )
+
+
+def q_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → lineitem via build_from_tables + existential filter: parts
+    whose every lineitem shipped at least 10 units, with set-agg of flags."""
+    spec = HierarchySpec.from_levels(
+        LevelSpec(name="part", id_fields=["p_partkey"]),
+        LevelSpec(
+            name="lineitem",
+            id_fields=["l_orderkey", "l_linenumber"],
+            parent_keys=["l_partkey"],
+        ),
+    )
+    packer = HierarchicalPacker(spec)
+    packed = packer.build_from_tables(
+        {
+            "part": read_table(spark, sf_dir, "part").select(
+                "p_partkey", "p_brand", "p_retailprice"
+            ),
+            "lineitem": read_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_returnflag"
+            ),
+        },
+        # Pack only the lineitem level: the part level stays flat so the
+        # existential filter and set-agg address `part.lineitem` directly
+        # (packing to root would collapse part into a bare struct column).
+        target_level="lineitem",
+        join_type="inner",
+    )
+    filtered = packer.any_child_satisfies(
+        packed,
+        from_level="lineitem",
+        to_level="part",
+        condition=lambda e: e["l_quantity"] >= 48,
+    )
+    flags = F.array_sort(
+        packer.attribute_expr("l_returnflag", "lineitem", "part", "set")
+    )
+    return filtered.select(
+        qcol("part.p_partkey").alias("p_partkey"),
+        qcol("part.p_brand").alias("p_brand"),
+        flags.alias("flags"),
+    )
+
+
 def q_session_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (native ``session_window`` state merging):
     12-hour-gap sessions per user, in-agg (ts, event_id)-sorted children."""
@@ -462,6 +544,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multihop_mean": q_multihop_mean,
     "windowed_pack": q_windowed_pack,
     "session_pack": q_session_pack,
+    "key_aliases": q_key_aliases,
+    "part_hierarchy": q_part_hierarchy,
     "unnest_all": q_unnest_all,
     "order_by_first_last": q_order_by_first_last,
 }
@@ -559,6 +643,20 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(value), 2) AS sum_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "key_aliases": """
+        SELECT l_suppkey AS s_suppkey,
+               ROUND(SUM(l_extendedprice), 2) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_suppkey
+    """,
+    "part_hierarchy": """
+        SELECT p.p_partkey AS p_partkey, p.p_brand AS p_brand,
+               list(DISTINCT l.l_returnflag ORDER BY l.l_returnflag) AS flags
+        FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey, p.p_brand
+        HAVING MAX(l.l_quantity) >= 48
     """,
     "session_pack": """
         WITH m AS (
