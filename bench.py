@@ -41,6 +41,44 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _find_jvm_pid() -> int | None:
+    """The Spark JVM is our direct child; find it via /proc (no psutil)."""
+    me = str(os.getpid())
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                parts = f.read().split()
+            with open(f"/proc/{p}/comm") as f:
+                comm = f.read().strip()
+            if parts[3] == me and comm == "java":
+                return int(p)
+        except OSError:
+            continue
+    return None
+
+
+def _reset_peak_rss(pid: int) -> None:
+    """Reset the kernel's peak-RSS watermark (VmHWM) — root-only."""
+    try:
+        with open(f"/proc/{pid}/clear_refs", "w") as f:
+            f.write("5")
+    except OSError:
+        pass
+
+
+def _peak_rss_mb(pid: int) -> float | None:
+    try:
+        with open(f"/proc/{pid}/status") as f:
+            for line in f:
+                if line.startswith("VmHWM:"):
+                    return round(int(line.split()[1]) / 1024, 1)
+    except OSError:
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
@@ -53,9 +91,20 @@ def main() -> None:
     warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
     repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
 
+    jvm_pid = _find_jvm_pid()
+    peaks: dict[str, float] = {}
+
     def bench(name: str, fn) -> None:
         for _ in range(warmup):
             fn()
+        if jvm_pid is not None:
+            # Release retained heap first so the per-query watermark measures
+            # this query, not leftover allocations from earlier ones.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001
+                pass
+            _reset_peak_rss(jvm_pid)
         runs = []
         for _ in range(repeat):
             start = time.perf_counter()
@@ -63,6 +112,10 @@ def main() -> None:
             runs.append(time.perf_counter() - start)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
+        if jvm_pid is not None:
+            peak = _peak_rss_mb(jvm_pid)
+            if peak is not None:
+                peaks[name] = peak
 
     packer = HierarchicalPacker(OL_SPEC)
     packer_unordered = HierarchicalPacker(OL_SPEC, preserve_child_order=False)
@@ -144,6 +197,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "peak_rss_mb": peaks,
                 "sf": sf,
             }
         )

@@ -167,6 +167,7 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         *,
         extra_columns: ExtraColumnsMode = "preserve",
         parent_strategy: ParentStrategy = "aggregate",
+        skew_salt: int | None = None,
     ) -> DataFrame:
         """Fold flat columns into nested ``array<struct>`` per level, leaf →
         ``to_level``, grouping each level by its ancestor keys.
@@ -186,6 +187,13 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                 (payload not replicated through the shuffle), a regression
                 when child data dominates; kept opt-in exactly like the
                 reference.
+            skew_salt: When set (e.g. 32), each grouped level folds in TWO
+                phases — ``groupBy(keys, salt)`` partial chunks, then
+                ``groupBy(keys)`` flatten + sort — so one pathological parent
+                with millions of children spreads over ``skew_salt`` reducers
+                instead of stalling a single task. Content-identical to the
+                plain pack (child order re-established at the merge); costs
+                an extra shuffle, so keep it off for well-distributed keys.
 
         Raises:
             KeyError: If the level is not found.
@@ -212,7 +220,9 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
 
         target_idx = self.spec.index_of(to_level)
         for level_idx in reversed(range(target_idx, len(self._levels_meta))):
-            df = self._pack_single_level(df, level_idx, validate=self.validate_on_pack)
+            df = self._pack_single_level(
+                df, level_idx, validate=self.validate_on_pack, salt=skew_salt
+            )
 
         if added_cols:
             df = df.drop(*added_cols)
@@ -715,7 +725,12 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
     # ------------------------------------------------------------------
 
     def _pack_single_level(
-        self, df: DataFrame, level_idx: int, *, validate: bool = False
+        self,
+        df: DataFrame,
+        level_idx: int,
+        *,
+        validate: bool = False,
+        salt: int | None = None,
     ) -> DataFrame:
         """Fold one level's columns into a struct and group by ancestor keys.
 
@@ -774,30 +789,69 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                 df, group_keys, remaining_cols, meta.name
             )
 
-        agg_exprs = [
-            F.first(qcol(c), ignorenulls=True).alias(c) for c in remaining_cols
-        ]
-
         sort_by_cols = [*order_temp_cols]
         if self.preserve_child_order and has_row_id:
             sort_by_cols.append(ROW_ID_COLUMN)
 
         if sort_by_cols:
-            # Wrap (sort keys, payload) into a struct, collect, sort by keys
-            # only (stable; nulls first), then project the payload back out.
+            # Wrap (sort keys, payload) into a struct; sorting happens after
+            # collection — by keys only (stable; nulls first) — and the
+            # payload is projected back out.
             key_aliases = [f"__k{i}" for i in range(len(sort_by_cols))]
-            pair = F.struct(
+            collected = F.struct(
                 *[qcol(c).alias(a) for c, a in zip(sort_by_cols, key_aliases)],
                 qcol(meta.path).alias("__v"),
             )
-            sorted_pairs = F.array_sort(
-                F.collect_list(pair), _struct_key_comparator(key_aliases)
-            )
-            child_list = F.transform(sorted_pairs, lambda x: x["__v"]).alias(meta.path)
-        else:
-            child_list = F.collect_list(qcol(meta.path)).alias(meta.path)
-        agg_exprs.append(child_list)
 
+            def finalize(arr: Column) -> Column:
+                return F.transform(
+                    F.array_sort(arr, _struct_key_comparator(key_aliases)),
+                    lambda x: x["__v"],
+                )
+
+        else:
+            collected = qcol(meta.path)
+
+            def finalize(arr: Column) -> Column:
+                return arr
+
+        if salt and salt > 1:
+            # Two-phase skew-spread fold: phase A groups on (keys, salt) so a
+            # giant parent's children split across `salt` reducers; phase B
+            # merges the chunks per key and re-establishes child order on the
+            # flattened whole (chunk ranges overlap, so sort must be global
+            # per group — never a chunk-concat order).
+            salt_col = "__hier_salt"
+            dfa = df.withColumn(
+                salt_col,
+                F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)),
+            )
+            agg_a = [
+                F.first(qcol(c), ignorenulls=True).alias(c) for c in remaining_cols
+            ]
+            agg_a.append(F.collect_list(collected).alias("__hier_chunk"))
+            if self.preserve_child_order and has_row_id:
+                agg_a.append(F.min(qcol(ROW_ID_COLUMN)).alias(ROW_ID_COLUMN))
+            partial = dfa.groupBy(
+                *[qcol(k) for k in group_keys], F.col(salt_col)
+            ).agg(*agg_a)
+
+            agg_b = [
+                F.first(qcol(c), ignorenulls=True).alias(c) for c in remaining_cols
+            ]
+            agg_b.append(
+                finalize(F.flatten(F.collect_list(F.col("__hier_chunk")))).alias(
+                    meta.path
+                )
+            )
+            if self.preserve_child_order and has_row_id:
+                agg_b.append(F.min(qcol(ROW_ID_COLUMN)).alias(ROW_ID_COLUMN))
+            return partial.groupBy(*[qcol(k) for k in group_keys]).agg(*agg_b)
+
+        agg_exprs = [
+            F.first(qcol(c), ignorenulls=True).alias(c) for c in remaining_cols
+        ]
+        agg_exprs.append(finalize(F.collect_list(collected)).alias(meta.path))
         if self.preserve_child_order and has_row_id:
             agg_exprs.append(F.min(qcol(ROW_ID_COLUMN)).alias(ROW_ID_COLUMN))
 

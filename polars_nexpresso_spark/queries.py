@@ -137,6 +137,14 @@ def q_pack_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rename_rnc_flat(packer.unpack(packed, "customer"))
 
 
+def q_pack_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-spread two-phase pack ≡ plain pack (content-identical)."""
+    packer = HierarchicalPacker(RNC_SPEC)
+    flat = flat_region_nation_customer(spark, sf_dir)
+    packed = packer.pack(flat, "nation", skew_salt=16)
+    return _rename_rnc_flat(packer.unpack(packed, "customer"))
+
+
 def q_build_from_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10: raw relational tables → joined+packed hierarchy → flat again."""
     packer = HierarchicalPacker(RNC_SPEC)
@@ -530,6 +538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_unpack_roundtrip": q_pack_unpack_roundtrip,
     "pack_split_join": q_pack_split_join,
     "pack_streaming": q_pack_streaming,
+    "pack_salted": q_pack_salted,
     "build_from_tables": q_build_from_tables,
     "normalize_split": q_normalize_split,
     "denormalize_roundtrip": q_denormalize_roundtrip,
@@ -554,6 +563,7 @@ ORACLE_SQL: dict[str, str] = {
     "pack_unpack_roundtrip": _RNC_FLAT_SQL,
     "pack_split_join": _RNC_FLAT_SQL,
     "pack_streaming": _RNC_FLAT_SQL,
+    "pack_salted": _RNC_FLAT_SQL,
     "build_from_tables": _RNC_FLAT_SQL,
     "denormalize_roundtrip": _RNC_FLAT_SQL,
     "normalize_split": """

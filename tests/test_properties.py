@@ -112,6 +112,15 @@ def test_pack_streaming_partition_sweep(shuffle_fixture):
         )
 
 
+def test_pack_skew_salt_equivalence(shuffle_fixture):
+    """Two-phase salted pack is content-identical to the plain pack for
+    salt ∈ {2, 8} (chunk merge re-sorts globally per group)."""
+    df, packer = shuffle_fixture
+    baseline = packer.pack(df, "g")
+    for salt in (2, 8):
+        assert_same_rows(packer.pack(df, "g", skew_salt=salt), baseline)
+
+
 def test_computed_id_fields(spark):
     """Computed (aliased-expression) id columns materialize before packing
     and serve as group keys (reference hierarchical_packer.py:2550-2569)."""
