@@ -52,6 +52,36 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    *,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on join keys.
+
+    Two tables bucketed the same way join WITHOUT any exchange — the scan
+    itself provides the hash distribution — which is the way to co-locate
+    the repeated FK joins of ``build_from_tables``/``denormalize`` pipelines
+    at 100 TB: bucket every level table by its parent key once at ingest,
+    and every later rebuild skips the join shuffles entirely (see
+    tests/test_plan_shapes.py::test_bucketed_join_no_shuffle).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def prefix_columns(df: DataFrame, prefix: str) -> DataFrame:
     """Rename every column to ``prefix + name`` (literal names, dot-safe)."""
     return df.select(

@@ -75,6 +75,53 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key join with ZERO exchanges — the scan
+    provides the hash distribution (the 100 TB co-location strategy for
+    repeated build_from_tables joins)."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.sources.io import read_table, write_bucketed
+
+    cust = read_table(spark, SF, "customer")
+    orders = read_table(spark, SF, "orders")
+    write_bucketed(
+        cust, "pns_cust_b", ["c_custkey"], 4,
+        sort_cols=["c_custkey"], path=str(tmp_path / "cust"),
+    )
+    write_bucketed(
+        orders, "pns_ord_b", ["o_custkey"], 4,
+        sort_cols=["o_custkey"], path=str(tmp_path / "ord"),
+    )
+    try:
+        with _no_broadcast(spark):
+            joined = spark.table("pns_cust_b").join(
+                spark.table("pns_ord_b"),
+                F.col("c_custkey") == F.col("o_custkey"),
+            )
+            p = plan(joined)
+            assert "SortMergeJoin" in p
+            assert "Exchange" not in p
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pns_cust_b")
+        spark.sql("DROP TABLE IF EXISTS pns_ord_b")
+
+
+class _no_broadcast:
+    """Temporarily disable broadcast joins so the exchange-free bucketed
+    sort-merge path is what the planner must choose."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.saved)
+
+
 def test_enrich_no_extra_shuffle(spark):
     """Cross-level enrich is pure array expressions over the packed frame —
     it must not add any exchange beyond the pack's own."""
