@@ -75,6 +75,44 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "BatchEvalPython" not in p
 
 
+def test_packed_parquet_nested_pruning(spark, tmp_path):
+    """Packed data AT REST stays cheap to query — but only the explode path
+    prunes inside the child array. Catalyst prunes unused struct fields for
+    both paths; field accesses inside a `transform` lambda do NOT propagate
+    to the scan (higher-order-function pruning limitation), while
+    explode + getField prunes down to the single needed leaf. Cross-level
+    aggregation straight off storage should therefore unpack first."""
+    from pyspark.sql import functions as F
+
+    packer = HierarchicalPacker(OL_SPEC)
+    p = str(tmp_path / "packed")
+    packer.pack(flat_orders_lineitem(spark, SF), "orders").write.parquet(p)
+    df = spark.read.parquet(p)
+
+    lambda_path = df.select(
+        F.aggregate(
+            F.transform(F.col("orders")["lineitem"], lambda e: e["l_quantity"]),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("qty")
+    )
+    lp = plan(lambda_path)
+    assert "o_custkey" not in lp  # struct-level pruning still works
+
+    explode_path = (
+        df.select(
+            F.col("orders")["o_orderkey"].alias("k"),
+            F.explode(F.col("orders")["lineitem"]).alias("li"),
+        )
+        .groupBy("k")
+        .agg(F.sum(F.col("li")["l_quantity"]).alias("qty"))
+    )
+    ep = plan(explode_path)
+    assert "lineitem:array<struct<l_quantity:double>>" in ep.replace(" ", "")
+    for unused in ("l_extendedprice", "l_discount", "l_returnflag"):
+        assert unused not in ep
+
+
 def test_bucketed_join_no_shuffle(spark, tmp_path):
     """Tables bucketed on the join key join with ZERO exchanges — the scan
     provides the hash distribution (the 100 TB co-location strategy for
