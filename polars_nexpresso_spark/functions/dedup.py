@@ -264,28 +264,40 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Blocking: the 60-bit simhash splits into 4 chunks of 15 bits; by
-    pigeonhole, any pair within Hamming distance 3 agrees on ≥1 chunk, so
-    candidates come from an equi-join on (chunk_index, chunk_value) and are
-    then verified with the true bit_count of the XOR.
+    Blocking: the 60-bit simhash splits into ``max_hamming + 1`` chunks; by
+    pigeonhole, any pair within the radius agrees on ≥1 chunk (a guarantee
+    a FIXED chunk count cannot give for larger radii), so candidates come
+    from an equi-join on (chunk_index, chunk_value) and are then verified
+    with the true bit_count of the XOR. Larger radii mean narrower chunks →
+    more candidates: the usual recall/cost dial.
 
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
     """
+    bits = 60
+    n_chunks = max_hamming + 1
+    if n_chunks > bits:
+        raise ValueError(f"max_hamming must be < {bits}")
+    base, extra = divmod(bits, n_chunks)
     hashed = df.select(
         F.col(id_col).alias("__id"),
         simhash60(F.col(text_col)).alias("__sim"),
     )
-    chunks = None
-    for c in range(4):
-        part = hashed.select(
-            "__id",
-            "__sim",
-            F.lit(c).alias("__chunk"),
-            F.shiftright(F.col("__sim"), c * 15).bitwiseAND(F.lit((1 << 15) - 1)).alias(
-                "__val"
-            ),
+    # One simhash evaluation per row: chunk values are cheap bit ops over
+    # the materialized __sim column, posexploded to (chunk, value) rows (a
+    # per-chunk union would re-evaluate the 60-pass simhash per branch).
+    chunk_exprs = []
+    offset = 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        chunk_exprs.append(
+            F.shiftright(F.col("__sim"), offset).bitwiseAND(F.lit((1 << width) - 1))
         )
-        chunks = part if chunks is None else chunks.unionByName(part)
+        offset += width
+    chunks = hashed.select(
+        "__id",
+        "__sim",
+        F.posexplode(F.array(*chunk_exprs)).alias("__chunk", "__val"),
+    )
 
     left = chunks.select(
         F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), "__chunk", "__val"

@@ -127,7 +127,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents"))
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=8)
+    # max_hamming=3 is the radius the 4×15-bit chunk blocking GUARANTEES by
+    # pigeonhole; larger radii would silently under-recall (and on this
+    # templated corpus, hamming≤8 matches ~10% of all pairs — not near-dups).
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
