@@ -36,6 +36,39 @@ def _norm(v):
     )
 
 
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k without shuffling the full scored set.
+
+    Phase A groups on (query, input partition) and keeps only k rows per
+    group — the shuffle then carries ≤ k·n_partitions rows per query
+    instead of the whole scored corpus; phase B merges. Sorting uses the
+    struct's lexicographic order (−cosine asc, neighbor asc) — exactly the
+    deterministic (cosine desc, neighbor_id asc) tie-break, no comparator.
+    """
+    pair = F.struct(
+        (-F.col("cosine")).alias("__negc"), F.col("neighbor_id").alias("__nid")
+    )
+    partial = (
+        scored.withColumn("__part", F.spark_partition_id())
+        .groupBy("query_id", "__part")
+        .agg(F.slice(F.array_sort(F.collect_list(pair)), 1, k).alias("__top"))
+    )
+    merged = partial.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list(F.col("__top")))), 1, k).alias(
+            "__top"
+        )
+    )
+    exploded = merged.select(
+        "query_id", F.posexplode(F.col("__top")).alias("__pos", "__pair")
+    )
+    return exploded.select(
+        "query_id",
+        F.col("__pair.__nid").alias("neighbor_id"),
+        (-F.col("__pair.__negc")).alias("cosine"),
+        (F.col("__pos") + 1).cast("int").alias("rank"),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -46,6 +79,10 @@ def cosine_topk(
     exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k nearest corpus vectors per query vector by cosine.
+
+    The query set is broadcast, scoring is map-side, and ranking is an
+    exact two-phase top-k — the corpus never shuffles and the only exchange
+    carries ≤ k rows per (query, partition).
 
     Returns ``(query_id, neighbor_id, cosine, rank)`` with a deterministic
     (cosine desc, neighbor_id asc) tie-break.
@@ -67,14 +104,7 @@ def cosine_topk(
         "cosine",
         F.round(_dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _two_phase_topk(scored, k)
 
 
 def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
