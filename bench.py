@@ -173,20 +173,33 @@ def main() -> None:
     # --- Pipeline extensions ----------------------------------------------
     from polars_nexpresso_spark.pipeline_queries import (
         q_cosine_topk,
+        q_embedding_dedup,
         q_exact_dedup,
+        q_ivf_ann_topk,
         q_language_id,
+        q_lsh_ann_topk,
         q_minhash_lsh,
+        q_ngram_jaccard,
+        q_simhash_pairs,
         q_text_stats,
+        q_token_fingerprint,
     )
 
-    from polars_nexpresso_spark.queries import q_windowed_pack
+    from polars_nexpresso_spark.queries import q_session_pack, q_windowed_pack
 
     bench("windowed_pack", lambda: force(q_windowed_pack(spark, sf_dir)))
+    bench("session_pack", lambda: force(q_session_pack(spark, sf_dir)))
     bench("exact_dedup", lambda: force(q_exact_dedup(spark, sf_dir)))
     bench("minhash_lsh", lambda: force(q_minhash_lsh(spark, sf_dir)))
+    bench("ngram_jaccard", lambda: force(q_ngram_jaccard(spark, sf_dir)))
+    bench("simhash_pairs", lambda: force(q_simhash_pairs(spark, sf_dir)))
+    bench("embedding_dedup", lambda: force(q_embedding_dedup(spark, sf_dir)))
     bench("text_stats", lambda: force(q_text_stats(spark, sf_dir)))
+    bench("token_fingerprint", lambda: force(q_token_fingerprint(spark, sf_dir)))
     bench("language_id", lambda: force(q_language_id(spark, sf_dir)))
     bench("cosine_topk", lambda: force(q_cosine_topk(spark, sf_dir)))
+    bench("lsh_ann_topk", lambda: force(q_lsh_ann_topk(spark, sf_dir)))
+    bench("ivf_ann_topk", lambda: force(q_ivf_ann_topk(spark, sf_dir)))
 
     flat.unpersist()
     total = round(sum(timings.values()), 3)
