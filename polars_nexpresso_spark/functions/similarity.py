@@ -65,7 +65,7 @@ def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
         "query_id",
         F.col("__pair.__nid").alias("neighbor_id"),
         (-F.col("__pair.__negc")).alias("cosine"),
-        (F.col("__pos") + 1).cast("int").alias("rank"),
+        (F.col("__pos") + 1).cast("bigint").alias("rank"),
     )
 
 
@@ -211,7 +211,7 @@ def ivf_ann_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
@@ -271,7 +271,7 @@ def lsh_ann_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

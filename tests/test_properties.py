@@ -121,6 +121,50 @@ def test_pack_skew_salt_equivalence(shuffle_fixture):
         assert_same_rows(packer.pack(df, "g", skew_salt=salt), baseline)
 
 
+@st.composite
+def _hierarchy_rows(draw):
+    """Random 2-level data: per-group-uniform parent attrs (the pack
+    contract), nullable unicode/float payloads, 1-4 children per group."""
+    rows = []
+    for g in range(draw(st.integers(1, 4))):
+        gname = draw(st.one_of(st.none(), st.text(max_size=6)))
+        for i in range(draw(st.integers(1, 4))):
+            rows.append(
+                (
+                    g,
+                    gname,
+                    g * 10 + i,
+                    draw(
+                        st.one_of(
+                            st.none(),
+                            st.floats(allow_nan=False, allow_infinity=False, width=32),
+                        )
+                    ),
+                    draw(st.one_of(st.none(), st.text(max_size=8))),
+                )
+            )
+    return rows
+
+
+@given(rows=_hierarchy_rows())
+@settings(max_examples=10, deadline=None)
+def test_pack_unpack_roundtrip_random(spark, rows):
+    """unpack(pack(df)) ≡ df on randomized data with nulls and unicode
+    (reference roundtrip property, tests/test_hierarchical_packer.py:84-90)."""
+    df = spark.createDataFrame(
+        rows,
+        "`g.gid` long, `g.name` string, `g.item.iid` long, "
+        "`g.item.val` double, `g.item.tag` string",
+    )
+    spec = HierarchySpec.from_levels(
+        LevelSpec(name="g", id_fields=["gid"]),
+        LevelSpec(name="item", id_fields=["iid"], order_by=["g.item.iid"]),
+    )
+    packer = HierarchicalPacker(spec)
+    restored = packer.unpack(packer.pack(df, "g"), "item")
+    assert canonical_rows(restored) == canonical_rows(df)
+
+
 def test_computed_id_fields(spark):
     """Computed (aliased-expression) id columns materialize before packing
     and serve as group keys (reference hierarchical_packer.py:2550-2569)."""
