@@ -75,15 +75,15 @@ def ngram_jaccard_pairs(
 
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
-    shingled = df.select(
+    # Explode once; all joins run on the 64-bit shingle hash — a long key
+    # shuffles and compares far cheaper than ~20-char shingle strings, and
+    # word_ngrams emits distinct shingles so per-doc size == exploded count.
+    exploded = df.select(
         F.col(id_col).alias("__id"),
-        word_ngrams(F.col(text_col), n).alias("__shingles"),
-    )
-    sizes = shingled.select("__id", F.size("__shingles").alias("__n_shingles"))
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__sh"),
+    ).select("__id", F.xxhash64(F.col("__sh")).alias("__shingle"))
+    sizes = exploded.groupBy("__id").agg(F.count("*").alias("__n_shingles"))
 
-    exploded = shingled.select(
-        "__id", F.explode("__shingles").alias("__shingle")
-    )
     if max_shingle_df is not None:
         hot = (
             exploded.groupBy("__shingle")
