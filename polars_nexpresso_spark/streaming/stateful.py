@@ -67,3 +67,104 @@ def streaming_exact_dedup(
     return stream.groupBy(fingerprint_col).applyInPandasWithState(
         dedup, out_schema, STATE_SCHEMA, "append", timeout
     )
+
+
+def merge_topk(
+    prev: list[tuple], incoming: list[tuple], score_idx: int, k: int
+) -> tuple[list[tuple], list[tuple]]:
+    """Pure top-k merge kernel: returns ``(new_state, admitted)`` where
+    ``new_state`` is the k highest-scoring tuples of ``prev + incoming``
+    (nulls sort last) and ``admitted`` are the multiset-new entries —
+    the delta a batch emits. Exposed separately so the semantics are unit-
+    testable without a streaming runtime."""
+    merged = sorted(
+        prev + incoming,
+        key=lambda t: (t[score_idx] is not None, t[score_idx]),
+        reverse=True,
+    )[:k]
+    prev_counts: dict[tuple, int] = {}
+    for t in prev:
+        prev_counts[t] = prev_counts.get(t, 0) + 1
+    admitted = []
+    for t in merged:
+        if prev_counts.get(t, 0) > 0:
+            prev_counts[t] -= 1
+        else:
+            admitted.append(t)
+    return merged, admitted
+
+
+def streaming_topk(
+    stream: DataFrame,
+    *,
+    keys: list[str],
+    score_col: str,
+    k: int,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Maintain the running top-``k`` rows per key (highest ``score_col``)
+    across all micro-batches, via the Spark 4.x arbitrary-state API
+    (``transformWithStateInPandas`` + ``ListState``).
+
+    Emission is **delta-style**: a batch emits only the rows *newly admitted*
+    to a key's top-k in that batch (some may later be evicted by higher
+    scores). Every row ever in a top-k is emitted exactly once, so the final
+    exact top-k is reconstructable downstream as ``top-k over all emitted
+    rows`` — append-friendly, no retraction needed. This mirrors how a
+    training-data pipeline keeps e.g. the k highest-quality documents per
+    source while the crawl streams in.
+
+    Scale design: state is the ListState of at most ``k`` tuples per key,
+    hash-sharded across executors by ``keys`` — O(k) per key, independent of
+    stream length. Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider``), which keeps state off-heap and
+    scales past executor memory.
+
+    Runtime requirement: the transformWithState wire protocol needs the
+    ``protobuf`` Python package at query start (not at plan build). The test
+    for this operator skips when protobuf is absent; the applyInPandasWithState
+    operators above have no such dependency.
+
+    No reference analog (the reference has no streaming surface,
+    SURVEY.md §2.F); this is a pipeline extension.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    cols = list(keys) + [score_col] + [c for c in payload_cols if c != score_col]
+    in_schema = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    missing = [c for c in cols if c not in in_schema]
+    if missing:
+        raise ValueError(f"columns not in stream: {missing}")
+    state_cols = [c for c in cols if c not in keys]
+    state_ddl = ", ".join(f"`{c}` {in_schema[c]}" for c in state_cols)
+    out_ddl = ", ".join(f"`{c}` {in_schema[c]}" for c in cols)
+    score_idx = state_cols.index(score_col)
+
+    class _TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getListState("topk", state_ddl)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            batch = pd.concat(list(rows), ignore_index=True)
+            incoming = [
+                tuple(t) for t in batch[state_cols].itertuples(index=False, name=None)
+            ]
+            prev = [tuple(t) for t in self._state.get()] if self._state.exists() else []
+            merged, admitted = merge_topk(prev, incoming, score_idx, k)
+            self._state.put(merged)
+            if admitted:
+                out = pd.DataFrame(admitted, columns=state_cols)
+                for i, kc in enumerate(keys):
+                    out.insert(i, kc, key[i])
+                yield out[cols]
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(*keys).transformWithStateInPandas(
+        _TopK(), out_ddl, outputMode="Update", timeMode="None"
+    )

@@ -220,3 +220,124 @@ def test_windowed_pack_child_order(spark, events_path):
         # children sorted by (ts, event_id) — event_ids are ts-ordered in
         # the synthetic data, so within a window they ascend
         assert ids == sorted(ids)
+
+
+def test_streaming_topk_across_batches(spark):
+    """transformWithStateInPandas top-k: delta emissions across batches
+    reconstruct the exact batch top-k (maxFilesPerTrigger=1 → one batch per
+    file). Requires the RocksDB state store provider, and protobuf for the
+    transformWithState state-server protocol."""
+    pytest.importorskip("google.protobuf")
+    from polars_nexpresso_spark.streaming.stateful import streaming_topk
+
+    tmp = tempfile.mkdtemp(prefix="pns_topk_")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        b0 = [("en", 1, 0.9), ("en", 2, 0.5), ("en", 3, 0.7), ("de", 4, 0.4)]
+        b1 = [("en", 5, 0.8), ("en", 6, 0.1), ("de", 7, 0.6), ("de", 8, 0.2)]
+        b2 = [("en", 9, 0.95), ("de", 10, 0.3)]
+        cols = ["lang", "doc_id", "score"]
+        for i, rows in enumerate([b0, b1, b2]):
+            spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+                f"{tmp}/in/batch{i}"
+            )
+
+        stream = (
+            spark.readStream.schema("lang string, doc_id long, score double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        topk = streaming_topk(
+            stream, keys=["lang"], score_col="score", k=2, payload_cols=["doc_id"]
+        )
+        q = (
+            topk.writeStream.format("memory")
+            .queryName("topk_out")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        emitted = spark.table("topk_out").collect()
+        # every row ever admitted to a top-2 is emitted exactly once
+        emitted_ids = sorted(r["doc_id"] for r in emitted)
+        assert emitted_ids == sorted(set(emitted_ids))
+        # reconstruction: top-2 over emitted rows == batch top-2 over all data
+        final = {}
+        for r in emitted:
+            final.setdefault(r["lang"], []).append((r["score"], r["doc_id"]))
+        recon = {
+            lang: sorted(v, reverse=True)[:2] for lang, v in final.items()
+        }
+        assert recon["en"] == [(0.95, 9), (0.9, 1)]
+        assert recon["de"] == [(0.6, 7), (0.4, 4)]
+        # batch-2 admissions were deltas only: doc 6 (never top-2) not emitted
+        assert 6 not in emitted_ids
+    finally:
+        if prev_provider is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_topk_plan_builds_without_protobuf(spark):
+    """Plan construction (schema derivation, state DDL, grouping) must not
+    need the protobuf runtime — only query start does."""
+    from polars_nexpresso_spark.streaming.stateful import streaming_topk
+
+    tmp = tempfile.mkdtemp(prefix="pns_topk_plan_")
+    try:
+        stream = spark.readStream.schema(
+            "lang string, doc_id long, score double"
+        ).parquet(tmp)
+        topk = streaming_topk(
+            stream, keys=["lang"], score_col="score", k=3, payload_cols=["doc_id"]
+        )
+        assert topk.isStreaming
+        assert [f.name for f in topk.schema.fields] == ["lang", "score", "doc_id"]
+        with pytest.raises(ValueError, match="not in stream"):
+            streaming_topk(
+                stream, keys=["lang"], score_col="nope", k=3, payload_cols=["doc_id"]
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_merge_topk_kernel():
+    """Pure-kernel semantics of the streaming top-k: delta emission across a
+    simulated 3-batch run reconstructs the exact batch top-k (the invariant
+    the cluster-side transformWithState run relies on)."""
+    from polars_nexpresso_spark.streaming.stateful import merge_topk
+
+    batches = [
+        [(1, 0.9), (2, 0.5), (3, 0.7)],
+        [(5, 0.8), (6, 0.1)],
+        [(9, 0.95), (9, 0.95)],  # duplicate rows admitted independently
+    ]
+    state: list[tuple] = []
+    emitted: list[tuple] = []
+    for b in batches:
+        state, admitted = merge_topk(state, b, score_idx=1, k=2)
+        emitted += admitted
+    # final state is the true top-2 of all rows
+    assert state == [(9, 0.95), (9, 0.95)]
+    # doc 6 never entered a top-2 → never emitted; doc 2 was evicted but
+    # emitted when admitted in batch 0
+    ids = [t[0] for t in emitted]
+    assert 6 not in ids and ids.count(9) == 2 and 1 in ids
+    # reconstruction: top-2 over emitted rows == final state
+    assert sorted(emitted, key=lambda t: -t[1])[:2] == state
+    # nulls sort last
+    st, adm = merge_topk([], [(1, None), (2, 0.1)], score_idx=1, k=1)
+    assert st == [(2, 0.1)] and adm == [(2, 0.1)]
