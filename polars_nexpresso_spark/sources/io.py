@@ -32,6 +32,69 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_FORMAT_BY_EXT = {
+    ".parquet": "parquet",
+    ".csv": "csv",
+    ".json": "json",
+    ".jsonl": "json",
+    ".ndjson": "json",
+    ".orc": "orc",
+}
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str | None = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Read parquet/CSV/JSON-lines/ORC with one entry point; format inferred
+    from the file extension unless given. The reference is parquet-only
+    (SURVEY.md §2.F); CSV/JSON here are ingest-interchange extensions.
+
+    Scale notes: always pass ``schema`` for CSV/JSON at scale — without one
+    Spark runs a second full scan to infer it (this helper enables
+    ``inferSchema``/sampled inference only as a small-data convenience).
+    CSV/JSON are row formats with no column pruning or predicate pushdown;
+    convert to parquet at ingest and keep the hot path columnar. CSV cannot
+    hold nested data, so packed hierarchies roundtrip through JSON lines
+    (structs/arrays map 1:1) or parquet, never CSV.
+    """
+    fmt = format or _FORMAT_BY_EXT.get(os.path.splitext(path)[1].lower(), "parquet")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+        if schema is None:
+            reader = reader.option("inferSchema", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).load(path)
+
+
+def write_any(
+    df: DataFrame,
+    path: str,
+    *,
+    format: str | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Write parquet/CSV/JSON-lines/ORC; format inferred from the path
+    extension unless given. ``partition_by`` hive-partitions the output so
+    later reads prune directories on those columns — the standard layout for
+    a 100 TB corpus keyed by e.g. ``(source, language)``."""
+    fmt = format or _FORMAT_BY_EXT.get(os.path.splitext(path)[1].lower(), "parquet")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).save(path)
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition a too-few-partitions input up to the session parallelism.
 

@@ -1,0 +1,103 @@
+"""Multi-format source/sink helpers: extension-based dispatch, CSV flat
+roundtrip, nested-JSON roundtrip of a packed hierarchy, hive partitioning.
+
+The reference reads/writes parquet only (SURVEY.md §2.F); these are the
+ingest-interchange extensions a pipeline needs at the edges. Parquet stays
+the hot-path format — tests pin that nested structures survive JSON lines
+and that CSV (no nested support) carries the flat representation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from polars_nexpresso_spark import HierarchicalPacker, HierarchySpec, LevelSpec, qcol
+from polars_nexpresso_spark.sources.io import read_any, read_table, write_any
+from tests.conftest import assert_same_rows
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="pns_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_flat_roundtrip_with_schema(spark, tmpdir):
+    """Flat table → CSV → back with explicit schema: values and types hold."""
+    nation = read_table(spark, "/root/testdata/sf0.001", "nation")
+    path = os.path.join(tmpdir, "nation.csv")
+    write_any(nation, path)
+    restored = read_any(spark, path, schema=nation.schema)
+    assert restored.schema == nation.schema
+    assert_same_rows(nation, restored)
+
+
+def test_csv_infer_schema_fallback(spark, tmpdir):
+    """Without a schema, header+inference is enabled (small-data path)."""
+    df = spark.createDataFrame([(1, "a", 2.5), (2, "b", 3.5)], ["id", "s", "x"])
+    path = os.path.join(tmpdir, "t.csv")
+    write_any(df, path)
+    got = read_any(spark, path)
+    assert set(got.columns) == {"id", "s", "x"}
+    assert dict(got.dtypes)["x"] == "double"
+    assert got.count() == 2
+
+
+def test_json_packed_hierarchy_roundtrip(spark, tmpdir):
+    """Packed (nested structs + child lists) → JSON lines → back with the
+    packed schema: the hierarchy survives a row-format hop intact."""
+    spec = HierarchySpec(
+        levels=[
+            LevelSpec(name="country", id_fields=["code"]),
+            LevelSpec(
+                name="city", id_fields=["id"], order_by=[qcol("country.city.id")]
+            ),
+        ]
+    )
+    packer = HierarchicalPacker(spec)
+    flat = spark.createDataFrame(
+        [
+            ("US", "NYC", 8.4),
+            ("US", "LA", 3.9),
+            ("CA", "TOR", 2.8),
+        ],
+        ["country.code", "country.city.id", "country.city.pop"],
+    )
+    packed = packer.pack(flat, "country")
+    path = os.path.join(tmpdir, "packed.jsonl")
+    write_any(packed, path)
+    restored = read_any(spark, path, schema=packed.schema)
+    # JSON sources mark all fields nullable; types/structure must be identical
+    assert restored.schema.simpleString() == packed.schema.simpleString()
+    assert_same_rows(packed, restored)
+    # and the restored frame unpacks to the original flat rows
+    assert_same_rows(packer.unpack(restored, "city"), flat)
+
+
+def test_format_override_and_orc(spark, tmpdir):
+    """Explicit format= wins over the extension; ORC roundtrips."""
+    df = spark.createDataFrame([(1, "a")], ["id", "s"])
+    path = os.path.join(tmpdir, "data.out")
+    write_any(df, path, format="orc")
+    got = read_any(spark, path, format="orc")
+    assert_same_rows(df, got)
+
+
+def test_partitioned_write_prunes_directories(spark, tmpdir):
+    """partition_by lays out hive dirs; a filter on the partition column
+    reads only matching directories (PartitionFilters, not a data filter)."""
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de")], ["doc_id", "lang"]
+    )
+    path = os.path.join(tmpdir, "docs.parquet")
+    write_any(df, path, partition_by=["lang"])
+    assert os.path.isdir(os.path.join(path, "lang=en"))
+    got = read_any(spark, path).filter("lang = 'en'")
+    assert got.count() == 2
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
