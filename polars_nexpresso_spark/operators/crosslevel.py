@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StructType
 
-from polars_nexpresso_spark.columns import qcol
+from polars_nexpresso_spark.columns import qcol, quote_name
 from polars_nexpresso_spark.plans.spec import (
     LevelAttribute,
     PromoteAggregation,
@@ -117,12 +117,33 @@ _INTERMEDIATE_AGGREGATIONS: dict[str, AggFn] = {
 class CrossLevelMixin:
     """Cross-level attribute algebra over packed frames (SURVEY §2.D)."""
 
+    def _packed_ref(self, frame: DataFrame | None, dotted: str) -> Column:
+        """Reference a packed column in either physical representation.
+
+        A frame packed to a non-root level carries ``dotted`` as a literal
+        top-level column name; a frame packed to the ROOT level collapses
+        everything into one struct column named after the root, so the same
+        logical path becomes struct-field access. Without a frame to
+        inspect, assume the dotted-flat form (the pure-expression contract
+        of ``attribute_expr``).
+        """
+        if frame is None or dotted in frame.columns:
+            return qcol(dotted)
+        root = self._levels_meta[0]
+        if root.path in frame.columns and dotted.startswith(root.prefix):
+            return F.col(quote_name(root.path)).getField(
+                dotted[len(root.prefix) :]
+            )
+        return qcol(dotted)
+
     def attribute_expr(
         self,
         attribute: str,
         from_level: str,
         to_level: str,
         agg: PromoteAggregation = "list",
+        *,
+        frame: DataFrame | None = None,
     ) -> Column:
         """Pure Column expression computing a finer-level attribute aggregated
         up to ``to_level`` on a frame already packed at that granularity.
@@ -131,6 +152,10 @@ class CrossLevelMixin:
         like any other Column. Same-level access returns the plain column;
         multi-hop access cascades aggregations through nested ``transform``
         calls (count sums inner counts; mean is mean-of-means).
+
+        Pass ``frame`` when the frame may be packed to the ROOT level (one
+        collapsed struct column): the child reference is then resolved
+        against the frame's actual representation.
 
         Raises:
             KeyError: If either level is not found.
@@ -149,7 +174,9 @@ class CrossLevelMixin:
         to_meta = self._levels_meta[to_idx]
 
         if from_idx == to_idx:
-            return qcol(f"{to_meta.prefix}{self._escape_field(attribute)}")
+            return self._packed_ref(
+                frame, f"{to_meta.prefix}{self._escape_field(attribute)}"
+            )
 
         if agg not in _LIST_AGGREGATIONS:
             raise ValueError(
@@ -188,7 +215,9 @@ class CrossLevelMixin:
 
         imm_child_meta = self._levels_meta[traverse[0]]
         outer_agg = final_agg if n_hops == 1 else intermediate_agg
-        return outer_agg(F.transform(qcol(imm_child_meta.path), inner_fn))
+        return outer_agg(
+            F.transform(self._packed_ref(frame, imm_child_meta.path), inner_fn)
+        )
 
     def enrich(
         self,
@@ -204,7 +233,9 @@ class CrossLevelMixin:
         to_meta = self._levels_meta[self.spec.index_of(at_level)]
         new_cols = {}
         for spec in specs:
-            expr = self.attribute_expr(spec.attribute, spec.from_level, at_level, spec.agg)
+            expr = self.attribute_expr(
+                spec.attribute, spec.from_level, at_level, spec.agg, frame=frame
+            )
             col_name = f"{to_meta.prefix}{self._escape_field(spec.alias or spec.attribute)}"
             new_cols[col_name] = expr
         return frame.withColumns(new_cols)
@@ -225,7 +256,9 @@ class CrossLevelMixin:
         predicate). Implemented with ``F.exists`` — JVM-side, codegen'd.
         """
         from_meta = self._immediate_child_meta(from_level, to_level)
-        return frame.filter(F.exists(qcol(from_meta.path), condition))
+        return frame.filter(
+            F.exists(self._packed_ref(frame, from_meta.path), condition)
+        )
 
     def all_children_satisfy(
         self,
@@ -241,7 +274,9 @@ class CrossLevelMixin:
         empty array is true, exactly matching the reference ``:2115``).
         """
         from_meta = self._immediate_child_meta(from_level, to_level)
-        return frame.filter(F.forall(qcol(from_meta.path), condition))
+        return frame.filter(
+            F.forall(self._packed_ref(frame, from_meta.path), condition)
+        )
 
     def _immediate_child_meta(self, from_level: str, to_level: str):
         from_idx = self.spec.index_of(from_level)

@@ -420,3 +420,38 @@ def test_agg_first_last(spark):
         packer.attribute_expr("id", "c", "p", "last").alias("l"),
     ).collect()[0]
     assert (row["f"], row["l"]) == ("c1", "c3")
+
+
+def test_enrich_on_root_collapsed_frame(cross_level_df):
+    """Packing to the ROOT level collapses everything into one struct
+    column; enrich must resolve child references via struct-field access
+    there, not dotted top-level names."""
+    packer = HierarchicalPacker(CROSS_SPEC)
+    packed = packer.pack(cross_level_df, "country")
+    assert packed.columns == ["country"]
+    result = packer.enrich(
+        packed,
+        LevelAttribute("population", "city", "sum", alias="total_pop"),
+        LevelAttribute("id", "city", "count", alias="city_count"),
+        at_level="country",
+    )
+    got = {
+        r["country"]["code"]: (r["country.total_pop"], r["country.city_count"])
+        for r in result.collect()
+    }
+    assert got == {"US": (12_000_000, 2), "CA": (3_000_000, 1)}
+
+
+def test_existentials_on_root_collapsed_frame(cross_level_df):
+    packer = HierarchicalPacker(CROSS_SPEC)
+    packed = packer.pack(cross_level_df, "country")
+    big = packer.any_child_satisfies(
+        packed, from_level="city", to_level="country",
+        condition=lambda c: c["population"] > 5_000_000,
+    )
+    assert [r["country"]["code"] for r in big.collect()] == ["US"]
+    all_big = packer.all_children_satisfy(
+        packed, from_level="city", to_level="country",
+        condition=lambda c: c["population"] >= 3_000_000,
+    )
+    assert sorted(r["country"]["code"] for r in all_big.collect()) == ["CA", "US"]
