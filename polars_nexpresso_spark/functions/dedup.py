@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from polars_nexpresso_spark.functions.text import (
     doc_fingerprint,
-    simhash60,
+    simhash_table,
     word_ngrams,
 )
 
@@ -278,9 +278,8 @@ def simhash_pairs(
     if n_chunks > bits:
         raise ValueError(f"max_hamming must be < {bits}")
     base, extra = divmod(bits, n_chunks)
-    hashed = df.select(
-        F.col(id_col).alias("__id"),
-        simhash60(F.col(text_col)).alias("__sim"),
+    hashed = simhash_table(df, text_col, id_col, bits=bits).select(
+        F.col(id_col).alias("__id"), F.col("simhash").alias("__sim")
     )
     # One simhash evaluation per row: chunk values are cheap bit ops over
     # the materialized __sim column, posexploded to (chunk, value) rows (a

@@ -222,6 +222,44 @@ def _bit_set_fn(i: int):
     return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
 
 
+def simhash_table(
+    df, text_col: str, id_col: str, bits: int = 60
+):
+    """Per-document SimHash as a DataFrame: ``(id_col, simhash)``.
+
+    Same result as ``simhash60`` (majority vote over distinct token hashes,
+    ties set the bit), restructured for throughput: explode distinct tokens
+    and aggregate 60 bit-count sums per document in one hash aggregation.
+    The per-bit sums are whole-stage-codegen'd JVM arithmetic, where
+    ``simhash60``'s 60 ``F.filter`` passes run as interpreted array lambdas
+    (the same trap as the MinHash signature inlining — see perf notes in
+    dedup.py). Map-side partial aggregation collapses each document's
+    tokens before the shuffle, so the exchange carries one row per doc.
+
+    Empty/absent token lists yield the all-ones hash (0 ones * 2 >= 0),
+    matching ``simhash60`` on empty text.
+    """
+    hashes = df.select(
+        F.col(id_col).alias(id_col),
+        F.explode_outer(F.array_distinct(tokens(F.col(text_col)))).alias("__tok"),
+    ).select(id_col, token_hash60(F.col("__tok")).alias("__h"))
+    aggs = [F.count(F.col("__h")).alias("__n")] + [
+        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    grouped = hashes.groupBy(id_col).agg(*aggs)
+    terms = [
+        F.when(
+            F.coalesce(F.col(f"__b{i}"), F.lit(0)) * 2 >= F.col("__n"),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    ]
+    return grouped.select(
+        F.col(id_col), reduce(lambda a, b: a + b, terms).alias("simhash")
+    )
+
+
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (space-joined) of the normalized text.
 

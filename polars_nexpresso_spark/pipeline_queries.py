@@ -34,7 +34,7 @@ from polars_nexpresso_spark.functions.text import (
     avg_token_length,
     doc_fingerprint,
     language_id,
-    simhash60,
+    simhash_table,
     stopword_ratio,
     token_count,
     unique_token_ratio,
@@ -120,9 +120,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents"))
-    return docs.select(
-        F.col("doc_id"), simhash60(F.col("text")).alias("simhash")
-    )
+    return simhash_table(docs, "text", "doc_id")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

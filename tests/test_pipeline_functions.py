@@ -238,3 +238,27 @@ def test_sample_frames_row_expansion(spark):
     frames = sample_frames(df, every_n_bytes=4)
     rows = sorted((r["frame_index"], r["offset"], r["frame_byte"]) for r in frames.collect())
     assert rows == [(0, 0, 0), (1, 4, 4), (2, 8, 8)]
+
+
+def test_simhash_table_matches_simhash60(docs):
+    """The codegen-friendly grouped computation is bit-identical to the
+    per-row array-expression version (including empty-text all-ones)."""
+    from polars_nexpresso_spark.functions.text import simhash_table
+
+    import pyspark.sql.functions as SF
+
+    spark = docs.sparkSession
+    with_empty = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(999_999, "")], ["doc_id", "text"])
+    )
+    expected = {
+        r["doc_id"]: r["s"]
+        for r in with_empty.select(
+            "doc_id", simhash60(SF.col("text")).alias("s")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_table(with_empty, "text", "doc_id").collect()
+    }
+    assert got == expected
