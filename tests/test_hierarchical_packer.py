@@ -455,3 +455,29 @@ def test_existentials_on_root_collapsed_frame(cross_level_df):
         condition=lambda c: c["population"] >= 3_000_000,
     )
     assert sorted(r["country"]["code"] for r in all_big.collect()) == ["CA", "US"]
+
+
+def test_empty_frame_pack_unpack_schema_fidelity(packer, apartment_level_df):
+    """SURVEY §7.3 rake 6: 0-row frames must still produce the exact nested
+    schema on pack and the exact flat schema back on unpack (groups only
+    exist where rows exist, so the frames stay empty)."""
+    empty = apartment_level_df.limit(0)
+    packed_ref = packer.pack(apartment_level_df, "street")
+    packed_empty = packer.pack(empty, "street")
+    assert packed_empty.schema.simpleString() == packed_ref.schema.simpleString()
+    assert packed_empty.count() == 0
+
+    unpacked_empty = packer.unpack(packed_empty, "apartment")
+    assert (
+        unpacked_empty.schema.simpleString()
+        == packer.unpack(packed_ref, "apartment").schema.simpleString()
+    )
+    assert unpacked_empty.count() == 0
+
+    # relational bridge on empty frames keeps per-level schemas too
+    tables_ref = packer.normalize(apartment_level_df)
+    tables_empty = packer.normalize(empty)
+    assert set(tables_empty) == set(tables_ref)
+    for name, t in tables_empty.items():
+        assert t.schema.simpleString() == tables_ref[name].schema.simpleString()
+        assert t.count() == 0
