@@ -1,0 +1,106 @@
+"""Edge-case fixtures from the reference suite (FIXTURES.md §F6): name
+collisions across levels, array attributes that are not child levels,
+single-row and single-level frames.
+
+Reference provenance: tests/test_complex_hierarchies.py:384-393 (name
+collisions), :422-429 (list attribute), :493-571 (tiny/wide frames).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_nexpresso_spark import (
+    HierarchicalPacker,
+    HierarchySpec,
+    LevelSpec,
+    qcol,
+)
+from tests.conftest import assert_same_rows
+
+COMPANY_SPEC = HierarchySpec.from_levels(
+    LevelSpec(name="company", id_fields=["id"]),
+    LevelSpec(name="department", id_fields=["id"]),
+    LevelSpec(name="employee", id_fields=["id"]),
+)
+
+
+def test_name_collision_across_levels(spark):
+    """A ``name`` field at every level simultaneously: the path-qualified
+    flat names keep them distinct and the roundtrip preserves each."""
+    df = spark.createDataFrame(
+        [
+            ("c1", "Acme", "d1", "Eng", "e1", "Alice"),
+            ("c1", "Acme", "d1", "Eng", "e2", "Bob"),
+            ("c1", "Acme", "d2", "Sales", "e3", "Cara"),
+        ],
+        [
+            "company.id",
+            "company.name",
+            "company.department.id",
+            "company.department.name",
+            "company.department.employee.id",
+            "company.department.employee.name",
+        ],
+    )
+    packer = HierarchicalPacker(COMPANY_SPEC)
+    packed = packer.pack(df, "department")
+    row = packed.filter(qcol("company.department").isNotNull()).first()
+    dept_names = {d["name"] for d in row["company.department"]}
+    assert dept_names <= {"Eng", "Sales"}
+    assert_same_rows(packer.unpack(packed, "employee"), df)
+
+
+def test_array_attribute_is_not_a_child_level(spark):
+    """An array<string> column at a level is an ATTRIBUTE (packed inside the
+    level struct / recovered first-ignorenulls), never mistaken for a child
+    list to explode."""
+    df = spark.createDataFrame(
+        [
+            ("o1", ["vip", "eu"], "i1", 2),
+            ("o1", ["vip", "eu"], "i2", 1),
+            ("o2", [], "i3", 5),
+        ],
+        ["order.id", "order.customer_tags", "order.item.id", "order.item.qty"],
+    )
+    spec = HierarchySpec.from_levels(
+        LevelSpec(name="order", id_fields=["id"]),
+        LevelSpec(name="item", id_fields=["id"]),
+    )
+    packer = HierarchicalPacker(spec)
+    packed = packer.pack(df, "item")
+    # one row per order; tags stay a plain array column at the order level
+    assert packed.count() == 2
+    got = {
+        r["order.id"]: (list(r["order.customer_tags"]), len(r["order.item"]))
+        for r in packed.collect()
+    }
+    assert got == {"o1": (["vip", "eu"], 2), "o2": ([], 1)}
+    assert_same_rows(packer.unpack(packed, "item"), df)
+
+
+def test_single_row_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("c1", "d1", "e1")],
+        ["company.id", "company.department.id", "company.department.employee.id"],
+    )
+    packer = HierarchicalPacker(COMPANY_SPEC)
+    for level in ("company", "department", "employee"):
+        packed = packer.pack(df, level)
+        assert packed.count() == 1
+        assert_same_rows(packer.unpack(packed, "employee"), df)
+
+
+def test_single_level_hierarchy(spark):
+    """A one-level spec: pack collapses to the root struct; unpack restores
+    the flat frame. Degenerate but must not error."""
+    spec = HierarchySpec.from_levels(LevelSpec(name="doc", id_fields=["id"]))
+    packer = HierarchicalPacker(spec)
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "world")], ["doc.id", "doc.text"]
+    )
+    packed = packer.pack(df, "doc")
+    assert packed.columns == ["doc"]
+    assert packed.count() == 2
+    assert_same_rows(packer.unpack(packed, "doc"), df)
