@@ -104,3 +104,57 @@ def test_single_level_hierarchy(spark):
     assert packed.columns == ["doc"]
     assert packed.count() == 2
     assert_same_rows(packer.unpack(packed, "doc"), df)
+
+
+def test_wide_level_roundtrip(spark):
+    """20 attribute columns per level (FIXTURES.md F6 wide frame): spec
+    compilation and pack/unpack stay correct as width grows."""
+    cols = {"company.id": ["c1", "c1", "c2"]}
+    for i in range(20):
+        cols[f"company.attr_{i}"] = [i, i, i + 100]
+    cols["company.department.id"] = ["d1", "d2", "d3"]
+    for i in range(20):
+        cols[f"company.department.attr_{i}"] = [i * 2, i * 3, i * 4]
+    rows = list(zip(*cols.values()))
+    df = spark.createDataFrame(rows, schema=list(cols.keys()))
+
+    spec = HierarchySpec.from_levels(
+        LevelSpec(name="company", id_fields=["id"]),
+        LevelSpec(name="department", id_fields=["id"]),
+    )
+    packer = HierarchicalPacker(spec)
+    packed = packer.pack(df, "department")
+    assert packed.count() == 2
+    dept_struct = dict(packed.dtypes)["company.department"]
+    assert dept_struct.count("attr_") == 20
+    assert_same_rows(packer.unpack(packed, "department"), df)
+
+
+def test_streaming_variants_disk_to_disk_roundtrip(spark, tmp_path):
+    """pack_streaming(defer=False) checkpoints through parquet and
+    unpack_streaming(sink_path=...) re-scans its sink: both disk modes
+    reproduce the in-memory result exactly, including from a path source."""
+    df = spark.createDataFrame(
+        [("c1", "d1"), ("c1", "d2"), ("c2", "d3")],
+        ["company.id", "company.department.id"],
+    )
+    spec = HierarchySpec.from_levels(
+        LevelSpec(name="company", id_fields=["id"]),
+        LevelSpec(name="department", id_fields=["id"]),
+    )
+    packer = HierarchicalPacker(spec)
+    expected_packed = packer.pack(df, "department")
+
+    src = str(tmp_path / "flat.parquet")
+    df.write.parquet(src)
+    packed = packer.pack_streaming(
+        src, "department", partitions=2, tmp_dir=str(tmp_path / "ckpt"),
+        defer=False, spark=spark,
+    )
+    assert_same_rows(packed, expected_packed)
+
+    sink = str(tmp_path / "unpacked.parquet")
+    restored = packer.unpack_streaming(packed, "department", sink_path=sink)
+    assert_same_rows(restored, df)
+    # the sink really was written and re-scanned
+    assert spark.read.parquet(sink).count() == 3
