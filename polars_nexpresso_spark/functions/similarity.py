@@ -147,6 +147,47 @@ def _sqdist(a, b):
     )
 
 
+def _kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    *,
+    sample_size: int = 1024,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids: Lloyd's k-means on a bounded,
+    deterministic corpus sample.
+
+    The sample (≤ ``sample_size`` vectors, ordered by xxhash64 of the id so
+    it is pseudo-random but reproducible) is collected to the driver and
+    iterated with numpy — the standard IVF training shape (even distributed
+    k-means ends with the centroid table on the driver; it is O(k·dim),
+    not O(corpus)). Empty cells keep their previous centroid.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i")))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    k = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C.tolist()
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,25 +198,34 @@ def ivf_ann_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     exclude_self: bool = True,
+    centroids: str = "kmeans",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cell partitioning.
 
-    Coarse quantizer: ``n_centroids`` corpus vectors picked by xxhash64 of
-    their id (deterministic pseudo-random sample; at real scale you would
-    k-means a sample instead — the plan shape is identical). Every corpus
-    vector is assigned to its nearest centroid cell map-side; each query
-    probes its ``n_probe`` nearest cells, so the candidate join touches
-    ~``n_probe/n_centroids`` of the corpus instead of all of it. Exact
-    cosine ranks candidates; same output shape as :func:`cosine_topk`,
-    recall < 1 by construction.
+    Coarse quantizer: ``centroids="kmeans"`` (default) trains Lloyd's
+    k-means on a bounded deterministic sample (:func:`_kmeans_centroids`);
+    ``"sample"`` uses raw corpus vectors picked by xxhash64 of their id
+    (cheaper, lower recall). Every corpus vector is assigned to its nearest
+    centroid cell map-side; each query probes its ``n_probe`` nearest
+    cells, so the candidate join touches ~``n_probe/n_centroids`` of the
+    corpus instead of all of it. Exact cosine ranks candidates; same output
+    shape as :func:`cosine_topk`, recall < 1 by construction.
     """
-    cents = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy(F.xxhash64(F.col("cid")))
-        .limit(n_centroids)
-        .collect()
-    )
-    cent_lits = [F.array(*[F.lit(float(x)) for x in r["cv"]]) for r in cents]
+    if centroids == "kmeans":
+        cent_vecs = _kmeans_centroids(corpus, id_col, vec_col, n_centroids)
+    elif centroids == "sample":
+        cent_vecs = [
+            list(r["cv"])
+            for r in corpus.select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            )
+            .orderBy(F.xxhash64(F.col("cid")))
+            .limit(n_centroids)
+            .collect()
+        ]
+    else:
+        raise ValueError(f"centroids must be 'kmeans' or 'sample', got {centroids!r}")
+    cent_lits = [F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs]
 
     def nearest_cells(vec, n):
         ranked = F.array_sort(

@@ -262,3 +262,55 @@ def test_simhash_table_matches_simhash60(docs):
         for r in simhash_table(with_empty, "text", "doc_id").collect()
     }
     assert got == expected
+
+
+def test_ivf_kmeans_recall_on_clustered_data(spark):
+    """k-means centroids recover the true cluster structure: with n_probe
+    covering the query's own cluster, IVF top-1 matches exact top-1 for
+    every query on a well-separated clustered set."""
+    import random
+
+    from polars_nexpresso_spark.functions.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    rng = random.Random(7)
+    centers = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0], [5.0, 5.0, 0.0]]
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(25):
+            rows.append((vid, [x + rng.uniform(-0.5, 0.5) for x in c]))
+            vid += 1
+    vectors = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = vectors.filter(F.col("vec_id") % 25 == 3)
+
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(vectors, queries, k=1).collect()
+    }
+    ann = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_ann_topk(
+            vectors, queries, k=1, n_centroids=4, n_probe=2
+        ).collect()
+    }
+    assert ann == exact
+
+
+def test_ivf_centroid_methods_and_validation(spark):
+    from polars_nexpresso_spark.functions.similarity import ivf_ann_topk
+
+    vectors = spark.createDataFrame(
+        [(i, [float(i + 1), float(i % 3 + 1)]) for i in range(10)],
+        ["vec_id", "embedding"],
+    )
+    q = vectors.filter(F.col("vec_id") == 0)
+    for method in ("kmeans", "sample"):
+        out = ivf_ann_topk(
+            vectors, q, k=2, n_centroids=2, n_probe=2, centroids=method
+        )
+        assert out.count() > 0
+    with pytest.raises(ValueError, match="centroids"):
+        ivf_ann_topk(vectors, q, k=2, centroids="bogus")
