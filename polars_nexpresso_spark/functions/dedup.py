@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from polars_nexpresso_spark.functions.text import (
+    tokens,
     doc_fingerprint,
     simhash_table,
     word_ngrams,
@@ -146,21 +147,56 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature via shingle-explode + grouped mins.
 
-    One xxhash64 per shingle (JVM-side, deterministic), then ``num_hashes``
-    affine permutations ``(a_i·h + b_i) mod p`` over the 32-bit folded base
-    hash — the standard one-hash MinHash family. Shingling and hashing run
-    exactly ONCE per document (array expressions are interpreted, outside
-    whole-stage codegen, so inlining them per-signature is ~30× slower);
-    the 32 ``min`` aggregates are plain codegen'd long arithmetic with
-    map-side partial aggregation, so the shuffle carries one 32-long row
-    per (doc × partition). All arithmetic stays within signed-64 range
-    (a < 2³¹, h < 2³²)."""
-    shingle_rows = df.select(
+    Shingle hashes are built ARITHMETICALLY: one xxhash64 per token, then a
+    polynomial combination of each window of ``n`` consecutive token hashes
+    — no shingle strings are ever allocated (``word_ngrams``'s per-position
+    ``slice`` + ``array_join`` is the expensive part of signature
+    computation; it remains in use only for exact-Jaccard verification,
+    where true shingle identity matters). Documents shorter than ``n``
+    tokens fold all their token hashes into a single shingle hash,
+    mirroring ``word_ngrams``'s short-document rule. ``min`` is idempotent
+    over duplicates, so skipping shingle dedup changes nothing.
+
+    Token hashes materialize in their own projection before the window
+    combination references them ``n`` times (referencing a non-cheap array
+    expression more than once re-evaluates it — CollapseProject does not
+    CSE). The ``num_hashes`` affine permutations ``(a_i·h + b_i) mod p``
+    over the 32-bit folded base hash are codegen'd long arithmetic with
+    map-side partial aggregation: the shuffle carries one ``num_hashes``-
+    long row per (doc × partition). All arithmetic stays within signed-64
+    range (a < 2³¹, h < 2³²)."""
+    # 32-bit token hashes and a mod-(2^31-1) polynomial keep every operand
+    # comfortably inside signed-64 under ANSI overflow checking:
+    # acc < 2^31, acc*B < 2^51, + th < 2^51 + 2^32.
+    _B, _M = 1000003, 2147483647
+    tok_hashes = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("__shingle"),
+        F.transform(
+            tokens(F.col(text_col)),
+            lambda t: F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)),
+        ).alias("__th"),
     )
-    base = F.xxhash64(F.col("__shingle")).bitwiseAND(F.lit(0xFFFFFFFF))
-    hashed = shingle_rows.select(F.col("__id"), base.alias("__h"))
+
+    def window_hash(i):
+        acc = F.get(F.col("__th"), i) % F.lit(_M)
+        for j in range(1, n):
+            acc = (acc * F.lit(_B) + F.get(F.col("__th"), i + j)) % F.lit(_M)
+        return acc
+
+    full_fold = F.aggregate(
+        F.col("__th"),
+        F.lit(0).cast("long"),
+        lambda a, x: (a * F.lit(_B) + x) % F.lit(_M),
+    )
+    shingle_hashes = F.when(
+        F.size(F.col("__th")) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__th")) - n), window_hash
+        ),
+    ).otherwise(F.array(full_fold))
+    hashed = tok_hashes.select(
+        "__id", F.explode(shingle_hashes).alias("__h")
+    )
     aggs = [
         F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(
             f"mh_{i}"
