@@ -201,6 +201,19 @@ def main() -> None:
     bench("lsh_ann_topk", lambda: force(q_lsh_ann_topk(spark, sf_dir)))
     bench("ivf_ann_topk", lambda: force(q_ivf_ann_topk(spark, sf_dir)))
 
+    # --- ANN quality: recall@k of each approximate search vs the exact
+    # top-k on the same (query, k) — speed without recall is meaningless.
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_cosine_topk(spark, sf_dir).collect()
+    }
+    recall = {}
+    for name, q in (("lsh", q_lsh_ann_topk), ("ivf", q_ivf_ann_topk)):
+        approx = {
+            (r["query_id"], r["neighbor_id"]) for r in q(spark, sf_dir).collect()
+        }
+        recall[name] = round(len(approx & exact_pairs) / len(exact_pairs), 3)
+
     flat.unpersist()
     total = round(sum(timings.values()), 3)
     print(
@@ -211,6 +224,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "peak_rss_mb": peaks,
+                "ann_recall_at_k": recall,
                 "sf": sf,
             }
         )

@@ -281,10 +281,11 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing.
 
-    Candidates come from corpus rows sharing the query's bucket (plus all
-    1-bit-flip probe buckets when ``multiprobe=1``); exact cosine ranks the
-    candidates. Same output shape as :func:`cosine_topk`; recall < 1 by
-    construction.
+    Candidates come from corpus rows sharing the query's bucket plus every
+    probe bucket within Hamming distance ``multiprobe`` of it (probe count
+    grows as sum of C(num_planes, d) — the recall/cost dial alongside
+    ``num_planes``); exact cosine ranks the candidates. Same output shape
+    as :func:`cosine_topk`; recall < 1 by construction.
     """
     dim = len(queries.select(vec_col).first()[0])
     planes = _hyperplanes(num_planes, dim, seed)
@@ -302,12 +303,17 @@ def lsh_ann_topk(
         _norm(F.col(vec_col)).alias("__qn"),
         lsh_bucket_expr(F.col(vec_col), planes).alias("__qbucket"),
     )
-    # Multi-probe: each query also probes buckets at Hamming distance 1.
+    # Multi-probe: each query also probes every bucket within Hamming
+    # distance ``multiprobe`` of its own.
+    from itertools import combinations
+
     probes = [F.col("__qbucket")]
-    if multiprobe >= 1:
-        probes += [
-            F.col("__qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(num_planes)
-        ]
+    for dist in range(1, multiprobe + 1):
+        for bits in combinations(range(num_planes), dist):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            probes.append(F.col("__qbucket").bitwiseXOR(F.lit(mask)))
     q = q_base.withColumn("__bucket", F.explode(F.array(*probes)))
 
     joined = c.join(F.broadcast(q), on="__bucket")
