@@ -7,9 +7,11 @@
   never shuffles — only the per-query candidate rows move.
 - :func:`lsh_ann_topk` — random-hyperplane LSH: deterministic pseudo-random
   hyperplanes (seeded, md5-derived), bucket on the sign bit-vector, search
-  only within matching buckets (with multi-probe over 1-bit flips). Scale
-  path: the bucket join replaces the cross join, turning O(|corpus|·|q|)
-  into O(bucket size · |q|).
+  only within buckets up to Hamming distance ``multiprobe`` from the
+  query's. Scale path: the bucket join replaces the cross join, turning
+  O(|corpus|·|q|) into O(probed bucket volume · |q|).
+- :func:`ivf_ann_topk` — inverted-file cells around sampled-k-means
+  centroids; each query probes its ``n_probe`` nearest cells.
 """
 
 from __future__ import annotations
