@@ -314,3 +314,43 @@ def test_ivf_centroid_methods_and_validation(spark):
         assert out.count() > 0
     with pytest.raises(ValueError, match="centroids"):
         ivf_ann_topk(vectors, q, k=2, centroids="bogus")
+
+
+def test_lsh_multiprobe_exhaustive_equals_exact(spark):
+    """multiprobe == num_planes probes every bucket (all Hamming distances),
+    so the LSH search degenerates to exhaustive and must equal the exact
+    top-k — pins that multiprobe really expands to the requested distance
+    (a bug once capped it at 1-bit flips regardless of value)."""
+    import random
+
+    from polars_nexpresso_spark.functions.similarity import (
+        cosine_topk,
+        lsh_ann_topk,
+    )
+
+    rng = random.Random(11)
+    vectors = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        ["vec_id", "embedding"],
+    )
+    queries = vectors.filter(F.col("vec_id") < 4)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(vectors, queries, k=3).collect()
+    }
+    exhaustive = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(
+            vectors, queries, k=3, num_planes=4, multiprobe=4
+        ).collect()
+    }
+    assert exhaustive == exact
+    # and distance-1 probing is a strict subset of the probe volume: its
+    # recall can only be lower or equal
+    narrow = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(
+            vectors, queries, k=3, num_planes=4, multiprobe=1
+        ).collect()
+    }
+    assert len(narrow & exact) <= len(exhaustive & exact)
