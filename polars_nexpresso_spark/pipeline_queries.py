@@ -128,12 +128,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_hamming=3 is the radius the 4×15-bit chunk blocking GUARANTEES by
     # pigeonhole; larger radii would silently under-recall (and on this
     # templated corpus, hamming≤8 matches ~10% of all pairs — not near-dups).
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    # Because the guarantee is exhaustive at this radius, the blocked output
+    # EQUALS a brute-force self-join — so an exact DuckDB oracle applies.
+    pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    return pairs.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
-    return embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
+    # Blocked on the label column (the shard/class/cluster pattern): pairs
+    # form only inside each block, so the join is label-equi + verify, not
+    # the all-pairs n² cross join — the shape that survives 100 TB. The
+    # unblocked mode stays available for small inputs via block_col=None.
+    return embedding_cosine_pairs(
+        emb, "embedding", "vec_id", threshold=0.4, block_col="label"
+    )
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +300,8 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "embedding_dedup": """
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
         WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
     """,
     "cosine_topk": """
@@ -313,6 +323,24 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                octet_length(encode(text)) AS n_bytes
         FROM documents
     """,
-    # simhash_pairs and lsh_ann_topk are approximation-shaped (blocking
-    # recall / probe coverage): rows-only checks, no oracle entries.
+    # Exact: the pigeonhole chunk blocking is exhaustive at radius 3, so the
+    # Spark output equals this brute-force self-join over the (bit-exact,
+    # see "simhash" above) per-doc hashes.
+    "simhash_pairs": f"""
+        WITH sims AS (
+          SELECT doc_id,
+                 list_sum(list_transform(range(0, 60), i ->
+                     CASE WHEN len(list_filter(hashes, h -> (h >> i) & 1 = 1)) * 2
+                               >= len(hashes)
+                          THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS simhash
+          FROM (SELECT doc_id, {_HASHES} AS hashes
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    # lsh_ann_topk / ivf_ann_topk are approximation-shaped (probe coverage):
+    # rows-only checks plus pytest recall floors vs exact cosine_topk.
 }

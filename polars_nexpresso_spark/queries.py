@@ -269,7 +269,13 @@ def q_multihop_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D table "set"/"single": distinct order statuses per customer."""
+    """D table "set"/"single": distinct order statuses per customer.
+
+    The set is serialized to a comma-joined scalar so the oracle harness
+    (which canonicalizes via pandas and cannot hash list cells) can
+    value-hash the result; the underlying ``set`` aggregation still
+    produces a real array.
+    """
     packer = HierarchicalPacker(CO_SPEC)
     flat = flat_customer_orders(spark, sf_dir)
     packed = packer.pack(flat, "orders")
@@ -278,7 +284,7 @@ def q_agg_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packed.select(
         qcol("customer.c_custkey").alias("c_custkey"),
-        set_expr.alias("statuses"),
+        F.array_join(set_expr, ",").alias("statuses"),
     )
 
 
@@ -468,10 +474,11 @@ def q_part_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags = F.array_sort(
         packer.attribute_expr("l_returnflag", "lineitem", "part", "set")
     )
+    # Comma-joined scalar: the oracle canonicalizer cannot hash list cells.
     return filtered.select(
         qcol("part.p_partkey").alias("p_partkey"),
         qcol("part.p_brand").alias("p_brand"),
-        flags.alias("flags"),
+        F.array_join(flags, ",").alias("flags"),
     )
 
 
@@ -618,7 +625,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "agg_set": """
         SELECT c.c_custkey AS c_custkey,
-               list(DISTINCT o.o_orderstatus ORDER BY o.o_orderstatus) AS statuses
+               array_to_string(
+                   list(DISTINCT o.o_orderstatus ORDER BY o.o_orderstatus), ','
+               ) AS statuses
         FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey
     """,
@@ -663,7 +672,9 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "part_hierarchy": """
         SELECT p.p_partkey AS p_partkey, p.p_brand AS p_brand,
-               list(DISTINCT l.l_returnflag ORDER BY l.l_returnflag) AS flags
+               array_to_string(
+                   list(DISTINCT l.l_returnflag ORDER BY l.l_returnflag), ','
+               ) AS flags
         FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
         GROUP BY p.p_partkey, p.p_brand
         HAVING MAX(l.l_quantity) >= 48

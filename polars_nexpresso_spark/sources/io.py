@@ -29,6 +29,12 @@ TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects unless nanos are read back as raw int64. Set the conf
+        # here (not only in session.get_spark) so the read works under ANY
+        # SparkSession — e.g. a bare driver-built one with no repo confs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

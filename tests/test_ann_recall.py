@@ -1,0 +1,68 @@
+"""Recall@k floors for the approximate-nearest-neighbor paths.
+
+Pins the probing logic: a regression in LSH multiprobe expansion or IVF
+cell assignment shows up as a recall drop long before it shows up in a
+rows-only oracle check. Floors sit ~0.07 under the measured recalls on the
+sf0.01 synthetic embeddings (LSH 0.62, IVF 0.70 per BENCH_r01.json) — that
+corpus is near-uniform, ANN's worst case, so these are conservative.
+
+Hyperparameters mirror the showcased queries in
+``polars_nexpresso_spark/pipeline_queries.py`` exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_nexpresso_spark.functions.similarity import (
+    cosine_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
+from polars_nexpresso_spark.sources.io import read_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="sf0.01 testdata not present"
+)
+
+K = 5
+N_QUERIES = 10
+
+
+def _recall_at_k(exact_df, ann_df) -> float:
+    exact = {}
+    for r in exact_df.collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann = {}
+    for r in ann_df.collect():
+        ann.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & ann.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    return hits / total
+
+
+@pytest.fixture(scope="module")
+def emb_and_exact(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(emb, queries, k=K)
+    return emb, queries, exact
+
+
+def test_lsh_ann_recall_floor(emb_and_exact):
+    emb, queries, exact = emb_and_exact
+    ann = lsh_ann_topk(emb, queries, k=K, num_planes=8, multiprobe=3)
+    recall = _recall_at_k(exact, ann)
+    assert recall >= 0.55, f"LSH recall@{K} regressed: {recall:.3f} < 0.55"
+
+
+def test_ivf_ann_recall_floor(emb_and_exact):
+    emb, queries, exact = emb_and_exact
+    ann = ivf_ann_topk(emb, queries, k=K, n_centroids=16, n_probe=6)
+    recall = _recall_at_k(exact, ann)
+    assert recall >= 0.60, f"IVF recall@{K} regressed: {recall:.3f} < 0.60"
