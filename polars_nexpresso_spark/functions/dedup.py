@@ -72,7 +72,10 @@ def ngram_jaccard_pairs(
     Exact (no approximation): explode distinct shingles, self-join on the
     shingle, count shared shingles per pair, and compute
     ``|∩| / (|A| + |B| - |∩|)``. ``max_shingle_df`` caps shingle document
-    frequency to keep the pair join near-linear at scale.
+    frequency to keep the pair join near-linear at scale; with the cap on,
+    Jaccard is computed over the *filtered* shingle universe (hot shingles
+    are excluded from both numerator and denominator), so the score stays
+    internally consistent rather than a silent underestimate.
 
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
@@ -83,7 +86,6 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("__sh"),
     ).select("__id", F.xxhash64(F.col("__sh")).alias("__shingle"))
-    sizes = exploded.groupBy("__id").agg(F.count("*").alias("__n_shingles"))
 
     if max_shingle_df is not None:
         hot = (
@@ -93,6 +95,10 @@ def ngram_jaccard_pairs(
             .select("__shingle")
         )
         exploded = exploded.join(hot, on="__shingle", how="left_anti")
+
+    # Sizes AFTER the df-cap filter: numerator (shared counts) and
+    # denominator (per-doc sizes) must agree on the same shingle universe.
+    sizes = exploded.groupBy("__id").agg(F.count("*").alias("__n_shingles"))
 
     left = exploded.select(
         F.col("__id").alias("id_a"), F.col("__shingle").alias("__s")

@@ -327,9 +327,21 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         reproduces the disk-to-disk mode with a parquet checkpoint.
         """
         df = self._resolve_source(source, spark)
+        # Materialize key aliases / computed id fields BEFORE picking the
+        # repartition keys, so alias-only inputs partition on the resolved
+        # columns instead of falling into an opaque AnalysisException.
+        df, _ = self._ensure_key_columns(df)
+        df = self._ensure_computed_fields(df)
         root_keys = [
             k for k in self._levels_meta[0].id_columns if k in df.columns
-        ] or list(self._levels_meta[0].id_columns)
+        ]
+        if not root_keys:
+            missing = ", ".join(self._levels_meta[0].id_columns)
+            raise HierarchyValidationError(
+                f"pack_streaming: none of the root level "
+                f"'{self._levels_meta[0].name}' key columns [{missing}] are "
+                f"present in the input (columns: {sorted(df.columns)[:20]})"
+            )
         df = df.repartition(partitions, *[qcol(k) for k in root_keys])
         packed = self.pack(df, to_level, extra_columns=extra_columns)
         if defer:

@@ -158,3 +158,28 @@ def test_streaming_variants_disk_to_disk_roundtrip(spark, tmp_path):
     assert_same_rows(restored, df)
     # the sink really was written and re-scanned
     assert spark.read.parquet(sink).count() == 3
+
+
+def test_pack_streaming_missing_root_keys_is_a_clear_error(spark):
+    """Absent root key columns raise HierarchyValidationError naming them,
+    not an AnalysisException from repartitioning on nonexistent columns;
+    alias-only inputs resolve through key_aliases first and succeed."""
+    from polars_nexpresso_spark.plans.spec import HierarchyValidationError
+
+    spec = HierarchySpec.from_levels(
+        LevelSpec(name="company", id_fields=["id"]),
+        LevelSpec(name="department", id_fields=["id"]),
+        key_aliases={"company.id": "corp_id"},
+    )
+    packer = HierarchicalPacker(spec)
+
+    aliased = spark.createDataFrame(
+        [("c1", "d1"), ("c1", "d2")], ["corp_id", "company.department.id"]
+    )
+    assert packer.pack_streaming(aliased, "department", partitions=2).count() == 1
+
+    bogus = spark.createDataFrame(
+        [("d1",), ("d2",)], ["company.department.id"]
+    )
+    with pytest.raises(HierarchyValidationError, match="company.*id"):
+        packer.pack_streaming(bogus, "department", partitions=2)

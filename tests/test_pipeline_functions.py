@@ -97,6 +97,19 @@ def test_ngram_jaccard_hot_shingle_cap(docs):
     assert pairs.count() == 0
 
 
+def test_ngram_jaccard_cap_scores_filtered_universe(docs):
+    # df cap at 2 drops the 6 shingles shared by docs 1/2/4 but keeps
+    # "the lazy dog" (docs 1,4). Numerator AND denominator must use the
+    # filtered universe: the identical pair still scores exactly 1.0
+    # (pre-filter sizes would give 1/13 ≈ 0.077 — a silent underestimate).
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_shingle_df=2
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 4)] == 1.0
+    assert (1, 2) not in got  # only disjoint post-filter shingles remain
+
+
 def test_minhash_matches_bruteforce(docs):
     brute = {
         (r["id_a"], r["id_b"])
