@@ -34,7 +34,10 @@ from polars_nexpresso_spark.queries import (  # noqa: E402
     q_promote_sum,
 )
 from polars_nexpresso_spark.session import get_spark  # noqa: E402
-from polars_nexpresso_spark.sources.io import flat_orders_lineitem  # noqa: E402
+from polars_nexpresso_spark.sources.io import (  # noqa: E402
+    flat_orders_lineitem,
+    read_table,
+)
 
 
 def force(df) -> None:
@@ -77,6 +80,68 @@ def _peak_rss_mb(pid: int) -> float | None:
     except OSError:
         pass
     return None
+
+
+def _rss_probe(op: str, sf_dir: str) -> None:
+    """Child mode: run ONE op in this fresh process and print the JVM's
+    peak RSS. Mirrors the reference's methodology ("peak resident set size
+    ... in a fresh process", benchmarks/README.md) — the shared warm-JVM
+    watermark in the main loop cannot see per-op bounding because cached
+    input and earlier allocations dominate the high-water mark.
+
+    The ``pack_heap_capped`` op is the pinned memory-bounding argument: the
+    SAME one-shot pack under an 800 MB heap completes by SPILLING (Spark's
+    hash aggregation is spill-aware), demonstrating that on Spark peak
+    memory is a configuration bound, not a function of data size — the
+    property the reference buys with its 5.8×-slower bucket loop. A GC'd
+    runtime's RSS watermark otherwise tracks allocation churn, not working
+    set, which is why the uncapped pack and the bounded bucket loop measure
+    alike in a fresh process."""
+    extra = {"spark.driver.memory": "800m"} if op == "pack_heap_capped" else {}
+    spark = get_spark(app_name=f"pns-rss-{op}", extra_conf=extra)
+    spark.sparkContext.setLogLevel("ERROR")
+    packer = HierarchicalPacker(OL_SPEC)
+    flat = flat_orders_lineitem(spark, sf_dir)  # NOT cached: scan per job
+    start = time.perf_counter()
+    if op in ("pack", "pack_heap_capped"):
+        force(packer.pack(flat, "orders"))
+    elif op == "pack_streaming_bounded":
+        force(
+            packer.pack_streaming(flat, "orders", partitions=16, bounded=True)
+        )
+    else:
+        raise SystemExit(f"unknown rss probe op: {op}")
+    elapsed = round(time.perf_counter() - start, 3)
+    pid = _find_jvm_pid()
+    peak = _peak_rss_mb(pid) if pid is not None else None
+    print(json.dumps({"op": op, "peak_rss_mb": peak, "sec": elapsed}))
+
+
+def _isolated_rss(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    """Spawn one fresh python+JVM per op; return (peak RSS, wall time)."""
+    import subprocess
+
+    rss: dict[str, float] = {}
+    secs: dict[str, float] = {}
+    for op in ("pack", "pack_streaming_bounded", "pack_heap_capped"):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--rss-probe", op],
+            capture_output=True,
+            text=True,
+            timeout=600,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("peak_rss_mb") is not None:
+                rss[rec["op"]] = rec["peak_rss_mb"]
+            if rec.get("sec") is not None:
+                secs[rec["op"]] = rec["sec"]
+            break
+    return rss, secs
 
 
 def main() -> None:
@@ -134,6 +199,18 @@ def main() -> None:
         "pack_streaming",
         lambda: force(packer.pack_streaming(flat, "orders", partitions=64)),
     )
+    # The reference's literal RSS shape: K sequential per-bucket jobs with a
+    # parquet append sink (peak state = one bucket). 16 buckets matches the
+    # reference's 16-partition sweep row (5.8x time / 0.50x RSS).
+    bounded_tmp = os.path.join(tempfile.gettempdir(), "pns_bench_bounded")
+    bench(
+        "pack_streaming_bounded",
+        lambda: force(
+            packer.pack_streaming(
+                flat, "orders", partitions=16, bounded=True, tmp_dir=bounded_tmp
+            )
+        ),
+    )
     bench(
         "pack_split_join",
         lambda: force(packer.pack(flat, "orders", parent_strategy="split_join")),
@@ -154,6 +231,45 @@ def main() -> None:
         lambda: force(packer.pack(heavy, "orders", parent_strategy="split_join")),
     )
     heavy.unpersist()
+
+    # Parent-DOMINANT scenario (the reference's headline split_join win,
+    # benchmarks/README.md:153-156: 0.11x time / 0.50x mem — tiny children,
+    # dominant root payload). supplier → lineitem gives ~600 children per
+    # parent at sf0.1; each leaf row drags a 256-double parent payload
+    # (~2 KB) next to a ~30-byte child. split_join's structural branch
+    # prunes the payload column before the leaf shuffle entirely and dedups
+    # it map-side on the dim branch — the plain path carries it into the
+    # group-agg per leaf row.
+    from polars_nexpresso_spark import HierarchySpec, LevelSpec
+
+    sl_spec = HierarchySpec.from_levels(
+        LevelSpec(name="supplier", id_fields=["s_suppkey"]),
+        LevelSpec(name="lineitem", id_fields=["l_orderkey", "l_linenumber"]),
+    )
+    sl_packer = HierarchicalPacker(sl_spec)
+    li = read_table(spark, sf_dir, "lineitem")
+    parent_dom = li.select(
+        li["l_suppkey"].alias("supplier.s_suppkey"),
+        F.array_repeat(li["l_suppkey"].cast("double"), 256).alias(
+            "supplier.s_payload"
+        ),
+        li["l_orderkey"].alias("supplier.lineitem.l_orderkey"),
+        li["l_linenumber"].alias("supplier.lineitem.l_linenumber"),
+        li["l_quantity"].alias("supplier.lineitem.l_quantity"),
+    )
+    parent_dom.cache()
+    parent_dom.count()
+    bench(
+        "pack_parent_dominant",
+        lambda: force(sl_packer.pack(parent_dom, "lineitem")),
+    )
+    bench(
+        "pack_split_join_parent_dominant",
+        lambda: force(
+            sl_packer.pack(parent_dom, "lineitem", parent_strategy="split_join")
+        ),
+    )
+    parent_dom.unpersist()
 
     packed_path = os.path.join(tempfile.gettempdir(), "pns_bench_packed.parquet")
     packer.pack(flat, "orders").write.mode("overwrite").parquet(packed_path)
@@ -215,7 +331,22 @@ def main() -> None:
         recall[name] = round(len(approx & exact_pairs) / len(exact_pairs), 3)
 
     flat.unpersist()
+    # Headline total covers the warm benched queries only (probe runs below
+    # are methodology experiments, not part of the round-over-round metric).
     total = round(sum(timings.values()), 3)
+
+    # Fresh-process peak RSS for the memory-bounded mode (reference
+    # methodology); the warm-JVM watermarks above can't isolate it.
+    rss_isolated: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_RSS_ISOLATED", "1") != "0":
+        try:
+            rss_isolated, probe_secs = _isolated_rss(sf_dir)
+            # Single-shot capped-heap time (no warm median exists for it).
+            if "pack_heap_capped" in probe_secs:
+                timings["pack_heap_capped"] = probe_secs["pack_heap_capped"]
+        except Exception:  # noqa: BLE001 — bench must still emit its line
+            rss_isolated = {}
+
     print(
         json.dumps(
             {
@@ -224,6 +355,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "peak_rss_mb": peaks,
+                "peak_rss_mb_isolated": rss_isolated,
                 "ann_recall_at_k": recall,
                 "sf": sf,
             }
@@ -232,4 +364,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--rss-probe":
+        _rss_probe(
+            sys.argv[2],
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
+    else:
+        main()

@@ -5,11 +5,14 @@ the standard large-scale layout (payload bytes stay columnar in parquet;
 metadata prunes without touching blobs). Decode / feature-extraction /
 resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages: the
 Spark-side contract (schemas, batching, partition-preserving execution) is
-real and tested; the actual codec calls are STUBBED because image/audio
-libraries are not available in this container — each stub raises
-``NotImplementedError`` unless the deterministic fake implementation is
-requested, which derives features purely from the bytes so results are
-reproducible and oracle-checkable (e.g. ``octet_length``-style features).
+real and tested.
+
+Codec policy: **image decode is real when Pillow is importable**
+(``fake=False`` decodes/resizes/features via PIL); without Pillow the real
+path raises a clear ``NotImplementedError`` and the deterministic fake
+implementation remains available — it derives output purely from the bytes
+so results are reproducible and oracle-checkable (``octet_length``-style
+features). Audio/video codecs (ffmpeg/soundfile) stay stubbed.
 
 Scale notes: ``mapInPandas`` streams Arrow batches through one Python worker
 per core with no shuffle; blob columns should be pruned before any wide
@@ -76,12 +79,44 @@ def attach_media_meta(
     )
 
 
+def pil_available() -> bool:
+    """True when Pillow is importable (checked on the driver; executors in
+    the same environment see the same installation)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _require_codec(name: str):
     raise NotImplementedError(
-        f"Real {name} decoding requires a codec library (PIL/ffmpeg/soundfile) "
-        "that is not available in this environment. Pass fake=True for the "
-        "deterministic byte-derived implementation."
+        f"Real {name} decoding requires a codec library "
+        "(Pillow for images; ffmpeg/soundfile for audio/video) that is not "
+        "available in this environment. Pass fake=True for the deterministic "
+        "byte-derived implementation."
     )
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
 
 
 def extract_features(
@@ -94,25 +129,35 @@ def extract_features(
 ) -> DataFrame:
     """Feature-extract each blob via Arrow-batched ``mapInPandas``.
 
-    The fake implementation derives features purely from the bytes
-    (length, mean byte value, and per-stripe byte means), so the output is
-    deterministic and the scalar columns are SQL-oracle-checkable
-    (``octet_length`` etc.). The real implementation is a stub.
+    ``fake=True`` derives features purely from the bytes (length, mean byte
+    value, per-stripe byte means) — deterministic, SQL-oracle-checkable.
+    ``fake=False`` decodes each blob as an image with Pillow and computes
+    the same shape over grayscale PIXELS (mean luminance + per-stripe
+    means); raises ``NotImplementedError`` when Pillow is not installed.
     """
-    if not fake:
-        _require_codec("media")
+    if not fake and not pil_available():
+        _require_codec("image")
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
         import numpy as np
         import pandas as pd
 
+        if not fake:
+            from PIL import Image
+            import io
+
         for pdf in batches:
             out_rows = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
-                arr = np.frombuffer(blob or b"", dtype=np.uint8)
-                n = int(arr.size)
-                mean = float(arr.mean()) if n else 0.0
-                stripes = np.array_split(arr, n_features) if n else []
+                blob = blob or b""
+                if fake:
+                    arr = np.frombuffer(blob, dtype=np.uint8)
+                else:
+                    img = Image.open(io.BytesIO(blob)).convert("L")
+                    arr = np.asarray(img, dtype=np.uint8).ravel()
+                n = int(arr.size) if fake else len(blob)
+                mean = float(arr.mean()) if arr.size else 0.0
+                stripes = np.array_split(arr, n_features) if arr.size else []
                 feats = [float(s.mean()) if s.size else 0.0 for s in stripes]
                 feats += [0.0] * (n_features - len(feats))
                 out_rows.append((int(mid), n, mean, feats))
@@ -125,11 +170,100 @@ def extract_features(
     )
 
 
-def decode_image(df: DataFrame, **kwargs) -> DataFrame:
-    """STUB: real image decode (PIL) is unavailable in this container."""
-    if not kwargs.get("fake", False):
+def decode_image(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode image blobs to ``(media_id, width, height, mode, n_bytes)``.
+
+    Real path (default): Pillow header decode — cheap (no full raster for
+    most formats) and the right first stage before any size/aspect filter.
+    ``fake=True``: deterministic byte-derived dimensions for plumbing tests
+    in codec-less environments.
+    """
+    if not fake and not pil_available():
         _require_codec("image")
-    return extract_features(df, fake=True, **{k: v for k, v in kwargs.items() if k != "fake"})
+
+    def gen(batches):
+        import pandas as pd
+
+        if not fake:
+            from PIL import Image
+            import io
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = blob or b""
+                if fake:
+                    # Deterministic fake dims derived from content length.
+                    w = len(blob) % 64 + 1
+                    h = len(blob) % 48 + 1
+                    rows.append((int(mid), w, h, "FAKE", len(blob)))
+                else:
+                    img = Image.open(io.BytesIO(blob))
+                    rows.append(
+                        (int(mid), img.width, img.height, img.mode, len(blob))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "mode", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        gen, schema=DECODE_SCHEMA
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    max_side: int = 256,
+    fake: bool = False,
+) -> DataFrame:
+    """Thumbnail each image blob to fit ``max_side`` and re-encode as PNG.
+
+    Real path: Pillow ``thumbnail`` (aspect-preserving). ``fake=True``
+    emulates the 1→1 blob-transform shape by stride-sampling the bytes to at
+    most ``max_side**2`` and reporting square fake dims — keeps the
+    pipeline testable without codecs.
+    """
+    if not fake and not pil_available():
+        _require_codec("image")
+
+    def gen(batches):
+        import pandas as pd
+
+        if not fake:
+            from PIL import Image
+            import io
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = blob or b""
+                if fake:
+                    stride = max(1, len(blob) // (max_side * max_side))
+                    out = blob[::stride]
+                    side = min(max_side, int(len(out) ** 0.5) or 1)
+                    rows.append((int(mid), out, side, side))
+                else:
+                    img = Image.open(io.BytesIO(blob))
+                    img.thumbnail((max_side, max_side))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    rows.append((int(mid), buf.getvalue(), img.width, img.height))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "width", "height"]
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        gen, schema=RESIZE_SCHEMA
+    )
 
 
 def sample_frames(df: DataFrame, *, every_n_bytes: int = 1024, fake: bool = True,

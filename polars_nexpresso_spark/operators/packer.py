@@ -30,6 +30,7 @@ API. Design notes for scale (SURVEY §4):
 
 from __future__ import annotations
 
+import glob
 import os
 import tempfile
 import uuid
@@ -315,6 +316,7 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         tmp_dir: str | None = None,
         defer: bool = True,
         extra_columns: ExtraColumnsMode = "preserve",
+        bounded: bool = False,
         spark: SparkSession | None = None,
     ) -> DataFrame:
         """Memory-bounded pack — API parity with the reference ``:1103-1211``.
@@ -322,10 +324,30 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         The reference hash-buckets rows by root key, packs each bucket and
         sinks parquet to cap peak RSS (5.8× slower, 0.42× memory per
         BASELINE.md). Spark's shuffled aggregation already hash-partitions and
-        spills, so this is expressed as ``repartition(partitions, root_keys)``
-        + the normal pack (one job, no K-pass re-reads). ``defer=False``
-        reproduces the disk-to-disk mode with a parquet checkpoint.
+        spills, so the default is expressed as
+        ``repartition(partitions, root_keys)`` + the normal pack (one job, no
+        K-pass re-reads). ``defer=False`` reproduces the disk-to-disk mode
+        with a parquet checkpoint.
+
+        ``bounded=True`` reproduces the reference's memory shape literally:
+        one hash-bucketed staging write (``partitionBy(__bucket)``), then
+        ``partitions`` SEQUENTIAL per-bucket pack jobs appending to the sink.
+        Peak state is one bucket's aggregation + scan buffers, regardless of
+        total input size — the trade the reference documents as 5.8× time for
+        0.42× RSS. On a real cluster the default mode's executor-spill
+        already bounds memory per task; ``bounded`` exists for environments
+        where the whole job shares one memory budget (local mode, one
+        executor, or a sink that must never hold two buckets at once).
         """
+        if bounded:
+            return self._pack_streaming_bounded(
+                source,
+                to_level,
+                partitions=partitions,
+                tmp_dir=tmp_dir,
+                extra_columns=extra_columns,
+                spark=spark,
+            )
         df = self._resolve_source(source, spark)
         # Materialize key aliases / computed id fields BEFORE picking the
         # repartition keys, so alias-only inputs partition on the resolved
@@ -342,6 +364,10 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                 f"'{self._levels_meta[0].name}' key columns [{missing}] are "
                 f"present in the input (columns: {sorted(df.columns)[:20]})"
             )
+        # Pin the best-effort row id BEFORE the shuffle: shuffle-fetch order
+        # is nondeterministic, so assigning it after repartition would make
+        # unordered child lists flap run-to-run.
+        df = self._with_row_id(df)
         df = df.repartition(partitions, *[qcol(k) for k in root_keys])
         packed = self.pack(df, to_level, extra_columns=extra_columns)
         if defer:
@@ -351,6 +377,75 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         )
         packed.write.mode("overwrite").parquet(target)
         return packed.sparkSession.read.parquet(target)
+
+    def _pack_streaming_bounded(
+        self,
+        source: DataFrame | str,
+        to_level: str,
+        *,
+        partitions: int,
+        tmp_dir: str | None,
+        extra_columns: ExtraColumnsMode,
+        spark: SparkSession | None,
+    ) -> DataFrame:
+        """K sequential per-bucket pack jobs — the reference's RSS shape
+        (``:1103-1211``): stage the input hash-partitioned by root key, pack
+        one bucket at a time, append each to the sink, stream the result
+        from disk. Peak memory is one bucket, at the cost of K job launches
+        (the one staging pass replaces the reference's K re-reads)."""
+        if partitions < 1:
+            raise ValueError("partitions must be >= 1")
+        df = self._resolve_source(source, spark)
+        df, _ = self._ensure_key_columns(df)
+        df = self._ensure_computed_fields(df)
+        root_keys = [
+            k for k in self._levels_meta[0].id_columns if k in df.columns
+        ]
+        if not root_keys:
+            missing = ", ".join(self._levels_meta[0].id_columns)
+            raise HierarchyValidationError(
+                f"pack_streaming(bounded): none of the root level "
+                f"'{self._levels_meta[0].name}' key columns [{missing}] are "
+                f"present in the input"
+            )
+        # Pin the best-effort row id before the bucket shuffle/staging write
+        # (same nondeterministic-fetch-order hazard as the default mode);
+        # it persists through the stage parquet and pack() reuses it.
+        df = self._with_row_id(df)
+        session = df.sparkSession
+        base = tmp_dir or os.path.join(
+            tempfile.gettempdir(), f"pns_bounded_{uuid.uuid4().hex}"
+        )
+        stage = os.path.join(base, "stage")
+        target = os.path.join(base, "packed")
+
+        bucket = F.pmod(F.xxhash64(*[qcol(k) for k in root_keys]), F.lit(partitions))
+        # One staging pass: hive-partition by bucket so each per-bucket job
+        # reads ONLY its directory (partition pruning — no K full scans).
+        # Repartition ON the bucket first so every task writes exactly one
+        # bucket file — without it, dynamic partitioning holds an open
+        # parquet writer per (task × bucket), whose row-group buffers defeat
+        # the memory bounding this mode exists for.
+        (
+            df.withColumn("__bucket", bucket)
+            .repartition(partitions, F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(stage)
+        )
+
+        first_write = True
+        for i in range(partitions):
+            bucket_dir = os.path.join(stage, f"__bucket={i}")
+            if not glob.glob(os.path.join(bucket_dir, "*.parquet")):
+                continue  # empty bucket (hash imbalance at tiny scale)
+            part = session.read.parquet(bucket_dir)
+            packed = self.pack(part, to_level, extra_columns=extra_columns)
+            packed.write.mode("overwrite" if first_write else "append").parquet(
+                target
+            )
+            first_write = False
+        return session.read.parquet(target)
 
     def unpack_streaming(
         self,

@@ -79,6 +79,43 @@ def read_any(
     return reader.options(**options).load(path)
 
 
+def read_any_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    format: str | None = None,
+    schema=None,
+    max_files_per_trigger: int | None = None,
+    **options,
+) -> DataFrame:
+    """``readStream`` analog of :func:`read_any` — file-source streaming for
+    parquet/CSV/JSON-lines/ORC directories; format inferred from the path
+    extension unless given.
+
+    Streaming file sources REQUIRE an explicit schema (Spark refuses
+    inference unless ``spark.sql.streaming.schemaInference`` is on, and at
+    scale inference is a full extra pass anyway); pass ``schema`` always.
+    ``max_files_per_trigger`` bounds each micro-batch — the knob that keeps
+    state-store pressure and per-batch shuffle volume flat while a backlog
+    of millions of files drains. Combine with the watermarked operators in
+    ``streaming/`` (``windowed_pack``, ``session_pack``); parquet events
+    with nanosecond timestamps need the same ``nanosAsLong`` conf that
+    :func:`read_table` sets.
+    """
+    fmt = format or _FORMAT_BY_EXT.get(os.path.splitext(path)[1].lower(), "parquet")
+    if fmt == "parquet":
+        # Same session-agnostic guard as read_table: nanos timestamps.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.options(**options).load(path)
+
+
 def write_any(
     df: DataFrame,
     path: str,

@@ -230,10 +230,74 @@ def test_multimodal_feature_plumbing(spark):
     assert got[3]["byte_mean"] == pytest.approx((0 + 255) / 2)
 
 
-def test_multimodal_real_decode_raises(spark):
+def test_multimodal_real_decode_raises_without_pillow(spark):
+    from polars_nexpresso_spark.functions.multimodal import pil_available
+
+    if pil_available():
+        pytest.skip("Pillow installed — real path active, covered below")
     df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, content binary")
     with pytest.raises(NotImplementedError):
         extract_features(df, fake=False)
+
+
+def _png_bytes(width: int, height: int, value: int) -> bytes:
+    from PIL import Image
+    import io
+
+    img = Image.new("L", (width, height), value)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_multimodal_pil_decode_and_features(spark):
+    """Real codec path (runs wherever Pillow is installed): header decode
+    reports true dims; features come from PIXELS, not bytes."""
+    pytest.importorskip("PIL")
+    from polars_nexpresso_spark.functions.multimodal import decode_image
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_png_bytes(8, 4, 200))), (2, bytearray(_png_bytes(3, 3, 0)))],
+        "media_id long, content binary",
+    )
+    dims = {r["media_id"]: r for r in decode_image(df).collect()}
+    assert (dims[1]["width"], dims[1]["height"]) == (8, 4)
+    assert (dims[2]["width"], dims[2]["height"]) == (3, 3)
+
+    feats = {r["media_id"]: r for r in extract_features(df, fake=False).collect()}
+    assert feats[1]["byte_mean"] == pytest.approx(200.0)  # uniform luminance
+    assert feats[2]["byte_mean"] == pytest.approx(0.0)
+
+
+def test_multimodal_pil_resize(spark):
+    pytest.importorskip("PIL")
+    from polars_nexpresso_spark.functions.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_png_bytes(100, 50, 128)))], "media_id long, content binary"
+    )
+    out = resize_images(df, max_side=10).collect()[0]
+    assert (out["width"], out["height"]) == (10, 5)  # aspect preserved
+    assert bytes(out["content"])[:8] == b"\x89PNG\r\n\x1a\n"  # re-encoded PNG
+
+
+def test_multimodal_fake_decode_and_resize_plumbing(spark):
+    """Codec-less environments still exercise the full 1→1 blob-transform
+    shape deterministically."""
+    from polars_nexpresso_spark.functions.multimodal import (
+        decode_image,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abcdefgh" * 100))], "media_id long, content binary"
+    )
+    dims = decode_image(df, fake=True).collect()[0]
+    assert dims["n_bytes"] == 800
+    assert dims["mode"] == "FAKE"
+    resized = resize_images(df, max_side=4, fake=True).collect()[0]
+    assert len(bytes(resized["content"])) <= 800
+    assert resized["width"] == resized["height"] <= 4
 
 
 def test_attach_media_meta(spark):

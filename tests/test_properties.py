@@ -112,6 +112,23 @@ def test_pack_streaming_partition_sweep(shuffle_fixture):
         )
 
 
+def test_pack_streaming_bounded_equivalence(shuffle_fixture, tmp_path):
+    """bounded=True (K sequential per-bucket jobs, parquet append) is
+    content-identical to the one-shot pack for partitions ∈ {1, 4}; 64
+    buckets over a tiny frame also exercises the empty-bucket skip."""
+    df, packer = shuffle_fixture
+    baseline = packer.pack(df, "g")
+    for parts in (1, 4, 64):
+        got = packer.pack_streaming(
+            df,
+            "g",
+            partitions=parts,
+            bounded=True,
+            tmp_dir=str(tmp_path / f"b{parts}"),
+        )
+        assert_same_rows(got, baseline)
+
+
 def test_pack_skew_salt_equivalence(shuffle_fixture):
     """Two-phase salted pack is content-identical to the plain pack for
     salt ∈ {2, 8} (chunk merge re-sorts globally per group)."""

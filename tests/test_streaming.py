@@ -314,6 +314,58 @@ def test_streaming_topk_plan_builds_without_protobuf(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_read_any_stream_formats_plan_build(spark):
+    """read_any_stream builds a streaming plan for each supported format
+    (schema required — file streaming sources refuse inference)."""
+    from polars_nexpresso_spark.sources.io import read_any_stream
+
+    schema = "id long, name string"
+    for fmt, ext in (("parquet", "parquet"), ("csv", "csv"), ("json", "jsonl")):
+        tmp = tempfile.mkdtemp(prefix=f"pns_ras_{fmt}_")
+        try:
+            stream = read_any_stream(
+                spark, f"{tmp}", format=fmt, schema=schema,
+                max_files_per_trigger=2,
+            )
+            assert stream.isStreaming
+            assert [f.name for f in stream.schema.fields] == ["id", "name"]
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_read_any_stream_csv_available_now(spark):
+    """End-to-end availableNow drain of a CSV directory source, including
+    header handling and the maxFilesPerTrigger batching knob."""
+    from polars_nexpresso_spark.sources.io import read_any_stream, write_any
+
+    tmp = tempfile.mkdtemp(prefix="pns_ras_e2e_")
+    try:
+        batch = spark.range(100).select(
+            F.col("id"), F.concat(F.lit("n"), F.col("id")).alias("name")
+        )
+        write_any(batch.repartition(4), f"{tmp}/in.csv", format="csv")
+        stream = read_any_stream(
+            spark, f"{tmp}/in.csv", format="csv",
+            schema="id long, name string", max_files_per_trigger=1,
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("ras_csv")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("ras_csv")
+        assert got.count() == 100
+        assert {r["name"] for r in got.filter(F.col("id") < 2).collect()} == {
+            "n0",
+            "n1",
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_merge_topk_kernel():
     """Pure-kernel semantics of the streaming top-k: delta emission across a
     simulated 3-batch run reconstructs the exact batch top-k (the invariant
