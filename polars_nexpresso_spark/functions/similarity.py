@@ -109,6 +109,99 @@ def cosine_topk(
     return _two_phase_topk(scored, k)
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    exclude_self: bool = True,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow-batched numpy fast path.
+
+    Same contract and results as :func:`cosine_topk`, different engine: the
+    (small, bounded) query set is collected into a normalized numpy matrix
+    held in the UDF closure; each corpus Arrow batch computes ALL
+    query-similarities in one BLAS matmul and keeps only its per-batch
+    top-k per query, so the exchange carries ≤ k·n_batches rows per query —
+    the map-side-combine shape. The array-expression dot product in
+    :func:`cosine_topk` runs interpreted (outside whole-stage codegen),
+    which at high dimension or large |queries| makes this path ~the same
+    plan with a 10×+ cheaper inner loop.
+
+    Exact: per-batch top-k then global top-k over the union is the global
+    top-k. Ids must be integral (LongType output).
+    """
+    import numpy as np
+
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not q_rows:
+        raise ValueError("queries is empty")
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_pandas collects the query set to the driver; got "
+            f"{len(q_rows)} queries > max_queries={max_queries}. Raise the "
+            "cap only if the driver can hold them — or use the LSH/IVF path."
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn[qn == 0.0] = 1.0
+    qm = qm / qn
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["__id"].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf["__v"].to_list()).astype(np.float64)
+            cn = np.linalg.norm(cm, axis=1, keepdims=True)
+            cn[cn == 0.0] = 1.0
+            sims = np.round((cm / cn) @ qm.T, 6)  # (batch, n_queries)
+            out_q, out_n, out_c = [], [], []
+            for j in range(q_ids.size):
+                col = sims[:, j]
+                nid = ids
+                if exclude_self:
+                    keep = nid != q_ids[j]
+                    col, nid = col[keep], nid[keep]
+                if nid.size == 0:
+                    continue
+                # (−cosine, neighbor_id) ascending = the deterministic
+                # (cosine desc, id asc) tie-break; lexsort keys are
+                # last-key-primary.
+                order = np.lexsort((nid, -col))[:k]
+                out_q.append(np.full(order.size, q_ids[j]))
+                out_n.append(nid[order])
+                out_c.append(col[order])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    candidates = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(gen, schema="query_id long, neighbor_id long, cosine double")
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplanes(num_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes from md5 bits.
 

@@ -25,6 +25,7 @@ from polars_nexpresso_spark.functions.dedup import (
 from polars_nexpresso_spark.functions.multimodal import extract_features
 from polars_nexpresso_spark.functions.similarity import (
     cosine_topk,
+    cosine_topk_pandas,
     ivf_ann_topk,
     lsh_ann_topk,
 )
@@ -151,6 +152,14 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
+def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-k as ``cosine_topk`` on the numpy/Arrow fast path
+    (per-batch BLAS matmul + map-side partial top-k) — shares its oracle."""
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_pandas(emb, queries, k=5)
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
@@ -244,6 +253,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "embedding_dedup": q_embedding_dedup,
     "cosine_topk": q_cosine_topk,
+    "cosine_topk_pandas": q_cosine_topk_pandas,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_features": q_multimodal_features,
@@ -322,6 +332,23 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id AS media_id,
                octet_length(encode(text)) AS n_bytes
         FROM documents
+    """,
+    # The numpy fast path computes the identical exact result (pinned by
+    # tests/test_ann_recall.py::test_cosine_topk_pandas_matches_expr), so it
+    # shares the brute-force oracle verbatim.
+    "cosine_topk_pandas": """
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                            DESC, c.vec_id ASC
+                 ) AS rank
+          FROM embeddings c
+          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+          WHERE c.vec_id != q.vec_id
+        ) WHERE rank <= 5
     """,
     # Exact: the pigeonhole chunk blocking is exhaustive at radius 3, so the
     # Spark output equals this brute-force self-join over the (bit-exact,

@@ -66,3 +66,25 @@ def test_ivf_ann_recall_floor(emb_and_exact):
     ann = ivf_ann_topk(emb, queries, k=K, n_centroids=16, n_probe=6)
     recall = _recall_at_k(exact, ann)
     assert recall >= 0.60, f"IVF recall@{K} regressed: {recall:.3f} < 0.60"
+
+
+def test_cosine_topk_pandas_matches_expr(emb_and_exact):
+    """The numpy fast path is result-identical to the array-expression path
+    (same scores to 6 decimals, same deterministic tie-break, same ranks)."""
+    from polars_nexpresso_spark.functions.similarity import cosine_topk_pandas
+
+    emb, queries, exact = emb_and_exact
+    fast = cosine_topk_pandas(emb, queries, k=K)
+    exp = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in exact.collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in fast.collect()
+    }
+    assert set(exp) == set(got)
+    for key, (nid, cos) in exp.items():
+        g_nid, g_cos = got[key]
+        assert g_nid == nid, (key, nid, g_nid)
+        assert abs(g_cos - cos) < 2e-6, (key, cos, g_cos)
