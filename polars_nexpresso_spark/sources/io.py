@@ -173,8 +173,12 @@ def write_bucketed(
     itself provides the hash distribution — which is the way to co-locate
     the repeated FK joins of ``build_from_tables``/``denormalize`` pipelines
     at 100 TB: bucket every level table by its parent key once at ingest,
-    and every later rebuild skips the join shuffles entirely (see
-    tests/test_plan_shapes.py::test_bucketed_join_no_shuffle).
+    and every later rebuild skips the join shuffles entirely. Because the
+    pack aggregation groups on that same key, the bucketed distribution
+    serves it too: a full ``build_from_tables`` over bucketed level tables
+    plans with ZERO exchanges (tests/test_plan_shapes.py::
+    test_bucketed_join_no_shuffle and
+    ::test_build_from_tables_bucketed_join_no_extra_exchange).
     """
     writer = (
         df.write.mode("overwrite")

@@ -107,10 +107,15 @@ def session_pack(
     identically on batch and streaming frames; on a stream, session state is
     bounded by the watermark and closed sessions emit in append mode.
 
+    Requires PySpark >= 3.2 (``session_window``); see ``compat.py``.
+
     Returns one row per (keys, session) with ``session_start`` /
     ``session_end`` (end = last event + gap), the sorted child list, and
     ``n_{child_name}``.
     """
+    from polars_nexpresso_spark.compat import HAS_SESSION_WINDOW, require
+
+    require("session_pack (session_window)", HAS_SESSION_WINDOW, "3.2")
     df = stream
     if df.isStreaming:
         df = df.withWatermark(event_time, watermark)

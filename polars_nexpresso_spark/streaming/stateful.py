@@ -39,6 +39,16 @@ def streaming_exact_dedup(
     fingerprint's state expires after that processing-time TTL and the next
     occurrence is emitted again (bounded-state mode).
     """
+    from polars_nexpresso_spark.compat import (
+        HAS_APPLY_IN_PANDAS_WITH_STATE,
+        require,
+    )
+
+    require(
+        "streaming_exact_dedup (applyInPandasWithState)",
+        HAS_APPLY_IN_PANDAS_WITH_STATE,
+        "3.4",
+    )
     out_schema = stream.schema
 
     def dedup(
@@ -129,6 +139,13 @@ def streaming_topk(
     No reference analog (the reference has no streaming surface,
     SURVEY.md §2.F); this is a pipeline extension.
     """
+    from polars_nexpresso_spark.compat import HAS_TRANSFORM_WITH_STATE, require
+
+    require(
+        "streaming_topk (transformWithStateInPandas)",
+        HAS_TRANSFORM_WITH_STATE,
+        "4.0",
+    )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,

@@ -145,6 +145,45 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS pns_ord_b")
 
 
+def test_build_from_tables_bucketed_join_no_extra_exchange(spark, tmp_path):
+    """End-to-end: build_from_tables over level tables bucketed on the FK
+    runs with ZERO exchanges — prefix-renaming is alias-aware, so the
+    bucketed scan's hash distribution satisfies BOTH the join and the pack
+    aggregation (the group key IS the bucket key). At 100 TB this is the
+    whole rebuild pipeline without a single shuffle."""
+    from polars_nexpresso_spark.queries import CO_SPEC
+    from polars_nexpresso_spark.sources.io import write_bucketed
+
+    cust = read_table(spark, SF, "customer")
+    orders = read_table(spark, SF, "orders")
+    write_bucketed(
+        cust, "pns_cust_bb", ["c_custkey"], 4,
+        sort_cols=["c_custkey"], path=str(tmp_path / "custb"),
+    )
+    write_bucketed(
+        orders, "pns_ord_bb", ["o_custkey"], 4,
+        sort_cols=["o_custkey"], path=str(tmp_path / "ordb"),
+    )
+    try:
+        with _no_broadcast(spark):
+            packer = HierarchicalPacker(CO_SPEC, preserve_child_order=False)
+            built = packer.build_from_tables(
+                {
+                    "customer": spark.table("pns_cust_bb"),
+                    "orders": spark.table("pns_ord_bb"),
+                },
+                join_type="inner",
+            )
+            p = plan(built)
+            assert "SortMergeJoin" in p
+            # the bucketed distribution serves the join AND the pack agg
+            assert "Exchange" not in p
+            assert built.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pns_cust_bb")
+        spark.sql("DROP TABLE IF EXISTS pns_ord_bb")
+
+
 class _no_broadcast:
     """Temporarily disable broadcast joins so the exchange-free bucketed
     sort-merge path is what the planner must choose."""
