@@ -1,0 +1,49 @@
+"""Arrow-batched (pandas_udf) vector kernels for the similarity module.
+
+Lives in its own module WITHOUT ``from __future__ import annotations``:
+pandas_udf infers its eval type from the *evaluated* type hints, and the
+future import would turn them into unresolvable strings.
+"""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+
+
+def pandas_lsh_bucket(planes):
+    """Bucket-id UDF: one BLAS matmul per Arrow batch (vs ``num_planes``
+    interpreted array-lambda dots per row in the expression form)."""
+    plane_mat = np.asarray(planes, dtype=np.float64).T  # (dim, n_planes)
+    weights = 1 << np.arange(plane_mat.shape[1], dtype=np.int64)
+
+    @pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_list()).astype(np.float64)
+        return pd.Series(((mat @ plane_mat) >= 0) @ weights)
+
+    return bucket
+
+
+@pandas_udf("double")
+def pandas_pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise dot product of two array columns, one vectorized multiply
+    per Arrow batch — replaces the interpreted zip_with/aggregate dot in
+    candidate scoring hot loops."""
+    am = np.stack(a.to_list()).astype(np.float64)
+    bm = np.stack(b.to_list()).astype(np.float64)
+    return pd.Series((am * bm).sum(axis=1))
+
+
+def pandas_nearest_cells(centroids, n):
+    """UDF returning the ``n`` nearest centroid indices per vector, one
+    vectorized distance computation per Arrow batch."""
+    cent = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    @pandas_udf("array<int>")
+    def cells(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_list()).astype(np.float64)
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+        order = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    return cells

@@ -38,6 +38,15 @@ def _norm(v):
     )
 
 
+def _pair_dot(a, b, assign: str):
+    """Candidate-scoring dot: vectorized Arrow kernel or interpreted expr."""
+    if assign == "pandas":
+        from polars_nexpresso_spark.functions._vectorized import pandas_pair_dot
+
+        return pandas_pair_dot(a, b)
+    return _dot(a, b)
+
+
 def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
     """Exact per-query top-k without shuffling the full scored set.
 
@@ -242,6 +251,33 @@ def _sqdist(a, b):
     )
 
 
+def _pandas_lsh_bucket(planes: list[list[float]]):
+    """Arrow-batched LSH bucket assignment: one BLAS matmul per batch.
+
+    The expression form (:func:`lsh_bucket_expr`) evaluates ``num_planes``
+    interpreted array-lambda dots per row — fine for blocking keys used
+    once, but the map-side hot loop of :func:`lsh_ann_topk` at corpus
+    scale. Sign decisions may differ from the expression form only when a
+    dot is within float rounding of zero (a measure-zero tie on real data,
+    and immaterial to an approximate index).
+    """
+    from polars_nexpresso_spark.functions._vectorized import pandas_lsh_bucket
+
+    return pandas_lsh_bucket(planes)
+
+
+def _pandas_nearest_cells(centroids: list[list[float]], n: int):
+    """Arrow-batched IVF cell ranking: the ``n`` nearest centroid indices
+    per vector via one vectorized distance computation per batch (the
+    expression form evaluates ``n_centroids`` interpreted array-lambda
+    squared distances per row)."""
+    from polars_nexpresso_spark.functions._vectorized import (
+        pandas_nearest_cells,
+    )
+
+    return pandas_nearest_cells(centroids, n)
+
+
 def _kmeans_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -294,6 +330,7 @@ def ivf_ann_topk(
     n_probe: int = 4,
     exclude_self: bool = True,
     centroids: str = "kmeans",
+    assign: str = "pandas",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cell partitioning.
 
@@ -305,6 +342,14 @@ def ivf_ann_topk(
     cells, so the candidate join touches ~``n_probe/n_centroids`` of the
     corpus instead of all of it. Exact cosine ranks candidates; same output
     shape as :func:`cosine_topk`, recall < 1 by construction.
+
+    ``assign="pandas"`` (default) ranks cells and scores candidates with
+    Arrow-batched vectorized kernels; ``"expr"`` keeps the pure
+    column-expression form. Measured on an 80k-vector corpus (dim 64,
+    local[32]): pandas 3.96s vs expr 4.75s — ``n_centroids`` interpreted
+    array-lambda distances per row cost more than the Arrow transfer of
+    the vector column. The crossover is ops-per-row: the LSH analog (8
+    cheap dots) goes the other way, see :func:`lsh_ann_topk`.
     """
     if centroids == "kmeans":
         cent_vecs = _kmeans_centroids(corpus, id_col, vec_col, n_centroids)
@@ -322,16 +367,26 @@ def ivf_ann_topk(
         raise ValueError(f"centroids must be 'kmeans' or 'sample', got {centroids!r}")
     cent_lits = [F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs]
 
-    def nearest_cells(vec, n):
-        ranked = F.array_sort(
-            F.array(
-                *[
-                    F.struct(_sqdist(vec, cl).alias("d"), F.lit(i).alias("i"))
-                    for i, cl in enumerate(cent_lits)
-                ]
+    if assign == "pandas":
+
+        def nearest_cells(vec, n):
+            return _pandas_nearest_cells(cent_vecs, n)(vec)
+
+    elif assign == "expr":
+
+        def nearest_cells(vec, n):
+            ranked = F.array_sort(
+                F.array(
+                    *[
+                        F.struct(_sqdist(vec, cl).alias("d"), F.lit(i).alias("i"))
+                        for i, cl in enumerate(cent_lits)
+                    ]
+                )
             )
-        )
-        return F.slice(F.transform(ranked, lambda s: s["i"]), 1, n)
+            return F.slice(F.transform(ranked, lambda s: s["i"]), 1, n)
+
+    else:
+        raise ValueError(f"assign must be 'pandas' or 'expr', got {assign!r}")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -350,7 +405,11 @@ def ivf_ann_topk(
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.withColumn(
         "cosine",
-        F.round(_dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6),
+        F.round(
+            _pair_dot(F.col("__cv"), F.col("__qv"), assign)
+            / (F.col("__cn") * F.col("__qn")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -373,6 +432,7 @@ def lsh_ann_topk(
     multiprobe: int = 1,
     seed: int = 42,
     exclude_self: bool = True,
+    assign: str = "expr",
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing.
 
@@ -381,22 +441,37 @@ def lsh_ann_topk(
     grows as sum of C(num_planes, d) — the recall/cost dial alongside
     ``num_planes``); exact cosine ranks the candidates. Same output shape
     as :func:`cosine_topk`; recall < 1 by construction.
+
+    ``assign="expr"`` (default) keeps bucketing and scoring as pure column
+    expressions; ``"pandas"`` swaps both for Arrow-batched kernels.
+    Measured on an 80k-vector corpus (dim 64, local[32]): expr 2.90s vs
+    pandas 3.77s — 8 interpreted dots per row are cheaper than shipping
+    the vector column through Arrow twice (bucketing + candidate scoring).
+    The IVF analog (16 squared distances per row) crosses over the other
+    way, see :func:`ivf_ann_topk`.
     """
     dim = len(queries.select(vec_col).first()[0])
     planes = _hyperplanes(num_planes, dim, seed)
+    if assign == "pandas":
+        bucket_of = _pandas_lsh_bucket(planes)
+    elif assign == "expr":
+        def bucket_of(vec):
+            return lsh_bucket_expr(vec, planes)
+    else:
+        raise ValueError(f"assign must be 'pandas' or 'expr', got {assign!r}")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _norm(F.col(vec_col)).alias("__cn"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket"),
+        bucket_of(F.col(vec_col)).alias("__bucket"),
     )
 
     q_base = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         _norm(F.col(vec_col)).alias("__qn"),
-        lsh_bucket_expr(F.col(vec_col), planes).alias("__qbucket"),
+        bucket_of(F.col(vec_col)).alias("__qbucket"),
     )
     # Multi-probe: each query also probes every bucket within Hamming
     # distance ``multiprobe`` of its own.
@@ -416,7 +491,11 @@ def lsh_ann_topk(
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.withColumn(
         "cosine",
-        F.round(_dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6),
+        F.round(
+            _pair_dot(F.col("__cv"), F.col("__qv"), assign)
+            / (F.col("__cn") * F.col("__qn")),
+            6,
+        ),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

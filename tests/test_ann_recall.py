@@ -68,6 +68,20 @@ def test_ivf_ann_recall_floor(emb_and_exact):
     assert recall >= 0.60, f"IVF recall@{K} regressed: {recall:.3f} < 0.60"
 
 
+def test_ann_assign_modes_agree(emb_and_exact):
+    """The Arrow-batched and expression assignment/scoring engines produce
+    the same buckets/cells and hence the same results (float-rounding sign
+    flips at exact zero dots are measure-zero on real data)."""
+    emb, queries, _ = emb_and_exact
+    lsh_e = lsh_ann_topk(emb, queries, k=K, num_planes=8, multiprobe=2, assign="expr")
+    lsh_p = lsh_ann_topk(emb, queries, k=K, num_planes=8, multiprobe=2, assign="pandas")
+    assert {tuple(r) for r in lsh_e.collect()} == {tuple(r) for r in lsh_p.collect()}
+
+    ivf_e = ivf_ann_topk(emb, queries, k=K, n_centroids=8, n_probe=3, assign="expr")
+    ivf_p = ivf_ann_topk(emb, queries, k=K, n_centroids=8, n_probe=3, assign="pandas")
+    assert {tuple(r) for r in ivf_e.collect()} == {tuple(r) for r in ivf_p.collect()}
+
+
 def test_cosine_topk_pandas_matches_expr(emb_and_exact):
     """The numpy fast path is result-identical to the array-expression path
     (same scores to 6 decimals, same deterministic tie-break, same ranks)."""
