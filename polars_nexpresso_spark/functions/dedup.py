@@ -346,17 +346,18 @@ def simhash_pairs(
     right = chunks.select(
         F.col("__id").alias("id_b"), F.col("__sim").alias("__sim_b"), "__chunk", "__val"
     )
-    candidates = (
-        left.join(right, on=["__chunk", "__val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sim_a", "__sim_b")
-        .distinct()
-    )
+    # Verify (cheap codegen XOR + bit_count) BEFORE the dedup: a pair can
+    # collide on several chunks, and filtering the duplicated candidate rows
+    # first shrinks the distinct's shuffle instead of shuffling rows that
+    # the radius check would discard anyway.
     hamming = F.bit_count(F.col("__sim_a").bitwiseXOR(F.col("__sim_b")))
     return (
-        candidates.withColumn("hamming", hamming)
+        left.join(right, on=["__chunk", "__val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
