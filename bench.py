@@ -307,6 +307,9 @@ def main() -> None:
     bench("session_pack", lambda: force(q_session_pack(spark, sf_dir)))
     bench("exact_dedup", lambda: force(q_exact_dedup(spark, sf_dir)))
     bench("minhash_lsh", lambda: force(q_minhash_lsh(spark, sf_dir)))
+    from polars_nexpresso_spark.pipeline_queries import q_dedup_clusters
+
+    bench("dedup_clusters", lambda: force(q_dedup_clusters(spark, sf_dir)))
     bench("ngram_jaccard", lambda: force(q_ngram_jaccard(spark, sf_dir)))
     bench("simhash_pairs", lambda: force(q_simhash_pairs(spark, sf_dir)))
     bench("embedding_dedup", lambda: force(q_embedding_dedup(spark, sf_dir)))

@@ -413,3 +413,68 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Canonicalize near-duplicate PAIRS into connected-component clusters.
+
+    The missing step between a pair finder (``ngram_jaccard_pairs``,
+    ``minhash_lsh_pairs``, ``simhash_pairs``, ``embedding_cosine_pairs`` —
+    anything emitting ``(id_a, id_b, ...)``) and an actual dedup decision:
+    duplicates are transitive (A≈B, B≈C ⇒ keep one of {A,B,C}), so the keep
+    set is one representative per connected component of the pair graph.
+
+    Returns ``(id, cluster_id)`` for EVERY row of ``nodes`` where
+    ``cluster_id`` is the smallest id in the component (singletons map to
+    themselves) — filter ``id == cluster_id`` for the keep set.
+
+    Scale design: iterative min-label propagation (the standard
+    two-relation connected-components loop). Each round is one equi-join of
+    the edge list against the current labels plus a min-aggregation —
+    both shuffles are on ids, and the edge list is near-dup pairs, which is
+    tiny relative to the corpus. Rounds needed = component diameter (near-
+    dup clusters are shallow; ``max_iter`` is a safety bound, convergence
+    is detected exactly). Lineage is truncated per round with
+    ``localCheckpoint`` so the plan does not grow with iterations — the
+    driver loop only orchestrates; all data work is distributed.
+    """
+    # Undirected edge list, both directions.
+    ab = pairs.select(F.col("id_a").alias("__src"), F.col("id_b").alias("__dst"))
+    edges = ab.unionByName(
+        ab.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=False)
+
+    labels = nodes.select(
+        F.col(id_col).alias("__id"), F.col(id_col).alias("__label")
+    )
+    for _ in range(max_iter):
+        neighbor_min = edges.join(
+            labels.withColumnRenamed("__id", "__src"), on="__src"
+        ).select(F.col("__dst").alias("__id"), "__label")
+        combined = (
+            labels.unionByName(neighbor_min)
+            .groupBy("__id")
+            .agg(F.min("__label").alias("__label"))
+        )
+        combined = combined.localCheckpoint(eager=True)
+        changed = (
+            combined.join(
+                labels.withColumnRenamed("__label", "__old"), on="__id"
+            )
+            .filter(F.col("__label") < F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = combined
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("__id").alias(id_col), F.col("__label").alias("cluster_id")
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_nexpresso_spark.functions.dedup import (
+    dedup_clusters,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -135,6 +136,19 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → dedup decisions: connected components over the MinHash+LSH
+    near-dup pairs (== brute-force Jaccard pairs on this data, see
+    ``minhash_lsh``), every document labeled with the min id of its
+    component. Iterative min-label propagation; DuckDB oracle is a
+    recursive CTE over the same pair set."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
+    )
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     # Blocked on the label column (the shard/class/cluster pattern): pairs
@@ -249,6 +263,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": q_exact_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dedup": q_embedding_dedup,
@@ -298,6 +313,32 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     # this data (planted near-dups have j ≈ 0.99), and verification is exact
     # Jaccard — so the LSH output equals the brute-force pairs.
     "minhash_lsh": _jaccard_pairs_oracle(0.8),
+    # Connected components over the same pair set: recursive CTE computes
+    # each node's min reachable id — exactly the min-label fixpoint the
+    # Spark loop converges to.
+    "dedup_clusters": f"""
+        WITH RECURSIVE shingled AS (
+          SELECT doc_id, {_SHINGLES} AS sh
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+          WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                6) >= 0.8
+        ),
+        e AS (
+          SELECT id_a AS a, id_b AS b FROM jp
+          UNION ALL SELECT id_b, id_a FROM jp
+        ),
+        r(n, m) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.n, e.b FROM r JOIN e ON e.a = r.m
+        )
+        SELECT n AS doc_id, MIN(m) AS cluster_id FROM r GROUP BY n
+    """,
     "simhash": f"""
         SELECT doc_id,
                list_sum(list_transform(range(0, 60), i ->

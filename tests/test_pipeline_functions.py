@@ -97,6 +97,52 @@ def test_ngram_jaccard_hot_shingle_cap(docs):
     assert pairs.count() == 0
 
 
+def test_dedup_clusters_connected_components(spark):
+    """Transitive closure over pairs: chain {1-2, 2-3} is one cluster, {5-6}
+    another, 4 and 7 are singletons; cluster_id is the min id reachable."""
+    from polars_nexpresso_spark.functions.dedup import dedup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(nodes, pairs, "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds — exercises
+    the convergence loop and localCheckpoint lineage truncation."""
+    from polars_nexpresso_spark.functions.dedup import dedup_clusters
+
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(nodes, pairs, "doc_id").collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_end_to_end_with_jaccard(docs):
+    """Pairs from the real finder feed the canonicalizer: docs 1 and 4 are
+    exact dups (jaccard 1.0) → one cluster keeping id 1."""
+    from polars_nexpresso_spark.functions.dedup import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.9)
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got[4] == 1 and got[1] == 1
+    keep = {k for k, v in got.items() if k == v}
+    assert keep == {1, 2, 3, 5}
+
+
 def test_ngram_jaccard_cap_scores_filtered_universe(docs):
     # df cap at 2 drops the 6 shingles shared by docs 1/2/4 but keeps
     # "the lazy dog" (docs 1,4). Numerator AND denominator must use the
