@@ -1,0 +1,78 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Both operators assign rows by an md5-derived hash of ``(seed, id)`` rather
+than an RNG: the assignment is a pure column expression — reproducible
+across runs, machines, partitionings, and engines (the DuckDB oracles
+reproduce it bit-for-bit with the same md5 arithmetic, like
+``text.token_hash60``). That determinism is the property that matters at
+100 TB: a re-run, a retried task, or a different cluster layout yields the
+SAME split, so downstream caches and eval sets stay valid. No shuffle is
+introduced — assignment and filtering are map-side.
+
+The hash bucket is ``md5(seed || ':' || id)``'s first 60 bits modulo
+``denom`` (default 1_000_000), giving ppm-resolution fractions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_DENOM = 1_000_000
+
+
+def hash_bucket(id_col: Column, seed: int = 42, denom: int = _DENOM) -> Column:
+    """Deterministic bucket in ``[0, denom)`` from an id column."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % denom
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    test_frac: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Add a ``split`` column: ``'test'`` for ~``test_frac`` of rows,
+    ``'train'`` otherwise — decided per id, not per run.
+
+    Rows with equal ids land in the same split (content-addressed ids make
+    the split leak-free across duplicates); changing ``seed`` re-deals.
+    """
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
+    cut = int(round(test_frac * _DENOM))
+    bucket = hash_bucket(F.col(id_col), seed)
+    return df.withColumn(
+        "split", F.when(bucket < cut, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    *,
+    fractions: dict | float,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep ~``fraction`` of each stratum.
+
+    ``fractions`` is either one float for every stratum or a
+    ``{stratum_value: frac}`` mapping (strata absent from the mapping are
+    dropped — the "rebalance a skewed corpus" shape, e.g. downsample the
+    dominant language). Assignment is by id hash, so the sample is stable
+    across runs and independent of partitioning; no shuffle.
+    """
+    bucket = hash_bucket(F.col(id_col), seed)
+    if isinstance(fractions, dict):
+        cond = F.lit(False)
+        for value, frac in fractions.items():
+            cut = int(round(float(frac) * _DENOM))
+            cond = cond | (
+                (F.col(strata_col) == F.lit(value)) & (bucket < F.lit(cut))
+            )
+        return df.filter(cond)
+    cut = int(round(float(fractions) * _DENOM))
+    return df.filter(bucket < cut)

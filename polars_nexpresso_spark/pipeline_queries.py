@@ -24,6 +24,7 @@ from polars_nexpresso_spark.functions.dedup import (
     simhash_pairs,
 )
 from polars_nexpresso_spark.functions.multimodal import extract_features
+from polars_nexpresso_spark.functions.sampling import hash_split, stratified_sample
 from polars_nexpresso_spark.functions.similarity import (
     cosine_topk,
     cosine_topk_pandas,
@@ -193,6 +194,21 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, k=5, n_centroids=16, n_probe=6)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leak-free train/test split by content id (10% test)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return hash_split(docs, "doc_id", test_frac=0.1).select("doc_id", "split")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling: rebalance the embeddings
+    corpus by label (keep 50% of even labels, 100% of odd)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    fractions = {i: (0.5 if i % 2 == 0 else 1.0) for i in range(10)}
+    out = stratified_sample(emb, "label", "vec_id", fractions=fractions)
+    return out.select("vec_id", "label")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text bytes as blobs → mapInPandas features."""
     docs = spread(read_table(spark, sf_dir, "documents"))
@@ -272,6 +288,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_features": q_multimodal_features,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -408,6 +426,24 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    # Same md5-bucket arithmetic as the Spark expressions — bit-exact.
+    "hash_split": """
+        SELECT doc_id,
+               CASE WHEN CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 1000000 < 100000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    """,
+    "stratified_sample": """
+        SELECT vec_id, label
+        FROM (
+          SELECT vec_id, label,
+                 CAST(concat('0x', substr(md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                      % 1000000 AS bucket
+          FROM embeddings
+        )
+        WHERE (label % 2 = 0 AND bucket < 500000) OR (label % 2 = 1)
     """,
     # lsh_ann_topk / ivf_ann_topk are approximation-shaped (probe coverage):
     # rows-only checks plus pytest recall floors vs exact cosine_topk.

@@ -97,6 +97,44 @@ def test_ngram_jaccard_hot_shingle_cap(docs):
     assert pairs.count() == 0
 
 
+def test_hash_split_deterministic_and_leak_free(spark):
+    """Same id → same split regardless of run or row order; duplicate ids
+    can never straddle train/test."""
+    from polars_nexpresso_spark.functions.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["id"])
+    a = {r["id"]: r["split"] for r in hash_split(df, "id", test_frac=0.2).collect()}
+    b = {
+        r["id"]: r["split"]
+        for r in hash_split(
+            df.orderBy(F.rand(seed=1)), "id", test_frac=0.2
+        ).collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.15 < frac < 0.25
+    # different seed re-deals
+    c = {r["id"]: r["split"] for r in hash_split(df, "id", test_frac=0.2, seed=7).collect()}
+    assert c != a
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    from polars_nexpresso_spark.functions.sampling import stratified_sample
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = stratified_sample(
+        df, "grp", "id", fractions={"big": 0.1, "small": 1.0}
+    )
+    got = out.groupBy("grp").count().collect()
+    counts = {r["grp"]: r["count"] for r in got}
+    assert counts["small"] == 100          # kept whole
+    assert 60 < counts["big"] < 140        # ~10% of 900
+    # uniform float applies to all strata
+    uni = stratified_sample(df, "grp", "id", fractions=0.5)
+    assert 400 < uni.count() < 600
+
+
 def test_dedup_clusters_connected_components(spark):
     """Transitive closure over pairs: chain {1-2, 2-3} is one cluster, {5-6}
     another, 4 and 7 are singletons; cluster_id is the min id reachable."""
