@@ -266,9 +266,49 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     Documents shorter than *n* tokens yield their full token sequence as a
     single shingle so they still participate in similarity joins.
     """
+    return F.array_distinct(word_ngrams_all(col, n))
+
+
+def word_ngrams_all(col: Column, n: int = 3) -> Column:
+    """Word n-grams WITH duplicates (the multiset) — what repetition
+    statistics need; ``word_ngrams`` dedups this for similarity joins."""
     toks = tokens(col)
-    shingles = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
     )
-    return F.array_distinct(shingles)
+
+
+def repetition_table(
+    df, text_col: str, id_col: str, *, n: int = 2
+):
+    """Per-document n-gram repetition statistics (the Gopher-style quality
+    signal: heavily repeated n-grams mark boilerplate/spam/looped text).
+
+    Returns ``(id, top_count, total_ngrams, repetition_ratio)`` where
+    ``repetition_ratio`` = occurrences of the most frequent n-gram divided
+    by total n-gram occurrences. Explode + two key-local aggregations with
+    map-side combine; the shuffle carries one row per (doc, distinct gram).
+    """
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram"),
+    )
+    per_gram = exploded.groupBy("__id", "__gram").agg(
+        F.count("*").alias("__c")
+    )
+    return (
+        per_gram.groupBy("__id")
+        .agg(
+            F.max("__c").alias("top_count"),
+            F.sum("__c").alias("total_ngrams"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "top_count",
+            "total_ngrams",
+            F.round(F.col("top_count") / F.col("total_ngrams"), 6).alias(
+                "repetition_ratio"
+            ),
+        )
+    )

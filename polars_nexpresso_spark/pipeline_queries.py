@@ -37,6 +37,7 @@ from polars_nexpresso_spark.functions.text import (
     avg_token_length,
     doc_fingerprint,
     language_id,
+    repetition_table,
     simhash_table,
     stopword_ratio,
     token_count,
@@ -99,6 +100,12 @@ def q_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_token_count(text).cast("bigint").alias("n_bpe_tokens"),
         rolling_fingerprint(text).alias("fingerprint"),
     )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style bigram repetition ratio per document."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return repetition_table(docs, "text", "doc_id", n=2)
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,6 +281,7 @@ def _jaccard_pairs_oracle(threshold: float) -> str:
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
+    "repetition": q_repetition,
     "token_fingerprint": q_token_fingerprint,
     "language_id": q_language_id,
     "exact_dedup": q_exact_dedup,
@@ -304,6 +312,25 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                      / len(toks), 4) AS stopword_ratio,
                ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS uniq_ratio
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    """,
+    "repetition": f"""
+        SELECT doc_id,
+               MAX(c)::BIGINT AS top_count,
+               SUM(c)::BIGINT AS total_ngrams,
+               ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS repetition_ratio
+        FROM (
+          SELECT doc_id, gram, count(*) AS c
+          FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(toks)-1, 1)+1),
+                       i -> array_to_string(list_slice(toks, i, i+1), ' ')
+                   )) AS gram
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+          )
+          GROUP BY doc_id, gram
+        )
+        GROUP BY doc_id
     """,
     "token_fingerprint": f"""
         SELECT doc_id,

@@ -97,6 +97,23 @@ def test_ngram_jaccard_hot_shingle_cap(docs):
     assert pairs.count() == 0
 
 
+def test_repetition_table(spark):
+    from polars_nexpresso_spark.functions.text import repetition_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),       # "spam spam" ×3 of 3 bigrams
+            (2, "all words here differ now"), # every bigram unique
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in repetition_table(df, "text", "doc_id", n=2).collect()}
+    assert got[1]["top_count"] == 3 and got[1]["total_ngrams"] == 3
+    assert got[1]["repetition_ratio"] == 1.0
+    assert got[2]["top_count"] == 1
+    assert got[2]["repetition_ratio"] == 0.25
+
+
 def test_hash_split_deterministic_and_leak_free(spark):
     """Same id → same split regardless of run or row order; duplicate ids
     can never straddle train/test."""
