@@ -66,6 +66,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """All document pairs with word-``n``-gram Jaccard ≥ ``threshold``.
 
@@ -76,6 +77,15 @@ def ngram_jaccard_pairs(
     Jaccard is computed over the *filtered* shingle universe (hot shingles
     are excluded from both numerator and denominator), so the score stays
     internally consistent rather than a silent underestimate.
+
+    The exploded shingle set feeds three consumers (per-doc sizes and both
+    join sides), each needing a different shuffle, so the scan + explode
+    (+ df-cap anti-join) subtree evaluates up to three times.
+    ``persist_shingles=True`` caches it (``MEMORY_AND_DISK``, spills) —
+    worth it when the corpus scan is expensive or the df-cap is on; the
+    cache is the tokenized corpus, so budget executor storage for roughly
+    input size. The caller owns no cleanup (the cache is dropped when the
+    returned frame's lineage is garbage-collected or the session ends).
 
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
@@ -95,6 +105,11 @@ def ngram_jaccard_pairs(
             .select("__shingle")
         )
         exploded = exploded.join(hot, on="__shingle", how="left_anti")
+
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Sizes AFTER the df-cap filter: numerator (shared counts) and
     # denominator (per-doc sizes) must agree on the same shingle universe.
