@@ -67,12 +67,28 @@ def stratified_sample(
     """
     bucket = hash_bucket(F.col(id_col), seed)
     if isinstance(fractions, dict):
-        cond = F.lit(False)
-        for value, frac in fractions.items():
-            cut = int(round(float(frac) * _DENOM))
-            cond = cond | (
-                (F.col(strata_col) == F.lit(value)) & (bucket < F.lit(cut))
-            )
-        return df.filter(cond)
+        if len(fractions) <= 64:
+            # Few strata: a flat OR chain stays one codegen'd filter.
+            cond = F.lit(False)
+            for value, frac in fractions.items():
+                cut = int(round(float(frac) * _DENOM))
+                cond = cond | (
+                    (F.col(strata_col) == F.lit(value)) & (bucket < F.lit(cut))
+                )
+            return df.filter(cond)
+        # Many strata (e.g. per-domain fractions over thousands of domains):
+        # an expression chain that size bloats the plan, so broadcast the
+        # mapping as a tiny dim table instead — inner join drops unmapped
+        # strata, matching the expression path's semantics.
+        cuts = df.sparkSession.createDataFrame(
+            [(v, int(round(float(f) * _DENOM))) for v, f in fractions.items()],
+            [strata_col, "__cut"],
+        )
+        return (
+            df.withColumn("__bucket", bucket)
+            .join(F.broadcast(cuts), on=strata_col, how="inner")
+            .filter(F.col("__bucket") < F.col("__cut"))
+            .drop("__bucket", "__cut")
+        )
     cut = int(round(float(fractions) * _DENOM))
     return df.filter(bucket < cut)

@@ -152,6 +152,26 @@ def test_stratified_sample_per_stratum_fractions(spark):
     assert 400 < uni.count() < 600
 
 
+def test_stratified_sample_join_path_matches_expr_path(spark):
+    """>64 strata switches to the broadcast-join implementation; results
+    must match the expression path exactly (same hash, same cuts)."""
+    from polars_nexpresso_spark.functions.sampling import stratified_sample
+
+    rows = [(i, i % 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    few = {g: 0.3 for g in range(50)}           # expression path
+    many = {g: 0.3 for g in range(100)}         # join path
+    expr_ids = {
+        r["id"] for r in stratified_sample(df, "grp", "id", fractions=few).collect()
+    }
+    join_ids = {
+        r["id"]
+        for r in stratified_sample(df, "grp", "id", fractions=many).collect()
+        if r["grp"] < 50
+    }
+    assert expr_ids == join_ids
+
+
 def test_dedup_clusters_connected_components(spark):
     """Transitive closure over pairs: chain {1-2, 2-3} is one cluster, {5-6}
     another, 4 and 7 are singletons; cluster_id is the min id reachable."""
