@@ -493,3 +493,61 @@ def dedup_clusters(
     return labels.select(
         F.col("__id").alias(id_col), F.col("__label").alias("cluster_id")
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    mode: str = "ngram",
+    n: int = 13,
+) -> DataFrame:
+    """Drop training documents that collide with an evaluation set.
+
+    The cross-corpus shape none of the self-join pair finders cover:
+    benchmark contamination is checked train-vs-eval, not train-vs-train.
+
+    - ``mode="exact"`` — remove train docs whose normalized content
+      fingerprint appears in eval (verbatim inclusion).
+    - ``mode="ngram"`` (default) — remove train docs sharing ANY word
+      ``n``-gram with any eval doc; ``n=13`` is the published
+      contamination rule used for GPT-3-style training sets (a 13-gram
+      collision between natural documents is overwhelmingly evidence of
+      shared provenance, not chance).
+
+    Scale design: the eval side is exploded to distinct shingle hashes and
+    deduplicated — typically a few million longs even for large benchmark
+    suites — then the train side's exploded shingles LEFT SEMI join it to
+    find contaminated ids and a LEFT ANTI join removes them. Both joins
+    are on 64-bit hashes; Spark broadcasts the eval shingle set when small
+    (AQE decides), so the common case adds no shuffle to the train scan.
+
+    Returns the surviving train rows, schema unchanged.
+    """
+    if mode == "exact":
+        eval_fp = eval_df.select(
+            doc_fingerprint(F.col(text_col)).alias("__fp")
+        ).distinct()
+        train_fp = train.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+        return train_fp.join(eval_fp, on="__fp", how="left_anti").drop("__fp")
+    if mode != "ngram":
+        raise ValueError(f"mode must be 'exact' or 'ngram', got {mode!r}")
+
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__sh"),
+        ).select("__id", F.xxhash64(F.col("__sh")).alias("__shingle"))
+
+    eval_shingles = shingle_hashes(eval_df).select("__shingle").distinct()
+    contaminated = (
+        shingle_hashes(train)
+        .join(eval_shingles, on="__shingle", how="left_semi")
+        .select(F.col("__id"))
+        .distinct()
+    )
+    return train.join(
+        contaminated.withColumnRenamed("__id", id_col), on=id_col, how="left_anti"
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from polars_nexpresso_spark.functions.dedup import (
+    decontaminate,
     dedup_clusters,
     embedding_cosine_pairs,
     exact_dedup,
@@ -142,6 +143,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EQUALS a brute-force self-join — so an exact DuckDB oracle applies.
     pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
     return pairs.withColumn("hamming", F.col("hamming").cast("bigint"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs < 25 play the benchmark, the rest the
+    training set; any train doc sharing a 13-gram with the benchmark is
+    dropped (the GPT-3-style contamination rule)."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    eval_df = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+    kept = decontaminate(train, eval_df, "text", "doc_id", mode="ngram", n=13)
+    return kept.select("doc_id")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,6 +300,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dedup": q_embedding_dedup,
@@ -358,6 +371,24 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     # this data (planted near-dups have j ≈ 0.99), and verification is exact
     # Jaccard — so the LSH output equals the brute-force pairs.
     "minhash_lsh": _jaccard_pairs_oracle(0.8),
+    # 13-gram contamination rule, mirrored shingle construction (short docs
+    # fold to one full-sequence shingle on both sides).
+    "decontaminate": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(toks)-12, 1)+1),
+              i -> array_to_string(list_slice(toks, i, i+12), ' ')))) AS s
+          FROM t
+        ),
+        ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 25),
+        bad AS (
+          SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.s = ev.s
+          WHERE sh.doc_id >= 25
+        )
+        SELECT doc_id FROM documents
+        WHERE doc_id >= 25 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
     # Connected components over the same pair set: recursive CTE computes
     # each node's min reachable id — exactly the min-label fixpoint the
     # Spark loop converges to.

@@ -97,6 +97,31 @@ def test_ngram_jaccard_hot_shingle_cap(docs):
     assert pairs.count() == 0
 
 
+def test_decontaminate_exact_and_ngram(spark):
+    from polars_nexpresso_spark.functions.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # == eval doc
+            (2, "completely unrelated training content right here"),
+            (3, "prefix words then the quick brown fox jumps over the lazy dog tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    exact = decontaminate(train, eval_df, "text", "doc_id", mode="exact")
+    assert {r["doc_id"] for r in exact.collect()} == {2, 3}  # only verbatim dropped
+
+    # 9-gram overlap also catches the contaminated-with-extra-words doc 3
+    ngram = decontaminate(train, eval_df, "text", "doc_id", mode="ngram", n=9)
+    assert {r["doc_id"] for r in ngram.collect()} == {2}
+    # schema passes through unchanged
+    assert ngram.columns == ["doc_id", "text"]
+
+
 def test_repetition_table(spark):
     from polars_nexpresso_spark.functions.text import repetition_table
 
