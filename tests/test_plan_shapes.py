@@ -199,6 +199,23 @@ class _no_broadcast:
         self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.saved)
 
 
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval shingle set is small by construction — both the semi-join
+    (find contaminated) and the anti-join (drop them) must broadcast, so
+    the train scan acquires no shuffle."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.dedup import decontaminate
+
+    docs = read_table(spark, SF, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+    p = plan(decontaminate(train, eval_df, "text", "doc_id", n=13))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
 def test_enrich_no_extra_shuffle(spark):
     """Cross-level enrich is pure array expressions over the packed frame —
     it must not add any exchange beyond the pack's own."""
