@@ -329,6 +329,13 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         K-pass re-reads). ``defer=False`` reproduces the disk-to-disk mode
         with a parquet checkpoint.
 
+        Child-order caveat for PATH sources: a parquet directory has no
+        defined row order (equal-size files pack into scan partitions in
+        nondeterministic order), so the best-effort input order that
+        ``preserve_child_order`` pins for DataFrame inputs is undefined
+        from a path — use ``LevelSpec.order_by`` for contractual child
+        order, exactly as the reference documents for its scan mode.
+
         ``bounded=True`` reproduces the reference's memory shape literally:
         one hash-bucketed staging write (``partitionBy(__bucket)``), then
         ``partitions`` SEQUENTIAL per-bucket pack jobs appending to the sink.

@@ -133,14 +133,23 @@ def test_wide_level_roundtrip(spark):
 def test_streaming_variants_disk_to_disk_roundtrip(spark, tmp_path):
     """pack_streaming(defer=False) checkpoints through parquet and
     unpack_streaming(sink_path=...) re-scans its sink: both disk modes
-    reproduce the in-memory result exactly, including from a path source."""
+    reproduce the in-memory result exactly, including from a path source.
+
+    Child order is pinned with ``order_by``: a parquet DIRECTORY has no
+    defined row order (equal-size files pack into scan partitions in
+    nondeterministic order), so best-effort input order cannot be asserted
+    across a disk roundtrip — only the contractual ordering can."""
     df = spark.createDataFrame(
         [("c1", "d1"), ("c1", "d2"), ("c2", "d3")],
         ["company.id", "company.department.id"],
     )
     spec = HierarchySpec.from_levels(
         LevelSpec(name="company", id_fields=["id"]),
-        LevelSpec(name="department", id_fields=["id"]),
+        LevelSpec(
+            name="department",
+            id_fields=["id"],
+            order_by=["company.department.id"],
+        ),
     )
     packer = HierarchicalPacker(spec)
     expected_packed = packer.pack(df, "department")
