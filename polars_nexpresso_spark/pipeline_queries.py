@@ -228,6 +228,56 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label")
 
 
+def q_training_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole preprocessing pipeline as ONE composed plan — the ids a
+    training run would actually read:
+
+    1. exact dedup (keep min id per content fingerprint),
+    2. near-dup clusters over MinHash+LSH pairs → one representative each,
+    3. eval-set decontamination (13-gram rule vs docs < 25),
+    4. quality gate (≥ 25 tokens, bigram repetition ≤ 0.1),
+    5. deterministic hash split → training shard only.
+
+    Every stage is individually oracle-checked elsewhere; this row checks
+    their COMPOSITION hash-exactly (stages interact: clusters form over
+    the exact-deduped set, decontamination sees only representatives...).
+    """
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    eval_df = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+
+    kept_exact = exact_dedup(train, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    t1 = train.join(kept_exact, on="doc_id", how="left_semi")
+
+    pairs = minhash_lsh_pairs(
+        t1, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
+    )
+    reps = (
+        dedup_clusters(t1.select("doc_id"), pairs, "doc_id")
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    t2 = t1.join(reps, on="doc_id", how="left_semi")
+
+    t3 = decontaminate(t2, eval_df, "text", "doc_id", mode="ngram", n=13)
+
+    good_rep = (
+        repetition_table(t3, "text", "doc_id", n=2)
+        .filter(F.col("repetition_ratio") <= 0.1)
+        .select("doc_id")
+    )
+    t4 = t3.filter(token_count(F.col("text")) >= 25).join(
+        good_rep, on="doc_id", how="left_semi"
+    )
+
+    final = hash_split(t4, "doc_id", test_frac=0.1).filter(
+        F.col("split") == "train"
+    )
+    return final.select("doc_id")
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text bytes as blobs → mapInPandas features."""
     docs = spread(read_table(spark, sf_dir, "documents"))
@@ -311,6 +361,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
+    "training_keepset": q_training_keepset,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -502,6 +553,76 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
           FROM embeddings
         )
         WHERE (label % 2 = 0 AND bucket < 500000) OR (label % 2 = 1)
+    """,
+    # The full pipeline composition: every stage mirrors its standalone
+    # oracle above; minhash_lsh == brute-force Jaccard on this data (see
+    # "minhash_lsh"), so the cluster stage uses exact pairs.
+    "training_keepset": f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, text, {_TOKS} AS toks FROM documents
+        ),
+        train AS (SELECT * FROM t WHERE doc_id >= 25),
+        k1 AS (  -- exact dedup: min id per normalized fingerprint
+          SELECT * FROM train WHERE doc_id IN (
+            SELECT MIN(doc_id) FROM train
+            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          )
+        ),
+        sh3 AS (
+          SELECT doc_id, {_SHINGLES} AS sh
+          FROM (SELECT doc_id, toks FROM k1)
+        ),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh3 a JOIN sh3 b ON a.doc_id < b.doc_id
+          WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                6) >= 0.8
+        ),
+        e AS (
+          SELECT id_a AS a, id_b AS b FROM jp
+          UNION ALL SELECT id_b, id_a FROM jp
+        ),
+        r(n, m) AS (
+          SELECT doc_id, doc_id FROM k1
+          UNION
+          SELECT r.n, e.b FROM r JOIN e ON e.a = r.m
+        ),
+        k2 AS (  -- one representative per near-dup component
+          SELECT k1.* FROM k1 JOIN (
+            SELECT n AS doc_id FROM r GROUP BY n HAVING n = MIN(m)
+          ) reps USING (doc_id)
+        ),
+        sh13 AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(toks)-12, 1)+1),
+              i -> array_to_string(list_slice(toks, i, i+12), ' ')))) AS s
+          FROM t
+        ),
+        ev AS (SELECT DISTINCT s FROM sh13 WHERE doc_id < 25),
+        bad AS (
+          SELECT DISTINCT sh13.doc_id FROM sh13 JOIN ev ON sh13.s = ev.s
+          WHERE sh13.doc_id >= 25
+        ),
+        k3 AS (SELECT * FROM k2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        rep2 AS (
+          SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS ratio FROM (
+            SELECT doc_id, gram, count(*) AS c FROM (
+              SELECT doc_id, unnest(list_transform(
+                  range(1, greatest(len(toks)-1, 1)+1),
+                  i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS gram
+              FROM (SELECT doc_id, toks FROM k3)
+            ) GROUP BY doc_id, gram
+          ) GROUP BY doc_id
+        ),
+        k4 AS (
+          SELECT k3.doc_id FROM k3
+          JOIN rep2 USING (doc_id)
+          WHERE len(k3.toks) >= 25 AND ROUND(rep2.ratio, 6) <= 0.1
+        )
+        SELECT doc_id FROM k4
+        WHERE CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 >= 100000
     """,
     # lsh_ann_topk / ivf_ann_topk are approximation-shaped (probe coverage):
     # rows-only checks plus pytest recall floors vs exact cosine_topk.
