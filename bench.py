@@ -158,23 +158,30 @@ def main() -> None:
 
     jvm_pid = _find_jvm_pid()
     peaks: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def bench(name: str, fn) -> None:
-        for _ in range(warmup):
-            fn()
-        if jvm_pid is not None:
-            # Release retained heap first so the per-query watermark measures
-            # this query, not leftover allocations from earlier ones.
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:  # noqa: BLE001
-                pass
-            _reset_peak_rss(jvm_pid)
-        runs = []
-        for _ in range(repeat):
-            start = time.perf_counter()
-            fn()
-            runs.append(time.perf_counter() - start)
+        # Per-query failure isolation: one broken query must not zero the
+        # whole round's bench evidence — record the error and keep going.
+        try:
+            for _ in range(warmup):
+                fn()
+            if jvm_pid is not None:
+                # Release retained heap first so the per-query watermark
+                # measures this query, not leftover earlier allocations.
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:  # noqa: BLE001
+                    pass
+                _reset_peak_rss(jvm_pid)
+            runs = []
+            for _ in range(repeat):
+                start = time.perf_counter()
+                fn()
+                runs.append(time.perf_counter() - start)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            return
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
         if jvm_pid is not None:
@@ -272,9 +279,12 @@ def main() -> None:
     parent_dom.unpersist()
 
     packed_path = os.path.join(tempfile.gettempdir(), "pns_bench_packed.parquet")
-    packer.pack(flat, "orders").write.mode("overwrite").parquet(packed_path)
-    packed = spark.read.parquet(packed_path)
-    bench("unpack", lambda: force(packer.unpack(packed, "lineitem")))
+    try:
+        packer.pack(flat, "orders").write.mode("overwrite").parquet(packed_path)
+        packed = spark.read.parquet(packed_path)
+        bench("unpack", lambda: force(packer.unpack(packed, "lineitem")))
+    except Exception as e:  # noqa: BLE001
+        errors["unpack"] = f"{type(e).__name__}: {e}"[:500]
     bench(
         "roundtrip",
         lambda: force(packer.unpack(packer.pack(flat, "orders"), "lineitem")),
@@ -327,16 +337,69 @@ def main() -> None:
 
     # --- ANN quality: recall@k of each approximate search vs the exact
     # top-k on the same (query, k) — speed without recall is meaningless.
-    exact_pairs = {
-        (r["query_id"], r["neighbor_id"])
-        for r in q_cosine_topk(spark, sf_dir).collect()
-    }
-    recall = {}
-    for name, q in (("lsh", q_lsh_ann_topk), ("ivf", q_ivf_ann_topk)):
-        approx = {
-            (r["query_id"], r["neighbor_id"]) for r in q(spark, sf_dir).collect()
+    recall: dict[str, float] = {}
+    try:
+        exact_pairs = {
+            (r["query_id"], r["neighbor_id"])
+            for r in q_cosine_topk(spark, sf_dir).collect()
         }
-        recall[name] = round(len(approx & exact_pairs) / len(exact_pairs), 3)
+        for name, q in (("lsh", q_lsh_ann_topk), ("ivf", q_ivf_ann_topk)):
+            approx = {
+                (r["query_id"], r["neighbor_id"])
+                for r in q(spark, sf_dir).collect()
+            }
+            recall[name] = round(len(approx & exact_pairs) / len(exact_pairs), 3)
+    except Exception as e:  # noqa: BLE001
+        errors["ann_recall"] = f"{type(e).__name__}: {e}"[:500]
+
+    # Same dials on a CLUSTERED corpus (the shape real embedding models
+    # produce; the sf synthetic corpus is near-uniform — ANN's worst case).
+    # Both shapes are reported so the recall story is explicit.
+    recall_clustered: dict[str, float] = {}
+    try:
+        import numpy as np
+
+        from polars_nexpresso_spark.functions.similarity import (
+            cosine_topk,
+            ivf_ann_topk,
+            lsh_ann_topk,
+        )
+
+        rng = np.random.default_rng(7)
+        n_clusters, per_cluster, dim = 20, 100, 32
+        centers = rng.normal(size=(n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        vid = 0
+        for ci in range(n_clusters):
+            noise = 0.08 * rng.normal(size=(per_cluster, dim))
+            for v in centers[ci] + noise:
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        cdf = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).repartition(8).cache()
+        cdf.count()
+        cq = cdf.filter(F.col("vec_id") < 10)
+        c_exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(cdf, cq, k=5).collect()
+        }
+        c_lsh = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_ann_topk(
+                cdf, cq, k=5, num_planes=8, multiprobe=3, dim=dim
+            ).collect()
+        }
+        c_ivf = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_ann_topk(cdf, cq, k=5, n_centroids=16, n_probe=6).collect()
+        }
+        recall_clustered["lsh"] = round(len(c_lsh & c_exact) / len(c_exact), 3)
+        recall_clustered["ivf"] = round(len(c_ivf & c_exact) / len(c_exact), 3)
+        cdf.unpersist()
+    except Exception as e:  # noqa: BLE001
+        errors["ann_recall_clustered"] = f"{type(e).__name__}: {e}"[:500]
 
     flat.unpersist()
     # Headline total = the engine's fast paths. Deliberately-slower memory
@@ -368,9 +431,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "total_excludes": sorted(slow_modes & set(timings)),
+                "errors": errors,
                 "peak_rss_mb": peaks,
                 "peak_rss_mb_isolated": rss_isolated,
                 "ann_recall_at_k": recall,
+                "ann_recall_at_k_clustered": recall_clustered,
                 "sf": sf,
             }
         )

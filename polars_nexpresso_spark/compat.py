@@ -33,6 +33,13 @@ HAS_BIT_COUNT = hasattr(F, "bit_count")
 HAS_APPLY_IN_PANDAS_WITH_STATE = hasattr(GroupedData, "applyInPandasWithState")
 HAS_TRANSFORM_WITH_STATE = hasattr(GroupedData, "transformWithStateInPandas")
 
+try:  # transformWithState's state-server wire protocol needs protobuf
+    import google.protobuf  # noqa: F401
+
+    HAS_PROTOBUF = True
+except ImportError:
+    HAS_PROTOBUF = False
+
 
 def require(capability: str, present: bool, since: str) -> None:
     """Raise a versioned error when a capability gate fails."""

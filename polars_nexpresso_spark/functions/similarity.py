@@ -278,6 +278,40 @@ def _pandas_nearest_cells(centroids: list[list[float]], n: int):
     return pandas_nearest_cells(centroids, n)
 
 
+def _sample_key_expr(id_col, seed: int = 42):
+    """Deterministic pseudo-random 60-bit sort key from an id column: the
+    same md5 arithmetic as ``sampling.hash_bucket`` (without the modulo),
+    replicable bit-for-bit in any engine with md5 — which is what lets the
+    IVF oracle re-derive the exact k-means sample outside Spark."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+
+
+def _md5_sample_key(id_value, seed: int = 42) -> int:
+    """Pure-Python twin of :func:`_sample_key_expr`."""
+    return int(hashlib.md5(f"{seed}:{id_value}".encode()).hexdigest()[:15], 16)
+
+
+def _lloyd(X, n_centroids: int, *, iters: int = 8, seed: int = 42):
+    """Lloyd's k-means on an in-memory float64 sample — shared verbatim by
+    the Spark path and the oracle generator so both produce bit-identical
+    centroids from the same sample. Empty cells keep their previous
+    centroid."""
+    import numpy as np
+
+    k = min(n_centroids, len(X))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C.tolist()
+
+
 def _kmeans_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -291,32 +325,49 @@ def _kmeans_centroids(
     """Coarse-quantizer centroids: Lloyd's k-means on a bounded,
     deterministic corpus sample.
 
-    The sample (≤ ``sample_size`` vectors, ordered by xxhash64 of the id so
-    it is pseudo-random but reproducible) is collected to the driver and
-    iterated with numpy — the standard IVF training shape (even distributed
-    k-means ends with the centroid table on the driver; it is O(k·dim),
-    not O(corpus)). Empty cells keep their previous centroid.
+    The sample (≤ ``sample_size`` vectors, ordered by an md5-derived key of
+    the id so it is pseudo-random but reproducible in any engine) is
+    collected to the driver and iterated with numpy — the standard IVF
+    training shape (even distributed k-means ends with the centroid table
+    on the driver; it is O(k·dim), not O(corpus)).
     """
     import numpy as np
 
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("i")))
+        .orderBy(_sample_key_expr(F.col("i"), seed), F.col("i"))
         .limit(sample_size)
         .collect()
     )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
-    k = min(n_centroids, len(X))
-    rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=k, replace=False)].copy()
-    for _ in range(iters):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
-        assign = d.argmin(axis=1)
-        for j in range(k):
-            members = X[assign == j]
-            if len(members):
-                C[j] = members.mean(axis=0)
-    return C.tolist()
+    return _lloyd(X, n_centroids, iters=iters, seed=seed)
+
+
+def kmeans_centroids_local(
+    parquet_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    *,
+    sample_size: int = 1024,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spark-free twin of :func:`_kmeans_centroids` over a parquet file.
+
+    Same md5 sample ordering, same numpy loop, same floats — used by the
+    DuckDB oracle to embed the exact centroids the Spark query trains, so
+    the "approximate" IVF result has an exact oracle.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()
+    order = sorted(range(len(ids)), key=lambda j: (_md5_sample_key(ids[j], seed), ids[j]))
+    X = np.array([vecs[j] for j in order[:sample_size]], dtype=np.float64)
+    return _lloyd(X, n_centroids, iters=iters, seed=seed)
 
 
 def ivf_ann_topk(
@@ -359,7 +410,7 @@ def ivf_ann_topk(
             for r in corpus.select(
                 F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
             )
-            .orderBy(F.xxhash64(F.col("cid")))
+            .orderBy(_sample_key_expr(F.col("cid")), F.col("cid"))
             .limit(n_centroids)
             .collect()
         ]
@@ -433,6 +484,7 @@ def lsh_ann_topk(
     seed: int = 42,
     exclude_self: bool = True,
     assign: str = "expr",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing.
 
@@ -450,7 +502,11 @@ def lsh_ann_topk(
     The IVF analog (16 squared distances per row) crosses over the other
     way, see :func:`ivf_ann_topk`.
     """
-    dim = len(queries.select(vec_col).first()[0])
+    if dim is None:
+        # Fallback probe: one driver-side job just to learn the vector
+        # dimension. Callers that know it should pass ``dim`` so plan
+        # construction stays action-free.
+        dim = len(queries.select(vec_col).first()[0])
     planes = _hyperplanes(num_planes, dim, seed)
     if assign == "pandas":
         bucket_of = _pandas_lsh_bucket(planes)

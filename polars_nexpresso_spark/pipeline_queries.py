@@ -200,7 +200,9 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiprobe=3 probes all buckets within Hamming distance 3 (93 of 256):
     # recall 0.62 vs 0.20 at distance 1 on the near-uniform synthetic
     # embeddings, at the same measured cost (bench records recall@k).
-    return lsh_ann_topk(emb, queries, k=5, num_planes=8, multiprobe=3)
+    # dim is the testdata embedding width — passing it keeps plan
+    # construction action-free (no probe job).
+    return lsh_ann_topk(emb, queries, k=5, num_planes=8, multiprobe=3, dim=64)
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,6 +323,116 @@ def _language_id_oracle() -> str:
                CASE {case_sql}
                ELSE 'und' END AS lang_pred
         FROM scored
+    """
+
+
+def _lsh_ann_oracle() -> str:
+    """Exact DuckDB replica of ``q_lsh_ann_topk``.
+
+    The hyperplanes are deterministic (md5-derived, seed 42 — see
+    ``similarity._hyperplanes``), so they embed as literal VALUES; bucket
+    assignment replays the same sign arithmetic, and the multiprobe set
+    (all buckets within Hamming distance 3) collapses to a
+    ``bit_count(xor(...)) <= 3`` join predicate.
+    """
+    from polars_nexpresso_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(8, 64, 42)
+    values = ",\n                 ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH planes(i, v) AS (
+          VALUES {values}
+        ),
+        b AS (
+          SELECT e.vec_id,
+                 SUM(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.v) >= 0
+                          THEN (1::BIGINT << p.i) ELSE 0 END)::BIGINT AS bucket
+          FROM embeddings e, planes p
+          GROUP BY e.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[]), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY qb.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                         q.embedding::DOUBLE[]), 6)
+                            DESC, cb.vec_id ASC
+                 ) AS rank
+          FROM b cb
+          JOIN b qb ON bit_count(xor(cb.bucket, qb.bucket)) <= 3
+          JOIN embeddings c ON c.vec_id = cb.vec_id
+          JOIN embeddings q ON q.vec_id = qb.vec_id
+          WHERE qb.vec_id < 10 AND cb.vec_id != qb.vec_id
+        ) WHERE rank <= 5
+    """
+
+
+def _ivf_ann_oracle() -> str | None:
+    """Exact DuckDB replica of ``q_ivf_ann_topk``.
+
+    The k-means training is deterministic (md5-ordered sample, seeded
+    numpy Lloyd's loop), so ``kmeans_centroids_local`` re-derives the
+    exact centroids Spark-free and they embed as literal VALUES. Cell
+    assignment (nearest centroid, ties to the lowest index — numpy's
+    stable argsort) and the 6-cell probe replay in SQL; exact cosine
+    ranks candidates. The correctness gate runs at sf0.01
+    (``PNS_ORACLE_SF_DIR`` overrides for local checks at other SFs);
+    returns None (rows-only check) if that testdata is unreadable.
+    """
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from polars_nexpresso_spark.functions.similarity import (
+            kmeans_centroids_local,
+        )
+
+        cents = kmeans_centroids_local(
+            f"{sf_dir}/embeddings.parquet", n_centroids=16
+        )
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return None
+    values = ",\n                 ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(i, v) AS (
+          VALUES {values}
+        ),
+        ranked AS (
+          SELECT e.vec_id, c.i,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.v) ASC, c.i ASC
+                 ) AS rn
+          FROM embeddings e, cents c
+        ),
+        corpus_cell AS (SELECT vec_id, i AS cell FROM ranked WHERE rn = 1),
+        query_cell AS (
+          SELECT vec_id, i AS cell FROM ranked WHERE rn <= 6 AND vec_id < 10
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[]), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY qb.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                         q.embedding::DOUBLE[]), 6)
+                            DESC, cb.vec_id ASC
+                 ) AS rank
+          FROM corpus_cell cb
+          JOIN query_cell qb ON cb.cell = qb.cell
+          JOIN embeddings c ON c.vec_id = cb.vec_id
+          JOIN embeddings q ON q.vec_id = qb.vec_id
+          WHERE cb.vec_id != qb.vec_id
+        ) WHERE rank <= 5
     """
 
 
@@ -624,6 +736,12 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         WHERE CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
               % 1000000 >= 100000
     """,
-    # lsh_ann_topk / ivf_ann_topk are approximation-shaped (probe coverage):
-    # rows-only checks plus pytest recall floors vs exact cosine_topk.
+    # Both ANN paths are fully deterministic (md5-derived hyperplanes,
+    # md5-ordered k-means sample), so even the "approximate" results have
+    # exact oracles.
+    "lsh_ann_topk": _lsh_ann_oracle(),
 }
+
+_ivf_oracle = _ivf_ann_oracle()
+if _ivf_oracle is not None:
+    PIPELINE_ORACLE_SQL["ivf_ann_topk"] = _ivf_oracle

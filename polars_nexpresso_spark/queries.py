@@ -363,17 +363,31 @@ def q_nested_expr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_with_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with a guaranteed TIMESTAMP ``ts_ts`` column.
+
+    The testdata generator has emitted ``ts`` both as TIMESTAMP(NANOS)
+    (which the session reads as long ns via ``nanosAsLong``) and as plain
+    ``timestamp[us]`` across rounds, so branch on the actual dtype rather
+    than assuming either. With the session timezone pinned to UTC the
+    NTZ→LTZ cast is an identity on the stored instant.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        return ev.withColumn(
+            "ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return ev.withColumn("ts_ts", F.col("ts").cast("timestamp"))
+
+
 def q_windowed_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming pack kernel on the events table (batch plan — identical to
     the watermarked streaming plan): 1-hour tumbling windows per user with
     in-agg (ts, event_id)-sorted child lists."""
     from polars_nexpresso_spark.streaming.pack_stream import windowed_pack
 
-    ev = read_table(spark, sf_dir, "events")
-    # ts is TIMESTAMP(NANOS), read as long ns (session nanosAsLong).
-    ev = ev.withColumn(
-        "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _events_with_event_time(spark, sf_dir)
     packed = windowed_pack(
         ev,
         event_time="ts_ts",
@@ -487,10 +501,7 @@ def q_session_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     12-hour-gap sessions per user, in-agg (ts, event_id)-sorted children."""
     from polars_nexpresso_spark.streaming.pack_stream import session_pack
 
-    ev = read_table(spark, sf_dir, "events")
-    ev = ev.withColumn(
-        "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = _events_with_event_time(spark, sf_dir)
     packed = session_pack(
         ev,
         event_time="ts_ts",

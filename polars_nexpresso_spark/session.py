@@ -32,8 +32,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
-        # The testdata events table stores TIMESTAMP(NANOS) which the vectorized
-        # reader rejects; read as long (ns since epoch) and convert explicitly.
+        # Some testdata generations store ts as TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; this reads those as long ns (harmless
+        # no-op for the current timestamp[us] data). Consumers branch on the
+        # actual dtype (see queries._events_with_event_time).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -111,10 +111,10 @@ def streaming_topk(
     score_col: str,
     k: int,
     payload_cols: list[str],
+    engine: str = "auto",
 ) -> DataFrame:
     """Maintain the running top-``k`` rows per key (highest ``score_col``)
-    across all micro-batches, via the Spark 4.x arbitrary-state API
-    (``transformWithStateInPandas`` + ``ListState``).
+    across all micro-batches.
 
     Emission is **delta-style**: a batch emits only the rows *newly admitted*
     to a key's top-k in that batch (some may later be evicted by higher
@@ -122,34 +122,47 @@ def streaming_topk(
     exact top-k is reconstructable downstream as ``top-k over all emitted
     rows`` — append-friendly, no retraction needed. This mirrors how a
     training-data pipeline keeps e.g. the k highest-quality documents per
-    source while the crawl streams in.
+    source while the crawl streams in. Both engines share the
+    :func:`merge_topk` kernel, so semantics are engine-independent.
 
-    Scale design: state is the ListState of at most ``k`` tuples per key,
-    hash-sharded across executors by ``keys`` — O(k) per key, independent of
-    stream length. Requires the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass =
-    ...state.RocksDBStateStoreProvider``), which keeps state off-heap and
-    scales past executor memory.
+    Engines:
 
-    Runtime requirement: the transformWithState wire protocol needs the
-    ``protobuf`` Python package at query start (not at plan build). The test
-    for this operator skips when protobuf is absent; the applyInPandasWithState
-    operators above have no such dependency.
+    - ``"tws"`` — the Spark 4.x arbitrary-state API
+      (``transformWithStateInPandas`` + ``ListState``). Preferred on
+      clusters: composable timers/TTL and the RocksDB state store
+      (``spark.sql.streaming.stateStore.providerClass =
+      ...state.RocksDBStateStoreProvider``) keep state off-heap. Its wire
+      protocol needs the ``protobuf`` Python package at query start.
+    - ``"pandas_state"`` — ``applyInPandasWithState`` storing each state
+      column as an array (one ≤k-tuple list per key). No extra runtime
+      deps; works from PySpark 3.4.
+    - ``"auto"`` (default) — ``tws`` when available (API + protobuf), else
+      ``pandas_state``.
+
+    Scale design (both engines): state is at most ``k`` tuples per key,
+    hash-sharded across executors by ``keys`` — O(k) per key, independent
+    of stream length.
 
     No reference analog (the reference has no streaming surface,
     SURVEY.md §2.F); this is a pipeline extension.
     """
-    from polars_nexpresso_spark.compat import HAS_TRANSFORM_WITH_STATE, require
-
-    require(
-        "streaming_topk (transformWithStateInPandas)",
+    from polars_nexpresso_spark.compat import (
+        HAS_APPLY_IN_PANDAS_WITH_STATE,
+        HAS_PROTOBUF,
         HAS_TRANSFORM_WITH_STATE,
-        "4.0",
+        require,
     )
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
+
+    if engine == "auto":
+        engine = (
+            "tws"
+            if (HAS_TRANSFORM_WITH_STATE and HAS_PROTOBUF)
+            else "pandas_state"
+        )
+    if engine not in ("tws", "pandas_state"):
+        raise ValueError(
+            f"engine must be 'auto', 'tws' or 'pandas_state', got {engine!r}"
+        )
 
     cols = list(keys) + [score_col] + [c for c in payload_cols if c != score_col]
     in_schema = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
@@ -157,31 +170,83 @@ def streaming_topk(
     if missing:
         raise ValueError(f"columns not in stream: {missing}")
     state_cols = [c for c in cols if c not in keys]
-    state_ddl = ", ".join(f"`{c}` {in_schema[c]}" for c in state_cols)
     out_ddl = ", ".join(f"`{c}` {in_schema[c]}" for c in cols)
     score_idx = state_cols.index(score_col)
 
-    class _TopK(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getListState("topk", state_ddl)
+    if engine == "tws":
+        require(
+            "streaming_topk (transformWithStateInPandas)",
+            HAS_TRANSFORM_WITH_STATE,
+            "4.0",
+        )
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
 
-        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
-            batch = pd.concat(list(rows), ignore_index=True)
-            incoming = [
-                tuple(t) for t in batch[state_cols].itertuples(index=False, name=None)
-            ]
-            prev = [tuple(t) for t in self._state.get()] if self._state.exists() else []
-            merged, admitted = merge_topk(prev, incoming, score_idx, k)
-            self._state.put(merged)
-            if admitted:
-                out = pd.DataFrame(admitted, columns=state_cols)
-                for i, kc in enumerate(keys):
-                    out.insert(i, kc, key[i])
-                yield out[cols]
+        state_ddl = ", ".join(f"`{c}` {in_schema[c]}" for c in state_cols)
 
-        def close(self) -> None:
-            pass
+        class _TopK(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._state = handle.getListState("topk", state_ddl)
 
-    return stream.groupBy(*keys).transformWithStateInPandas(
-        _TopK(), out_ddl, outputMode="Update", timeMode="None"
+            def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+                batch = pd.concat(list(rows), ignore_index=True)
+                incoming = [
+                    tuple(t)
+                    for t in batch[state_cols].itertuples(index=False, name=None)
+                ]
+                prev = (
+                    [tuple(t) for t in self._state.get()]
+                    if self._state.exists()
+                    else []
+                )
+                merged, admitted = merge_topk(prev, incoming, score_idx, k)
+                self._state.put(merged)
+                if admitted:
+                    out = pd.DataFrame(admitted, columns=state_cols)
+                    for i, kc in enumerate(keys):
+                        out.insert(i, kc, key[i])
+                    yield out[cols]
+
+            def close(self) -> None:
+                pass
+
+        return stream.groupBy(*keys).transformWithStateInPandas(
+            _TopK(), out_ddl, outputMode="Update", timeMode="None"
+        )
+
+    require(
+        "streaming_topk (applyInPandasWithState)",
+        HAS_APPLY_IN_PANDAS_WITH_STATE,
+        "3.4",
+    )
+    # Column-major state: one array per state column holding the ≤k kept
+    # tuples (applyInPandasWithState state is a single typed tuple, so the
+    # tuple list is transposed into arrays and back).
+    state_ddl = ", ".join(f"`{c}` array<{in_schema[c]}>" for c in state_cols)
+
+    def topk_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        incoming: list[tuple] = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            incoming.extend(
+                tuple(t)
+                for t in pdf[state_cols].itertuples(index=False, name=None)
+            )
+        prev = list(zip(*state.get)) if state.exists else []
+        merged, admitted = merge_topk(prev, incoming, score_idx, k)
+        if merged:
+            state.update(tuple(list(col) for col in zip(*merged)))
+        if admitted:
+            out = pd.DataFrame(admitted, columns=state_cols)
+            for i, kc in enumerate(keys):
+                out.insert(i, kc, key[i])
+            yield out[cols]
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        topk_fn, out_ddl, state_ddl, "update", GroupStateTimeout.NoTimeout
     )

@@ -49,6 +49,11 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Data-derived oracles (ivf_ann_topk's centroid literals) are generated
+    # at import time against this directory.
+    import os
+
+    os.environ.setdefault("PNS_ORACLE_SF_DIR", sf_dir)
     import __spark_entry__ as entrymod
     from polars_nexpresso_spark.session import get_spark
 

@@ -82,6 +82,81 @@ def test_ann_assign_modes_agree(emb_and_exact):
     assert {tuple(r) for r in ivf_e.collect()} == {tuple(r) for r in ivf_p.collect()}
 
 
+def test_lsh_dim_param_keeps_plan_action_free(spark):
+    """With ``dim`` passed, building the LSH plan must run NO Spark job —
+    proven by handing it a query frame that throws on any execution: plan
+    construction succeeds, while the ``dim=None`` fallback (which probes
+    one row) raises immediately."""
+    corpus = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("float"), F.lit(1.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    boom = corpus.withColumn(
+        "embedding",
+        F.when(
+            F.expr("assert_true(vec_id < 0)").isNull(), F.col("embedding")
+        ),
+    )
+    # plan builds without executing the poisoned frame
+    plan = lsh_ann_topk(corpus, boom, k=2, num_planes=4, dim=2)
+    assert "query_id" in plan.columns
+    with pytest.raises(Exception):
+        lsh_ann_topk(corpus, boom, k=2, num_planes=4)  # dim probe executes
+
+
+def test_lsh_dim_param_matches_probe(emb_and_exact):
+    emb, queries, _ = emb_and_exact
+    probed = lsh_ann_topk(emb, queries, k=K, num_planes=8, multiprobe=2)
+    passed = lsh_ann_topk(emb, queries, k=K, num_planes=8, multiprobe=2, dim=64)
+    assert {tuple(r) for r in probed.collect()} == {
+        tuple(r) for r in passed.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Deterministic clustered corpus — the shape real embedding models
+    produce (tight clusters, ANN's GOOD case, vs the near-uniform sf0.01
+    synthetic corpus which is its worst case)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n_clusters, per_cluster, dim = 20, 100, 32
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        noise = 0.08 * rng.normal(size=(per_cluster, dim))
+        for v in centers[ci] + noise:
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df = df.repartition(8).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_ann_recall_on_clustered_corpus(clustered_emb):
+    """On clustered data the showcased dials reach recall ≥ 0.9 — the
+    documented expectation for production embeddings (the sf0.01 floors
+    above are the uniform-corpus worst case)."""
+    emb = clustered_emb
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = cosine_topk(emb, queries, k=K)
+
+    lsh = lsh_ann_topk(emb, queries, k=K, num_planes=8, multiprobe=3, dim=32)
+    lsh_recall = _recall_at_k(exact, lsh)
+    assert lsh_recall >= 0.9, f"LSH clustered recall@{K}: {lsh_recall:.3f} < 0.9"
+
+    ivf = ivf_ann_topk(emb, queries, k=K, n_centroids=16, n_probe=6)
+    ivf_recall = _recall_at_k(exact, ivf)
+    assert ivf_recall >= 0.9, f"IVF clustered recall@{K}: {ivf_recall:.3f} < 0.9"
+
+
 def test_cosine_topk_pandas_matches_expr(emb_and_exact):
     """The numpy fast path is result-identical to the array-expression path
     (same scores to 6 decimals, same deterministic tie-break, same ranks)."""

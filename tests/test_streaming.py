@@ -23,10 +23,17 @@ def events_path(spark):
     src = "/root/testdata/sf0.001/events.parquet"
     tmp = tempfile.mkdtemp(prefix="pns_stream_")
     # Re-write as a multi-file directory so the file streaming source can
-    # discover it incrementally; ts arrives as long nanos (nanosAsLong) and
-    # is converted to a proper timestamp.
+    # discover it incrementally.
     df = spark.read.parquet(src).limit(2000)
-    df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    # ts has been generated both as long nanos (nanosAsLong read of
+    # TIMESTAMP(NANOS)) and as timestamp[us] across testdata generations —
+    # branch on the actual dtype, same as queries._events_with_event_time.
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     df.repartition(4).write.mode("overwrite").parquet(f"{tmp}/input")
     yield tmp
     shutil.rmtree(tmp, ignore_errors=True)
@@ -222,15 +229,79 @@ def test_windowed_pack_child_order(spark, events_path):
         assert ids == sorted(ids)
 
 
-def test_streaming_topk_across_batches(spark):
-    """transformWithStateInPandas top-k: delta emissions across batches
-    reconstruct the exact batch top-k (maxFilesPerTrigger=1 → one batch per
-    file). Requires the RocksDB state store provider, and protobuf for the
-    transformWithState state-server protocol."""
-    pytest.importorskip("google.protobuf")
+def _run_streaming_topk(spark, tmp: str, engine: str) -> None:
+    """Shared driver for the cross-batch top-k contract: delta emissions
+    across 3 micro-batches (maxFilesPerTrigger=1 → one batch per file)
+    reconstruct the exact batch top-k."""
     from polars_nexpresso_spark.streaming.stateful import streaming_topk
 
+    b0 = [("en", 1, 0.9), ("en", 2, 0.5), ("en", 3, 0.7), ("de", 4, 0.4)]
+    b1 = [("en", 5, 0.8), ("en", 6, 0.1), ("de", 7, 0.6), ("de", 8, 0.2)]
+    b2 = [("en", 9, 0.95), ("de", 10, 0.3)]
+    cols = ["lang", "doc_id", "score"]
+    for i, rows in enumerate([b0, b1, b2]):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            f"{tmp}/in/batch{i}"
+        )
+
+    stream = (
+        spark.readStream.schema("lang string, doc_id long, score double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in/*")
+    )
+    topk = streaming_topk(
+        stream,
+        keys=["lang"],
+        score_col="score",
+        k=2,
+        payload_cols=["doc_id"],
+        engine=engine,
+    )
+    name = f"topk_out_{engine}"
+    q = (
+        topk.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.table(name).collect()
+    # every row ever admitted to a top-2 is emitted exactly once
+    emitted_ids = sorted(r["doc_id"] for r in emitted)
+    assert emitted_ids == sorted(set(emitted_ids))
+    # reconstruction: top-2 over emitted rows == batch top-2 over all data
+    final = {}
+    for r in emitted:
+        final.setdefault(r["lang"], []).append((r["score"], r["doc_id"]))
+    recon = {lang: sorted(v, reverse=True)[:2] for lang, v in final.items()}
+    assert recon["en"] == [(0.95, 9), (0.9, 1)]
+    assert recon["de"] == [(0.6, 7), (0.4, 4)]
+    # batch-2 admissions were deltas only: doc 6 (never top-2) not emitted
+    assert 6 not in emitted_ids
+
+
+def test_streaming_topk_across_batches(spark):
+    """Full-runtime cross-batch top-k via the ``auto`` engine — runs in
+    every environment (picks transformWithStateInPandas when its protobuf
+    wire protocol is available, applyInPandasWithState otherwise; both
+    share the merge_topk kernel, so the contract is engine-independent)."""
     tmp = tempfile.mkdtemp(prefix="pns_topk_")
+    try:
+        _run_streaming_topk(spark, tmp, "auto")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_topk_tws_engine(spark):
+    """The transformWithStateInPandas engine specifically (RocksDB state
+    store). Exercised wherever protobuf exists; the auto-engine test above
+    keeps full-runtime coverage either way."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    tmp = tempfile.mkdtemp(prefix="pns_topk_tws_")
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
@@ -240,47 +311,7 @@ def test_streaming_topk_across_batches(spark):
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-        b0 = [("en", 1, 0.9), ("en", 2, 0.5), ("en", 3, 0.7), ("de", 4, 0.4)]
-        b1 = [("en", 5, 0.8), ("en", 6, 0.1), ("de", 7, 0.6), ("de", 8, 0.2)]
-        b2 = [("en", 9, 0.95), ("de", 10, 0.3)]
-        cols = ["lang", "doc_id", "score"]
-        for i, rows in enumerate([b0, b1, b2]):
-            spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
-                f"{tmp}/in/batch{i}"
-            )
-
-        stream = (
-            spark.readStream.schema("lang string, doc_id long, score double")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{tmp}/in/*")
-        )
-        topk = streaming_topk(
-            stream, keys=["lang"], score_col="score", k=2, payload_cols=["doc_id"]
-        )
-        q = (
-            topk.writeStream.format("memory")
-            .queryName("topk_out")
-            .outputMode("update")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(180)
-        emitted = spark.table("topk_out").collect()
-        # every row ever admitted to a top-2 is emitted exactly once
-        emitted_ids = sorted(r["doc_id"] for r in emitted)
-        assert emitted_ids == sorted(set(emitted_ids))
-        # reconstruction: top-2 over emitted rows == batch top-2 over all data
-        final = {}
-        for r in emitted:
-            final.setdefault(r["lang"], []).append((r["score"], r["doc_id"]))
-        recon = {
-            lang: sorted(v, reverse=True)[:2] for lang, v in final.items()
-        }
-        assert recon["en"] == [(0.95, 9), (0.9, 1)]
-        assert recon["de"] == [(0.6, 7), (0.4, 4)]
-        # batch-2 admissions were deltas only: doc 6 (never top-2) not emitted
-        assert 6 not in emitted_ids
+        _run_streaming_topk(spark, tmp, "tws")
     finally:
         if prev_provider is not None:
             spark.conf.set(
