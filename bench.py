@@ -334,6 +334,9 @@ def main() -> None:
     )
     bench("lsh_ann_topk", lambda: force(q_lsh_ann_topk(spark, sf_dir)))
     bench("ivf_ann_topk", lambda: force(q_ivf_ann_topk(spark, sf_dir)))
+    from polars_nexpresso_spark.pipeline_queries import q_sequence_pack
+
+    bench("sequence_pack", lambda: force(q_sequence_pack(spark, sf_dir)))
 
     # --- ANN quality: recall@k of each approximate search vs the exact
     # top-k on the same (query, k) — speed without recall is meaningless.

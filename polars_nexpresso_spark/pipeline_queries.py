@@ -280,6 +280,28 @@ def q_training_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("doc_id")
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (LLM sample packing): documents
+    hash-sharded 4 ways, walked in id order, new sequence on overflow of a
+    256-token budget."""
+    from polars_nexpresso_spark.functions.seqpack import sequence_pack
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    with_toks = docs.select(
+        F.col("doc_id"),
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+    )
+    packed = sequence_pack(
+        with_toks, "n_tokens", "doc_id", budget=256, num_shards=4
+    )
+    return packed.select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        "seq_id",
+        "seq_fill",
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text bytes as blobs → mapInPandas features."""
     docs = spread(read_table(spark, sf_dir, "documents"))
@@ -471,6 +493,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_features": q_multimodal_features,
+    "sequence_pack": q_sequence_pack,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
     "training_keepset": q_training_keepset,
@@ -647,6 +670,33 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    # The greedy per-shard walk replayed as a recursive CTE: same md5 shard
+    # arithmetic, same in-order overflow rule — integer-exact.
+    "sequence_pack": f"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, shard, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+          FROM (
+            SELECT doc_id,
+                   (CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 1000000) % 4 AS shard,
+                   len({_TOKS})::BIGINT AS n_tokens
+            FROM documents
+          )
+        ),
+        walk(shard, rn, doc_id, seq_id, seq_fill) AS (
+          SELECT shard, rn, doc_id, 0::BIGINT, n_tokens
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.shard, b.rn, b.doc_id,
+                 CASE WHEN w.seq_fill > 0 AND w.seq_fill + b.n_tokens > 256
+                      THEN w.seq_id + 1 ELSE w.seq_id END,
+                 CASE WHEN w.seq_fill > 0 AND w.seq_fill + b.n_tokens > 256
+                      THEN b.n_tokens ELSE w.seq_fill + b.n_tokens END
+          FROM walk w JOIN base b ON b.shard = w.shard AND b.rn = w.rn + 1
+        )
+        SELECT doc_id, shard, seq_id, seq_fill FROM walk
     """,
     # Same md5-bucket arithmetic as the Spark expressions — bit-exact.
     "hash_split": """
