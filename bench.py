@@ -334,9 +334,17 @@ def main() -> None:
     )
     bench("lsh_ann_topk", lambda: force(q_lsh_ann_topk(spark, sf_dir)))
     bench("ivf_ann_topk", lambda: force(q_ivf_ann_topk(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_sequence_pack
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_label_centroids,
+        q_sequence_pack,
+        q_tfidf_keywords,
+        q_vocab_topk,
+    )
 
     bench("sequence_pack", lambda: force(q_sequence_pack(spark, sf_dir)))
+    bench("vocab_topk", lambda: force(q_vocab_topk(spark, sf_dir)))
+    bench("tfidf_keywords", lambda: force(q_tfidf_keywords(spark, sf_dir)))
+    bench("label_centroids", lambda: force(q_label_centroids(spark, sf_dir)))
 
     # --- ANN quality: recall@k of each approximate search vs the exact
     # top-k on the same (query, k) — speed without recall is meaningless.

@@ -561,3 +561,39 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int,
+) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean), one output row per
+    ``(label, dim_idx)`` — the IVF-training / dataset-cartography building
+    block.
+
+    Shape at scale: ``dim`` column-indexed ``sum`` aggregates plus a count
+    in ONE hash aggregation — partial aggregation happens map-side, so the
+    shuffle carries ``n_labels × (dim + 1)`` doubles, not the corpus. The
+    alternative (posexplode → groupBy(label, idx)) shuffles ``rows × dim``
+    exploded rows; this form never materializes them. The means are
+    posexploded to rows only AFTER aggregation (output is tiny by then).
+
+    Rounded to 6 decimals as part of the contract (summation order differs
+    between engines).
+    """
+    sums = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(F.col(vec_col)[i].cast("double")).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+    )
+    means = F.array(
+        *[F.round(F.col(f"__s{i}") / F.col("__n"), 6) for i in range(dim)]
+    )
+    return sums.select(
+        "label", F.posexplode(means).alias("dim", "centroid")
+    ).select("label", F.col("dim").cast("bigint").alias("dim"), "centroid")

@@ -312,3 +312,76 @@ def repetition_table(
             ),
         )
     )
+
+
+def vocab_topk(df, text_col: str, *, k: int = 100):
+    """Corpus-wide token histogram: the ``k`` most frequent tokens with a
+    deterministic (count desc, token asc) tie-break.
+
+    Explode + one hash aggregation with map-side partial combine — the
+    shuffle carries one row per (partition, distinct token), i.e. ~vocab
+    size, not corpus size. The final top-k over vocab-sized counts is a
+    TakeOrdered (no global sort materialization); ranks are numbered on the
+    ≤k collected survivors only.
+
+    Returns ``(token, count, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+    )
+    top = counts.orderBy(F.col("count").desc(), F.col("token").asc()).limit(k)
+    # ≤ k rows survive; the unpartitioned window is bounded by construction.
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def tfidf_keywords(df, text_col: str, id_col: str, *, top_n: int = 3):
+    """Per-document top-``top_n`` keywords by smoothed TF-IDF
+    (``tf · (ln((N+1)/(df+1)) + 1)``, rounded to 6 decimals — the rounding
+    is part of the contract so ranking is engine-reproducible).
+
+    Shape at scale: explode → (doc, token) hash agg (map-side combine) →
+    token-keyed join against the document-frequency agg → per-doc window
+    top-n. Two shuffles over (doc, distinct-token) pairs plus one over the
+    vocab — never over raw token occurrences. The corpus size ``N`` is a
+    1-row aggregate broadcast into the scoring projection.
+
+    Returns ``(id, token, tfidf, rank)``.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("__id", "token")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = pairs.groupBy("token").agg(F.count("*").alias("__df"))
+    n_docs = df.select(F.count("*").alias("__n"))
+    scored = (
+        pairs.join(dfreq, on="token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "token",
+            F.round(
+                F.col("__tf")
+                * (F.log((F.col("__n") + 1.0) / (F.col("__df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_n)
+        .select(F.col("__id").alias(id_col), "token", "tfidf", "rank")
+    )

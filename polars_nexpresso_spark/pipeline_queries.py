@@ -280,6 +280,31 @@ def q_training_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("doc_id")
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram: 50 most frequent tokens, deterministic
+    (count desc, token asc) tie-break."""
+    from polars_nexpresso_spark.functions.text import vocab_topk
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return vocab_topk(docs, "text", k=50)
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by smoothed TF-IDF."""
+    from polars_nexpresso_spark.functions.text import tfidf_keywords
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return tfidf_keywords(docs, "text", "doc_id", top_n=3)
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, dim, centroid) rows."""
+    from polars_nexpresso_spark.functions.similarity import label_centroids
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    return label_centroids(emb, dim=64)
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy token-budget sequence packing (LLM sample packing): documents
     hash-sharded 4 ways, walked in id order, new sequence on overflow of a
@@ -493,6 +518,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_features": q_multimodal_features,
+    "vocab_topk": q_vocab_topk,
+    "tfidf_keywords": q_tfidf_keywords,
+    "label_centroids": q_label_centroids,
     "sequence_pack": q_sequence_pack,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
@@ -670,6 +698,46 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    "vocab_topk": f"""
+        SELECT token, c AS count, rank FROM (
+          SELECT token, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rank
+          FROM (
+            SELECT tok AS token, count(*)::BIGINT AS c
+            FROM (SELECT unnest(toks) AS tok
+                  FROM (SELECT {_TOKS} AS toks FROM documents))
+            GROUP BY tok
+          )
+        ) WHERE rank <= 50
+    """,
+    # Smoothed tf-idf = tf * (ln((N+1)/(df+1)) + 1); rounding to 6 decimals
+    # is part of the operator contract so ranking reproduces across engines.
+    "tfidf_keywords": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        pairs AS (
+          SELECT doc_id, tok, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+          GROUP BY doc_id, tok
+        ),
+        dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM pairs GROUP BY tok),
+        n AS (SELECT count(*)::BIGINT AS n FROM documents),
+        scored AS (
+          SELECT p.doc_id, p.tok,
+                 ROUND(p.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+          FROM pairs p JOIN dfreq d ON p.tok = d.tok CROSS JOIN n
+        )
+        SELECT doc_id, tok AS token, tfidf, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC
+          ) AS rank FROM scored
+        ) WHERE rank <= 3
+    """,
+    "label_centroids": """
+        SELECT label, i::BIGINT AS dim,
+               ROUND(SUM(embedding[i + 1]::DOUBLE) / COUNT(*), 6) AS centroid
+        FROM embeddings, range(0, 64) r(i)
+        GROUP BY label, i
     """,
     # The greedy per-shard walk replayed as a recursive CTE: same md5 shard
     # arithmetic, same in-order overflow rule — integer-exact.

@@ -1,0 +1,92 @@
+"""Corpus-analysis operators: vocab_topk, tfidf_keywords, label_centroids."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from polars_nexpresso_spark.functions.similarity import label_centroids
+from polars_nexpresso_spark.functions.text import tfidf_keywords, vocab_topk
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("b b a",), ("a c b",), ("",)], "text string"
+    )
+    got = [(r["token"], r["count"], r["rank"]) for r in vocab_topk(df, "text", k=2).collect()]
+    # a:2, b:3, c:1 → b first, then a; empty text contributes nothing
+    assert got == [("b", 3, 1), ("a", 2, 2)]
+
+
+def test_vocab_topk_ties_break_lexically(spark):
+    df = spark.createDataFrame([("z y",), ("y z",)], "text string")
+    got = [(r["token"], r["rank"]) for r in vocab_topk(df, "text", k=5).collect()]
+    assert got == [("y", 1), ("z", 2)]
+
+
+def test_tfidf_rare_term_wins(spark):
+    # "rare" appears in one doc only — it must outrank the everywhere-token
+    # "the" for that doc despite equal tf.
+    df = spark.createDataFrame(
+        [(1, "the rare"), (2, "the common"), (3, "the common")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rank"]): (r["token"], r["tfidf"])
+        for r in tfidf_keywords(df, "text", "doc_id", top_n=2).collect()
+    }
+    assert out[(1, 1)][0] == "rare"
+    n, df_rare, tf = 3, 1, 1
+    expected = round(tf * (math.log((n + 1) / (df_rare + 1)) + 1), 6)
+    assert abs(out[(1, 1)][1] - expected) < 1e-9
+    assert out[(1, 2)][0] == "the"
+
+
+def test_tfidf_rank_is_dense_per_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a a b")], "doc_id long, text string"
+    )
+    out = tfidf_keywords(df, "text", "doc_id", top_n=3)
+    per_doc = {}
+    for r in out.collect():
+        per_doc.setdefault(r["doc_id"], []).append(r["rank"])
+    for ranks in per_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_label_centroids_elementwise_mean(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0]),
+            (0, [3.0, 4.0]),
+            (1, [10.0, 20.0]),
+        ],
+        "label int, embedding array<float>",
+    )
+    got = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in label_centroids(df, dim=2).collect()
+    }
+    assert got == {
+        (0, 0): 2.0,
+        (0, 1): 3.0,
+        (1, 0): 10.0,
+        (1, 1): 20.0,
+    }
+
+
+def test_label_centroids_single_aggregation_plan(spark):
+    """The plan must be ONE hash aggregate over the input (map-side partial
+    + final), with no explode/generate before the aggregation — the shuffle
+    carries labels × (dim+1) doubles, not rows × dim exploded elements."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "label int, embedding array<float>"
+    )
+    plan = label_centroids(df, dim=2)._jdf.queryExecution().executedPlan().toString()
+    gen_pos = plan.find("Generate")
+    agg_pos = plan.rfind("HashAggregate")
+    assert agg_pos != -1
+    # the only Generate (posexplode of the ≤labels-sized means) sits ABOVE
+    # the aggregation in the plan tree (earlier in the printed string)
+    assert gen_pos == -1 or gen_pos < agg_pos
