@@ -526,6 +526,26 @@ def q_session_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the events table's JSON
+    ``props`` string with ``from_json`` (schema-on-read, codegen'd JVM
+    parser — the idiomatic Spark path for JSON-in-string columns) and
+    aggregate the extracted field per event type."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        ev.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("__k").alias("sum_k"),
+            F.round(F.avg("__k"), 4).alias("avg_k"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+        )
+    )
+
+
 def q_order_by_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """order_by child ordering + first/last aggregations: per order, the
     quantity of the first and last lineitem by linenumber."""
@@ -575,6 +595,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_hierarchy": q_part_hierarchy,
     "unnest_all": q_unnest_all,
     "order_by_first_last": q_order_by_first_last,
+    "event_props_json": q_event_props_json,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -715,6 +736,22 @@ ORACLE_SQL: dict[str, str] = {
     "unnest_all": """
         SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price
         FROM orders
+    """,
+    # JSON field extraction mirrored with regexp arithmetic (avoids a
+    # dependency on DuckDB's json extension; the data is uniform integers).
+    "event_props_json": """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               SUM(k)::BIGINT AS sum_k,
+               ROUND(AVG(k), 4) AS avg_k,
+               MIN(k) AS min_k,
+               MAX(k) AS max_k
+        FROM (
+          SELECT event_type,
+                 CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+          FROM events
+        )
+        GROUP BY event_type
     """,
     "order_by_first_last": """
         SELECT o.o_orderkey AS o_orderkey,

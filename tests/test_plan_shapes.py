@@ -232,3 +232,61 @@ def test_enrich_no_extra_shuffle(spark):
         at_level="nation",
     )
     assert plan(enriched).count("Exchange") == base_exchanges
+
+
+def test_vocab_topk_partial_agg_and_take_ordered(spark):
+    """The histogram partial-aggregates map-side (shuffle carries ~vocab,
+    not corpus) and the top-k is a TakeOrdered, not a global sort."""
+    from polars_nexpresso_spark.functions.text import vocab_topk
+
+    docs = read_table(spark, SF, "documents")
+    p = plan(vocab_topk(docs, "text", k=10))
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_label_centroids_single_exchange_partial_sums(spark):
+    """dim column sums in ONE aggregation: exactly one hash-partition
+    exchange, fed by partial (map-side) sums; no Generate below the agg."""
+    from polars_nexpresso_spark.functions.similarity import label_centroids
+
+    emb = read_table(spark, SF, "embeddings")
+    p = plan(label_centroids(emb, dim=64))
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "partial_sum" in p or "partial_count" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_sequence_pack_one_shard_exchange(spark):
+    """Exactly one co-locating exchange (on shard); the walk itself is the
+    Arrow-batched FlatMapGroupsInPandas, not row-at-a-time Python."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.seqpack import sequence_pack
+    from polars_nexpresso_spark.functions.text import token_count
+
+    docs = read_table(spark, SF, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    p = plan(sequence_pack(docs, "n_tokens", "doc_id", budget=256, num_shards=4))
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_lsh_ann_with_dim_no_scan_of_queries_at_build(spark):
+    """With dim passed, the LSH plan builds without reading data; bucketing
+    stays JVM-side expression code (no Python eval in the plan)."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.similarity import lsh_ann_topk
+
+    emb = read_table(spark, SF, "embeddings")
+    p = plan(
+        lsh_ann_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=3, num_planes=4, dim=64
+        )
+    )
+    assert "BatchEvalPython" not in p
+    assert "BroadcastExchange" in p
