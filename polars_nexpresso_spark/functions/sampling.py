@@ -49,6 +49,40 @@ def hash_split(
     )
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    max_n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most ``max_n`` rows per group — the per-domain/per-source
+    cap that stops any single origin from dominating a training mix.
+
+    WHICH rows survive is decided by the md5 hash of the id (then id as the
+    tie-break), not arrival order or partition layout, so the cap is
+    deterministic across runs, partitionings, and engines — same property
+    as :func:`hash_split`. One shuffle (the window partition on
+    ``group_col``); groups under the cap pass through untouched. Skew note:
+    a pathologically hot group concentrates its rows in one task — cap
+    extremely hot domains upstream with a coarse filter, or raise
+    ``spark.sql.shuffle.partitions`` so remaining tasks stay balanced.
+    """
+    from pyspark.sql.window import Window
+
+    if max_n <= 0:
+        raise ValueError(f"max_n must be positive, got {max_n}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_n)
+        .drop("__rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

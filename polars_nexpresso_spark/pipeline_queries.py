@@ -25,7 +25,11 @@ from polars_nexpresso_spark.functions.dedup import (
     simhash_pairs,
 )
 from polars_nexpresso_spark.functions.multimodal import extract_features
-from polars_nexpresso_spark.functions.sampling import hash_split, stratified_sample
+from polars_nexpresso_spark.functions.sampling import (
+    cap_per_group,
+    hash_split,
+    stratified_sample,
+)
 from polars_nexpresso_spark.functions.similarity import (
     cosine_topk,
     cosine_topk_pandas,
@@ -219,6 +223,15 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic leak-free train/test split by content id (10% test)."""
     docs = read_table(spark, sf_dir, "documents")
     return hash_split(docs, "doc_id", test_frac=0.1).select("doc_id", "split")
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap: at most 15 documents per source, survivors picked by
+    id hash (deterministic, layout-independent)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", "doc_id", max_n=15).select(
+        "doc_id", "source"
+    )
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,6 +536,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_centroids": q_label_centroids,
     "sequence_pack": q_sequence_pack,
     "hash_split": q_hash_split,
+    "cap_per_source": q_cap_per_source,
     "stratified_sample": q_stratified_sample,
     "training_keepset": q_training_keepset,
 }
@@ -773,6 +787,17 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                          % 1000000 < 100000
                     THEN 'test' ELSE 'train' END AS split
         FROM documents
+    """,
+    "cap_per_source": """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY (CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                             % 1000000) ASC, doc_id ASC
+                 ) AS rn
+          FROM documents
+        ) WHERE rn <= 15
     """,
     "stratified_sample": """
         SELECT vec_id, label

@@ -160,6 +160,33 @@ def test_hash_split_deterministic_and_leak_free(spark):
     assert c != a
 
 
+def test_cap_per_group_binds_and_is_layout_independent(spark):
+    """At most max_n rows survive per group; under-cap groups pass through
+    whole; the surviving SET is identical under any physical layout."""
+    from polars_nexpresso_spark.functions.sampling import cap_per_group
+
+    rows = [(i, "hot" if i < 90 else "cold") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    out = cap_per_group(df, "grp", "id", max_n=10)
+    counts = {r["grp"]: r["count"] for r in out.groupBy("grp").count().collect()}
+    assert counts == {"hot": 10, "cold": 10}
+    shuffled = cap_per_group(
+        df.orderBy(F.rand(seed=3)).repartition(7), "grp", "id", max_n=10
+    )
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in shuffled.collect()
+    }
+    # different seed re-deals the survivors of the capped group
+    reseeded = cap_per_group(df, "grp", "id", max_n=10, seed=7)
+    hot_a = {r["id"] for r in out.filter(F.col("grp") == "hot").collect()}
+    hot_b = {r["id"] for r in reseeded.filter(F.col("grp") == "hot").collect()}
+    assert hot_a != hot_b
+    import pytest
+
+    with pytest.raises(ValueError, match="max_n"):
+        cap_per_group(df, "grp", "id", max_n=0)
+
+
 def test_stratified_sample_per_stratum_fractions(spark):
     from polars_nexpresso_spark.functions.sampling import stratified_sample
 
