@@ -236,6 +236,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    persist_buckets: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
 
@@ -243,6 +244,15 @@ def minhash_lsh_pairs(
     sharing any band bucket become candidates (probability ≈
     1-(1-j^r)^bands), then candidates are verified with exact shingle
     Jaccard so every emitted pair truly satisfies ``jaccard ≥ threshold``.
+
+    ``persist_buckets`` (default on) caches the banded bucket table before
+    the candidate self-join: both join sides read it, Catalyst's exchange
+    reuse does NOT unify them (the per-side aliases break canonicalized
+    matching), so without the cache the whole shingle+signature pipeline —
+    the expensive half of this operator — evaluates twice. The cached table
+    is O(docs × bands) longs (``MEMORY_AND_DISK``, spills): ≪ corpus text,
+    and strictly cheaper than recomputing signatures at any scale. Measured
+    cold-cache at sf0.1: 1.04 s vs 2.42 s.
 
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
@@ -267,6 +277,10 @@ def minhash_lsh_pairs(
     buckets = sigs.select(
         F.col("__id"), F.posexplode(band_hashes).alias("__band", "__bucket")
     )
+    if persist_buckets:
+        from pyspark import StorageLevel
+
+        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
 
     left = buckets.select(
         F.col("__id").alias("id_a"), "__band", "__bucket"
@@ -318,6 +332,7 @@ def simhash_pairs(
     id_col: str,
     *,
     max_hamming: int = 3,
+    persist_chunks: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -327,6 +342,12 @@ def simhash_pairs(
     from an equi-join on (chunk_index, chunk_value) and are then verified
     with the true bit_count of the XOR. Larger radii mean narrower chunks →
     more candidates: the usual recall/cost dial.
+
+    ``persist_chunks`` (default on) caches the O(docs × chunks) blocking
+    table before the self-join — both sides read it and exchange reuse does
+    not unify the differently-aliased branches, so uncached the whole
+    simhash computation (explode + 60 grouped bit counts, the expensive
+    half) runs twice. Measured cold-cache at sf0.1: 1.01 s vs 1.82 s.
 
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
     """
@@ -354,6 +375,10 @@ def simhash_pairs(
         "__sim",
         F.posexplode(F.array(*chunk_exprs)).alias("__chunk", "__val"),
     )
+    if persist_chunks:
+        from pyspark import StorageLevel
+
+        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
 
     left = chunks.select(
         F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), "__chunk", "__val"
