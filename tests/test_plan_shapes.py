@@ -290,3 +290,19 @@ def test_lsh_ann_with_dim_no_scan_of_queries_at_build(spark):
     )
     assert "BatchEvalPython" not in p
     assert "BroadcastExchange" in p
+
+
+def test_pair_finder_blocking_tables_cached(spark):
+    """The MinHash/SimHash candidate self-joins must read their blocking
+    table from the cache (InMemoryTableScan), not re-derive it per side —
+    exchange reuse cannot unify the aliased branches."""
+    from polars_nexpresso_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    mh = plan(minhash_lsh_pairs(docs, "text", "doc_id"))
+    assert "InMemoryTableScan" in mh or "InMemoryRelation" in mh
+    sh = plan(simhash_pairs(docs, "text", "doc_id"))
+    assert "InMemoryTableScan" in sh or "InMemoryRelation" in sh
