@@ -320,6 +320,12 @@ def main() -> None:
     from polars_nexpresso_spark.pipeline_queries import q_dedup_clusters
 
     bench("dedup_clusters", lambda: force(q_dedup_clusters(spark, sf_dir)))
+    from polars_nexpresso_spark.pipeline_queries import q_decontaminate_stream
+
+    bench(
+        "decontaminate_stream",
+        lambda: force(q_decontaminate_stream(spark, sf_dir)),
+    )
     bench("ngram_jaccard", lambda: force(q_ngram_jaccard(spark, sf_dir)))
     bench("simhash_pairs", lambda: force(q_simhash_pairs(spark, sf_dir)))
     bench("embedding_dedup", lambda: force(q_embedding_dedup(spark, sf_dir)))

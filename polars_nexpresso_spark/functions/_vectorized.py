@@ -47,3 +47,30 @@ def pandas_nearest_cells(centroids, n):
         return pd.Series(list(order))
 
     return cells
+
+
+def pandas_member_overlap(sorted_values):
+    """UDF factory: True when ANY element of a row's long-array column is
+    in ``sorted_values`` (a sorted numpy int64 array held in the closure).
+    One searchsorted per Arrow batch row — O(s log m), no per-row set
+    construction. Used by the stream-safe decontaminator."""
+    import numpy as np
+
+    ref = np.asarray(sorted_values, dtype=np.int64)
+
+    @pandas_udf("boolean")
+    def overlaps(arrs: pd.Series) -> pd.Series:
+        if ref.size == 0:
+            return pd.Series([False] * len(arrs))
+        out = []
+        for hs in arrs:
+            a = np.asarray(hs, dtype=np.int64)
+            if a.size == 0:
+                out.append(False)
+                continue
+            idx = np.searchsorted(ref, a)
+            idx[idx == ref.size] = ref.size - 1
+            out.append(bool((ref[idx] == a).any()))
+        return pd.Series(out)
+
+    return overlaps

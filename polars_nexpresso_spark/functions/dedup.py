@@ -576,3 +576,63 @@ def decontaminate(
     return train.join(
         contaminated.withColumnRenamed("__id", id_col), on=id_col, how="left_anti"
     )
+
+
+def decontaminate_stream(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    *,
+    n: int = 13,
+    max_eval_shingles: int = 2_000_000,
+) -> DataFrame:
+    """Stream-safe n-gram decontamination: STATELESS, map-side only.
+
+    :func:`decontaminate` is the batch shape (semi/anti joins need per-doc
+    aggregation, which on a stream would demand watermarked state). This
+    variant instead collects the eval side's distinct shingle hashes ONCE
+    into a sorted dictionary (eval/benchmark sets are bounded by
+    construction — guarded by ``max_eval_shingles``), computes each train
+    doc's shingle-hash array JVM-side, and drops docs with any dictionary
+    hit via a vectorized membership probe (binary search per Arrow batch).
+    No join, no shuffle, no state: works identically on a batch DataFrame
+    and an unbounded ``readStream`` — the broadcast-dictionary pattern a
+    production ingest pipeline uses for contamination filtering.
+
+    The train side accepts any frame (batch or streaming); ``eval_df``
+    must be batch (it is collected). Same shingle rule as
+    :func:`decontaminate` ``mode="ngram"``: identical survivors.
+
+    Returns surviving train rows, schema unchanged.
+    """
+    import numpy as np
+
+    rows = (
+        eval_df.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__sh")
+        )
+        .select(F.xxhash64(F.col("__sh")).alias("__h"))
+        .distinct()
+        .collect()
+    )
+    if len(rows) > max_eval_shingles:
+        raise ValueError(
+            f"eval set has {len(rows)} distinct {n}-gram shingles > "
+            f"max_eval_shingles={max_eval_shingles}; use the batch "
+            "decontaminate() join path for eval sets this large"
+        )
+    eval_sorted = np.sort(np.array([r["__h"] for r in rows], dtype=np.int64))
+
+    from polars_nexpresso_spark.functions._vectorized import (
+        pandas_member_overlap,
+    )
+
+    contaminated = pandas_member_overlap(eval_sorted)
+    doc_hashes = F.transform(
+        word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
+    )
+    return (
+        train.withColumn("__doc_shingles", doc_hashes)
+        .filter(~contaminated(F.col("__doc_shingles")))
+        .drop("__doc_shingles")
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from polars_nexpresso_spark.functions.dedup import (
     decontaminate,
+    decontaminate_stream,
     dedup_clusters,
     embedding_cosine_pairs,
     exact_dedup,
@@ -163,6 +164,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(F.col("doc_id") < 25)
     train = docs.filter(F.col("doc_id") >= 25)
     kept = decontaminate(train, eval_df, "text", "doc_id", mode="ngram", n=13)
+    return kept.select("doc_id")
+
+
+def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-safe decontaminator on the same split as
+    ``decontaminate`` — stateless broadcast-dictionary filtering, so the
+    batch application here shares the batch oracle verbatim (identical
+    survivors by construction)."""
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    eval_df = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+    kept = decontaminate_stream(train, eval_df, "text", n=13)
     return kept.select("doc_id")
 
 
@@ -529,6 +542,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
+    "decontaminate_stream": q_decontaminate_stream,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dedup": q_embedding_dedup,
@@ -890,6 +904,10 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     # exact oracles.
     "lsh_ann_topk": _lsh_ann_oracle(),
 }
+
+# The stream-safe decontaminator produces identical survivors to the batch
+# join path by construction — it shares the oracle verbatim.
+PIPELINE_ORACLE_SQL["decontaminate_stream"] = PIPELINE_ORACLE_SQL["decontaminate"]
 
 _ivf_oracle = _ivf_ann_oracle()
 if _ivf_oracle is not None:

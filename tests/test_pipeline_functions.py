@@ -604,3 +604,84 @@ def test_lsh_multiprobe_exhaustive_equals_exact(spark):
         ).collect()
     }
     assert len(narrow & exact) <= len(exhaustive & exact)
+
+
+def test_decontaminate_stream_matches_batch_join_path(spark):
+    """The stateless dictionary filter keeps exactly the docs the batch
+    semi/anti-join path keeps."""
+    from polars_nexpresso_spark.functions.dedup import (
+        decontaminate,
+        decontaminate_stream,
+    )
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    eval_df = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+    batch_ids = {
+        r["doc_id"]
+        for r in decontaminate(
+            train, eval_df, "text", "doc_id", mode="ngram", n=13
+        ).select("doc_id").collect()
+    }
+    stream_ids = {
+        r["doc_id"]
+        for r in decontaminate_stream(train, eval_df, "text", n=13)
+        .select("doc_id")
+        .collect()
+    }
+    assert stream_ids == batch_ids
+    assert len(stream_ids) < train.count()  # the filter actually bound
+
+
+def test_decontaminate_stream_on_actual_stream(spark):
+    """End-to-end on a real readStream: availableNow drain keeps exactly
+    the batch survivors — no state, no watermark needed."""
+    import shutil
+    import tempfile
+
+    from polars_nexpresso_spark.functions.dedup import decontaminate_stream
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    eval_df = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+
+    tmp = tempfile.mkdtemp(prefix="pns_decon_stream_")
+    try:
+        train.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+        static = spark.read.parquet(f"{tmp}/in")
+        expected = {
+            r["doc_id"]
+            for r in decontaminate_stream(static, eval_df, "text", n=13)
+            .select("doc_id")
+            .collect()
+        }
+        stream = spark.readStream.schema(static.schema).parquet(f"{tmp}/in")
+        kept = decontaminate_stream(stream, eval_df, "text", n=13)
+        assert kept.isStreaming
+        q = (
+            kept.select("doc_id")
+            .writeStream.format("memory")
+            .queryName("decon_stream_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"] for r in spark.table("decon_stream_out").collect()}
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_decontaminate_stream_eval_size_guard(spark):
+    import pytest
+
+    from polars_nexpresso_spark.functions.dedup import decontaminate_stream
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40)))], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="max_eval_shingles"):
+        decontaminate_stream(df, df, "text", n=3, max_eval_shingles=5)
