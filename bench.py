@@ -352,6 +352,12 @@ def main() -> None:
 
     bench("cap_per_source", lambda: force(q_cap_per_source(spark, sf_dir)))
     bench("vocab_topk", lambda: force(q_vocab_topk(spark, sf_dir)))
+    from polars_nexpresso_spark.pipeline_queries import q_quality_percentiles
+
+    bench(
+        "quality_percentiles",
+        lambda: force(q_quality_percentiles(spark, sf_dir)),
+    )
     bench("tfidf_keywords", lambda: force(q_tfidf_keywords(spark, sf_dir)))
     bench("label_centroids", lambda: force(q_label_centroids(spark, sf_dir)))
 

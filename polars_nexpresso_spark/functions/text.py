@@ -385,3 +385,37 @@ def tfidf_keywords(df, text_col: str, id_col: str, *, top_n: int = 3):
         .filter(F.col("rank") <= top_n)
         .select(F.col("__id").alias(id_col), "token", "tfidf", "rank")
     )
+
+
+def group_percentiles(
+    df,
+    value_col,
+    group_col: str,
+    *,
+    ps: tuple = (0.5, 0.9, 0.99),
+    approx: bool = False,
+    accuracy: int = 10000,
+):
+    """Per-group percentiles of a numeric column — the corpus
+    quality-monitoring shape (e.g. token-count distribution per language).
+
+    ``approx=False`` (default) uses Spark's exact ``percentile`` (linear
+    interpolation, matches SQL ``quantile_cont``) — a sort-based
+    aggregation, fine up to ~10⁸ rows per group. ``approx=True`` switches
+    to ``approx_percentile`` (one-pass mergeable sketch, the 100 TB path);
+    results then carry sketch error and are NOT oracle-exact by design.
+
+    Returns ``(group, p_<XX> ...)`` with values rounded to 4 decimals.
+    """
+    fn = (
+        (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(accuracy)))
+        if approx
+        else (lambda c, p: F.percentile(c, F.lit(p)))
+    )
+    aggs = [
+        F.round(
+            fn(F.col(value_col).cast("double"), p).cast("double"), 4
+        ).alias(f"p_{str(p).replace('0.', '').ljust(2, '0')}")
+        for p in ps
+    ]
+    return df.groupBy(F.col(group_col).alias("group")).agg(*aggs)

@@ -312,6 +312,20 @@ def q_training_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select("doc_id")
 
 
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution per language: exact p50/p90/p99 (linear
+    interpolation — matches SQL quantile_cont). The approx=True sketch
+    mode is the 100 TB path (one-pass, mergeable) and is deliberately NOT
+    the oracle-checked flavor."""
+    from polars_nexpresso_spark.functions.text import group_percentiles
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    with_counts = docs.select(
+        F.col("lang"), token_count(F.col("text")).alias("n_tokens")
+    )
+    return group_percentiles(with_counts, "n_tokens", "lang")
+
+
 def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token histogram: 50 most frequent tokens, deterministic
     (count desc, token asc) tie-break."""
@@ -551,6 +565,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_features": q_multimodal_features,
+    "quality_percentiles": q_quality_percentiles,
     "vocab_topk": q_vocab_topk,
     "tfidf_keywords": q_tfidf_keywords,
     "label_centroids": q_label_centroids,
@@ -732,6 +747,17 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    # Spark's exact percentile and DuckDB's quantile_cont share the same
+    # linear-interpolation definition; rounding to 4 decimals closes the
+    # last-ulp gap from differing summation orders.
+    "quality_percentiles": f"""
+        SELECT lang AS group,
+               ROUND(quantile_cont(n_tokens, 0.5), 4) AS p_50,
+               ROUND(quantile_cont(n_tokens, 0.9), 4) AS p_90,
+               ROUND(quantile_cont(n_tokens, 0.99), 4) AS p_99
+        FROM (SELECT lang, len({_TOKS})::DOUBLE AS n_tokens FROM documents)
+        GROUP BY lang
     """,
     "vocab_topk": f"""
         SELECT token, c AS count, rank FROM (

@@ -90,3 +90,28 @@ def test_label_centroids_single_aggregation_plan(spark):
     # the only Generate (posexplode of the ≤labels-sized means) sits ABOVE
     # the aggregation in the plan tree (earlier in the printed string)
     assert gen_pos == -1 or gen_pos < agg_pos
+
+
+def test_group_percentiles_exact_interpolation(spark):
+    from polars_nexpresso_spark.functions.text import group_percentiles
+
+    rows = [("a", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]] + [("b", 100)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        r["group"]: (r["p_50"], r["p_90"], r["p_99"])
+        for r in group_percentiles(df, "v", "grp").collect()
+    }
+    # linear interpolation: p50 of 1..10 = 5.5; p90 = 9.1; p99 = 9.91
+    assert got["a"] == (5.5, 9.1, 9.91)
+    assert got["b"] == (100.0, 100.0, 100.0)
+
+
+def test_group_percentiles_approx_mode_close(spark):
+    from polars_nexpresso_spark.functions.text import group_percentiles
+
+    rows = [("a", float(v)) for v in range(10000)]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    exact = group_percentiles(df, "v", "grp").collect()[0]
+    approx = group_percentiles(df, "v", "grp", approx=True).collect()[0]
+    for c in ("p_50", "p_90", "p_99"):
+        assert abs(exact[c] - approx[c]) / max(exact[c], 1.0) < 0.02
