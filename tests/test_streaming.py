@@ -424,3 +424,72 @@ def test_merge_topk_kernel():
     # nulls sort last
     st, adm = merge_topk([], [(1, None), (2, 0.1)], score_idx=1, k=1)
     assert st == [(2, 0.1)] and adm == [(2, 0.1)]
+
+
+def test_streaming_ingest_pipeline_composition(spark):
+    """The streaming training-data ingest shape, composed end-to-end on a
+    real readStream: stateless decontamination (broadcast dictionary) →
+    map-side quality gate (token count + repetition ratio) → cross-batch
+    stateful exact dedup — one streaming plan, availableNow drain.
+
+    The batch replica of the same composition (same operators, batch
+    frames) must produce the same kept set, modulo dedup's arbitrary-but-
+    single representative per fingerprint: fingerprint SETS must match."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.dedup import decontaminate_stream
+    from polars_nexpresso_spark.functions.text import (
+        doc_fingerprint,
+        token_count,
+    )
+    from polars_nexpresso_spark.sources.io import read_table
+    from polars_nexpresso_spark.streaming.stateful import streaming_exact_dedup
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    eval_df = docs.filter(F.col("doc_id") < 25)
+
+    tmp = tempfile.mkdtemp(prefix="pns_ingest_")
+    try:
+        docs.filter(F.col("doc_id") >= 25).repartition(3).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/in")
+        static = spark.read.parquet(f"{tmp}/in")
+
+        def pipeline(frame):
+            cleaned = decontaminate_stream(frame, eval_df, "text", n=13)
+            gated = cleaned.filter(token_count(F.col("text")) >= 10)
+            fp = gated.withColumn(
+                "fingerprint", doc_fingerprint(F.col("text"))
+            )
+            return streaming_exact_dedup(fp, fingerprint_col="fingerprint")
+
+        # batch replica: same stages, dedup emulated by distinct fingerprint
+        cleaned_b = decontaminate_stream(static, eval_df, "text", n=13)
+        gated_b = cleaned_b.filter(token_count(F.col("text")) >= 10)
+        expected_fps = {
+            r["fp"]
+            for r in gated_b.select(
+                doc_fingerprint(F.col("text")).alias("fp")
+            ).distinct().collect()
+        }
+
+        stream = spark.readStream.schema(static.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(f"{tmp}/in")
+        kept = pipeline(stream)
+        assert kept.isStreaming
+        q = (
+            kept.writeStream.format("memory")
+            .queryName("ingest_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("ingest_out")
+        got_fps = {r["fingerprint"] for r in got.collect()}
+        assert got_fps == expected_fps
+        # exactly one survivor per fingerprint
+        assert got.count() == len(expected_fps)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
