@@ -362,6 +362,12 @@ def tfidf_keywords(df, text_col: str, id_col: str, *, top_n: int = 3):
         .groupBy("__id", "token")
         .agg(F.count("*").alias("__tf"))
     )
+    # pairs feeds both the document-frequency agg and the scoring join, so
+    # its explode+agg subtree evaluates twice — measured at sf0.1, caching
+    # it is a net LOSS (1.64 s vs 1.45 s: materializing the pair table
+    # costs more than re-running the cheap token explode), unlike the
+    # minhash/simhash blocking tables where the recomputed pipeline is the
+    # expensive half. Left uncached on evidence.
     dfreq = pairs.groupBy("token").agg(F.count("*").alias("__df"))
     n_docs = df.select(F.count("*").alias("__n"))
     scored = (
