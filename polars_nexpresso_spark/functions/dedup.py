@@ -627,7 +627,14 @@ def decontaminate_stream(
         pandas_member_overlap,
     )
 
-    contaminated = pandas_member_overlap(eval_sorted)
+    # asNondeterministic is a PLAN pin, not a semantic statement (the probe
+    # is pure): a deterministic predicate gets pushed below any upstream
+    # repartition, which (a) inlines the expensive shingle expression into
+    # a pre-exchange Filter that re-evaluates per reference and (b) on a
+    # single-row-group input runs it on ONE task. Pinned above the
+    # exchange: evaluated once, on all cores. Measured at sf0.1:
+    # 0.98 s vs 6.0 s.
+    contaminated = pandas_member_overlap(eval_sorted).asNondeterministic()
     doc_hashes = F.transform(
         word_ngrams(F.col(text_col), n), lambda s: F.xxhash64(s)
     )
