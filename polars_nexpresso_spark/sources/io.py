@@ -147,6 +147,14 @@ def spread(df: DataFrame) -> DataFrame:
     ``defaultParallelism``, a round-robin repartition (tiny shuffle — the
     input is small by definition) restores parallelism. At real scale the
     scan already has more splits than cores and this is an exact no-op.
+
+    Pitfall: Catalyst pushes DETERMINISTIC filters back below this
+    exchange — an expensive predicate applied after ``spread`` lands in a
+    pre-exchange Filter (one task again, and its expression re-evaluates
+    once per reference). When a costly predicate must run on the spread
+    side, pin it above the exchange by marking its UDF
+    ``asNondeterministic()`` — a plan pin, not a semantics change (see
+    ``dedup.decontaminate_stream``).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
