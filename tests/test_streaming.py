@@ -493,3 +493,40 @@ def test_streaming_ingest_pipeline_composition(spark):
         assert got.count() == len(expected_fps)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_events_ts_dtype_branch_handles_both_generations(spark, tmp_path):
+    """The testdata's events.ts has shipped both as long epoch-nanos (the
+    nanosAsLong read of TIMESTAMP(NANOS)) and as timestamp[us]; the dtype
+    branch in queries._events_with_event_time must normalize either
+    generation to the SAME instants."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=90), 7, "view", 2.0, "{}"),
+    ]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    micros = spark.createDataFrame(rows, cols)
+    nanos = micros.withColumn("ts", F.unix_micros(F.col("ts")) * 1000)
+    assert dict(nanos.dtypes)["ts"] == "bigint"
+
+    def branch(ev):
+        if dict(ev.dtypes)["ts"] == "bigint":
+            out = ev.withColumn(
+                "ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        else:
+            out = ev.withColumn("ts_ts", F.col("ts").cast("timestamp"))
+        return {
+            r["event_id"]: r["us"]
+            for r in out.select(
+                "event_id", F.unix_micros("ts_ts").alias("us")
+            ).collect()
+        }
+
+    got_micros = branch(micros)
+    got_nanos = branch(nanos)
+    assert got_micros == got_nanos
+    assert got_nanos[2] - got_nanos[1] == 90 * 60 * 1_000_000
