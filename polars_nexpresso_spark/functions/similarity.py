@@ -569,31 +569,47 @@ def label_centroids(
     vec_col: str = "embedding",
     label_col: str = "label",
     dim: int,
+    max_expr_dims: int = 1024,
 ) -> DataFrame:
     """Per-label embedding centroid (element-wise mean), one output row per
     ``(label, dim_idx)`` — the IVF-training / dataset-cartography building
     block.
 
-    Shape at scale: ``dim`` column-indexed ``sum`` aggregates plus a count
-    in ONE hash aggregation — partial aggregation happens map-side, so the
-    shuffle carries ``n_labels × (dim + 1)`` doubles, not the corpus. The
-    alternative (posexplode → groupBy(label, idx)) shuffles ``rows × dim``
-    exploded rows; this form never materializes them. The means are
-    posexploded to rows only AFTER aggregation (output is tiny by then).
+    Shape at scale: up to ``max_expr_dims`` dimensions, ``dim``
+    column-indexed ``sum`` aggregates plus a count in ONE hash aggregation
+    — partial aggregation happens map-side, so the shuffle carries
+    ``n_labels × (dim + 1)`` doubles, not the corpus, and nothing is ever
+    exploded. Beyond that (e.g. 4096-dim model embeddings) a plan with
+    thousands of aggregate expressions bloats analysis/codegen, so the
+    implementation switches to posexplode → groupBy(label, dim) — more
+    shuffle volume (rows × dim exploded doubles, still with map-side
+    partial aggregation) but a constant-size plan. Results are identical;
+    pinned by ``tests/test_corpus_stats.py``.
 
     Rounded to 6 decimals as part of the contract (summation order differs
     between engines).
     """
-    sums = df.groupBy(F.col(label_col).alias("label")).agg(
-        F.count("*").alias("__n"),
-        *[
-            F.sum(F.col(vec_col)[i].cast("double")).alias(f"__s{i}")
-            for i in range(dim)
-        ],
+    if dim <= max_expr_dims:
+        sums = df.groupBy(F.col(label_col).alias("label")).agg(
+            F.count("*").alias("__n"),
+            *[
+                F.sum(F.col(vec_col)[i].cast("double")).alias(f"__s{i}")
+                for i in range(dim)
+            ],
+        )
+        means = F.array(
+            *[F.round(F.col(f"__s{i}") / F.col("__n"), 6) for i in range(dim)]
+        )
+        return sums.select(
+            "label", F.posexplode(means).alias("dim", "centroid")
+        ).select("label", F.col("dim").cast("bigint").alias("dim"), "centroid")
+
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "__v"),
     )
-    means = F.array(
-        *[F.round(F.col(f"__s{i}") / F.col("__n"), 6) for i in range(dim)]
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("__v").cast("double")), 6).alias("centroid"))
+        .select("label", F.col("dim").cast("bigint").alias("dim"), "centroid")
     )
-    return sums.select(
-        "label", F.posexplode(means).alias("dim", "centroid")
-    ).select("label", F.col("dim").cast("bigint").alias("dim"), "centroid")

@@ -115,3 +115,26 @@ def test_group_percentiles_approx_mode_close(spark):
     approx = group_percentiles(df, "v", "grp", approx=True).collect()[0]
     for c in ("p_50", "p_90", "p_99"):
         assert abs(exact[c] - approx[c]) / max(exact[c], 1.0) < 0.02
+
+
+def test_label_centroids_explode_fallback_matches_expr_path(spark):
+    """Above max_expr_dims the implementation switches to the exploded
+    aggregation; both paths must produce identical (label, dim, centroid)
+    rows."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i % 3, [float(rng.randint(0, 100)) / 4 for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    a = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in label_centroids(df, dim=8).collect()
+    }
+    b = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in label_centroids(df, dim=8, max_expr_dims=4).collect()
+    }
+    assert a == b
