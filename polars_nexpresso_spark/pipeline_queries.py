@@ -53,6 +53,22 @@ from polars_nexpresso_spark.sources.io import read_table, spread
 
 # DuckDB fragments shared by several oracles.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _oracle_dim() -> int:
+    """Embedding width of the correctness-gate testdata (the dimension the
+    data-derived oracles are generated for). Falls back to the historical
+    64 when the testdata is unreadable at import."""
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        return _embedding_dim(sf_dir)
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return 64
+
+
+
 _TOKS = f"string_split({_NORM}, ' ')"
 _SHINGLES = (
     "list_distinct(list_transform("
@@ -217,15 +233,28 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, queries, k=5)
 
 
+def _embedding_dim(sf_dir: str) -> int:
+    """Embedding width from parquet METADATA (pyarrow schema + one row
+    group's stats are not enough — read one cell) — a driver-side file
+    read, not a Spark job, so ANN plan construction stays action-free and
+    tracks any regeneration of the testdata."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first.column("embedding")[0])
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     # multiprobe=3 probes all buckets within Hamming distance 3 (93 of 256):
     # recall 0.62 vs 0.20 at distance 1 on the near-uniform synthetic
     # embeddings, at the same measured cost (bench records recall@k).
-    # dim is the testdata embedding width — passing it keeps plan
-    # construction action-free (no probe job).
-    return lsh_ann_topk(emb, queries, k=5, num_planes=8, multiprobe=3, dim=64)
+    # dim comes from parquet metadata — no Spark probe job.
+    return lsh_ann_topk(
+        emb, queries, k=5, num_planes=8, multiprobe=3, dim=_embedding_dim(sf_dir)
+    )
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,7 +377,7 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_nexpresso_spark.functions.similarity import label_centroids
 
     emb = spread(read_table(spark, sf_dir, "embeddings"))
-    return label_centroids(emb, dim=64)
+    return label_centroids(emb, dim=_embedding_dim(sf_dir))
 
 
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,7 +459,7 @@ def _lsh_ann_oracle() -> str:
     """
     from polars_nexpresso_spark.functions.similarity import _hyperplanes
 
-    planes = _hyperplanes(8, 64, 42)
+    planes = _hyperplanes(8, _ORACLE_DIM, 42)
     values = ",\n                 ".join(
         f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
         for i, p in enumerate(planes)
@@ -577,6 +606,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+_ORACLE_DIM = _oracle_dim()
 
 PIPELINE_ORACLE_SQL: dict[str, str] = {
     "text_stats": f"""
@@ -793,10 +823,10 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
           ) AS rank FROM scored
         ) WHERE rank <= 3
     """,
-    "label_centroids": """
+    "label_centroids": f"""
         SELECT label, i::BIGINT AS dim,
                ROUND(SUM(embedding[i + 1]::DOUBLE) / COUNT(*), 6) AS centroid
-        FROM embeddings, range(0, 64) r(i)
+        FROM embeddings, range(0, {_ORACLE_DIM}) r(i)
         GROUP BY label, i
     """,
     # The greedy per-shard walk replayed as a recursive CTE: same md5 shard
