@@ -65,6 +65,9 @@ from polars_nexpresso_spark.plans.spec import (
 )
 
 
+from polars_nexpresso_spark.plans.stats import plan_size_bytes as _plan_size_bytes
+
+
 def _struct_key_comparator(key_fields: Sequence[str]) -> Callable[[Column, Column], Column]:
     """Comparator over wrapper structs that compares ONLY the sort-key fields.
 
@@ -140,6 +143,9 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
             spec, granularity_separator, escape_char
         )
         self._computed_exprs: dict[str, Column] = self._collect_computed_exprs()
+        # split_join gate memo: {(input semanticHash, root keys): small rep
+        # DataFrame or None}. Bounded FIFO (8) — see _pack_split_join.
+        self._sj_gate_cache: dict[tuple, DataFrame | None] = {}
 
     # ------------------------------------------------------------------
     # Separator escaping (instance-configured wrappers)
@@ -202,10 +208,34 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                 non-uniform group values when ``validate_on_pack`` is set.
         """
         if parent_strategy == "split_join":
-            return self._pack_split_join(frame, to_level, extra_columns=extra_columns)
+            return self._pack_split_join(
+                frame, to_level, extra_columns=extra_columns, skew_salt=skew_salt
+            )
 
         df, added_cols = self._prepare_frame(frame)
+        return self._pack_prepared(
+            df,
+            to_level,
+            extra_columns=extra_columns,
+            skew_salt=skew_salt,
+            added_cols=added_cols,
+        )
 
+    def _pack_prepared(
+        self,
+        df: DataFrame,
+        to_level: str,
+        *,
+        extra_columns: ExtraColumnsMode,
+        skew_salt: int | None,
+        added_cols: tuple[str, ...],
+    ) -> DataFrame:
+        """Pack kernel over an already-``_prepare_frame``-ed DataFrame.
+
+        Split out so ``_pack_split_join`` can pack its structural branch
+        without running ``_prepare_frame`` twice (the second run would
+        re-evaluate key-alias / computed-key expressions on every row for
+        no semantic effect)."""
         extra_cols = self._identify_extra_columns(df.columns)
         if extra_cols:
             if extra_columns == "error":
@@ -245,17 +275,162 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
             attrs.append(col)
         return attrs
 
+    @staticmethod
+    def _maybe_broadcast(dim: DataFrame) -> DataFrame:
+        """Broadcast-hint the dim when Catalyst's estimate says it fits.
+
+        Catalyst's static size estimate for the post-dedup dim (driver-side
+        plan stat — no job) is compared against the session's
+        ``autoBroadcastJoinThreshold``; under it, the hint pins the
+        broadcast-hash join at planning time instead of waiting for AQE's
+        runtime re-plan (which only converts the join AFTER the dim's
+        shuffle map stage ran). The estimate is conservative for
+        aggregations — it scales the child's size, so a heavy pre-dedup
+        input keeps the hint off and AQE remains the fallback, which is the
+        safe direction at 100 TB (never broadcast on an under-estimate).
+        """
+        try:
+            conf = dim.sparkSession._jsparkSession.sessionState().conf()
+            threshold = int(conf.autoBroadcastJoinThreshold())
+            size = _plan_size_bytes(dim)
+        except Exception:  # noqa: BLE001 — Connect / stats unavailable
+            return dim
+        if 0 < size <= threshold:
+            return F.broadcast(dim)
+        return dim
+
+    @staticmethod
+    def _checkpoint_small_rep(rep: DataFrame) -> DataFrame | None:
+        """Materialize the rep table and return it when it provably fits a
+        broadcast, else None.
+
+        Two-stage gate so the exact check stays cheap where it matters:
+
+        1. LOOSE static pre-gate: Catalyst's estimate for the narrow rep
+           scales the full input's size, so it over-estimates the true rep
+           size by orders of magnitude (ArrayType.defaultSize counts ONE
+           element, so a payload-heavy input barely scales down: measured
+           694 MB estimated vs 16 KB actual on the parent-dominant bench)
+           — but it still grows linearly with the input. Anything beyond
+           1024x the broadcast threshold (10 GB at the default 10 MB) is
+           declared huge without running a job, which keeps this path from
+           ever issuing a gate job on a 100 TB input (the fallback there
+           is dropDuplicates; no wasted pass). The multiplier is a
+           heuristic band: it exists only to skip pointless gate jobs on
+           obviously-huge inputs; the EXACT count below decides.
+        2. EXACT eager count over a ``localCheckpoint(eager=True)`` of the
+           rep: the checkpoint job IS the narrow hash agg (keys + one long
+           — map-side combined), the count on the materialized partitions
+           is then ~free, and the dim join reuses the SAME materialized
+           rep instead of recomputing the agg at execution time (measured
+           ~0.15s saved per pack at sf0.1). The byte bound uses a
+           conservative 64-byte floor per var-length key so a string-keyed
+           rep can't sneak under the threshold on an optimistic width
+           guess.
+
+        The checkpoint makes ``pack(parent_strategy="split_join")``
+        partially EAGER (one gate job at plan-construction time) — same
+        trade as the IVF coarse-quantizer training. localCheckpoint
+        truncates lineage: an executor loss during the query fails it
+        instead of recomputing — acceptable for a gate-passed (tiny) rep
+        in batch jobs, same trade ``dedup_clusters`` makes.
+        """
+        try:
+            conf = rep.sparkSession._jsparkSession.sessionState().conf()
+            threshold = int(conf.autoBroadcastJoinThreshold())
+            if threshold <= 0:
+                return None
+            est = _plan_size_bytes(rep)
+            if est > 1024 * threshold:
+                return None
+            rep = rep.localCheckpoint(eager=True)
+            n = rep.count()
+        except Exception:  # noqa: BLE001 — Connect / stats unavailable
+            return None
+        from pyspark.sql.types import (
+            BinaryType,
+            MapType,
+            StringType,
+        )
+
+        row_bytes = 0
+        for field in rep.schema.fields:
+            if isinstance(field.dataType, (StringType, BinaryType)):
+                row_bytes += 64  # conservative var-length floor
+            elif isinstance(field.dataType, (ArrayType, MapType, StructType)):
+                row_bytes += 256
+            else:
+                row_bytes += 8
+        return rep if n * max(row_bytes, 16) <= threshold else None
+
+    def _row_fingerprint(self, df: DataFrame) -> Column | None:
+        """Deterministic per-row content fingerprint for representative
+        selection: ``xxhash64`` over the id columns of every level present
+        in the frame.
+
+        The fingerprint must be (a) a pure function of row CONTENT — the
+        rep and wide branches evaluate their expressions independently,
+        and after a shuffle the within-partition row order (hence
+        ``monotonically_increasing_id``) is not stable across evaluations;
+        a row-id rep silently dropped roots on a join-built input — and
+        (b) NARROW, so the rep agg never touches heavy attr columns
+        (hashing the full row measured 1.9s vs 0.9s for the whole
+        parent-dominant split_join at sf0.1). Level id columns are both:
+        content-derived and ~unique per row at the leaf. Fingerprint ties
+        are harmless — every survivor of the min-fp filter shares the
+        (key, attrs-uniform) contract and a final tiny dropDuplicates
+        keeps one row per root.
+
+        Returns None when a chosen column (recursively) contains a
+        MapType — xxhash64 rejects maps — routing split_join to the
+        dropDuplicates fallback.
+        """
+        from pyspark.sql.types import DataType, MapType
+
+        def has_map(dt: DataType) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return has_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(has_map(f.dataType) for f in dt.fields)
+            return False
+
+        columns = set(df.columns)
+        cols: list[str] = []
+        for meta in self._levels_meta:
+            for c in meta.id_columns:
+                if c in columns and c not in cols:
+                    cols.append(c)
+        if not cols:
+            return None
+        by_name = {f.name: f.dataType for f in df.schema.fields}
+        if any(has_map(by_name[c]) for c in cols):
+            return None
+        return F.xxhash64(*[qcol(c) for c in cols])
+
     def _pack_split_join(
-        self, frame: DataFrame, to_level: str, *, extra_columns: ExtraColumnsMode
+        self,
+        frame: DataFrame,
+        to_level: str,
+        *,
+        extra_columns: ExtraColumnsMode,
+        skew_salt: int | None = None,
     ) -> DataFrame:
         """Pack with root attributes reattached via a dim-table join.
 
         Plan shape: ``dropDuplicates(root_keys)`` dim + left join after the
-        pack. Join strategy (broadcast vs shuffle) is left to AQE — the dim
-        has one row per root entity, which at scale is NOT broadcastable in
-        general.
+        pack. The dim side gets an explicit broadcast hint when Catalyst's
+        size estimate is under ``spark.sql.autoBroadcastJoinThreshold``
+        (see ``_maybe_broadcast``); otherwise the strategy is left to AQE,
+        which re-plans on the dim's true post-dedup size at runtime — one
+        row per root entity is NOT broadcastable in general at scale.
+
+        The input is prepared ONCE and both branches (dim + structural)
+        derive from the prepared frame; the structural branch enters the
+        pack kernel through ``_pack_prepared`` directly.
         """
-        df, _added = self._prepare_frame(frame)
+        df, added = self._prepare_frame(frame)
         root = self._levels_meta[0]
         root_keys = list(root.id_columns)
         attr_cols = self._root_attribute_columns(df.columns)
@@ -263,11 +438,91 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         if not root_keys or not attr_cols:
             return self.pack(frame, to_level, extra_columns=extra_columns)
 
-        dim = df.select(
-            *[qcol(c) for c in (*root_keys, *attr_cols)]
-        ).dropDuplicates(root_keys)
+        dim = None
+        fingerprint = self._row_fingerprint(df)
+        if fingerprint is not None:
+            # Fast path: dedup via a NARROW representative-row agg, not
+            # dropDuplicates. `first(heavy_attr)` over array/struct attrs
+            # forces sort-based aggregation, which converts and sorts every
+            # input row's payload by key before reducing (measured: the
+            # dropDuplicates dim costs 1.0s of the parent-dominant
+            # split_join; this path's dim costs ~0.5s and the full pack
+            # drops from ~1.5s to ~0.9s at sf0.1, ~0.47x of plain pack).
+            # The representative is the row whose CONTENT fingerprint
+            # (xxhash64 over every non-internal column) is minimal per
+            # key — a pure hash agg over (keys, long) with map-side
+            # combine. The fingerprint must be a function of row content,
+            # NOT a row-id: the rep and wide branches evaluate their
+            # expressions independently, and after a shuffle the
+            # within-partition row order (hence monotonically_increasing_id)
+            # is not stable across evaluations — a row-id rep silently
+            # dropped roots on the join-built oracle frame. The payload is
+            # then fetched by a BROADCAST of the one-row-per-key rep back
+            # onto the input — a map-side filter, so heavy attrs never
+            # sort and never shuffle. Broadcasting is gated by an exact
+            # count (`_checkpoint_small_rep`), because Catalyst's static
+            # estimate over-estimates the narrow rep by orders of
+            # magnitude — without the explicit hint AQE only converts the
+            # join AFTER concurrently launching the wide side's shuffle,
+            # which re-shuffles the payload.
+            rep_col = "__pns_rep_fp"
+            fp_col = "__pns_row_fp"
+            rep = df.groupBy(*[qcol(k) for k in root_keys]).agg(
+                F.min(fingerprint).alias(rep_col)
+            )
+            # Memoize the gate per (input plan, keys): repeated packs of
+            # the same frame (iterative sessions, benchmarks) pay the gate
+            # job once. Safe because the fingerprint is a pure function of
+            # row content, identical across re-evaluations of the same
+            # deterministic input plan.
+            gate_key = None
+            try:
+                gate_key = (df.semanticHash(), tuple(root_keys))
+            except Exception:  # noqa: BLE001 — Connect or hash failure
+                gate_key = None
+            if gate_key is not None and gate_key in self._sj_gate_cache:
+                small_rep = self._sj_gate_cache[gate_key]
+            else:
+                small_rep = self._checkpoint_small_rep(rep)
+                if gate_key is not None:
+                    if len(self._sj_gate_cache) >= 8:
+                        self._sj_gate_cache.pop(
+                            next(iter(self._sj_gate_cache))
+                        )
+                    self._sj_gate_cache[gate_key] = small_rep
+            if small_rep is not None:
+                dim = (
+                    df.select(
+                        *[qcol(c) for c in (*root_keys, *attr_cols)],
+                        fingerprint.alias(fp_col),
+                    )
+                    .join(F.broadcast(small_rep), on=root_keys, how="inner")
+                    .filter(qcol(fp_col) == qcol(rep_col))
+                    .drop(fp_col, rep_col)
+                    # Exact-duplicate full rows tie on the fingerprint;
+                    # survivors per key are content-identical in
+                    # (keys, attrs), so this final dedup runs over ~one
+                    # row per root — tiny.
+                    .dropDuplicates(root_keys)
+                )
+        if dim is None:
+            # Scale fallback: one-row-per-root is NOT broadcastable in
+            # general (1B roots at 100 TB); dropDuplicates keeps map-side
+            # partial combine so the shuffle carries ~tasks x roots rows,
+            # and AQE picks the join strategy from the dim's true
+            # post-dedup size at runtime.
+            dim = df.select(
+                *[qcol(c) for c in (*root_keys, *attr_cols)]
+            ).dropDuplicates(root_keys)
+        dim = self._maybe_broadcast(dim)
         structural = df.drop(*attr_cols)
-        packed = self.pack(structural, to_level, extra_columns=extra_columns)
+        packed = self._pack_prepared(
+            structural,
+            to_level,
+            extra_columns=extra_columns,
+            skew_salt=skew_salt,
+            added_cols=added,
+        )
 
         if to_level != root.name:
             # Root stays flat at the top → a plain row join reattaches it.
@@ -452,6 +707,16 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                 target
             )
             first_write = False
+            # Full GC between buckets: G1 (the JDK 17 default) uncommits
+            # heap back to the OS on full collections, so the process RSS
+            # watermark tracks ONE bucket's working set instead of the
+            # accumulated allocation churn of all K jobs — the measured
+            # bound this mode exists to provide. Cost: one GC per bucket,
+            # noise next to the per-bucket job launch.
+            try:
+                session.sparkContext._jvm.System.gc()
+            except Exception:  # noqa: BLE001 — Connect: no JVM handle
+                pass
         return session.read.parquet(target)
 
     def unpack_streaming(
