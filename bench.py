@@ -37,6 +37,7 @@ from polars_nexpresso_spark.session import get_spark  # noqa: E402
 from polars_nexpresso_spark.sources.io import (  # noqa: E402
     flat_orders_lineitem,
     read_table,
+    spread,
 )
 
 
@@ -361,35 +362,66 @@ def main() -> None:
     bench("tfidf_keywords", lambda: force(q_tfidf_keywords(spark, sf_dir)))
     bench("label_centroids", lambda: force(q_label_centroids(spark, sf_dir)))
 
-    # --- ANN quality: recall@k of each approximate search vs the exact
-    # top-k on the same (query, k) — speed without recall is meaningless.
-    recall: dict[str, float] = {}
-    try:
-        exact_pairs = {
-            (r["query_id"], r["neighbor_id"])
-            for r in q_cosine_topk(spark, sf_dir).collect()
-        }
-        for name, q in (("lsh", q_lsh_ann_topk), ("ivf", q_ivf_ann_topk)):
-            approx = {
-                (r["query_id"], r["neighbor_id"])
-                for r in q(spark, sf_dir).collect()
-            }
-            recall[name] = round(len(approx & exact_pairs) / len(exact_pairs), 3)
-    except Exception as e:  # noqa: BLE001
-        errors["ann_recall"] = f"{type(e).__name__}: {e}"[:500]
+    # --- ANN quality/cost curve: recall@k of each approximate engine vs
+    # the exact top-k at TWO dial settings (the query-catalog default and a
+    # high-recall point), each timed — one point is a number, two points
+    # are the recall/cost curve an operator can actually steer. Reported on
+    # both the near-uniform sf corpus (ANN's worst case) and a clustered
+    # synthetic corpus (the shape real embedding models produce).
+    from polars_nexpresso_spark.functions.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
 
-    # Same dials on a CLUSTERED corpus (the shape real embedding models
-    # produce; the sf synthetic corpus is near-uniform — ANN's worst case).
-    # Both shapes are reported so the recall story is explicit.
-    recall_clustered: dict[str, float] = {}
+    ANN_DIALS = {
+        "lsh": {
+            "default": {"num_planes": 8, "multiprobe": 3},
+            "high": {"num_planes": 8, "multiprobe": 4},
+        },
+        "ivf": {
+            "default": {"n_centroids": 16, "n_probe": 6},
+            "high": {"n_centroids": 16, "n_probe": 8},
+        },
+    }
+
+    def _recall_curve(corpus, queries, dim) -> dict[str, dict]:
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(corpus, queries, k=5).collect()
+        }
+        out: dict[str, dict] = {}
+        for engine, dials in ANN_DIALS.items():
+            out[engine] = {}
+            for dial, params in dials.items():
+                start = time.perf_counter()
+                if engine == "lsh":
+                    res = lsh_ann_topk(corpus, queries, k=5, dim=dim, **params)
+                else:
+                    res = ivf_ann_topk(corpus, queries, k=5, **params)
+                approx = {
+                    (r["query_id"], r["neighbor_id"]) for r in res.collect()
+                }
+                out[engine][dial] = {
+                    **params,
+                    "recall_at_5": round(len(approx & exact) / len(exact), 3),
+                    "sec": round(time.perf_counter() - start, 3),
+                }
+        return out
+
+    ann_dial: dict[str, dict] = {}
+    try:
+        from polars_nexpresso_spark.pipeline_queries import _embedding_dim
+
+        emb = spread(read_table(spark, sf_dir, "embeddings")).cache()
+        emb.count()
+        uq = emb.filter(F.col("vec_id") < 10)
+        ann_dial["uniform"] = _recall_curve(emb, uq, _embedding_dim(sf_dir))
+        emb.unpersist()
+    except Exception as e:  # noqa: BLE001
+        errors["ann_dial_uniform"] = f"{type(e).__name__}: {e}"[:500]
     try:
         import numpy as np
-
-        from polars_nexpresso_spark.functions.similarity import (
-            cosine_topk,
-            ivf_ann_topk,
-            lsh_ann_topk,
-        )
 
         rng = np.random.default_rng(7)
         n_clusters, per_cluster, dim = 20, 100, 32
@@ -407,25 +439,110 @@ def main() -> None:
         ).repartition(8).cache()
         cdf.count()
         cq = cdf.filter(F.col("vec_id") < 10)
-        c_exact = {
-            (r["query_id"], r["neighbor_id"])
-            for r in cosine_topk(cdf, cq, k=5).collect()
-        }
-        c_lsh = {
-            (r["query_id"], r["neighbor_id"])
-            for r in lsh_ann_topk(
-                cdf, cq, k=5, num_planes=8, multiprobe=3, dim=dim
-            ).collect()
-        }
-        c_ivf = {
-            (r["query_id"], r["neighbor_id"])
-            for r in ivf_ann_topk(cdf, cq, k=5, n_centroids=16, n_probe=6).collect()
-        }
-        recall_clustered["lsh"] = round(len(c_lsh & c_exact) / len(c_exact), 3)
-        recall_clustered["ivf"] = round(len(c_ivf & c_exact) / len(c_exact), 3)
+        ann_dial["clustered"] = _recall_curve(cdf, cq, dim)
         cdf.unpersist()
     except Exception as e:  # noqa: BLE001
-        errors["ann_recall_clustered"] = f"{type(e).__name__}: {e}"[:500]
+        errors["ann_dial_clustered"] = f"{type(e).__name__}: {e}"[:500]
+
+    # --- Scale probe: measured wall-time scaling exponents. The plan-shape
+    # tests argue "survives 100x" structurally; this measures it. Two
+    # designs: (a) ORGANIC 10x — the driver generates each SF
+    # independently, so sf0.01 → sf0.1 is a true 10x corpus (used for the
+    # dedup ops, where self-similar copies would change the workload shape
+    # — every replica is a near-dup of its siblings — not just its size);
+    # (b) REPLICATED 4x — key-offset union of the cached flat frame (clean
+    # for pack: key spaces stay disjoint, list sizes unchanged). Big-side
+    # times reuse the warm medians measured above; small-side runs get one
+    # warmup + one timed run in-session. exponent = log(t_big/t_small) /
+    # log(factor); ≤1.0 means at-worst-linear scaling at this size.
+    scale_probe: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
+        import math
+
+        def _probe_exp(t_small, t_big, factor):
+            if not t_small or not t_big or t_small <= 0:
+                return None
+            return round(math.log(t_big / t_small) / math.log(factor), 2)
+
+        def _once(fn, warm: bool = True) -> float:
+            if warm:
+                fn()
+            start = time.perf_counter()
+            fn()
+            return round(time.perf_counter() - start, 3)
+
+        def _big_time(name: str, fn) -> float | None:
+            # The warm medians above are only warm when the main loop ran
+            # its warmup; under SPARK_GRAFT_WARMUP=0 (quick local runs)
+            # they include first-run codegen and would corrupt the
+            # exponent — re-measure warm in that case.
+            if warmup >= 1:
+                return timings.get(name)
+            try:
+                return _once(fn)
+            except Exception:  # noqa: BLE001
+                return None
+
+        t_big_pack = _big_time("pack", lambda: force(packer.pack(flat, "orders")))
+        smaller = {"sf0.1": "sf0.01", "sf0.01": "sf0.001"}.get(Path(sf_dir).name)
+        small_dir = str(Path(sf_dir).parent / smaller) if smaller else None
+        if small_dir and Path(small_dir).exists():
+            try:
+                flat_s = flat_orders_lineitem(spark, small_dir)
+                flat_s.cache()
+                flat_s.count()
+                t_s = _once(lambda: force(packer.pack(flat_s, "orders")))
+                flat_s.unpersist()
+                scale_probe["pack_organic_10x"] = {
+                    "t_small": t_s,
+                    "t_big": t_big_pack,
+                    "exponent": _probe_exp(t_s, t_big_pack, 10),
+                }
+            except Exception as e:  # noqa: BLE001
+                errors["scale_pack_organic"] = f"{type(e).__name__}: {e}"[:300]
+            for probe_name, q in (
+                ("minhash_lsh", q_minhash_lsh),
+                ("dedup_clusters", q_dedup_clusters),
+            ):
+                try:
+                    t_b = _big_time(
+                        probe_name, lambda: force(q(spark, sf_dir))
+                    )
+                    t_s = _once(lambda: force(q(spark, small_dir)))
+                    scale_probe[f"{probe_name}_organic_10x"] = {
+                        "t_small": t_s,
+                        "t_big": t_b,
+                        "exponent": _probe_exp(t_s, t_b, 10),
+                    }
+                except Exception as e:  # noqa: BLE001
+                    errors[f"scale_{probe_name}"] = f"{type(e).__name__}: {e}"[:300]
+        try:
+            parts = [flat]
+            for i in range(1, 4):
+                parts.append(
+                    flat.withColumn(
+                        "orders.o_orderkey",
+                        F.col("`orders.o_orderkey`") + F.lit(i * 1_000_000_000),
+                    )
+                )
+            flat4 = parts[0]
+            for p in parts[1:]:
+                flat4 = flat4.unionByName(p)
+            flat4 = flat4.cache()
+            flat4.count()
+            # Single-shot (no warmup): the pack operators are JIT-warm from
+            # the main loop; a warmup here would double a ~4x-sized run.
+            t4 = _once(
+                lambda: force(packer.pack(flat4, "orders")), warm=False
+            )
+            flat4.unpersist()
+            scale_probe["pack_replicated_4x"] = {
+                "t_small": t_big_pack,
+                "t_big": t4,
+                "exponent": _probe_exp(t_big_pack, t4, 4),
+            }
+        except Exception as e:  # noqa: BLE001
+            errors["scale_pack_replicated"] = f"{type(e).__name__}: {e}"[:300]
 
     flat.unpersist()
     # Headline total = the engine's fast paths. Deliberately-slower memory
@@ -449,23 +566,72 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — bench must still emit its line
             rss_isolated = {}
 
-    print(
-        json.dumps(
-            {
-                "metric": "pns_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "total_excludes": sorted(slow_modes & set(timings)),
-                "errors": errors,
-                "peak_rss_mb": peaks,
-                "peak_rss_mb_isolated": rss_isolated,
-                "ann_recall_at_k": recall,
-                "ann_recall_at_k_clustered": recall_clustered,
-                "sf": sf,
-            }
+    # The headline memory-bounding claim (BASELINE.md band 0.42-0.50x):
+    # the SAME one-shot pack completes under a hard 800 MB driver heap by
+    # spilling (fresh JVM per probe) — on Spark, peak memory is a
+    # configuration bound, not a function of data size. ratio =
+    # capped-heap peak RSS / uncapped pack peak RSS.
+    bounded_rss: dict = {}
+    if rss_isolated.get("pack") and rss_isolated.get("pack_heap_capped"):
+        bounded_rss = {
+            "criterion": (
+                "one-shot pack under spark.driver.memory=800m completes by "
+                "spilling; ratio = capped-heap RSS / uncapped pack RSS, "
+                "fresh JVM per probe (BASELINE.md band 0.42-0.50x)"
+            ),
+            "capped_heap_mb": rss_isolated["pack_heap_capped"],
+            "uncapped_pack_mb": rss_isolated["pack"],
+            "ratio": round(
+                rss_isolated["pack_heap_capped"] / rss_isolated["pack"], 2
+            ),
+        }
+        if rss_isolated.get("pack_streaming_bounded"):
+            bounded_rss["bucket_loop_mb"] = rss_isolated[
+                "pack_streaming_bounded"
+            ]
+            bounded_rss["bucket_loop_ratio"] = round(
+                rss_isolated["pack_streaming_bounded"] / rss_isolated["pack"],
+                2,
+            )
+
+    headline = {
+        "metric": "pns_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "total_excludes": sorted(slow_modes & set(timings)),
+        "bounded_rss_ratio": bounded_rss.get("ratio"),
+        "sf": sf,
+    }
+    details = {
+        "peak_rss_mb": peaks,
+        "peak_rss_mb_isolated": rss_isolated,
+        "errors": errors,
+        "scale_probe": scale_probe,
+        "ann_recall_at_k": ann_dial,
+        "bounded_rss": bounded_rss,
+    }
+    # Full-fidelity sidecar, committed with the round evidence.
+    try:
+        (REPO / "BENCH_DETAILS.json").write_text(
+            json.dumps({**headline, **details}, indent=2) + "\n"
         )
-    )
+    except OSError:
+        pass
+    # One JSON object per line, details first, compact headline LAST: the
+    # driver records a bounded tail of stdout, so whatever window it
+    # captures always ENDS with the parseable summary line (round 3's
+    # single giant line had its head — the headline fields — truncated).
+    for key in (
+        "peak_rss_mb",
+        "peak_rss_mb_isolated",
+        "errors",
+        "scale_probe",
+        "ann_recall_at_k",
+        "bounded_rss",
+    ):
+        print(json.dumps({"detail": key, key: details[key]}))
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -65,16 +65,52 @@ REFERENCE_RATIOS = [
 
 
 def main(path: str) -> int:
+    # bench.py emits one JSON object per line: detail lines first
+    # ({"detail": name, name: {...}}), the compact headline (with
+    # "queries") LAST — so a truncated tail capture still ends with the
+    # parseable summary. Accept that format, the sidecar
+    # BENCH_DETAILS.json (one object with everything), and the legacy
+    # single-line form.
+    headline: dict = {}
+    details: dict = {}
     with open(path) as f:
-        bench = json.loads(f.readline())
+        for line in f:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "queries" in rec:
+                headline = rec
+            if "detail" in rec:
+                details[rec["detail"]] = rec.get(rec["detail"], {})
+    if not headline:
+        with open(path) as f:
+            headline = json.load(f)
+    bench = headline
     times = bench["queries"]
-    rss = bench.get("peak_rss_mb", {})
+    rss = details.get("peak_rss_mb", bench.get("peak_rss_mb", {}))
     # Fresh-process watermarks (reference methodology) override the warm-JVM
     # ones where measured: a shared JVM's high-water mark retains cached
     # input and earlier ops, hiding any per-op memory bounding.
-    rss = {**rss, **bench.get("peak_rss_mb_isolated", {})}
+    rss = {
+        **rss,
+        **details.get(
+            "peak_rss_mb_isolated", bench.get("peak_rss_mb_isolated", {})
+        ),
+    }
 
     print(f"sf={bench.get('sf')}  total={bench.get('value')}s")
+    bounded = details.get("bounded_rss", bench.get("bounded_rss", {}))
+    if bounded.get("ratio") is not None:
+        print(
+            f"bounded-memory headline: capped-heap pack "
+            f"{bounded['capped_heap_mb']} MB / uncapped "
+            f"{bounded['uncapped_mb'] if 'uncapped_mb' in bounded else bounded.get('uncapped_pack_mb')} MB "
+            f"= {bounded['ratio']}x (ref band 0.42-0.50x)"
+        )
     print(f"{'ratio':<42}{'ours':>8}{'ref':>8}{'ours rss':>10}{'ref rss':>9}")
     worse = 0
     for label, num, den, ref_t, ref_r in REFERENCE_RATIOS:
