@@ -155,9 +155,37 @@ def spread(df: DataFrame) -> DataFrame:
     side, pin it above the exchange by marking its UDF
     ``asNondeterministic()`` — a plan pin, not a semantics change (see
     ``dedup.decontaminate_stream``).
+
+    The small/large decision is a DRIVER-SIDE plan stat (Catalyst's size
+    estimate vs ``target x maxPartitionBytes``), not ``.rdd``
+    .getNumPartitions() — touching ``.rdd`` forces physical planning + an
+    RDD DAG conversion per call, avoidable noise at production call
+    rates. An input estimated under ``target x maxPartitionBytes`` cannot
+    scan as ``target`` healthy splits, so it repartitions; anything
+    larger already splits at least that wide (parquet splits big files at
+    maxPartitionBytes). Intended for scan inputs: applying it to an
+    already-shuffled frame may add one (tiny) extra exchange where the
+    partition-count check would have skipped it.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        from polars_nexpresso_spark.plans.stats import plan_size_bytes
+
+        est = plan_size_bytes(df)
+        raw = str(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        ).lower().strip()
+        mult = 1
+        for suffix, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+            if raw.rstrip("b").endswith(suffix):
+                mult = m
+                break
+        digits = "".join(ch for ch in raw if ch.isdigit())
+        mpb = int(digits) * mult if digits else 134217728
+    except Exception:  # noqa: BLE001 — Connect/stats unavailable: be safe
+        return df.repartition(target)
+    if est < target * mpb:
         return df.repartition(target)
     return df
 
