@@ -12,7 +12,10 @@ Codec policy: **image decode is real when Pillow is importable**
 path raises a clear ``NotImplementedError`` and the deterministic fake
 implementation remains available — it derives output purely from the bytes
 so results are reproducible and oracle-checkable (``octet_length``-style
-features). Audio/video codecs (ffmpeg/soundfile) stay stubbed.
+features). **Audio decode is real for PCM WAV** via the stdlib ``wave``
+module (``decode_audio``) — sample rate / channels / duration / RMS;
+compressed audio (mp3/flac/ogg) and video would need soundfile/ffmpeg and
+raise the same clear ``NotImplementedError``.
 
 Scale notes: ``mapInPandas`` streams Arrow batches through one Python worker
 per core with no shuffle; blob columns should be pruned before any wide
@@ -28,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -263,6 +267,150 @@ def resize_images(
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
         gen, schema=RESIZE_SCHEMA
+    )
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+WAV_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def synth_wav(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    sample_rate: int = 8000,
+    n_base: int = 100,
+    n_mod: int = 50,
+) -> DataFrame:
+    """Deterministic 8-bit mono PCM WAV blob per row (test/demo source).
+
+    Sample ``i`` of row ``id`` is ``(id*31 + i*7) % 256`` over
+    ``n_base + id % n_mod`` samples — a closed form a SQL oracle can
+    replay, so the REAL ``decode_audio`` path (header parse + PCM
+    normalize + RMS) is hash-checkable end to end without audio files in
+    the testdata.
+    """
+
+    def gen(batches):
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = n_base + mid % n_mod
+                samples = bytes((mid * 31 + i * 7) % 256 for i in range(n))
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(1)
+                    w.setframerate(sample_rate)
+                    w.writeframes(samples)
+                rows.append((mid, buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=WAV_SCHEMA)
+
+
+def decode_audio(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    audio_format: str = "wav",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode audio blobs to
+    ``(media_id, sample_rate, n_channels, n_samples, duration_sec, rms)``.
+
+    Real path (default, ``audio_format="wav"``): stdlib ``wave`` parse of
+    PCM WAV — 8-bit unsigned / 16-bit / 32-bit signed PCM normalized to
+    [-1, 1], RMS over all channels. Compressed formats (mp3/flac/ogg)
+    need a codec library this environment does not ship — they raise
+    ``NotImplementedError`` (same policy as image decode without Pillow).
+    ``fake=True`` derives deterministic pseudo-audio features straight
+    from the bytes (8 kHz mono, one byte = one sample) for plumbing tests
+    with arbitrary blobs.
+
+    Corrupt/truncated WAV blobs raise inside the stage — corrupt media in
+    a pipeline should fail loudly, not silently skew features; pre-filter
+    with a try-decode stage if tolerance is wanted.
+    """
+    if not fake and audio_format.lower() != "wav":
+        _require_codec("audio")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = blob or b""
+                if fake:
+                    arr = np.frombuffer(blob, dtype=np.uint8)
+                    norm = (arr.astype(np.float64) - 128.0) / 128.0
+                    sr, ch, n = 8000, 1, int(arr.size)
+                else:
+                    with wave.open(io.BytesIO(blob)) as w:
+                        sr = w.getframerate()
+                        ch = w.getnchannels()
+                        n = w.getnframes()
+                        width = w.getsampwidth()
+                        frames = w.readframes(n)
+                    if width == 1:
+                        arr = np.frombuffer(frames, dtype=np.uint8)
+                        norm = (arr.astype(np.float64) - 128.0) / 128.0
+                    elif width == 2:
+                        arr = np.frombuffer(frames, dtype="<i2")
+                        norm = arr.astype(np.float64) / 32768.0
+                    elif width == 4:
+                        arr = np.frombuffer(frames, dtype="<i4")
+                        norm = arr.astype(np.float64) / 2147483648.0
+                    else:
+                        raise NotImplementedError(
+                            f"unsupported PCM sample width {width}"
+                        )
+                rms = float(np.sqrt(np.mean(norm**2))) if norm.size else 0.0
+                duration = (n / sr) if sr else 0.0
+                rows.append(
+                    (int(mid), sr, ch, n, round(duration, 6), round(rms, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_samples",
+                    "duration_sec",
+                    "rms",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        gen, schema=AUDIO_SCHEMA
     )
 
 

@@ -55,17 +55,21 @@ from polars_nexpresso_spark.sources.io import read_table, spread
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
-def _oracle_dim() -> int:
+def _oracle_dim() -> int | None:
     """Embedding width of the correctness-gate testdata (the dimension the
-    data-derived oracles are generated for). Falls back to the historical
-    64 when the testdata is unreadable at import."""
+    data-derived oracles are generated for). Returns None when the
+    testdata is unreadable at import — the dim-dependent oracles
+    (lsh_ann_topk, label_centroids) are then NOT registered and those
+    queries degrade to the driver's rows-only check, mirroring the IVF
+    oracle's pattern, instead of registering a wrong-dimension oracle
+    that would produce spurious correctness failures."""
     import os
 
     sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
         return _embedding_dim(sf_dir)
     except Exception:  # noqa: BLE001 — import must survive missing testdata
-        return 64
+        return None
 
 
 
@@ -413,6 +417,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "n_bytes")
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end: deterministic 8-bit PCM WAV blobs
+    (closed-form samples the oracle replays) → stdlib ``wave`` parse +
+    PCM normalize + RMS in an Arrow-batched ``mapInPandas`` stage."""
+    from polars_nexpresso_spark.functions.multimodal import (
+        decode_audio,
+        synth_wav,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    media = synth_wav(
+        docs.select(F.col("doc_id").alias("media_id")),
+        sample_rate=8000,
+        n_base=100,
+        n_mod=50,
+    )
+    return decode_audio(media, fake=False)
+
+
 def _lang_score_sql(lang: str) -> str:
     terms = []
     for m in LANG_PROFILES[lang]:
@@ -448,15 +471,19 @@ def _language_id_oracle() -> str:
     """
 
 
-def _lsh_ann_oracle() -> str:
+def _lsh_ann_oracle() -> str | None:
     """Exact DuckDB replica of ``q_lsh_ann_topk``.
 
     The hyperplanes are deterministic (md5-derived, seed 42 — see
     ``similarity._hyperplanes``), so they embed as literal VALUES; bucket
     assignment replays the same sign arithmetic, and the multiprobe set
     (all buckets within Hamming distance 3) collapses to a
-    ``bit_count(xor(...)) <= 3`` join predicate.
+    ``bit_count(xor(...)) <= 3`` join predicate. Returns None (rows-only
+    check) when the oracle-SF testdata is unreadable — a wrong-dimension
+    plane set would otherwise fail correctness spuriously.
     """
+    if _ORACLE_DIM is None:
+        return None
     from polars_nexpresso_spark.functions.similarity import _hyperplanes
 
     planes = _hyperplanes(8, _ORACLE_DIM, 42)
@@ -594,6 +621,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_features": q_multimodal_features,
+    "multimodal_audio": q_multimodal_audio,
     "quality_percentiles": q_quality_percentiles,
     "vocab_topk": q_vocab_topk,
     "tfidf_keywords": q_tfidf_keywords,
@@ -743,6 +771,29 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                octet_length(encode(text)) AS n_bytes
         FROM documents
     """,
+    # Replays synth_wav's closed-form 8-bit PCM samples and decode_audio's
+    # normalization ((b - 128) / 128, RMS over samples) — the REAL wave
+    # header parse + PCM math is hash-checked, not just row counts.
+    "multimodal_audio": """
+        WITH base AS (
+          SELECT doc_id AS media_id, 100 + doc_id % 50 AS n FROM documents
+        ),
+        s AS (
+          SELECT media_id, n,
+                 AVG(POW((((media_id * 31 + i * 7) % 256) - 128) / 128.0, 2))
+                   AS msq
+          FROM base, range(0, 149) r(i)  -- max n = 100 + 49; lateral
+          WHERE i < n                    -- range args unsupported here
+          GROUP BY media_id, n
+        )
+        SELECT media_id,
+               8000 AS sample_rate,
+               1 AS n_channels,
+               n::BIGINT AS n_samples,
+               ROUND(n / 8000.0, 6) AS duration_sec,
+               ROUND(SQRT(msq), 6) AS rms
+        FROM s
+    """,
     # The numpy fast path computes the identical exact result (pinned by
     # tests/test_ann_recall.py::test_cosine_topk_pandas_matches_expr), so it
     # shares the brute-force oracle verbatim.
@@ -822,12 +873,6 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
             PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC
           ) AS rank FROM scored
         ) WHERE rank <= 3
-    """,
-    "label_centroids": f"""
-        SELECT label, i::BIGINT AS dim,
-               ROUND(SUM(embedding[i + 1]::DOUBLE) / COUNT(*), 6) AS centroid
-        FROM embeddings, range(0, {_ORACLE_DIM}) r(i)
-        GROUP BY label, i
     """,
     # The greedy per-shard walk replayed as a recursive CTE: same md5 shard
     # arithmetic, same in-order overflow rule — integer-exact.
@@ -955,15 +1000,29 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         WHERE CAST(concat('0x', substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
               % 1000000 >= 100000
     """,
-    # Both ANN paths are fully deterministic (md5-derived hyperplanes,
-    # md5-ordered k-means sample), so even the "approximate" results have
-    # exact oracles.
-    "lsh_ann_topk": _lsh_ann_oracle(),
 }
 
 # The stream-safe decontaminator produces identical survivors to the batch
 # join path by construction — it shares the oracle verbatim.
 PIPELINE_ORACLE_SQL["decontaminate_stream"] = PIPELINE_ORACLE_SQL["decontaminate"]
+
+# Dim-dependent oracles register only when the oracle-SF testdata was
+# readable at import (_ORACLE_DIM / centroid derivation); otherwise the
+# driver's weaker rows-only check applies instead of a spurious failure.
+if _ORACLE_DIM is not None:
+    PIPELINE_ORACLE_SQL["label_centroids"] = f"""
+        SELECT label, i::BIGINT AS dim,
+               ROUND(SUM(embedding[i + 1]::DOUBLE) / COUNT(*), 6) AS centroid
+        FROM embeddings, range(0, {_ORACLE_DIM}) r(i)
+        GROUP BY label, i
+    """
+
+# Both ANN paths are fully deterministic (md5-derived hyperplanes,
+# md5-ordered k-means sample), so even the "approximate" results have
+# exact oracles.
+_lsh_oracle = _lsh_ann_oracle()
+if _lsh_oracle is not None:
+    PIPELINE_ORACLE_SQL["lsh_ann_topk"] = _lsh_oracle
 
 _ivf_oracle = _ivf_ann_oracle()
 if _ivf_oracle is not None:
