@@ -64,6 +64,12 @@ def pandas_member_overlap(sorted_values):
             return pd.Series([False] * len(arrs))
         out = []
         for hs in arrs:
+            if hs is None:
+                # NULL text → NULL shingle array: no overlap, matching the
+                # batch decontaminate path, whose explode() silently keeps
+                # null-text docs ("identical survivors" contract).
+                out.append(False)
+                continue
             a = np.asarray(hs, dtype=np.int64)
             if a.size == 0:
                 out.append(False)

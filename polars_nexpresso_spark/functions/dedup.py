@@ -36,6 +36,41 @@ from polars_nexpresso_spark.functions.text import (
     word_ngrams,
 )
 
+# Blocking tables persisted by the pair finders (minhash buckets, simhash
+# chunks, ngram shingles). A lazily-returned plan gives the library no
+# "last action" signal to unpersist on, so the caches are retained until
+# released. Identical re-plans are deduplicated by Spark's cache manager,
+# but DIFFERENT inputs in one long-lived session accumulate cached blocks
+# — call :func:`release_blocking_caches` between corpora (or
+# ``spark.catalog.clearCache()`` for everything).
+_BLOCKING_CACHES: list[DataFrame] = []
+
+
+def _persist_blocking(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _BLOCKING_CACHES.append(df)
+    return df
+
+
+def release_blocking_caches() -> int:
+    """Unpersist every blocking table cached by the pair finders in this
+    process and return how many were released.
+
+    Call between corpora in a long-lived session; safe while earlier
+    result DataFrames are still alive (Spark recomputes on next action).
+    """
+    released = 0
+    while _BLOCKING_CACHES:
+        df = _BLOCKING_CACHES.pop()
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    return released
+
 
 def exact_dedup(
     df: DataFrame, text_col: str, id_col: str
@@ -84,8 +119,8 @@ def ngram_jaccard_pairs(
     ``persist_shingles=True`` caches it (``MEMORY_AND_DISK``, spills) —
     worth it when the corpus scan is expensive or the df-cap is on; the
     cache is the tokenized corpus, so budget executor storage for roughly
-    input size. The caller owns no cleanup (the cache is dropped when the
-    returned frame's lineage is garbage-collected or the session ends).
+    input size. The cache is retained until released — in a long-lived
+    session over many corpora call :func:`release_blocking_caches`.
 
     Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``.
     """
@@ -107,9 +142,7 @@ def ngram_jaccard_pairs(
         exploded = exploded.join(hot, on="__shingle", how="left_anti")
 
     if persist_shingles:
-        from pyspark import StorageLevel
-
-        exploded = exploded.persist(StorageLevel.MEMORY_AND_DISK)
+        exploded = _persist_blocking(exploded)
 
     # Sizes AFTER the df-cap filter: numerator (shared counts) and
     # denominator (per-doc sizes) must agree on the same shingle universe.
@@ -278,9 +311,7 @@ def minhash_lsh_pairs(
         F.col("__id"), F.posexplode(band_hashes).alias("__band", "__bucket")
     )
     if persist_buckets:
-        from pyspark import StorageLevel
-
-        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        buckets = _persist_blocking(buckets)
 
     left = buckets.select(
         F.col("__id").alias("id_a"), "__band", "__bucket"
@@ -376,9 +407,7 @@ def simhash_pairs(
         F.posexplode(F.array(*chunk_exprs)).alias("__chunk", "__val"),
     )
     if persist_chunks:
-        from pyspark import StorageLevel
-
-        chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+        chunks = _persist_blocking(chunks)
 
     left = chunks.select(
         F.col("__id").alias("id_a"), F.col("__sim").alias("__sim_a"), "__chunk", "__val"

@@ -375,8 +375,13 @@ def _events_with_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type == "bigint":
+        # `div` is exact integer division. Float division (`/`) goes
+        # through double, whose 53-bit mantissa cannot represent epoch-ns
+        # (~1.7e18, ulp ≈ 256 ns) exactly — ns values that aren't
+        # multiples of ~512 could land one microsecond off and shift
+        # window/session boundaries.
         return ev.withColumn(
-            "ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return ev.withColumn("ts_ts", F.col("ts").cast("timestamp"))
 
@@ -738,7 +743,10 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
     """,
     # JSON field extraction mirrored with regexp arithmetic (avoids a
-    # dependency on DuckDB's json extension; the data is uniform integers).
+    # dependency on DuckDB's json extension). Tolerant of whitespace
+    # variants and negative values like from_json is, and TRY_CAST keeps a
+    # non-matching row NULL (from_json yields NULL there) instead of
+    # erroring the whole oracle on CAST('').
     "event_props_json": """
         SELECT event_type,
                COUNT(*) AS n_events,
@@ -748,7 +756,8 @@ ORACLE_SQL: dict[str, str] = {
                MAX(k) AS max_k
         FROM (
           SELECT event_type,
-                 CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+                 TRY_CAST(regexp_extract(props, '"k"\\s*:\\s*(-?[0-9]+)', 1)
+                          AS BIGINT) AS k
           FROM events
         )
         GROUP BY event_type

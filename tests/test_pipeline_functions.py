@@ -300,6 +300,25 @@ def test_minhash_matches_bruteforce(docs):
     assert (1, 4) in lsh
 
 
+def test_release_blocking_caches(docs):
+    """Pair-finder blocking caches are registered and releasable: after
+    materializing an LSH run, release_blocking_caches unpersists at least
+    that run's bucket table, and results recompute identically after."""
+    from polars_nexpresso_spark.functions.dedup import (
+        release_blocking_caches,
+    )
+
+    release_blocking_caches()  # drain whatever earlier tests registered
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=16, threshold=0.5
+    )
+    before = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert release_blocking_caches() >= 1
+    assert release_blocking_caches() == 0  # idempotent drain
+    after = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert after == before
+
+
 def test_simhash_pairs_identical(docs):
     pairs = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
@@ -411,6 +430,97 @@ def test_multimodal_real_decode_raises_without_pillow(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "media_id long, content binary")
     with pytest.raises(NotImplementedError):
         extract_features(df, fake=False)
+
+
+def _wav_bytes(samples, *, rate=16000, width=2, channels=1) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        fmt = {1: "B", 2: "<h", 4: "<i"}[width]
+        w.writeframes(b"".join(struct.pack(fmt, s) for s in samples))
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav_16bit(spark):
+    """Real stdlib-wave path: header fields and normalized RMS are exact
+    for a known 16-bit PCM signal (full-scale square wave → RMS 1.0)."""
+    import math
+
+    from polars_nexpresso_spark.functions.multimodal import decode_audio
+
+    square = [32767, -32768] * 50  # ~full-scale, RMS ≈ 1.0
+    half = [16384, -16384] * 50  # RMS = 0.5
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_wav_bytes(square, rate=16000))),
+            (2, bytearray(_wav_bytes(half, rate=8000))),
+        ],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r for r in decode_audio(df).collect()}
+    assert got[1]["sample_rate"] == 16000
+    assert got[1]["n_channels"] == 1
+    assert got[1]["n_samples"] == 100
+    assert got[1]["duration_sec"] == pytest.approx(100 / 16000)
+    exp_rms = math.sqrt((50 * (32767 / 32768) ** 2 + 50 * 1.0**2) / 100)
+    assert got[1]["rms"] == pytest.approx(exp_rms, abs=1e-6)
+    assert got[2]["rms"] == pytest.approx(0.5, abs=1e-6)
+    assert got[2]["duration_sec"] == pytest.approx(100 / 8000)
+
+
+def test_decode_audio_8bit_stereo(spark):
+    """8-bit unsigned PCM and multi-channel framing decode correctly."""
+    from polars_nexpresso_spark.functions.multimodal import decode_audio
+
+    # Stereo: L=255 (→ ~0.99), R=0 (→ -1.0) interleaved, 10 frames.
+    samples = [255, 0] * 10
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(samples, rate=4000, width=1, channels=2)))],
+        "media_id long, content binary",
+    )
+    row = decode_audio(df).collect()[0]
+    assert row["n_channels"] == 2
+    assert row["n_samples"] == 10  # frames, not interleaved samples
+    assert row["duration_sec"] == pytest.approx(10 / 4000)
+    import math
+
+    exp = math.sqrt(((127 / 128) ** 2 + 1.0) / 2)
+    assert row["rms"] == pytest.approx(exp, abs=1e-6)
+
+
+def test_decode_audio_codec_absent_raises(spark):
+    """Non-WAV formats still raise the documented NotImplementedError."""
+    from polars_nexpresso_spark.functions.multimodal import decode_audio
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ID3fakeheader"))], "media_id long, content binary"
+    )
+    with pytest.raises(NotImplementedError):
+        decode_audio(df, audio_format="mp3")
+
+
+def test_synth_wav_roundtrip_matches_closed_form(spark):
+    """synth_wav blobs decode (REAL wave path) to the closed-form counts
+    the SQL oracle replays."""
+    from polars_nexpresso_spark.functions.multimodal import (
+        decode_audio,
+        synth_wav,
+    )
+
+    ids = spark.createDataFrame([(7,), (12,)], "media_id long")
+    out = {
+        r["media_id"]: r
+        for r in decode_audio(synth_wav(ids), fake=False).collect()
+    }
+    assert out[7]["n_samples"] == 100 + 7 % 50
+    assert out[12]["n_samples"] == 100 + 12 % 50
+    assert all(r["sample_rate"] == 8000 for r in out.values())
 
 
 def _png_bytes(width: int, height: int, value: int) -> bytes:
@@ -632,6 +742,41 @@ def test_decontaminate_stream_matches_batch_join_path(spark):
     }
     assert stream_ids == batch_ids
     assert len(stream_ids) < train.count()  # the filter actually bound
+
+
+def test_decontaminate_stream_keeps_null_text_docs(spark):
+    """NULL text must survive like it does on the batch path (explode
+    silently keeps null-text docs) instead of crashing the vectorized
+    membership probe on np.asarray(None)."""
+    from polars_nexpresso_spark.functions.dedup import (
+        decontaminate,
+        decontaminate_stream,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(20)))], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(20))),  # contaminated
+            (2, None),  # null text — must survive, not crash
+            (3, "completely different words here all of them"),
+        ],
+        "doc_id long, text string",
+    )
+    stream_ids = {
+        r["doc_id"]
+        for r in decontaminate_stream(train, eval_df, "text", n=13)
+        .select("doc_id")
+        .collect()
+    }
+    batch_ids = {
+        r["doc_id"]
+        for r in decontaminate(
+            train, eval_df, "text", "doc_id", mode="ngram", n=13
+        ).select("doc_id").collect()
+    }
+    assert stream_ids == batch_ids == {2, 3}
 
 
 def test_decontaminate_stream_on_actual_stream(spark):

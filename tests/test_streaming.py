@@ -515,7 +515,7 @@ def test_events_ts_dtype_branch_handles_both_generations(spark, tmp_path):
     def branch(ev):
         if dict(ev.dtypes)["ts"] == "bigint":
             out = ev.withColumn(
-                "ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                "ts_ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
         else:
             out = ev.withColumn("ts_ts", F.col("ts").cast("timestamp"))
@@ -530,3 +530,18 @@ def test_events_ts_dtype_branch_handles_both_generations(spark, tmp_path):
     got_nanos = branch(nanos)
     assert got_micros == got_nanos
     assert got_nanos[2] - got_nanos[1] == 90 * 60 * 1_000_000
+
+
+def test_events_ns_branch_division_is_exact(spark):
+    """Epoch-ns values (~1.7e18) exceed double's 53-bit exact range
+    (ulp ≈ 256 ns), so the ns→us conversion must use integer division —
+    float division can land one microsecond off for ns values that are
+    not multiples of ~512."""
+    awkward_ns = 1_700_000_000_123_456_789  # not a multiple of 512
+    df = spark.createDataFrame(
+        [(1, awkward_ns, 7, "click", 1.0, "{}")],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    out = df.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    got = out.select(F.unix_micros("ts_ts").alias("us")).collect()[0]["us"]
+    assert got == awkward_ns // 1000
