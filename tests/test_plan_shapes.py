@@ -306,3 +306,47 @@ def test_pair_finder_blocking_tables_cached(spark):
     assert "InMemoryTableScan" in mh or "InMemoryRelation" in mh
     sh = plan(simhash_pairs(docs, "text", "doc_id"))
     assert "InMemoryTableScan" in sh or "InMemoryRelation" in sh
+
+
+def test_split_join_dim_branch_is_narrow_and_broadcast(spark):
+    """split_join's representative fetch must be the broadcast-rep shape:
+    the rep is a hash agg over (keys, fingerprint) — NOT a sort-based
+    first()/dropDuplicates over the payload — and both the rep fetch and
+    the final dim reattach join are broadcast-hash joins, so heavy root
+    attrs never sort and never shuffle."""
+    import pyspark.sql.functions as F
+
+    li = read_table(spark, SF, "lineitem")
+    from polars_nexpresso_spark import HierarchySpec, LevelSpec
+
+    sl_spec = HierarchySpec.from_levels(
+        LevelSpec(name="supplier", id_fields=["s_suppkey"]),
+        LevelSpec(name="lineitem", id_fields=["l_orderkey", "l_linenumber"]),
+    )
+    packer = HierarchicalPacker(sl_spec)
+    parent_dom = li.select(
+        li["l_suppkey"].alias("supplier.s_suppkey"),
+        F.array_repeat(li["l_suppkey"].cast("double"), 8).alias(
+            "supplier.s_payload"
+        ),
+        li["l_orderkey"].alias("supplier.lineitem.l_orderkey"),
+        li["l_linenumber"].alias("supplier.lineitem.l_linenumber"),
+    )
+    p = plan(
+        packer.pack(parent_dom, "lineitem", parent_strategy="split_join")
+    )
+    # Rep path taken: content fingerprint computed (xxhash64), the
+    # checkpointed rep reused as an ExistingRDD scan and BROADCAST into
+    # the payload fetch — a map-side filter join, so the payload is never
+    # shuffled or sorted at full cardinality. The only sort-based
+    # aggregation allowed is the tiny survivor dedup ABOVE that broadcast
+    # join (one row per root); a regression to dropDuplicates over the
+    # full input would lose the fingerprint/broadcast markers and add
+    # payload-wide sort aggs.
+    assert "xxhash64" in p
+    assert "__pns_rep_fp" in p
+    assert "Scan ExistingRDD" in p
+    assert "BroadcastHashJoin" in p
+    # formatted-mode explain mentions each op twice (tree + detail
+    # header), so 2 survivor-dedup aggs (partial + final) = 4 mentions.
+    assert p.count("SortAggregate") <= 4
