@@ -41,6 +41,7 @@ from polars_nexpresso_spark.structuring import (
     convert_spark_schema,
     unnest_all,
     unnest_rename,
+    validate_array_widths,
 )
 
 __version__ = "0.1.0"
@@ -77,4 +78,5 @@ __all__ = [
     "convert_spark_schema",
     "unnest_all",
     "unnest_rename",
+    "validate_array_widths",
 ]

@@ -53,3 +53,57 @@ def unnest_all(df: DataFrame, separator: str = ".") -> DataFrame:
             return df
         for col in struct_cols:
             df = unnest_rename(df, col, separator)
+
+
+def validate_array_widths(
+    df: DataFrame,
+    widths: dict[str, int],
+    *,
+    raise_on_violation: bool = True,
+) -> dict[str, int]:
+    """Enforce fixed-size-array widths (``pl.Array(T, n)`` parity).
+
+    Spark has no fixed-width array dtype — the reference's ``pl.Array``
+    fields map to plain ``ArrayType`` (SURVEY §1.2), making width a DATA
+    property rather than a schema property. This closes that loop: one
+    map-side aggregation pass counts, per column, the non-null rows whose
+    ``size()`` differs from the declared width. NULL arrays are not
+    violations (Polars fixed-size arrays are nullable as wholes too).
+
+    Returns ``{column: violation_count}`` for every checked column.
+    ``raise_on_violation`` (default) raises ``ValueError`` naming the
+    offending columns/counts when any count is nonzero.
+
+    Scale: single aggregation with partial (map-side) combine — one job,
+    no shuffle of row data, constant-size result.
+    """
+    from pyspark.sql import functions as F
+
+    missing = [c for c in widths if c not in df.columns]
+    if missing:
+        raise ValueError(f"Columns not in frame: {missing}")
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    not_arrays = [
+        c for c in widths if not isinstance(by_name[c], ArrayType)
+    ]
+    if not_arrays:
+        raise ValueError(
+            f"Columns are not arrays: "
+            f"{[(c, by_name[c].simpleString()) for c in not_arrays]}"
+        )
+    exprs = [
+        F.sum(
+            F.when(
+                qcol(col).isNotNull() & (F.size(qcol(col)) != width), 1
+            ).otherwise(0)
+        ).alias(col)
+        for col, width in widths.items()
+    ]
+    row = df.agg(*exprs).collect()[0]
+    counts = {col: int(row[col] or 0) for col in widths}
+    if raise_on_violation and any(counts.values()):
+        bad = {c: n for c, n in counts.items() if n}
+        raise ValueError(
+            f"Fixed-width array violations (column -> offending rows): {bad}"
+        )
+    return counts

@@ -63,3 +63,32 @@ def test_convert_spark_schema(nested_df):
     assert converted["meta"]["source"] == "string"
     assert converted["meta"]["detail"]["score"] == "double"
     assert converted["tags"] == ["string"]
+
+
+def test_validate_array_widths_pass_and_fail(spark):
+    from polars_nexpresso_spark.structuring import validate_array_widths
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0], [1, 2]),
+            (2, [4.0, 5.0, 6.0], None),  # NULL array is not a violation
+            (3, [7.0, 8.0], [3, 4, 5]),  # emb too short, ids too long
+        ],
+        "id long, emb array<double>, ids array<int>",
+    )
+    counts = validate_array_widths(
+        df, {"emb": 3, "ids": 2}, raise_on_violation=False
+    )
+    assert counts == {"emb": 1, "ids": 1}
+
+    ok = df.filter("id < 3")
+    assert validate_array_widths(ok, {"emb": 3}) == {"emb": 0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="violations"):
+        validate_array_widths(df, {"emb": 3})
+    with _pytest.raises(ValueError, match="not in frame"):
+        validate_array_widths(df, {"nope": 3})
+    with _pytest.raises(ValueError, match="not arrays"):
+        validate_array_widths(df, {"id": 3})
