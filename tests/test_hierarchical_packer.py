@@ -100,6 +100,37 @@ def test_pack_split_join_without_root_attrs_falls_back(packer, apartment_level_d
     assert_same_rows(aggregated, split_joined)
 
 
+def test_pack_split_join_unordered_packer(apartment_df_with_root_attrs):
+    """split_join with preserve_child_order=False (no internal row id):
+    the content-fingerprint rep path works without the row-id column and
+    the result matches the aggregate strategy."""
+    unordered = HierarchicalPacker(TEST_HIERARCHY, preserve_child_order=False)
+    aggregated = unordered.pack(apartment_df_with_root_attrs, "street")
+    split_joined = unordered.pack(
+        apartment_df_with_root_attrs, "street", parent_strategy="split_join"
+    )
+    assert sorted(aggregated.columns) == sorted(split_joined.columns)
+    assert aggregated.count() == split_joined.count()
+    # Root attrs reattached on every row (the round-4 row-id bug dropped
+    # some roots to null here).
+    assert (
+        split_joined.filter(qcol("country.name").isNull()).count() == 0
+    )
+
+
+def test_pack_split_join_with_skew_salt(packer, apartment_df_with_root_attrs):
+    """skew_salt reaches the structural pack under split_join (it was
+    silently dropped before round 4) and results still match."""
+    plain = packer.pack(apartment_df_with_root_attrs, "street")
+    salted = packer.pack(
+        apartment_df_with_root_attrs,
+        "street",
+        parent_strategy="split_join",
+        skew_salt=4,
+    )
+    assert_same_rows(plain, salted)
+
+
 def test_pack_handles_missing_country_code_alias(packer, apartment_level_df):
     df_no_code = apartment_level_df.drop("country.code")
     packed = packer.pack(df_no_code, "street")
