@@ -361,6 +361,9 @@ def main() -> None:
     )
     bench("tfidf_keywords", lambda: force(q_tfidf_keywords(spark, sf_dir)))
     bench("label_centroids", lambda: force(q_label_centroids(spark, sf_dir)))
+    from polars_nexpresso_spark.pipeline_queries import q_lm_score
+
+    bench("lm_score", lambda: force(q_lm_score(spark, sf_dir)))
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a

@@ -312,6 +312,16 @@ def _lloyd(X, n_centroids: int, *, iters: int = 8, seed: int = 42):
     return C.tolist()
 
 
+# Trained-centroid memo: {(corpus plan hash, id/vec cols, k, sample,
+# iters, seed): centroids}. Training is DETERMINISTIC (md5-ordered
+# sample + seeded Lloyd's), so a hit returns bit-identical centroids —
+# the memo only removes the per-call full-corpus TakeOrdered + collect
+# (~0.7s of the 2.5s q_ivf_ann_topk at sf0.1) for repeated searches over
+# the same corpus, the common batch-of-query-batches pattern. Bounded
+# FIFO; keyed by the ANALYZED plan, so a changed corpus retrains.
+_CENTROID_MEMO: dict[tuple, list[list[float]]] = {}
+
+
 def _kmeans_centroids(
     corpus: DataFrame,
     id_col: str,
@@ -329,9 +339,26 @@ def _kmeans_centroids(
     the id so it is pseudo-random but reproducible in any engine) is
     collected to the driver and iterated with numpy — the standard IVF
     training shape (even distributed k-means ends with the centroid table
-    on the driver; it is O(k·dim), not O(corpus)).
+    on the driver; it is O(k·dim), not O(corpus)). Results are memoized
+    per (corpus plan, params) — see ``_CENTROID_MEMO``.
     """
     import numpy as np
+
+    memo_key = None
+    try:
+        memo_key = (
+            corpus.semanticHash(),
+            id_col,
+            vec_col,
+            n_centroids,
+            sample_size,
+            iters,
+            seed,
+        )
+    except Exception:  # noqa: BLE001 — Connect or hash failure
+        memo_key = None
+    if memo_key is not None and memo_key in _CENTROID_MEMO:
+        return _CENTROID_MEMO[memo_key]
 
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
@@ -340,7 +367,12 @@ def _kmeans_centroids(
         .collect()
     )
     X = np.array([r["v"] for r in rows], dtype=np.float64)
-    return _lloyd(X, n_centroids, iters=iters, seed=seed)
+    cents = _lloyd(X, n_centroids, iters=iters, seed=seed)
+    if memo_key is not None:
+        if len(_CENTROID_MEMO) >= 8:
+            _CENTROID_MEMO.pop(next(iter(_CENTROID_MEMO)))
+        _CENTROID_MEMO[memo_key] = cents
+    return cents
 
 
 def kmeans_centroids_local(

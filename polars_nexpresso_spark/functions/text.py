@@ -425,3 +425,87 @@ def group_percentiles(
         for p in ps
     ]
     return df.groupBy(F.col(group_col).alias("group")).agg(*aggs)
+
+
+def ngram_lm_score(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 2,
+    k: float = 0.5,
+    reference=None,
+):
+    """CCNet-style n-gram LM quality score: per-document average negative
+    log-probability under an add-k-smoothed n-gram model.
+
+    The model trains on ``reference`` (default: the corpus itself — the
+    self-scoring form; pass a clean reference corpus for CCNet's
+    perplexity-bucket filtering). For every n-gram occurrence the
+    conditional probability is ``(c(gram) + k) / (c(prefix) + k*V)``
+    where ``c(prefix)`` sums counts of grams sharing the first ``n-1``
+    tokens and ``V`` is the reference's distinct-token vocabulary size;
+    the score is the mean of ``-ln P`` over the document's gram multiset.
+    Low score = predictable/fluent under the reference distribution;
+    high = rare or garbled text (or boilerplate the reference lacks).
+
+    Scale shape: two count aggregations with map-side combine (gram
+    counts, prefix counts — one row per distinct gram / prefix), a
+    vocabulary scalar attached via broadcast cross join (same pattern as
+    ``tfidf_keywords``'s document count), and the per-doc join runs on
+    64-bit xxhash64 gram keys so the shuffles never carry gram STRINGS —
+    exact modulo 64-bit collisions, the same contract as the dedup
+    module's shingle joins. Everything is expression-level (no Python).
+
+    Returns ``(id, n_grams, avg_neg_logp)`` with one row per document
+    that produced at least one n-gram.
+    """
+    ref = df if reference is None else reference
+    prefix_of = lambda gram: F.substring_index(gram, " ", n - 1)  # noqa: E731
+
+    ref_grams = ref.select(
+        F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram")
+    )
+    gram_counts = ref_grams.groupBy(
+        F.xxhash64("__gram").alias("__gh")
+    ).agg(F.count("*").alias("__c2"))
+    prefix_counts = (
+        ref_grams.groupBy(
+            F.xxhash64(prefix_of(F.col("__gram"))).alias("__ph")
+        ).agg(F.count("*").alias("__c1"))
+    )
+    vocab = ref.select(
+        F.explode(tokens(F.col(text_col))).alias("__t")
+    ).agg(F.count_distinct("__t").alias("__V"))
+
+    doc_grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram"),
+    ).select(
+        "__id",
+        F.xxhash64("__gram").alias("__gh"),
+        F.xxhash64(prefix_of(F.col("__gram"))).alias("__ph"),
+    )
+    scored = (
+        doc_grams.join(gram_counts, on="__gh", how="left")
+        .join(prefix_counts, on="__ph", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__nlp",
+            -F.log(
+                (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(float(k)))
+                / (
+                    F.coalesce(F.col("__c1"), F.lit(0))
+                    + F.lit(float(k)) * F.col("__V")
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.avg("__nlp"), 6).alias("avg_neg_logp"),
+        )
+        .select(F.col("__id").alias(id_col), "n_grams", "avg_neg_logp")
+    )

@@ -134,6 +134,15 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_table(docs, "text", "doc_id", n=2)
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style self-trained bigram LM quality score per document
+    (add-0.5-smoothed avg negative log-probability)."""
+    from polars_nexpresso_spark.functions.text import ngram_lm_score
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return ngram_lm_score(docs, "text", "doc_id", n=2, k=0.5)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents"))
     return exact_dedup(docs, "text", "doc_id")
@@ -622,6 +631,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
+    "lm_score": q_lm_score,
     "quality_percentiles": q_quality_percentiles,
     "vocab_topk": q_vocab_topk,
     "tfidf_keywords": q_tfidf_keywords,
@@ -770,6 +780,44 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id AS media_id,
                octet_length(encode(text)) AS n_bytes
         FROM documents
+    """,
+    # Bigram LM scoring replayed exactly: same multiset bigrams (full-
+    # sequence gram for <2-token docs), same add-0.5 smoothing over
+    # prefix-marginal counts and the distinct-token vocabulary. Spark
+    # joins on xxhash64 of the gram; the oracle joins on the gram string —
+    # identical results modulo 64-bit collisions (none at this scale).
+    "lm_score": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_transform(
+              range(1, greatest(len(toks)-1, 1)+1),
+              i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS gram
+          FROM t
+        ),
+        c2 AS (SELECT gram, COUNT(*) AS c2 FROM g GROUP BY gram),
+        c1 AS (
+          SELECT array_to_string(list_slice(string_split(gram, ' '), 1, 1),
+                                 ' ') AS prefix,
+                 COUNT(*) AS c1
+          FROM g GROUP BY prefix
+        ),
+        v AS (
+          SELECT COUNT(DISTINCT tok) AS V
+          FROM (SELECT unnest(toks) AS tok FROM t)
+        ),
+        scored AS (
+          SELECT g.doc_id,
+                 -LN((c2.c2 + 0.5) /
+                     (c1.c1 + 0.5 * v.V)) AS nlp
+          FROM g
+          JOIN c2 USING (gram)
+          JOIN c1 ON c1.prefix = array_to_string(
+              list_slice(string_split(g.gram, ' '), 1, 1), ' ')
+          CROSS JOIN v
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+               ROUND(AVG(nlp), 6) AS avg_neg_logp
+        FROM scored GROUP BY doc_id
     """,
     # Replays synth_wav's closed-form 8-bit PCM samples and decode_audio's
     # normalization ((b - 128) / 128, RMS over samples) — the REAL wave

@@ -138,3 +138,64 @@ def test_label_centroids_explode_fallback_matches_expr_path(spark):
         for r in label_centroids(df, dim=8, max_expr_dims=4).collect()
     }
     assert a == b
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    """Exact value on a 2-doc corpus, computed by hand.
+
+    Corpus: d1 = "a b a b", d2 = "a b". Bigram multiset: d1 -> [ab, ba,
+    ab], d2 -> [ab]. Counts: c2(ab)=3, c2(ba)=1; prefix counts c1(a)=3,
+    c1(b)=1; V=2 (tokens a, b). k=0.5:
+      P(ab) = (3+0.5)/(3+1) = 0.875,  P(ba) = (1+0.5)/(1+1) = 0.75
+    d1 score = -(2 ln .875 + ln .75)/3, d2 score = -ln .875.
+    """
+    import math
+
+    from polars_nexpresso_spark.functions.text import ngram_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["avg_neg_logp"])
+        for r in ngram_lm_score(df, "text", "doc_id", n=2, k=0.5).collect()
+    }
+    d1 = -(2 * math.log(0.875) + math.log(0.75)) / 3
+    d2 = -math.log(0.875)
+    assert got[1] == (3, round(d1, 6))
+    assert got[2] == (1, round(d2, 6))
+
+
+def test_ngram_lm_score_external_reference(spark):
+    """Training on a reference corpus: grams unseen in the reference get
+    the c=0 smoothed floor, so an out-of-distribution doc scores strictly
+    higher than an in-distribution one."""
+    from polars_nexpresso_spark.functions.text import ngram_lm_score
+
+    reference = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zyx wvu tsr")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in ngram_lm_score(
+            docs, "text", "doc_id", n=2, k=0.5, reference=reference
+        ).collect()
+    }
+    assert got[2] > got[1]
+
+
+def test_ngram_lm_score_no_python_stages(spark):
+    """The whole scorer is expression-level: no Python eval in the plan."""
+    from polars_nexpresso_spark.functions.text import ngram_lm_score
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        ngram_lm_score(df, "text", "doc_id")._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
