@@ -361,9 +361,18 @@ def main() -> None:
     )
     bench("tfidf_keywords", lambda: force(q_tfidf_keywords(spark, sf_dir)))
     bench("label_centroids", lambda: force(q_label_centroids(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_lm_score
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_cosine_topk_int8,
+        q_lm_score,
+        q_source_mix,
+    )
 
     bench("lm_score", lambda: force(q_lm_score(spark, sf_dir)))
+    bench("source_mix", lambda: force(q_source_mix(spark, sf_dir)))
+    bench(
+        "cosine_topk_int8",
+        lambda: force(q_cosine_topk_int8(spark, sf_dir)),
+    )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a

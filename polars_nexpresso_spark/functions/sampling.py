@@ -126,3 +126,69 @@ def stratified_sample(
         )
     cut = int(round(float(fractions) * _DENOM))
     return df.filter(bucket < cut)
+
+
+def source_mix_weights(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    targets: dict[str, float],
+) -> DataFrame:
+    """Per-source downsampling weights that steer the TOKEN mix toward a
+    target distribution (the Dolma/Pile mixture-weighting step).
+
+    For each source ``s`` with available token share ``share_s`` and
+    target share ``t_s`` (sources absent from ``targets`` get 0), the raw
+    ratio ``t_s / share_s`` says how over- or under-represented the
+    source is; dividing by the max ratio normalizes to downsample-only
+    weights in (0, 1] — sampling each source's docs with probability
+    ``weight`` (e.g. via :func:`hash_bucket` thresholding) yields the
+    target token proportions from the available data without
+    up-sampling.
+
+    Scale shape: one per-source aggregation with map-side combine
+    (tokenization is a map-side expression), targets attached via a
+    broadcast join of a literal table, and the normalization runs over
+    the per-source result — #sources rows, driver-scale — via an
+    unbounded window (fine at this cardinality; this is a planning
+    table, not row data).
+
+    Returns ``(source, n_docs, n_tokens, token_share, target_share,
+    weight)``, one row per source present in the corpus.
+    """
+    from pyspark.sql import Window
+
+    from polars_nexpresso_spark.functions.text import token_count
+
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(s, float(t)) for s, t in sorted(targets.items())],
+        f"{source_col} string, target_share double",
+    )
+    per_source = (
+        df.select(
+            F.col(source_col),
+            token_count(F.col(text_col)).alias("__tc"),
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__tc").alias("n_tokens"),
+        )
+        .join(F.broadcast(tgt), on=source_col, how="left")
+        .withColumn("target_share", F.coalesce("target_share", F.lit(0.0)))
+    )
+    everything = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    raw = F.col("target_share") / share
+    max_raw = F.max(raw).over(everything)
+    return per_source.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        "target_share",
+        F.round(
+            F.when(max_raw > 0, raw / max_raw).otherwise(F.lit(0.0)), 6
+        ).alias("weight"),
+    )

@@ -143,6 +143,28 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_score(docs, "text", "doc_id", n=2, k=0.5)
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma/Pile-style mixture planning: token-share-aware downsampling
+    weights steering the corpus toward a 40/30/30 three-source target."""
+    from polars_nexpresso_spark.functions.sampling import source_mix_weights
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return source_mix_weights(
+        docs, "text", "source", {"src0": 0.4, "src1": 0.3, "src2": 0.3}
+    )
+
+
+def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors — the 4x-smaller-shuffle
+    embedding path; integer scoring arithmetic makes even this
+    approximation exactly oracle-checkable."""
+    from polars_nexpresso_spark.functions.similarity import cosine_topk_int8
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_int8(emb, queries, k=5)
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents"))
     return exact_dedup(docs, "text", "doc_id")
@@ -632,6 +654,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
     "lm_score": q_lm_score,
+    "source_mix": q_source_mix,
+    "cosine_topk_int8": q_cosine_topk_int8,
     "quality_percentiles": q_quality_percentiles,
     "vocab_topk": q_vocab_topk,
     "tfidf_keywords": q_tfidf_keywords,
@@ -780,6 +804,78 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id AS media_id,
                octet_length(encode(text)) AS n_bytes
         FROM documents
+    """,
+    # Mixture weights: same token counts, share/target ratio, and
+    # downsample-only normalization (divide by the max ratio over all
+    # sources) — pure arithmetic over per-source aggregates.
+    "source_mix": f"""
+        WITH tgt(source, target_share) AS (
+          VALUES ('src0', 0.4::DOUBLE), ('src1', 0.3::DOUBLE),
+                 ('src2', 0.3::DOUBLE)
+        ),
+        per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 SUM(len({_TOKS}))::BIGINT AS n_tokens
+          FROM documents GROUP BY source
+        ),
+        j AS (
+          SELECT per.source, per.n_docs, per.n_tokens,
+                 COALESCE(tgt.target_share, 0.0)::DOUBLE AS target_share
+          FROM per LEFT JOIN tgt USING (source)
+        ),
+        r AS (
+          SELECT *,
+                 n_tokens / SUM(n_tokens) OVER () AS share,
+                 target_share / (n_tokens / SUM(n_tokens) OVER ()) AS raw
+          FROM j
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(share, 6) AS token_share,
+               target_share,
+               ROUND(CASE WHEN MAX(raw) OVER () > 0
+                          THEN raw / MAX(raw) OVER ()
+                          ELSE 0.0 END, 6) AS weight
+        FROM r
+    """,
+    # Int8 quantization replayed exactly: per-vector scale = max|x|/127,
+    # ROUND-half-away codes (both engines), INTEGER dot/norms (exact in
+    # double at these magnitudes), one double division + round.
+    "cosine_topk_int8": """
+        WITH base AS (
+          SELECT vec_id, embedding,
+                 list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                   AS mx
+          FROM embeddings
+        ),
+        qz AS (
+          SELECT vec_id,
+                 CASE WHEN mx = 0
+                      THEN list_transform(embedding, x -> 0::BIGINT)
+                      ELSE list_transform(embedding,
+                           x -> CAST(ROUND(x::DOUBLE / (mx / 127.0), 0)
+                                     AS BIGINT))
+                 END AS qv
+          FROM base
+        ),
+        n AS (
+          SELECT vec_id, qv,
+                 list_sum(list_transform(qv, x -> x * x)) AS n2
+          FROM qz
+        )
+        SELECT query_id, neighbor_id, cosine_q, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_dot_product(c.qv, q.qv)
+                       / SQRT(c.n2::DOUBLE * q.n2), 6) AS cosine_q,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_dot_product(c.qv, q.qv)
+                                  / SQRT(c.n2::DOUBLE * q.n2), 6) DESC,
+                            c.vec_id ASC
+                 ) AS rank
+          FROM n c
+          CROSS JOIN (SELECT * FROM n WHERE vec_id < 10) q
+          WHERE c.vec_id != q.vec_id
+        ) WHERE rank <= 5
     """,
     # Bigram LM scoring replayed exactly: same multiset bigrams (full-
     # sequence gram for <2-token docs), same add-0.5 smoothing over

@@ -177,3 +177,68 @@ def test_cosine_topk_pandas_matches_expr(emb_and_exact):
         g_nid, g_cos = got[key]
         assert g_nid == nid, (key, nid, g_nid)
         assert abs(g_cos - cos) < 2e-6, (key, cos, g_cos)
+
+
+def test_quantize_embeddings_codes_and_scale(spark):
+    from polars_nexpresso_spark.functions.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # scale = max|x|/127 = 1/127; codes = round(x*127/max|x|)
+    assert got[1]["qvec"] == [64, -127, 32]  # round(63.5)=64 (half away)
+    assert got[1]["scale"] == pytest.approx(1.0 / 127)
+    assert got[2]["qvec"] == [0, 0, 0]
+    assert got[2]["scale"] == 0.0
+
+
+def test_cosine_topk_int8_tracks_float_topk(emb_and_exact):
+    """Quantized cosine ranks stay close to float cosine: on the sf
+    corpus the int8 top-5 overlaps the exact top-5 heavily (identical
+    would be a fluke; near-identical is the design target)."""
+    from polars_nexpresso_spark.functions.similarity import (
+        cosine_topk_int8,
+    )
+
+    emb, queries, exact_df = emb_and_exact
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in exact_df.collect()
+    }
+    q8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_int8(emb, queries, k=5).collect()
+    }
+    overlap = len(q8 & exact) / len(exact)
+    assert overlap >= 0.8
+
+
+def test_source_mix_weights_hand_computed(spark):
+    from polars_nexpresso_spark.functions.sampling import (
+        source_mix_weights,
+    )
+
+    # a: 6 tokens, b: 2, c: 2 → shares .6/.2/.2; targets .5/.5/0:
+    # raw = .5/.6, .5/.2, 0 → max=2.5 → weights (1/3, 1, 0)
+    df = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3", "a"),
+            (2, "t4 t5 t6", "a"),
+            (3, "t7 t8", "b"),
+            (4, "t9 t10", "c"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        r["source"]: r
+        for r in source_mix_weights(
+            df, "text", "source", {"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    assert got["a"]["n_tokens"] == 6 and got["a"]["token_share"] == 0.6
+    assert got["a"]["weight"] == pytest.approx(round(1 / 3, 6))
+    assert got["b"]["weight"] == 1.0
+    assert got["c"]["target_share"] == 0.0 and got["c"]["weight"] == 0.0
