@@ -368,6 +368,11 @@ def main() -> None:
     )
 
     bench("lm_score", lambda: force(q_lm_score(spark, sf_dir)))
+    from polars_nexpresso_spark.pipeline_queries import q_lm_score_stream
+
+    bench(
+        "lm_score_stream", lambda: force(q_lm_score_stream(spark, sf_dir))
+    )
     bench("source_mix", lambda: force(q_source_mix(spark, sf_dir)))
     bench(
         "cosine_topk_int8",

@@ -80,3 +80,43 @@ def pandas_member_overlap(sorted_values):
         return pd.Series(out)
 
     return overlaps
+
+
+def pandas_lm_score(gram_hashes, gram_counts, prefix_hashes, prefix_counts,
+                    vocab_size, k):
+    """UDF factory for the stream-safe LM scorer: per row, look up each
+    gram/prefix hash in the sorted reference dictionaries (searchsorted,
+    misses count 0) and return the mean of -ln((c2+k)/(c1+k*V)). NULL
+    gram arrays (null text) and empty arrays yield NULL."""
+    gh = np.asarray(gram_hashes, dtype=np.int64)
+    gc = np.asarray(gram_counts, dtype=np.float64)
+    ph = np.asarray(prefix_hashes, dtype=np.int64)
+    pc = np.asarray(prefix_counts, dtype=np.float64)
+    kv = float(k) * float(vocab_size)
+    kk = float(k)
+
+    def _lookup(sorted_keys, vals, keys):
+        if sorted_keys.size == 0:
+            return np.zeros(len(keys), dtype=np.float64)
+        idx = np.searchsorted(sorted_keys, keys)
+        idx[idx == sorted_keys.size] = sorted_keys.size - 1
+        out = vals[idx]
+        out[sorted_keys[idx] != keys] = 0.0
+        return out
+
+    @pandas_udf("double")
+    def score(g_arrs: pd.Series, p_arrs: pd.Series) -> pd.Series:
+        out = []
+        for gs, ps in zip(g_arrs, p_arrs):
+            if gs is None or ps is None or len(gs) == 0:
+                out.append(None)
+                continue
+            g = np.asarray(gs, dtype=np.int64)
+            p = np.asarray(ps, dtype=np.int64)
+            c2 = _lookup(gh, gc, g)
+            c1 = _lookup(ph, pc, p)
+            nlp = -np.log((c2 + kk) / (c1 + kv))
+            out.append(round(float(nlp.mean()), 6))
+        return pd.Series(out, dtype="float64")
+
+    return score

@@ -463,9 +463,17 @@ def ngram_lm_score(
     ref = df if reference is None else reference
     prefix_of = lambda gram: F.substring_index(gram, " ", n - 1)  # noqa: E731
 
-    ref_grams = ref.select(
-        F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram")
-    )
+    # NULL text yields a [null] gram (size(null) is -1 pre-ANSI, so the
+    # sequence window still emits one slot) and empty text yields [""];
+    # both are noise, not grams — filter them on every explode so
+    # degenerate docs drop out instead of scoring a phantom gram.
+    def _real_grams(frame):
+        return frame.select(
+            "*",
+            F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram"),
+        ).filter(F.col("__gram").isNotNull() & (F.length("__gram") > 0))
+
+    ref_grams = _real_grams(ref.select(F.col(text_col))).select("__gram")
     gram_counts = ref_grams.groupBy(
         F.xxhash64("__gram").alias("__gh")
     ).agg(F.count("*").alias("__c2"))
@@ -478,9 +486,8 @@ def ngram_lm_score(
         F.explode(tokens(F.col(text_col))).alias("__t")
     ).agg(F.count_distinct("__t").alias("__V"))
 
-    doc_grams = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram"),
+    doc_grams = _real_grams(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
     ).select(
         "__id",
         F.xxhash64("__gram").alias("__gh"),
@@ -508,4 +515,95 @@ def ngram_lm_score(
             F.round(F.avg("__nlp"), 6).alias("avg_neg_logp"),
         )
         .select(F.col("__id").alias(id_col), "n_grams", "avg_neg_logp")
+    )
+
+
+def ngram_lm_score_stream(
+    df,
+    reference,
+    text_col: str,
+    *,
+    n: int = 2,
+    k: float = 0.5,
+    max_reference_grams: int = 5_000_000,
+):
+    """Stream-safe :func:`ngram_lm_score`: STATELESS, map-side only.
+
+    The batch scorer joins per-doc grams against corpus-wide count
+    tables — joins and per-doc aggregations a stream would need
+    watermarked state for. This variant collects the REFERENCE model
+    (gram counts, prefix counts, vocabulary size — bounded by
+    ``max_reference_grams``) into sorted numpy dictionaries once, and
+    scores each incoming document with a vectorized binary-search probe
+    per Arrow batch: no join, no shuffle, no state — identical scores to
+    ``ngram_lm_score(df, ..., reference=reference)`` and works the same
+    on a batch DataFrame or an unbounded ``readStream`` (the
+    quality-gate shape of a production ingest pipeline, alongside
+    :func:`~polars_nexpresso_spark.functions.dedup.decontaminate_stream`).
+
+    ``reference`` must be a batch DataFrame (it is collected). Documents
+    with NULL/empty text get a NULL score. Returns the input schema plus
+    ``(n_grams, avg_neg_logp)``.
+    """
+    import numpy as np
+
+    from polars_nexpresso_spark.functions._vectorized import pandas_lm_score
+
+    prefix_of = lambda gram: F.substring_index(gram, " ", n - 1)  # noqa: E731
+
+    # Same degenerate-text rule as the batch scorer: NULL text yields a
+    # [null] gram and empty text [""] — neither is a real gram.
+    ref_grams = reference.select(
+        F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram")
+    ).filter(F.col("__gram").isNotNull() & (F.length("__gram") > 0))
+    gram_rows = (
+        ref_grams.groupBy(F.xxhash64("__gram").alias("__gh"))
+        .agg(F.count("*").alias("__c"))
+        .collect()
+    )
+    if len(gram_rows) > max_reference_grams:
+        raise ValueError(
+            f"reference has {len(gram_rows)} distinct {n}-grams > "
+            f"max_reference_grams={max_reference_grams}; use the batch "
+            "ngram_lm_score join path for references this large"
+        )
+    prefix_rows = (
+        ref_grams.groupBy(F.xxhash64(prefix_of(F.col("__gram"))).alias("__ph"))
+        .agg(F.count("*").alias("__c"))
+        .collect()
+    )
+    vocab_size = (
+        reference.select(F.explode(tokens(F.col(text_col))).alias("__t"))
+        .agg(F.count_distinct("__t").alias("__V"))
+        .collect()[0]["__V"]
+    )
+
+    def _sorted(rows, key, val):
+        keys = np.array([r[key] for r in rows], dtype=np.int64)
+        vals = np.array([r[val] for r in rows], dtype=np.float64)
+        order = np.argsort(keys)
+        return keys[order], vals[order]
+
+    gh, gc = _sorted(gram_rows, "__gh", "__c")
+    ph, pc = _sorted(prefix_rows, "__ph", "__c")
+
+    score = pandas_lm_score(gh, gc, ph, pc, vocab_size, k)
+    grams = F.filter(
+        word_ngrams_all(F.col(text_col), n),
+        lambda g: g.isNotNull() & (F.length(g) > 0),
+    )
+    valid = F.size(tokens(F.col(text_col))) > 0
+    g_hashes = F.when(valid, F.transform(grams, lambda g: F.xxhash64(g)))
+    p_hashes = F.when(
+        valid, F.transform(grams, lambda g: F.xxhash64(prefix_of(g)))
+    )
+    return (
+        df.withColumn("__g", g_hashes)
+        .withColumn("__p", p_hashes)
+        .withColumn(
+            "n_grams",
+            F.when(valid, F.size("__g")).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .withColumn("avg_neg_logp", score(F.col("__g"), F.col("__p")))
+        .drop("__g", "__p")
     )

@@ -143,6 +143,19 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_score(docs, "text", "doc_id", n=2, k=0.5)
 
 
+def q_lm_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-safe LM scoring: the first half of the corpus (doc_id <
+    250) is the reference model, every document gets a map-side
+    broadcast-dictionary score — no join, no shuffle, readStream-safe."""
+    from polars_nexpresso_spark.functions.text import ngram_lm_score_stream
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    reference = docs.filter(F.col("doc_id") < 250)
+    return ngram_lm_score_stream(docs, reference, "text", n=2, k=0.5).select(
+        "doc_id", "n_grams", "avg_neg_logp"
+    )
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma/Pile-style mixture planning: token-share-aware downsampling
     weights steering the corpus toward a 40/30/30 three-source target."""
@@ -654,6 +667,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
     "lm_score": q_lm_score,
+    "lm_score_stream": q_lm_score_stream,
     "source_mix": q_source_mix,
     "cosine_topk_int8": q_cosine_topk_int8,
     "quality_percentiles": q_quality_percentiles,
@@ -804,6 +818,43 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         SELECT doc_id AS media_id,
                octet_length(encode(text)) AS n_bytes
         FROM documents
+    """,
+    # Stream-safe LM scoring: reference model trained on doc_id < 250,
+    # every doc scored with add-k smoothing; unseen grams/prefixes count
+    # 0 — identical arithmetic to the broadcast-dictionary probe.
+    "lm_score_stream": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g_all AS (
+          SELECT doc_id, unnest(list_transform(
+              range(1, greatest(len(toks)-1, 1)+1),
+              i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS gram
+          FROM t
+        ),
+        ref AS (SELECT gram FROM g_all WHERE doc_id < 250),
+        c2 AS (SELECT gram, COUNT(*) AS c2 FROM ref GROUP BY gram),
+        c1 AS (
+          SELECT array_to_string(list_slice(string_split(gram, ' '), 1, 1),
+                                 ' ') AS prefix,
+                 COUNT(*) AS c1
+          FROM ref GROUP BY prefix
+        ),
+        v AS (
+          SELECT COUNT(DISTINCT tok) AS V
+          FROM (SELECT unnest(toks) AS tok FROM t WHERE doc_id < 250)
+        ),
+        scored AS (
+          SELECT g_all.doc_id,
+                 -LN((COALESCE(c2.c2, 0) + 0.5) /
+                     (COALESCE(c1.c1, 0) + 0.5 * v.V)) AS nlp
+          FROM g_all
+          LEFT JOIN c2 USING (gram)
+          LEFT JOIN c1 ON c1.prefix = array_to_string(
+              list_slice(string_split(g_all.gram, ' '), 1, 1), ' ')
+          CROSS JOIN v
+        )
+        SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+               ROUND(AVG(nlp), 6) AS avg_neg_logp
+        FROM scored GROUP BY doc_id
     """,
     # Mixture weights: same token counts, share/target ratio, and
     # downsample-only normalization (divide by the max ratio over all

@@ -199,3 +199,90 @@ def test_ngram_lm_score_no_python_stages(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_ngram_lm_score_stream_matches_batch_reference_mode(spark):
+    """The broadcast-dictionary probe scores every doc identically to the
+    batch join path trained on the same reference."""
+    from polars_nexpresso_spark.functions.text import (
+        ngram_lm_score,
+        ngram_lm_score_stream,
+    )
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    reference = docs.filter(F.col("doc_id") < 250)
+    batch = {
+        r["doc_id"]: (r["n_grams"], r["avg_neg_logp"])
+        for r in ngram_lm_score(
+            docs, "text", "doc_id", n=2, k=0.5, reference=reference
+        ).collect()
+    }
+    stream_shape = {
+        r["doc_id"]: (r["n_grams"], r["avg_neg_logp"])
+        for r in ngram_lm_score_stream(
+            docs, reference, "text", n=2, k=0.5
+        )
+        .select("doc_id", "n_grams", "avg_neg_logp")
+        .collect()
+    }
+    assert stream_shape == batch
+
+
+def test_ngram_lm_score_stream_on_actual_stream(spark):
+    """Runs on a real readStream (availableNow drain): stateless, no
+    watermark, scores equal the static run."""
+    import shutil
+    import tempfile
+
+    from polars_nexpresso_spark.functions.text import ngram_lm_score_stream
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    reference = docs.filter(F.col("doc_id") < 250)
+    tmp = tempfile.mkdtemp(prefix="pns_lm_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+        static = spark.read.parquet(f"{tmp}/in")
+        expected = {
+            r["doc_id"]: r["avg_neg_logp"]
+            for r in ngram_lm_score_stream(static, reference, "text")
+            .select("doc_id", "avg_neg_logp")
+            .collect()
+        }
+        stream = spark.readStream.schema(static.schema).parquet(f"{tmp}/in")
+        scored = ngram_lm_score_stream(stream, reference, "text")
+        assert scored.isStreaming
+        q = (
+            scored.select("doc_id", "avg_neg_logp")
+            .writeStream.format("memory")
+            .queryName("lm_stream_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["avg_neg_logp"]
+            for r in spark.table("lm_stream_out").collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ngram_lm_score_stream_null_text(spark):
+    from polars_nexpresso_spark.functions.text import ngram_lm_score_stream
+
+    reference = spark.createDataFrame(
+        [(1, "a b c d")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["avg_neg_logp"]
+        for r in ngram_lm_score_stream(docs, reference, "text").collect()
+    }
+    assert got[1] is not None
+    assert got[2] is None
