@@ -30,7 +30,7 @@ def events_path(spark):
     # branch on the actual dtype, same as queries._events_with_event_time.
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     else:
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
