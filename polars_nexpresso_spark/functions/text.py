@@ -473,15 +473,25 @@ def ngram_lm_score(
             F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram"),
         ).filter(F.col("__gram").isNotNull() & (F.length("__gram") > 0))
 
-    ref_grams = _real_grams(ref.select(F.col(text_col))).select("__gram")
-    gram_counts = ref_grams.groupBy(
-        F.xxhash64("__gram").alias("__gh")
-    ).agg(F.count("*").alias("__c2"))
-    prefix_counts = (
-        ref_grams.groupBy(
-            F.xxhash64(prefix_of(F.col("__gram"))).alias("__ph")
-        ).agg(F.count("*").alias("__c1"))
+    # ONE explode over the reference: count by gram STRING first, then
+    # derive both hash-keyed tables from the distinct-gram counts — the
+    # prefix aggregation re-sums |distinct grams| rows instead of
+    # re-exploding and re-shuffling every gram OCCURRENCE (measured at
+    # sf0.1: 3.6 s → ~2.5 s for the self-scoring query).
+    gram_str_counts = (
+        _real_grams(ref.select(F.col(text_col)))
+        .groupBy("__gram")
+        .agg(F.count("*").alias("__c2"))
     )
+    # Re-aggregate by hash (cheap: one row per DISTINCT gram) so the join
+    # key stays unique even under a 64-bit gram-hash collision, exactly as
+    # the previous groupBy-hash-of-occurrences form guaranteed.
+    gram_counts = gram_str_counts.groupBy(
+        F.xxhash64("__gram").alias("__gh")
+    ).agg(F.sum("__c2").alias("__c2"))
+    prefix_counts = gram_str_counts.groupBy(
+        F.xxhash64(prefix_of(F.col("__gram"))).alias("__ph")
+    ).agg(F.sum("__c2").alias("__c1"))
     vocab = ref.select(
         F.explode(tokens(F.col(text_col))).alias("__t")
     ).agg(F.count_distinct("__t").alias("__V"))
@@ -556,9 +566,15 @@ def ngram_lm_score_stream(
     ref_grams = reference.select(
         F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram")
     ).filter(F.col("__gram").isNotNull() & (F.length("__gram") > 0))
+    # Same one-explode shape as the batch scorer: count by gram string,
+    # then derive both hash-keyed dictionaries from the distinct-gram
+    # counts (the prefix sum runs over distinct grams, not occurrences).
+    gram_str_counts = ref_grams.groupBy("__gram").agg(
+        F.count("*").alias("__c")
+    )
     gram_rows = (
-        ref_grams.groupBy(F.xxhash64("__gram").alias("__gh"))
-        .agg(F.count("*").alias("__c"))
+        gram_str_counts.groupBy(F.xxhash64("__gram").alias("__gh"))
+        .agg(F.sum("__c").alias("__c"))
         .collect()
     )
     if len(gram_rows) > max_reference_grams:
@@ -568,8 +584,10 @@ def ngram_lm_score_stream(
             "ngram_lm_score join path for references this large"
         )
     prefix_rows = (
-        ref_grams.groupBy(F.xxhash64(prefix_of(F.col("__gram"))).alias("__ph"))
-        .agg(F.count("*").alias("__c"))
+        gram_str_counts.groupBy(
+            F.xxhash64(prefix_of(F.col("__gram"))).alias("__ph")
+        )
+        .agg(F.sum("__c").alias("__c"))
         .collect()
     )
     vocab_size = (
