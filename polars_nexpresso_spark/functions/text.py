@@ -625,3 +625,116 @@ def ngram_lm_score_stream(
         .withColumn("avg_neg_logp", score(F.col("__g"), F.col("__p")))
         .drop("__g", "__p")
     )
+
+
+# --- Composite quality gate -------------------------------------------------
+
+# (rule name, builder: tokens-expr -> failing-condition Column). NULL
+# conditions (ratio rules on empty documents) read as "not failing" — the
+# empty doc already fails too_few_tokens, and NULL semantics are identical
+# in Spark and DuckDB so the oracle agrees rule-for-rule.
+QUALITY_RULES: list[str] = [
+    "too_few_tokens",
+    "too_many_tokens",
+    "bad_avg_token_len",
+    "low_stopword_ratio",
+    "low_unique_ratio",
+    "high_digit_ratio",
+]
+
+
+def quality_filter(
+    df,
+    text_col: str,
+    id_col: str,
+    *,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 2.0,
+    max_avg_token_len: float = 12.0,
+    min_stopword_ratio: float = 0.03,
+    min_unique_ratio: float = 0.2,
+    max_digit_ratio: float = 0.3,
+) -> "DataFrame":
+    """C4/Gopher-style composite quality gate with per-rule provenance.
+
+    Returns ``(id, n_tokens, keep, reasons)`` where ``reasons`` is the
+    comma-joined list of failed rule names (in :data:`QUALITY_RULES`
+    order, empty string when the document passes) and ``keep`` is true
+    iff no rule failed. Keeping the failure provenance instead of just a
+    boolean is what makes the gate tunable at corpus scale: one
+    aggregation over ``reasons`` gives the per-rule kill counts that
+    C4/Gopher-style threshold tuning iterates on.
+
+    Pure map-side column expressions over one shared token-array
+    projection — no shuffle, no Python, streaming-safe; the thresholds
+    default to the published C4/Gopher neighborhoods scaled to this
+    corpus's synthetic text.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    n = F.size(toks)
+    avg_len = F.try_divide(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+        n,
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    sw_ratio = F.try_divide(
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))), n
+    )
+    uniq_ratio = F.try_divide(F.size(F.array_distinct(toks)), n)
+    digits = F.try_divide(
+        F.length(text) - F.length(F.regexp_replace(text, "[0-9]", "")),
+        F.length(text),
+    )
+    conds = {
+        "too_few_tokens": n < min_tokens,
+        "too_many_tokens": n > max_tokens,
+        "bad_avg_token_len": (avg_len < min_avg_token_len)
+        | (avg_len > max_avg_token_len),
+        "low_stopword_ratio": sw_ratio < min_stopword_ratio,
+        "low_unique_ratio": uniq_ratio < min_unique_ratio,
+        "high_digit_ratio": digits > max_digit_ratio,
+    }
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(conds[name], F.lit(name))
+                for name in QUALITY_RULES
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        (F.size(reasons) == 0).alias("keep"),
+        F.array_join(reasons, ",").alias("reasons"),
+    )
+
+
+def token_length_histogram(
+    df, text_col: str, *, bucket_width: int = 50
+) -> "DataFrame":
+    """Token-count histogram: ``(bucket, n_docs, total_tokens)`` with
+    ``bucket = floor(n_tokens / width) * width``.
+
+    The sequence-length planning input for packing/chunking decisions
+    (choosing ``chunk_size``, estimating pack fill rates): one partial-
+    aggregated groupBy over a map-side token count — the number of
+    groups is ~``max_len / width``, constant in corpus size.
+    """
+    n = token_count(F.col(text_col))
+    bucket = (F.floor(n / F.lit(bucket_width)) * bucket_width).cast("bigint")
+    return (
+        df.select(bucket.alias("bucket"), n.alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("total_tokens"),
+        )
+    )

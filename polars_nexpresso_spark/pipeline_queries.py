@@ -480,6 +480,75 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(media, fake=False)
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (32-token windows, 8 overlap):
+    the unit-length bound between raw documents and sequence packing."""
+    from polars_nexpresso_spark.functions.chunking import chunk_documents
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return chunk_documents(docs, "text", "doc_id", chunk_size=32, overlap=8)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval: top-20 documents for a fixed query,
+    early query-term filtering so the shuffle carries only hits."""
+    from polars_nexpresso_spark.functions.retrieval import bm25_topk
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return bm25_topk(
+        docs, "text", "doc_id", "hash join spill window", k=20
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: the corpus text is salted with deterministically
+    constructed emails / IPs / SSNs / phone numbers (both engines build
+    the identical string from doc_id), so the oracle genuinely exercises
+    every redaction regex rather than matching nothing."""
+    from polars_nexpresso_spark.functions.redaction import redact_pii
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789 tel 555-123-4567"),
+        ).alias("text"),
+    )
+    out = redact_pii(salted, "text")
+    return out.select(
+        "doc_id", "text", "n_email", "n_ipv4", "n_ssn", "n_phone", "n_pii"
+    )
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4/Gopher-style quality gate with per-rule provenance."""
+    from polars_nexpresso_spark.functions.text import quality_filter
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return quality_filter(
+        docs,
+        "text",
+        "doc_id",
+        min_tokens=20,
+        min_stopword_ratio=0.03,
+        min_unique_ratio=0.2,
+    )
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram (width-20 buckets): the sequence-length
+    planning input for chunk-size / pack-fill decisions."""
+    from polars_nexpresso_spark.functions.text import token_length_histogram
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return token_length_histogram(docs, "text", bucket_width=20)
+
+
 def _lang_score_sql(lang: str) -> str:
     terms = []
     for m in LANG_PROFILES[lang]:
@@ -679,6 +748,11 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cap_per_source": q_cap_per_source,
     "stratified_sample": q_stratified_sample,
     "training_keepset": q_training_keepset,
+    "chunk_documents": q_chunk_documents,
+    "bm25_topk": q_bm25_topk,
+    "redact_pii": q_redact_pii,
+    "quality_filter": q_quality_filter,
+    "token_histogram": q_token_histogram,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1222,3 +1296,114 @@ if _lsh_oracle is not None:
 _ivf_oracle = _ivf_ann_oracle()
 if _ivf_oracle is not None:
     PIPELINE_ORACLE_SQL["ivf_ann_topk"] = _ivf_oracle
+
+
+# --- Round-4 pipeline additions: chunking / retrieval / redaction / gate ----
+
+PIPELINE_ORACLE_SQL["chunk_documents"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 0 THEN 0
+                  WHEN len(toks) <= 32 THEN 1
+                  ELSE (len(toks) - 32 + 23) // 24 + 1 END AS n_chunks
+      FROM t)
+    SELECT doc_id,
+           i AS chunk_id,
+           len(list_slice(toks, i*24+1, i*24+32))::BIGINT AS n_chunk_tokens,
+           array_to_string(list_slice(toks, i*24+1, i*24+32), ' ') AS chunk_text
+    FROM c, unnest(range(0, n_chunks)) AS u(i)
+"""
+
+PIPELINE_ORACLE_SQL["bm25_topk"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM dl),
+    hits AS (
+      SELECT doc_id, t, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+      WHERE t IN ('hash', 'join', 'spill', 'window')
+      GROUP BY doc_id, t),
+    dfreq AS (SELECT t, count(*) AS df FROM hits GROUP BY t)
+    SELECT h.doc_id AS doc_id,
+           ROUND(SUM(
+               ln(1 + (s.N - f.df + 0.5) / (f.df + 0.5))
+               * (h.tf * 2.2)
+               / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+           ), 6) AS score
+    FROM hits h JOIN dl l USING (doc_id) JOIN dfreq f USING (t), stats s
+    GROUP BY h.doc_id
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_SSN = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+_PII_PHONE = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+PIPELINE_ORACLE_SQL["redact_pii"] = f"""
+    WITH s0 AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com at 10.0.'
+                  || (doc_id % 256) || '.7 ssn 123-45-6789 tel 555-123-4567'
+                 AS text
+      FROM documents),
+    s1 AS (SELECT doc_id,
+             len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_email,
+             regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS text
+           FROM s0),
+    s2 AS (SELECT doc_id, n_email,
+             len(regexp_extract_all(text, '{_PII_IP}'))::BIGINT AS n_ipv4,
+             regexp_replace(text, '{_PII_IP}', '<IP>', 'g') AS text
+           FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ipv4,
+             len(regexp_extract_all(text, '{_PII_SSN}'))::BIGINT AS n_ssn,
+             regexp_replace(text, '{_PII_SSN}', '<SSN>', 'g') AS text
+           FROM s2),
+    s4 AS (SELECT doc_id, n_email, n_ipv4, n_ssn,
+             len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phone,
+             regexp_replace(text, '{_PII_PHONE}', '<PHONE>', 'g') AS text
+           FROM s3)
+    SELECT doc_id, text, n_email, n_ipv4, n_ssn, n_phone,
+           (n_email + n_ipv4 + n_ssn + n_phone)::BIGINT AS n_pii
+    FROM s4
+"""
+
+PIPELINE_ORACLE_SQL["quality_filter"] = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    m AS (SELECT doc_id,
+            len(toks) AS n,
+            list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+                / NULLIF(len(toks), 0) AS avg_len,
+            len(list_filter(toks, t -> list_contains([{_sw}], t)))::DOUBLE
+                / NULLIF(len(toks), 0) AS swr,
+            len(list_distinct(toks))::DOUBLE
+                / NULLIF(len(toks), 0) AS uqr,
+            (length(text)
+             - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                / NULLIF(length(text), 0) AS dgr
+          FROM t),
+    r AS (SELECT doc_id, n,
+            list_filter([
+              CASE WHEN n < 20 THEN 'too_few_tokens' END,
+              CASE WHEN n > 100000 THEN 'too_many_tokens' END,
+              CASE WHEN avg_len < 2.0 OR avg_len > 12.0
+                   THEN 'bad_avg_token_len' END,
+              CASE WHEN swr < 0.03 THEN 'low_stopword_ratio' END,
+              CASE WHEN uqr < 0.2 THEN 'low_unique_ratio' END,
+              CASE WHEN dgr > 0.3 THEN 'high_digit_ratio' END
+            ], x -> x IS NOT NULL) AS reasons
+          FROM m)
+    SELECT doc_id, n::BIGINT AS n_tokens, len(reasons) = 0 AS keep,
+           COALESCE(array_to_string(reasons, ','), '') AS reasons
+    FROM r
+"""
+
+PIPELINE_ORACLE_SQL["token_histogram"] = f"""
+    SELECT (len(toks) // 20 * 20)::BIGINT AS bucket,
+           count(*) AS n_docs,
+           SUM(len(toks))::BIGINT AS total_tokens
+    FROM (SELECT {_TOKS} AS toks FROM documents)
+    GROUP BY 1
+"""

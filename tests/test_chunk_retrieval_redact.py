@@ -1,0 +1,285 @@
+"""Tests for the round-4 pipeline additions: token-window chunking, BM25
+retrieval, PII redaction, the composite quality gate, and the token-length
+histogram."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_nexpresso_spark.functions.chunking import chunk_documents
+from polars_nexpresso_spark.functions.redaction import redact_pii, redact_text
+from polars_nexpresso_spark.functions.retrieval import bm25_topk
+from polars_nexpresso_spark.functions.text import (
+    quality_filter,
+    token_length_histogram,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),  # 10 tokens
+        (2, "x " * 25),  # 25 tokens, trailing space normalized away
+        (3, ""),  # empty
+        (4, "solo"),  # 1 token
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# --- chunking ---------------------------------------------------------------
+
+
+def test_chunk_window_arithmetic(corpus):
+    out = chunk_documents(
+        corpus, "text", "doc_id", chunk_size=4, overlap=1
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 10 tokens, size 4, stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    assert [r["chunk_text"] for r in by_doc[1]] == [
+        "a b c d",
+        "d e f g",
+        "g h i j",
+    ]
+    # 25 tokens, stride 3 -> ceil(21/3)+1 = 8 chunks; last is full here
+    assert len(by_doc[2]) == 8
+    assert all(r["n_chunk_tokens"] == 4 for r in by_doc[2])
+    # empty doc -> no chunks; 1 short doc -> exactly one (short) chunk
+    assert 3 not in by_doc
+    assert [(r["chunk_id"], r["n_chunk_tokens"]) for r in by_doc[4]] == [
+        (0, 1)
+    ]
+
+
+def test_chunk_short_last_window(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    out = sorted(
+        chunk_documents(
+            df, "text", "doc_id", chunk_size=3, overlap=1
+        ).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # 5 tokens, stride 2 -> chunks [a b c], [c d e] — exact cover, and a
+    # 6th token would add [e f]
+    assert [r["chunk_text"] for r in out] == ["a b c", "c d e"]
+
+
+def test_chunk_overlap_reconstructs_document(corpus):
+    # Dropping each chunk's first `overlap` tokens (except chunk 0) and
+    # concatenating reconstructs the original token stream exactly.
+    overlap = 2
+    rows = sorted(
+        chunk_documents(
+            corpus.filter(F.col("doc_id") == 1),
+            "text",
+            "doc_id",
+            chunk_size=5,
+            overlap=overlap,
+        ).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    toks: list[str] = []
+    for r in rows:
+        parts = r["chunk_text"].split(" ")
+        toks.extend(parts if r["chunk_id"] == 0 else parts[overlap:])
+    assert " ".join(toks) == "a b c d e f g h i j"
+
+
+def test_chunk_invalid_overlap_raises(corpus):
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(corpus, "text", "doc_id", chunk_size=4, overlap=4)
+
+
+def test_chunk_plan_has_no_exchange(corpus):
+    plan = chunk_documents(
+        corpus, "text", "doc_id", chunk_size=4, overlap=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-side only: explode over the scan
+
+
+# --- BM25 -------------------------------------------------------------------
+
+
+@pytest.fixture()
+def search_corpus(spark):
+    rows = [
+        (1, "hash join hash join hash join"),  # tf-heavy for both terms
+        (2, "hash table scan"),  # one term once
+        (3, "sort merge join strategy"),  # other term once
+        (4, "nothing relevant at all"),
+        (5, "hash hash hash hash hash hash hash hash"),  # long, one term
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_ranks_and_scores(search_corpus):
+    out = bm25_topk(search_corpus, "text", "doc_id", "hash join", k=5)
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows][0] == 1  # both terms, high tf
+    assert len(rows) == 4  # doc 4 has no query term at all
+    # Hand-check doc 2's score: N=5, df(hash)=3, tf=1, dl=3,
+    # avgdl=(6+3+4+4+8)/5=5.0
+    idf = math.log(1 + (5 - 3 + 0.5) / (3 + 0.5))
+    denom = 1 + 1.2 * (0.25 + 0.75 * 3 / 5.0)
+    expected = round(idf * (1 * 2.2) / denom, 6)
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert got[2] == pytest.approx(expected, abs=1e-6)
+
+
+def test_bm25_rare_term_outweighs_common(search_corpus):
+    # 'join' (df=2) carries more idf than 'hash' (df=3): doc 3 (join only)
+    # must outrank doc 2 (hash only) at equal tf.
+    rows = bm25_topk(
+        search_corpus, "text", "doc_id", "hash join", k=5
+    ).collect()
+    order = [r["doc_id"] for r in rows]
+    assert order.index(3) < order.index(2)
+
+
+def test_bm25_empty_query_raises(search_corpus):
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk(search_corpus, "text", "doc_id", "   ")
+
+
+def test_bm25_broadcasts_small_sides(search_corpus):
+    plan = (
+        bm25_topk(search_corpus, "text", "doc_id", "hash join", k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# --- PII redaction ----------------------------------------------------------
+
+
+def test_redact_each_pattern(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@sub.example.co.uk now"),
+            (2, "from 192.168.001.1 and 10.0.0.7"),
+            (3, "ssn 123-45-6789 ok"),
+            (4, "call 555-123-4567 or 555 123 4567"),
+            (5, "clean text with no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert out[1]["text"] == "mail <EMAIL> now"
+    assert out[1]["n_email"] == 1 and out[1]["n_pii"] == 1
+    assert out[2]["text"] == "from <IP> and <IP>"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["text"] == "ssn <SSN> ok"
+    assert out[4]["text"] == "call <PHONE> or <PHONE>"
+    assert out[4]["n_phone"] == 2
+    assert out[5]["text"] == "clean text with no pii at all"
+    assert out[5]["n_pii"] == 0
+
+
+def test_redact_order_email_before_ip(spark):
+    # An email whose domain embeds an IP-shaped run must redact as ONE
+    # email — if the IP pass ran first it would punch <IP> into the
+    # middle of the address and break the email match.
+    df = spark.createDataFrame(
+        [(1, "x u@1.2.3.4.com y"), (2, "x 12@1.2.3.44 y")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df, "text").collect()}
+    assert out[1]["text"] == "x <EMAIL> y"
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 0
+    # A bare numeric host is NOT an email by the pattern (TLD must be
+    # alphabetic) — it falls through to the IP pass.
+    assert out[2]["text"] == "x 12@<IP> y"
+    assert out[2]["n_email"] == 0 and out[2]["n_ipv4"] == 1
+
+
+def test_redact_out_col_preserves_original(spark):
+    df = spark.createDataFrame([(1, "a@b.com")], ["doc_id", "text"])
+    row = redact_pii(df, "text", out_col="clean").collect()[0]
+    assert row["text"] == "a@b.com" and row["clean"] == "<EMAIL>"
+
+
+def test_redact_plan_has_no_exchange(spark):
+    df = spark.createDataFrame([(1, "a@b.com")], ["doc_id", "text"])
+    plan = (
+        redact_pii(df, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_redact_text_column_helper(spark):
+    df = spark.createDataFrame([("e a@b.io p 555-123-4567",)], ["t"])
+    assert (
+        df.select(redact_text(F.col("t")).alias("r")).collect()[0]["r"]
+        == "e <EMAIL> p <PHONE>"
+    )
+
+
+# --- quality gate -----------------------------------------------------------
+
+
+def test_quality_filter_rules(spark):
+    # 24 distinct tokens: unique ratio 1.0, stopwords 2/24 ≈ 0.083,
+    # avg token length in range — passes every rule.
+    long_ok = (
+        "the a quick brown fox jumps over lazy dog stone river mountain "
+        "cloud paper glass metal wood fire water earth wind light dark sun"
+    )
+    rows = [
+        (1, long_ok),  # passes
+        (2, "too short"),  # too_few_tokens
+        (3, " ".join(["aa"] * 30)),  # repeated token + no stopwords
+        # avg len (3*10 + 20*15)/25 = 13.2 > 12, digit-heavy
+        (4, " ".join(["the"] * 10 + ["12345678901234567890"] * 15)),
+        (5, ""),  # empty -> too_few_tokens only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in quality_filter(df, "text", "doc_id").collect()
+    }
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert not out[2]["keep"]
+    assert "too_few_tokens" in out[2]["reasons"]
+    assert set(out[3]["reasons"].split(",")) == {
+        "low_stopword_ratio",
+        "low_unique_ratio",
+    }
+    assert "high_digit_ratio" in out[4]["reasons"]
+    assert "bad_avg_token_len" in out[4]["reasons"]
+    assert out[5]["reasons"] == "too_few_tokens" and out[5]["n_tokens"] == 0
+
+
+def test_quality_filter_plan_has_no_exchange(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (
+        quality_filter(df, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+# --- histogram --------------------------------------------------------------
+
+
+def test_token_length_histogram(spark):
+    rows = [(1, "a b c"), (2, "x y"), (3, " ".join(["t"] * 12))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["bucket"]: r
+        for r in token_length_histogram(
+            df, "text", bucket_width=10
+        ).collect()
+    }
+    assert out[0]["n_docs"] == 2 and out[0]["total_tokens"] == 5
+    assert out[10]["n_docs"] == 1 and out[10]["total_tokens"] == 12
