@@ -413,6 +413,17 @@ def main() -> None:
         "cosine_topk_int8",
         lambda: force(q_cosine_topk_int8(spark, sf_dir)),
     )
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_bm25_topk,
+        q_chunk_documents,
+        q_quality_filter,
+        q_redact_pii,
+    )
+
+    bench("chunk_documents", lambda: force(q_chunk_documents(spark, sf_dir)))
+    bench("bm25_topk", lambda: force(q_bm25_topk(spark, sf_dir)))
+    bench("redact_pii", lambda: force(q_redact_pii(spark, sf_dir)))
+    bench("quality_filter", lambda: force(q_quality_filter(spark, sf_dir)))
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a
