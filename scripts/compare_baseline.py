@@ -111,6 +111,12 @@ def main(path: str) -> int:
             f"{bounded['uncapped_mb'] if 'uncapped_mb' in bounded else bounded.get('uncapped_pack_mb')} MB "
             f"= {bounded['ratio']}x (ref band 0.42-0.50x)"
         )
+    if bounded.get("ratio_4x") is not None:
+        print(
+            f"bounded-memory at 4x data: capped {bounded['capped_4x_mb']} MB"
+            f" / uncapped {bounded['uncapped_4x_mb']} MB = "
+            f"{bounded['ratio_4x']}x — same cap, 4x the rows"
+        )
     print(f"{'ratio':<42}{'ours':>8}{'ref':>8}{'ours rss':>10}{'ref rss':>9}")
     worse = 0
     for label, num, den, ref_t, ref_r in REFERENCE_RATIOS:
