@@ -62,21 +62,26 @@ def pandas_member_overlap(sorted_values):
     def overlaps(arrs: pd.Series) -> pd.Series:
         if ref.size == 0:
             return pd.Series([False] * len(arrs))
-        out = []
-        for hs in arrs:
-            if hs is None:
-                # NULL text → NULL shingle array: no overlap, matching the
-                # batch decontaminate path, whose explode() silently keeps
-                # null-text docs ("identical survivors" contract).
-                out.append(False)
-                continue
-            a = np.asarray(hs, dtype=np.int64)
-            if a.size == 0:
-                out.append(False)
-                continue
-            idx = np.searchsorted(ref, a)
+        # Vectorized across the Arrow batch: one searchsorted over the
+        # flattened shingle arrays, then per-row any() via reduceat.
+        # NULL text → NULL shingle array: no overlap, matching the batch
+        # decontaminate path, whose explode() silently keeps null-text
+        # docs ("identical survivors" contract).
+        out = np.zeros(len(arrs), dtype=bool)
+        rows = [
+            (i, np.asarray(hs, dtype=np.int64))
+            for i, hs in enumerate(arrs)
+            if hs is not None and len(hs) > 0
+        ]
+        if rows:
+            lens = np.array([len(a) for _, a in rows])
+            flat = np.concatenate([a for _, a in rows])
+            idx = np.searchsorted(ref, flat)
             idx[idx == ref.size] = ref.size - 1
-            out.append(bool((ref[idx] == a).any()))
+            hits = ref[idx] == flat
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            out[[i for i, _ in rows]] = np.logical_or.reduceat(hits, starts)
         return pd.Series(out)
 
     return overlaps
@@ -106,17 +111,27 @@ def pandas_lm_score(gram_hashes, gram_counts, prefix_hashes, prefix_counts,
 
     @pandas_udf("double")
     def score(g_arrs: pd.Series, p_arrs: pd.Series) -> pd.Series:
-        out = []
-        for gs, ps in zip(g_arrs, p_arrs):
-            if gs is None or ps is None or len(gs) == 0:
-                out.append(None)
-                continue
-            g = np.asarray(gs, dtype=np.int64)
-            p = np.asarray(ps, dtype=np.int64)
-            c2 = _lookup(gh, gc, g)
-            c1 = _lookup(ph, pc, p)
+        # Vectorized across the whole Arrow batch: flatten every valid
+        # row's gram arrays, do ONE searchsorted per dictionary, then
+        # segment-mean back per row with add.reduceat — the per-row
+        # Python loop was the scoring hot spot at corpus scale.
+        out = np.full(len(g_arrs), np.nan)
+        rows = [
+            (i, np.asarray(gs, dtype=np.int64), np.asarray(ps, dtype=np.int64))
+            for i, (gs, ps) in enumerate(zip(g_arrs, p_arrs))
+            if gs is not None and ps is not None and len(gs) > 0
+        ]
+        if rows:
+            lens = np.array([len(g) for _, g, _ in rows])
+            g_flat = np.concatenate([g for _, g, _ in rows])
+            p_flat = np.concatenate([p for _, _, p in rows])
+            c2 = _lookup(gh, gc, g_flat)
+            c1 = _lookup(ph, pc, p_flat)
             nlp = -np.log((c2 + kk) / (c1 + kv))
-            out.append(round(float(nlp.mean()), 6))
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            means = np.round(np.add.reduceat(nlp, starts) / lens, 6)
+            out[[i for i, _, _ in rows]] = means
         return pd.Series(out, dtype="float64")
 
     return score

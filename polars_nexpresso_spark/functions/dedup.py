@@ -636,21 +636,24 @@ def decontaminate_stream(
     """
     import numpy as np
 
-    rows = (
+    # Arrow-batched driver transfer (toPandas), not row-wise collect():
+    # the dictionary is O(distinct shingles) longs and Row-object
+    # materialization dominated the build cost at sf0.1.
+    pdf = (
         eval_df.select(
             F.explode(word_ngrams(F.col(text_col), n)).alias("__sh")
         )
         .select(F.xxhash64(F.col("__sh")).alias("__h"))
         .distinct()
-        .collect()
+        .toPandas()
     )
-    if len(rows) > max_eval_shingles:
+    if len(pdf) > max_eval_shingles:
         raise ValueError(
-            f"eval set has {len(rows)} distinct {n}-gram shingles > "
+            f"eval set has {len(pdf)} distinct {n}-gram shingles > "
             f"max_eval_shingles={max_eval_shingles}; use the batch "
             "decontaminate() join path for eval sets this large"
         )
-    eval_sorted = np.sort(np.array([r["__h"] for r in rows], dtype=np.int64))
+    eval_sorted = np.sort(pdf["__h"].to_numpy(dtype=np.int64))
 
     from polars_nexpresso_spark.functions._vectorized import (
         pandas_member_overlap,
