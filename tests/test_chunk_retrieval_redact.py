@@ -283,3 +283,61 @@ def test_token_length_histogram(spark):
     }
     assert out[0]["n_docs"] == 2 and out[0]["total_tokens"] == 5
     assert out[10]["n_docs"] == 1 and out[10]["total_tokens"] == 12
+
+
+# --- stream-safety: the new stateless stages on a real readStream -----------
+
+
+def test_redact_chunk_gate_compose_on_readstream(spark):
+    """redact_pii → quality_filter-style gating → chunk_documents as ONE
+    streaming plan (all stateless, so no watermark/state needed): the
+    availableNow drain must equal the batch run of the same composition
+    row-for-row."""
+    import shutil
+    import tempfile
+
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(" ping a@b.io")).alias("text")
+    )
+    tmp = tempfile.mkdtemp(prefix="pns_redact_stream_")
+    try:
+        docs.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
+        static = spark.read.parquet(f"{tmp}/in")
+
+        def pipeline(frame):
+            red = redact_pii(frame, "text")
+            gated = red.filter(F.col("n_pii") > 0)
+            return chunk_documents(
+                gated, "text", "doc_id", chunk_size=16, overlap=4
+            )
+
+        expected = {
+            (r["doc_id"], r["chunk_id"], r["chunk_text"])
+            for r in pipeline(static).collect()
+        }
+        assert expected  # every doc got salted PII
+
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        out = pipeline(stream)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName("redact_chunks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["doc_id"], r["chunk_id"], r["chunk_text"])
+            for r in spark.table("redact_chunks").collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
