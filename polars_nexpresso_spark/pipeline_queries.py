@@ -549,6 +549,39 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_histogram(docs, "text", bucket_width=20)
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — the C4 'remove duplicated paragraphs'
+    analog, composed from this repo's own stages: chunk_documents
+    (non-overlapping 32-token windows) → md5 chunk fingerprint → one
+    hash aggregation keeping the lexicographically first (doc, chunk)
+    occurrence. ``min(struct(...))`` instead of a row_number window:
+    partial aggregation runs map-side, so the shuffle carries one row
+    per distinct chunk, not one per chunk."""
+    from polars_nexpresso_spark.functions.chunking import chunk_documents
+    from polars_nexpresso_spark.functions.text import doc_fingerprint
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    chunks = chunk_documents(docs, "text", "doc_id", chunk_size=32, overlap=0)
+    return (
+        chunks.select(
+            doc_fingerprint(F.col("chunk_text")).alias("fingerprint"),
+            F.struct("doc_id", "chunk_id").alias("__first"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("__first").alias("__keep"),
+            F.count("*").alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .select(
+            "fingerprint",
+            F.col("__keep.doc_id").alias("keep_doc_id"),
+            F.col("__keep.chunk_id").alias("keep_chunk_id"),
+            "dup_count",
+        )
+    )
+
+
 def _lang_score_sql(lang: str) -> str:
     terms = []
     for m in LANG_PROFILES[lang]:
@@ -753,6 +786,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redact_pii": q_redact_pii,
     "quality_filter": q_quality_filter,
     "token_histogram": q_token_histogram,
+    "chunk_dedup": q_chunk_dedup,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1406,4 +1440,23 @@ PIPELINE_ORACLE_SQL["token_histogram"] = f"""
            SUM(len(toks))::BIGINT AS total_tokens
     FROM (SELECT {_TOKS} AS toks FROM documents)
     GROUP BY 1
+"""
+
+PIPELINE_ORACLE_SQL["chunk_dedup"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id, i AS chunk_id,
+             array_to_string(list_slice(toks, i*32+1, i*32+32), ' ') AS chunk
+      FROM t, unnest(range(0,
+          CASE WHEN len(toks) <= 0 THEN 0
+               WHEN len(toks) <= 32 THEN 1
+               ELSE (len(toks) - 32 + 31) // 32 + 1 END)) u(i)),
+    r AS (SELECT md5(chunk) AS fingerprint, doc_id, chunk_id,
+                 count(*) OVER (PARTITION BY md5(chunk)) AS dup_count,
+                 row_number() OVER (PARTITION BY md5(chunk)
+                                    ORDER BY doc_id, chunk_id) AS rn
+          FROM c)
+    SELECT fingerprint, doc_id AS keep_doc_id, chunk_id AS keep_chunk_id,
+           dup_count::BIGINT AS dup_count
+    FROM r WHERE rn = 1 AND dup_count > 1
 """

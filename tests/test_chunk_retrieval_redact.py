@@ -341,3 +341,31 @@ def test_redact_chunk_gate_compose_on_readstream(spark):
         assert got == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    from polars_nexpresso_spark.functions.text import doc_fingerprint
+
+    # doc 2 repeats doc 1's second window exactly; doc 3 is unrelated.
+    w1 = " ".join(f"a{i}" for i in range(4))
+    w2 = " ".join(f"b{i}" for i in range(4))
+    rows = [
+        (1, f"{w1} {w2}"),
+        (2, f"{w2} c0 c1 c2 c3"),
+        (3, "d0 d1 d2 d3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    chunks = chunk_documents(df, "text", "doc_id", chunk_size=4, overlap=0)
+    agg = (
+        chunks.select(
+            doc_fingerprint(F.col("chunk_text")).alias("fp"),
+            F.struct("doc_id", "chunk_id").alias("first"),
+        )
+        .groupBy("fp")
+        .agg(F.min("first").alias("keep"), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+        .collect()
+    )
+    assert len(agg) == 1
+    assert agg[0]["keep"]["doc_id"] == 1 and agg[0]["keep"]["chunk_id"] == 1
+    assert agg[0]["dup_count"] == 2
