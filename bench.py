@@ -424,6 +424,9 @@ def main() -> None:
     bench("bm25_topk", lambda: force(q_bm25_topk(spark, sf_dir)))
     bench("redact_pii", lambda: force(q_redact_pii(spark, sf_dir)))
     bench("quality_filter", lambda: force(q_quality_filter(spark, sf_dir)))
+    from polars_nexpresso_spark.pipeline_queries import q_chunk_dedup
+
+    bench("chunk_dedup", lambda: force(q_chunk_dedup(spark, sf_dir)))
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a
