@@ -573,6 +573,43 @@ def q_order_by_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: last-touch attribution over the events
+    table. 'click' events are the versioned dimension (per-user rate
+    updates, aggregated to one row per (user, ts) so the match is
+    deterministic); every 'purchase'/'view' fact picks up the rate and
+    time of the latest click at-or-before its own timestamp. Oracle is
+    DuckDB's native ``ASOF LEFT JOIN``."""
+    from polars_nexpresso_spark.operators.asof import asof_join
+
+    ev = _events_with_event_time(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_ts")
+        .agg(F.max("value").alias("rate"))
+        .select(
+            "user_id",
+            F.col("ts_ts").alias("__rt"),
+            "rate",
+            F.unix_micros(F.col("ts_ts")).alias("last_click_us"),
+        )
+    )
+    facts = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("event_id", "user_id", "ts_ts", "event_type", "value")
+    out = asof_join(
+        facts,
+        clicks,
+        on=["user_id"],
+        left_time="ts_ts",
+        right_time="__rt",
+        payload_cols=["rate", "last_click_us"],
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "value", "rate", "last_click_us"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -601,9 +638,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unnest_all": q_unnest_all,
     "order_by_first_last": q_order_by_first_last,
     "event_props_json": q_event_props_json,
+    "asof_attribution": q_asof_attribution,
 }
 
 ORACLE_SQL: dict[str, str] = {
+    "asof_attribution": """
+        WITH clicks AS (
+          SELECT user_id, ts AS click_ts, MAX(value) AS rate
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_id, ts
+        ),
+        facts AS (
+          SELECT event_id, user_id, ts, event_type, value
+          FROM events WHERE event_type IN ('purchase', 'view')
+        )
+        SELECT f.event_id, f.user_id, f.event_type, f.value, c.rate,
+               epoch_us(c.click_ts) AS last_click_us
+        FROM facts f
+        ASOF LEFT JOIN clicks c
+          ON f.user_id = c.user_id AND f.ts >= c.click_ts
+    """,
     "pack_unpack_roundtrip": _RNC_FLAT_SQL,
     "pack_split_join": _RNC_FLAT_SQL,
     "pack_streaming": _RNC_FLAT_SQL,

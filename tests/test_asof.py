@@ -1,0 +1,148 @@
+"""Unit tests for the as-of (point-in-time) join operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from polars_nexpresso_spark.operators.asof import asof_join
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", 10),
+            (2, "u1", 25),
+            (3, "u1", 5),  # before any right row
+            (4, "u2", 100),
+            (5, "u3", 50),  # key with no right rows at all
+            (6, "u1", 20),  # exactly ON a right timestamp
+        ],
+        ["event_id", "key", "t"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 8, 1.0),
+            ("u1", 20, 2.0),
+            ("u1", 30, 3.0),
+            ("u2", 100, 9.0),  # tie: at-or-before includes equal
+        ],
+        ["key", "rt", "rate"],
+    )
+    return left, right
+
+
+def test_backward_semantics(frames):
+    left, right = frames
+    out = {
+        r["event_id"]: r["rate"]
+        for r in asof_join(
+            left,
+            right,
+            on=["key"],
+            left_time="t",
+            right_time="rt",
+            payload_cols=["rate"],
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: None, 4: 9.0, 5: None, 6: 2.0}
+
+
+def test_forward_semantics(frames):
+    left, right = frames
+    out = {
+        r["event_id"]: r["rate"]
+        for r in asof_join(
+            left,
+            right,
+            on=["key"],
+            left_time="t",
+            right_time="rt",
+            payload_cols=["rate"],
+            direction="forward",
+        ).collect()
+    }
+    # forward: smallest right time >= left time
+    assert out == {1: 2.0, 2: 3.0, 3: 1.0, 4: 9.0, 5: None, 6: 2.0}
+
+
+def test_null_left_time_matches_nothing(spark):
+    left = spark.createDataFrame(
+        [(1, "k", None), (2, "k", 10)], "event_id long, key string, t long"
+    )
+    right = spark.createDataFrame([("k", 5, 7.0)], ["key", "rt", "rate"])
+    for direction in ("backward", "forward"):
+        out = {
+            r["event_id"]: r["rate"]
+            for r in asof_join(
+                left,
+                right,
+                on=["key"],
+                left_time="t",
+                right_time="rt",
+                payload_cols=["rate"],
+                direction=direction,
+            ).collect()
+        }
+        assert out[1] is None, direction
+
+
+def test_null_right_rows_dropped(spark):
+    left = spark.createDataFrame([(1, "k", 10)], ["event_id", "key", "t"])
+    right = spark.createDataFrame(
+        [("k", None, 99.0), (None, 5, 88.0), ("k", 5, 1.5)],
+        "key string, rt long, rate double",
+    )
+    row = asof_join(
+        left,
+        right,
+        on=["key"],
+        left_time="t",
+        right_time="rt",
+        payload_cols=["rate"],
+    ).collect()[0]
+    assert row["rate"] == 1.5
+
+
+def test_multi_payload_and_collision_guard(frames):
+    left, right = frames
+    out = asof_join(
+        left,
+        right,
+        on=["key"],
+        left_time="t",
+        right_time="rt",
+        payload_cols=["rate", "rt"],
+    )
+    row = {r["event_id"]: r for r in out.collect()}
+    assert row[2]["rt"] == 20 and row[2]["rate"] == 2.0
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left.withColumnRenamed("t", "rate"),
+            right,
+            on=["key"],
+            left_time="rate",
+            right_time="rt",
+            payload_cols=["rate"],
+        )
+
+
+def test_single_shuffle_plan(frames):
+    left, right = frames
+    plan = (
+        asof_join(
+            left,
+            right,
+            on=["key"],
+            left_time="t",
+            right_time="rt",
+            payload_cols=["rate"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one hashpartitioning exchange on the key for the window; the union
+    # sides must NOT each pay their own key shuffle after it
+    assert plan.count("Exchange hashpartitioning") == 1
