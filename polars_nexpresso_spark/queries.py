@@ -610,6 +610,47 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: every 'view' event joined to each 'signup' of
+    the same user whose 2-hour follow-up window contains it (inclusive).
+    Bucket width = the window length, so intervals replicate at most
+    twice and the equi-join carries no range explosion."""
+    from polars_nexpresso_spark.operators.rangejoin import interval_join
+
+    two_h_us = 7200 * 1_000_000
+    ev = _events_with_event_time(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts_ts")).alias("us"),
+    )
+    signups = base.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("us").alias("start_us"),
+        (F.col("us") + F.lit(two_h_us)).alias("end_us"),
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.col("us").alias("view_us")
+    )
+    out = interval_join(
+        views,
+        signups,
+        on=["user_id"],
+        point="view_us",
+        start="start_us",
+        end="end_us",
+        bucket_width=two_h_us,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "signup_id",
+        (F.col("view_us") - F.col("start_us")).alias("delta_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -639,6 +680,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_by_first_last": q_order_by_first_last,
     "event_props_json": q_event_props_json,
     "asof_attribution": q_asof_attribution,
+    "interval_views": q_interval_views,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -657,6 +699,23 @@ ORACLE_SQL: dict[str, str] = {
         FROM facts f
         ASOF LEFT JOIN clicks c
           ON f.user_id = c.user_id AND f.ts >= c.click_ts
+    """,
+    "interval_views": """
+        WITH s AS (
+          SELECT event_id AS signup_id, user_id,
+                 epoch_us(ts) AS start_us,
+                 epoch_us(ts) + 7200000000 AS end_us
+          FROM events WHERE event_type = 'signup'
+        ),
+        v AS (
+          SELECT event_id, user_id, epoch_us(ts) AS view_us
+          FROM events WHERE event_type = 'view'
+        )
+        SELECT v.event_id, v.user_id, s.signup_id,
+               (v.view_us - s.start_us) AS delta_us
+        FROM v JOIN s
+          ON v.user_id = s.user_id
+         AND v.view_us BETWEEN s.start_us AND s.end_us
     """,
     "pack_unpack_roundtrip": _RNC_FLAT_SQL,
     "pack_split_join": _RNC_FLAT_SQL,

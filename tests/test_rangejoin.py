@@ -1,0 +1,122 @@
+"""Unit tests for the bucketed point-in-interval join."""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_nexpresso_spark.operators.rangejoin import interval_join
+
+
+@pytest.fixture()
+def frames(spark):
+    points = spark.createDataFrame(
+        [
+            (1, "k", 5),
+            (2, "k", 10),  # boundary: == start of B, == end of A
+            (3, "k", 27),  # interval spanning multiple buckets
+            (4, "k", 99),  # no interval
+            (5, "z", 5),  # key with no intervals
+        ],
+        ["pid", "key", "t"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("k", "A", 0, 10),
+            ("k", "B", 10, 12),  # overlaps A at t=10
+            ("k", "C", 20, 45),  # spans buckets [2..4] at width 10
+        ],
+        ["key", "iv", "s", "e"],
+    )
+    return points, intervals
+
+
+def test_inner_semantics_inclusive_bounds(frames):
+    points, intervals = frames
+    got = {
+        (r["pid"], r["iv"])
+        for r in interval_join(
+            points,
+            intervals,
+            on=["key"],
+            point="t",
+            start="s",
+            end="e",
+            bucket_width=10,
+        ).collect()
+    }
+    assert got == {(1, "A"), (2, "A"), (2, "B"), (3, "C")}
+
+
+def test_left_keeps_unmatched(frames):
+    points, intervals = frames
+    rows = interval_join(
+        points,
+        intervals,
+        on=["key"],
+        point="t",
+        start="s",
+        end="e",
+        bucket_width=10,
+        how="left",
+        left_id="pid",
+    ).collect()
+    by_pid: dict[int, list] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r["iv"])
+    assert sorted(by_pid[2]) == ["A", "B"]
+    assert by_pid[4] == [None] and by_pid[5] == [None]
+    assert len(rows) == 6  # 4 matched pairs + 2 unmatched lefts
+
+
+def test_no_nested_loop_join(frames):
+    points, intervals = frames
+    plan = (
+        interval_join(
+            points,
+            intervals,
+            on=["key"],
+            point="t",
+            start="s",
+            end="e",
+            bucket_width=10,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_degenerate_and_invalid_intervals(spark):
+    points = spark.createDataFrame([(1, "k", 7)], ["pid", "key", "t"])
+    intervals = spark.createDataFrame(
+        [("k", "P", 7, 7), ("k", "N", 9, 3), ("k", "U", None, 9)],
+        "key string, iv string, s long, e long",
+    )
+    got = [
+        r["iv"]
+        for r in interval_join(
+            points,
+            intervals,
+            on=["key"],
+            point="t",
+            start="s",
+            end="e",
+            bucket_width=5,
+        ).collect()
+    ]
+    assert got == ["P"]  # zero-length interval matches; inverted/null drop
+
+
+def test_invalid_args(frames):
+    points, intervals = frames
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(
+            points, intervals, on=["key"], point="t", start="s", end="e",
+            bucket_width=0,
+        )
+    with pytest.raises(ValueError, match="how"):
+        interval_join(
+            points, intervals, on=["key"], point="t", start="s", end="e",
+            bucket_width=5, how="outer",
+        )
