@@ -427,6 +427,12 @@ def main() -> None:
     from polars_nexpresso_spark.pipeline_queries import q_chunk_dedup
 
     bench("chunk_dedup", lambda: force(q_chunk_dedup(spark, sf_dir)))
+    from polars_nexpresso_spark.queries import q_asof_attribution, q_interval_views
+
+    bench(
+        "asof_attribution", lambda: force(q_asof_attribution(spark, sf_dir))
+    )
+    bench("interval_views", lambda: force(q_interval_views(spark, sf_dir)))
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a

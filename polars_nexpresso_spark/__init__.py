@@ -25,7 +25,9 @@ from polars_nexpresso_spark.expressions import (
     generate_nested_exprs,
     struct_fn,
 )
+from polars_nexpresso_spark.operators.asof import asof_join
 from polars_nexpresso_spark.operators.packer import HierarchicalPacker
+from polars_nexpresso_spark.operators.rangejoin import interval_join
 from polars_nexpresso_spark.plans.spec import (
     DiscoveredLevel,
     ExtraColumnsMode,
@@ -63,6 +65,9 @@ __all__ = [
     "apply_nested_operations",
     "StructFunction",
     "struct_fn",
+    # Relational operators Spark lacks
+    "asof_join",
+    "interval_join",
     # Hierarchical packer
     "DiscoveredLevel",
     "HierarchicalPacker",
