@@ -549,6 +549,41 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_histogram(docs, "text", bucket_width=20)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus accounting: docs, token volume, exact
+    distinct content fingerprints and the implied duplicate ratio — the
+    dashboard aggregation every ingest run reports. One hash aggregation
+    with map-side partials; ``count_distinct`` is exact here for the
+    oracle, with ``approx_count_distinct`` (HLL sketch, constant memory
+    per group) as the 100 TB drop-in noted in the docstring."""
+    from polars_nexpresso_spark.functions.text import (
+        doc_fingerprint,
+        token_count,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "source",
+            "lang",
+            token_count(F.col("text")).alias("__n"),
+            doc_fingerprint(F.col("text")).alias("__fp"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("total_tokens"),
+            F.count_distinct("__fp").alias("distinct_docs"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.lit(1.0) - F.col("distinct_docs") / F.col("n_docs"), 6
+            ),
+        )
+    )
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact dedup — the C4 'remove duplicated paragraphs'
     analog, composed from this repo's own stages: chunk_documents
@@ -787,6 +822,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "token_histogram": q_token_histogram,
     "chunk_dedup": q_chunk_dedup,
+    "corpus_report": q_corpus_report,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1459,4 +1495,15 @@ PIPELINE_ORACLE_SQL["chunk_dedup"] = f"""
     SELECT fingerprint, doc_id AS keep_doc_id, chunk_id AS keep_chunk_id,
            dup_count::BIGINT AS dup_count
     FROM r WHERE rn = 1 AND dup_count > 1
+"""
+
+PIPELINE_ORACLE_SQL["corpus_report"] = f"""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           SUM(len({_TOKS}))::BIGINT AS total_tokens,
+           count(DISTINCT md5({_NORM})) AS distinct_docs,
+           ROUND(1.0 - count(DISTINCT md5({_NORM}))::DOUBLE / count(*), 6)
+               AS dup_ratio
+    FROM documents
+    GROUP BY source, lang
 """
