@@ -192,3 +192,58 @@ def source_mix_weights(
             F.when(max_raw > 0, raw / max_raw).otherwise(F.lit(0.0)), 6
         ).alias("weight"),
     )
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    *,
+    frac: float,
+    by: list[str] | None = None,
+    keep: str = "lowest",
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Keep the best ``frac`` of rows by score, per ``by`` group.
+
+    The CCNet perplexity-bucket step: score documents (e.g.
+    :func:`~polars_nexpresso_spark.functions.text.ngram_lm_score`, where
+    LOW avg ``-ln P`` = fluent), then keep the best fraction per source.
+    ``keep='lowest'`` keeps rows with score <= the ``frac``-quantile;
+    ``'highest'`` keeps rows >= the ``(1-frac)``-quantile. Rows tied
+    with the threshold are all kept, so the kept share can slightly
+    exceed ``frac``. NULL scores are dropped.
+
+    The threshold is one exact-percentile aggregation per group
+    (``F.percentile``, linear interpolation == SQL ``quantile_cont``),
+    broadcast back and applied as a map-side filter — groups are few
+    (sources/languages), so the broadcast is trivially small.
+    ``approx=True`` swaps in ``approx_percentile`` (one-pass mergeable
+    sketch) for the 100 TB path; thresholds then carry sketch error and
+    are not oracle-exact. Thresholds are rounded to 6 dp in the
+    comparison so the filter is reproducible across engines.
+    """
+    if not 0 < frac <= 1:
+        raise ValueError(f"frac must be in (0, 1]: {frac}")
+    if keep not in ("lowest", "highest"):
+        raise ValueError(f"keep must be lowest|highest: {keep!r}")
+    p = frac if keep == "lowest" else 1.0 - frac
+    fn = (
+        (lambda c: F.approx_percentile(c, F.lit(p), F.lit(accuracy)))
+        if approx
+        else (lambda c: F.percentile(c, F.lit(p)))
+    )
+    score = F.col(score_col).cast("double")
+    keys = by or []
+    grouped = df.filter(score.isNotNull()).groupBy(*keys)
+    thresholds = grouped.agg(
+        F.round(fn(score).cast("double"), 6).alias("__thr")
+    )
+    base = df.filter(score.isNotNull())
+    joined = (
+        base.join(F.broadcast(thresholds), on=keys)
+        if keys
+        else base.crossJoin(F.broadcast(thresholds))
+    )
+    cond = score <= F.col("__thr") if keep == "lowest" else score >= F.col("__thr")
+    return joined.filter(cond).drop("__thr")

@@ -584,6 +584,25 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity-bucket filter end-to-end: self-trained bigram
+    LM score per document, then keep the most fluent 30% per source
+    (lowest avg -ln P; threshold = exact per-source 0.3-quantile,
+    broadcast back, ties kept). Oracle composes the lm_score oracle with
+    quantile_cont."""
+    from polars_nexpresso_spark.functions.sampling import keep_top_fraction
+    from polars_nexpresso_spark.functions.text import ngram_lm_score
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    scored = ngram_lm_score(docs, "text", "doc_id", n=2, k=0.5).join(
+        docs.select("doc_id", "source"), on="doc_id"
+    )
+    kept = keep_top_fraction(
+        scored, "avg_neg_logp", frac=0.3, by=["source"], keep="lowest"
+    )
+    return kept.select("doc_id", "source", "avg_neg_logp")
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level exact dedup — the C4 'remove duplicated paragraphs'
     analog, composed from this repo's own stages: chunk_documents
@@ -823,6 +842,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_histogram": q_token_histogram,
     "chunk_dedup": q_chunk_dedup,
     "corpus_report": q_corpus_report,
+    "quality_topfrac": q_quality_topfrac,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1506,4 +1526,23 @@ PIPELINE_ORACLE_SQL["corpus_report"] = f"""
                AS dup_ratio
     FROM documents
     GROUP BY source, lang
+"""
+
+# Composes the lm_score oracle: same scores, per-source quantile_cont
+# threshold (rounded to 6 dp like the Spark side), ties kept.
+PIPELINE_ORACLE_SQL["quality_topfrac"] = f"""
+    WITH scored AS ({PIPELINE_ORACLE_SQL["lm_score"]}),
+    with_src AS (
+      SELECT s.doc_id, d.source, s.avg_neg_logp
+      FROM scored s JOIN documents d USING (doc_id)
+      WHERE s.avg_neg_logp IS NOT NULL
+    ),
+    thr AS (
+      SELECT source,
+             ROUND(quantile_cont(avg_neg_logp, 0.3), 6) AS thr
+      FROM with_src GROUP BY source
+    )
+    SELECT w.doc_id, w.source, w.avg_neg_logp
+    FROM with_src w JOIN thr t USING (source)
+    WHERE w.avg_neg_logp <= t.thr
 """

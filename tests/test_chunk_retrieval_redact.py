@@ -369,3 +369,54 @@ def test_chunk_dedup_keeps_first_occurrence(spark):
     assert len(agg) == 1
     assert agg[0]["keep"]["doc_id"] == 1 and agg[0]["keep"]["chunk_id"] == 1
     assert agg[0]["dup_count"] == 2
+
+
+# --- keep_top_fraction ------------------------------------------------------
+
+
+def test_keep_top_fraction_lowest_and_highest(spark):
+    from polars_nexpresso_spark.functions.sampling import keep_top_fraction
+
+    rows = [(i, "a", float(i)) for i in range(1, 11)]  # scores 1..10
+    rows += [(100 + i, "b", float(i)) for i in range(1, 5)]  # 1..4
+    df = spark.createDataFrame(rows, ["doc_id", "src", "score"])
+    low = keep_top_fraction(
+        df, "score", frac=0.3, by=["src"], keep="lowest"
+    ).collect()
+    by_src: dict[str, set] = {}
+    for r in low:
+        by_src.setdefault(r["src"], set()).add(r["score"])
+    # group a: 0.3-quantile of 1..10 = 3.7 -> keep {1,2,3}
+    assert by_src["a"] == {1.0, 2.0, 3.0}
+    # group b: 0.3-quantile of 1..4 = 1.9 -> keep {1}
+    assert by_src["b"] == {1.0}
+    high = keep_top_fraction(
+        df.filter(df.src == "a"), "score", frac=0.2, by=["src"],
+        keep="highest",
+    ).collect()
+    assert {r["score"] for r in high} == {9.0, 10.0}
+
+
+def test_keep_top_fraction_ties_kept_and_nulls_dropped(spark):
+    from polars_nexpresso_spark.functions.sampling import keep_top_fraction
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0), (4, 9.0), (5, None)],
+        "doc_id long, score double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in keep_top_fraction(df, "score", frac=0.5).collect()
+    }
+    # global 0.5-quantile of (5,5,5,9) = 5.0; all ties kept, null dropped
+    assert kept == {1, 2, 3}
+
+
+def test_keep_top_fraction_validates(spark):
+    from polars_nexpresso_spark.functions.sampling import keep_top_fraction
+
+    df = spark.createDataFrame([(1, 1.0)], ["doc_id", "score"])
+    with pytest.raises(ValueError, match="frac"):
+        keep_top_fraction(df, "score", frac=0.0)
+    with pytest.raises(ValueError, match="keep"):
+        keep_top_fraction(df, "score", frac=0.5, keep="middle")
