@@ -752,3 +752,60 @@ def cosine_topk_int8(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_q", "rank")
     )
+
+
+def rademacher_matrix(
+    out_dim: int, dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic ±1 (Rademacher) projection matrix from md5 parity —
+    reproducible across runs/machines/engines with no RNG state, and
+    cheap to replay in SQL as literal signs (the oracle pattern the LSH
+    hyperplanes use)."""
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:2], 16)
+            % 2
+            == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def project_embeddings(
+    df: DataFrame,
+    *,
+    out_dim: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: ``y = S x / sqrt(k)``
+    with a deterministic ±1 ``S`` (:func:`rademacher_matrix`) and
+    ``k = out_dim``. Pairwise distances/cosines survive within JL
+    distortion while every embedding byte downstream (shuffles, ANN
+    candidate tables, caches) shrinks ``dim/out_dim``-fold — compose
+    with :func:`quantize_embeddings` for the full small-vector path.
+
+    Pure column expressions: each output coordinate is one literal-array
+    dot product, whole-stage codegen'd, no shuffle, no Python. The
+    left-to-right sum order is fixed by the expression shape, so the
+    DuckDB oracle (same literal signs, same order) matches bit-for-bit.
+
+    Returns ``(id, proj array<double>)``.
+    """
+    if not 0 < out_dim <= dim:
+        raise ValueError(f"need 0 < out_dim <= dim: {out_dim} vs {dim}")
+    mat = rademacher_matrix(out_dim, dim, seed)
+    inv_sqrt_k = 1.0 / math.sqrt(out_dim)
+    v = F.col(vec_col)
+    coords = [
+        (
+            _dot(v, F.array(*[F.lit(s) for s in row])) * F.lit(inv_sqrt_k)
+        ).cast("double")
+        for row in mat
+    ]
+    return df.select(F.col(id_col), F.array(*coords).alias("proj"))

@@ -584,6 +584,28 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss projection of the embedding table to 16
+    dims via a deterministic md5-parity ±1 matrix — the shrink-every-
+    downstream-byte step before ANN/caching. Emits (vec_id, j, proj)
+    rows; the oracle replays the same literal signs in the same
+    left-to-right sum order, so even the doubles hash exactly."""
+    from polars_nexpresso_spark.functions.similarity import (
+        project_embeddings,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    dim = _embedding_dim(sf_dir)
+    proj = project_embeddings(emb, out_dim=16, dim=dim)
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("j", "__v")
+    ).select(
+        "vec_id",
+        F.col("j").cast("bigint").alias("j"),
+        F.round(F.col("__v"), 6).alias("proj"),
+    )
+
+
 def q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's perplexity-bucket filter end-to-end: self-trained bigram
     LM score per document, then keep the most fluent 30% per source
@@ -601,6 +623,27 @@ def q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "avg_neg_logp", frac=0.3, by=["source"], keep="lowest"
     )
     return kept.select("doc_id", "source", "avg_neg_logp")
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP form of the corpus report: per-(source, lang) rows plus
+    per-source and grand-total margins in ONE aggregation pass
+    (Spark ``rollup`` == SQL ``GROUP BY ROLLUP``) — grouping-set
+    aggregates are an extension beyond the reference, which has no
+    grouping-sets/cube/rollup surface (SURVEY §2.F)."""
+    from polars_nexpresso_spark.functions.text import token_count
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(
+            "source", "lang", token_count(F.col("text")).alias("__n")
+        )
+        .rollup("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").cast("bigint").alias("total_tokens"),
+        )
+    )
 
 
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,7 +885,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_histogram": q_token_histogram,
     "chunk_dedup": q_chunk_dedup,
     "corpus_report": q_corpus_report,
+    "corpus_rollup": q_corpus_rollup,
     "quality_topfrac": q_quality_topfrac,
+    "project_embeddings": q_project_embeddings,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1530,6 +1575,14 @@ PIPELINE_ORACLE_SQL["corpus_report"] = f"""
 
 # Composes the lm_score oracle: same scores, per-source quantile_cont
 # threshold (rounded to 6 dp like the Spark side), ties kept.
+PIPELINE_ORACLE_SQL["corpus_rollup"] = f"""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           SUM(len({_TOKS}))::BIGINT AS total_tokens
+    FROM documents
+    GROUP BY ROLLUP(source, lang)
+"""
+
 PIPELINE_ORACLE_SQL["quality_topfrac"] = f"""
     WITH scored AS ({PIPELINE_ORACLE_SQL["lm_score"]}),
     with_src AS (
@@ -1546,3 +1599,32 @@ PIPELINE_ORACLE_SQL["quality_topfrac"] = f"""
     FROM with_src w JOIN thr t USING (source)
     WHERE w.avg_neg_logp <= t.thr
 """
+
+
+def _project_oracle() -> str | None:
+    """UNION ALL of one literal-sign dot product per output dim, summed
+    left-to-right exactly like the Spark fold (0 + t1 + t2 ... is
+    IEEE-identical to the fold's accumulator), so doubles hash-match."""
+    if _ORACLE_DIM is None:
+        return None
+    from polars_nexpresso_spark.functions.similarity import rademacher_matrix
+
+    import math
+
+    mat = rademacher_matrix(16, _ORACLE_DIM, 42)
+    inv = 1.0 / math.sqrt(16)
+    parts = []
+    for j, row in enumerate(mat):
+        terms = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * {s!r}" for i, s in enumerate(row)
+        )
+        parts.append(
+            f"SELECT vec_id, {j}::BIGINT AS j, "
+            f"ROUND((0.0 + {terms}) * {inv!r}, 6) AS proj FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_proj_oracle = _project_oracle()
+if _proj_oracle is not None:
+    PIPELINE_ORACLE_SQL["project_embeddings"] = _proj_oracle

@@ -830,3 +830,61 @@ def test_decontaminate_stream_eval_size_guard(spark):
     )
     with pytest.raises(ValueError, match="max_eval_shingles"):
         decontaminate_stream(df, df, "text", n=3, max_eval_shingles=5)
+
+
+def test_project_embeddings_preserves_distances(spark):
+    import math
+
+    import numpy as np
+
+    from polars_nexpresso_spark.functions.similarity import (
+        project_embeddings,
+        rademacher_matrix,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in project_embeddings(df, out_dim=32, dim=64).collect()
+    }
+    # JL guarantee (loose check): relative distance distortion bounded
+    # for most pairs at k=32
+    dist_in, dist_out = [], []
+    for i in range(0, 20, 2):
+        a, b = vecs[i], vecs[i + 1]
+        dist_in.append(np.linalg.norm(a - b))
+        dist_out.append(np.linalg.norm(out[i] - out[i + 1]))
+    ratios = np.array(dist_out) / np.array(dist_in)
+    assert 0.6 < ratios.mean() < 1.4
+    # deterministic matrix: same seed -> same values, exact
+    again = {
+        r["vec_id"]: r["proj"]
+        for r in project_embeddings(df, out_dim=32, dim=64).collect()
+    }
+    assert again[0] == list(out[0])
+    # matrix itself is ±1 only
+    mat = rademacher_matrix(4, 8)
+    assert all(abs(s) == 1.0 for row in mat for s in row)
+
+
+def test_project_embeddings_validates(spark):
+    from polars_nexpresso_spark.functions.similarity import project_embeddings
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="out_dim"):
+        project_embeddings(df, out_dim=5, dim=4)
+
+
+def test_corpus_rollup_margins(spark):
+    from polars_nexpresso_spark.pipeline_queries import q_corpus_rollup
+
+    rows = q_corpus_rollup(spark, "/root/testdata/sf0.001").collect()
+    total = [r for r in rows if r["source"] is None and r["lang"] is None]
+    assert len(total) == 1
+    per_source = [r for r in rows if r["source"] and r["lang"] is None]
+    assert sum(r["n_docs"] for r in per_source) == total[0]["n_docs"]
