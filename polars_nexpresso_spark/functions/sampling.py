@@ -247,3 +247,67 @@ def keep_top_fraction(
     )
     cond = score <= F.col("__thr") if keep == "lowest" else score >= F.col("__thr")
     return joined.filter(cond).drop("__thr")
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    *,
+    fracs: tuple = (1.0 / 3, 2.0 / 3),
+    labels: tuple = ("head", "middle", "tail"),
+    by: list[str] | None = None,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Label every row with its per-group score bucket — CCNet's
+    head/middle/tail perplexity bucketing (ascending score = better
+    under an LM-score column, so 'head' is the most fluent third).
+
+    ``fracs`` are the quantile cut points (strictly increasing, in
+    (0,1)); ``labels`` has ``len(fracs) + 1`` names. A row lands in
+    bucket ``i`` when its score is <= the ``fracs[i]``-quantile (first
+    match wins, ties land in the better bucket — consistent with
+    :func:`keep_top_fraction`). NULL scores get a NULL bucket.
+
+    One exact-percentile aggregation per group computes ALL thresholds
+    (``F.percentile`` over the array of fracs), broadcast back, and the
+    labeling is a map-side CASE chain — the same two-job shape as
+    ``keep_top_fraction`` regardless of bucket count. ``approx=True``
+    swaps the sketch in for the 100 TB path. Thresholds round to 6 dp
+    for cross-engine reproducibility.
+    """
+    if len(labels) != len(fracs) + 1:
+        raise ValueError(
+            f"need len(labels) == len(fracs)+1: {len(labels)} vs {len(fracs)}"
+        )
+    if list(fracs) != sorted(set(fracs)) or not all(0 < f < 1 for f in fracs):
+        raise ValueError(f"fracs must be strictly increasing in (0,1): {fracs}")
+    score = F.col(score_col).cast("double")
+    keys = by or []
+    fn = (
+        (lambda c, p: F.approx_percentile(c, F.lit(p), F.lit(accuracy)))
+        if approx
+        else (lambda c, p: F.percentile(c, F.lit(p)))
+    )
+    thresholds = (
+        df.filter(score.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            *[
+                F.round(fn(score, p).cast("double"), 6).alias(f"__thr{i}")
+                for i, p in enumerate(fracs)
+            ]
+        )
+    )
+    joined = (
+        df.join(F.broadcast(thresholds), on=keys)
+        if keys
+        else df.crossJoin(F.broadcast(thresholds))
+    )
+    bucket = F.when(score.isNull(), F.lit(None).cast("string"))
+    for i, label in enumerate(labels[:-1]):
+        bucket = bucket.when(score <= F.col(f"__thr{i}"), F.lit(label))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return joined.withColumn("bucket", bucket).drop(
+        *[f"__thr{i}" for i in range(len(fracs))]
+    )

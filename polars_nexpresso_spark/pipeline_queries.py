@@ -584,6 +584,21 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: per-source terciles
+    of the self-trained LM score, labeled map-side from one broadcast
+    threshold row per source."""
+    from polars_nexpresso_spark.functions.sampling import score_buckets
+    from polars_nexpresso_spark.functions.text import ngram_lm_score
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    scored = ngram_lm_score(docs, "text", "doc_id", n=2, k=0.5).join(
+        docs.select("doc_id", "source"), on="doc_id"
+    )
+    out = score_buckets(scored, "avg_neg_logp", by=["source"])
+    return out.select("doc_id", "source", "avg_neg_logp", "bucket")
+
+
 def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss projection of the embedding table to 16
     dims via a deterministic md5-parity ±1 matrix — the shrink-every-
@@ -888,6 +903,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_rollup": q_corpus_rollup,
     "quality_topfrac": q_quality_topfrac,
     "project_embeddings": q_project_embeddings,
+    "quality_buckets": q_quality_buckets,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1581,6 +1597,26 @@ PIPELINE_ORACLE_SQL["corpus_rollup"] = f"""
            SUM(len({_TOKS}))::BIGINT AS total_tokens
     FROM documents
     GROUP BY ROLLUP(source, lang)
+"""
+
+PIPELINE_ORACLE_SQL["quality_buckets"] = f"""
+    WITH scored AS ({PIPELINE_ORACLE_SQL["lm_score"]}),
+    with_src AS (
+      SELECT s.doc_id, d.source, s.avg_neg_logp
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    thr AS (
+      SELECT source,
+             ROUND(quantile_cont(avg_neg_logp, 1.0/3), 6) AS t0,
+             ROUND(quantile_cont(avg_neg_logp, 2.0/3), 6) AS t1
+      FROM with_src WHERE avg_neg_logp IS NOT NULL GROUP BY source
+    )
+    SELECT w.doc_id, w.source, w.avg_neg_logp,
+           CASE WHEN w.avg_neg_logp IS NULL THEN NULL
+                WHEN w.avg_neg_logp <= t.t0 THEN 'head'
+                WHEN w.avg_neg_logp <= t.t1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM with_src w JOIN thr t USING (source)
 """
 
 PIPELINE_ORACLE_SQL["quality_topfrac"] = f"""

@@ -420,3 +420,27 @@ def test_keep_top_fraction_validates(spark):
         keep_top_fraction(df, "score", frac=0.0)
     with pytest.raises(ValueError, match="keep"):
         keep_top_fraction(df, "score", frac=0.5, keep="middle")
+
+
+def test_score_buckets_terciles_and_nulls(spark):
+    from polars_nexpresso_spark.functions.sampling import score_buckets
+
+    rows = [(i, float(i)) for i in range(1, 10)]  # 1..9
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    out = {r["doc_id"]: r["bucket"] for r in score_buckets(df, "score").collect()}
+    # terciles of 1..9: t0=3.666.., t1=6.333..
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert out[99] is None
+
+
+def test_score_buckets_validates(spark):
+    from polars_nexpresso_spark.functions.sampling import score_buckets
+
+    df = spark.createDataFrame([(1, 1.0)], ["doc_id", "score"])
+    with pytest.raises(ValueError, match="labels"):
+        score_buckets(df, "score", fracs=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError, match="fracs"):
+        score_buckets(df, "score", fracs=(0.8, 0.2), labels=("a", "b", "c"))
