@@ -452,6 +452,20 @@ def main() -> None:
         "asof_attribution", lambda: force(q_asof_attribution(spark, sf_dir))
     )
     bench("interval_views", lambda: force(q_interval_views(spark, sf_dir)))
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_corpus_report,
+        q_project_embeddings,
+        q_quality_buckets,
+    )
+
+    bench("corpus_report", lambda: force(q_corpus_report(spark, sf_dir)))
+    bench(
+        "project_embeddings",
+        lambda: force(q_project_embeddings(spark, sf_dir)),
+    )
+    bench(
+        "quality_buckets", lambda: force(q_quality_buckets(spark, sf_dir))
+    )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a

@@ -444,3 +444,59 @@ def test_score_buckets_validates(spark):
         score_buckets(df, "score", fracs=(0.5,), labels=("a", "b", "c"))
     with pytest.raises(ValueError, match="fracs"):
         score_buckets(df, "score", fracs=(0.8, 0.2), labels=("a", "b", "c"))
+
+
+# --- chunking property test (pure-python replica of the window math) --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    n=st.integers(min_value=0, max_value=200),
+    chunk=st.integers(min_value=1, max_value=32),
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_count_formula_property(n, chunk, data):
+    # The integer window-count formula the operator AND the oracle share:
+    # replicate it in python and check the invariants every (n, c, o).
+    overlap = data.draw(st.integers(min_value=0, max_value=chunk - 1))
+    stride = chunk - overlap
+    if n <= 0:
+        n_chunks = 0
+    elif n <= chunk:
+        n_chunks = 1
+    else:
+        n_chunks = (n - chunk + stride - 1) // stride + 1
+    # invariants: full coverage, no window starts past the end, minimal
+    starts = [i * stride for i in range(n_chunks)]
+    if n > 0:
+        assert starts[-1] < n  # last window is non-empty
+        assert starts[-1] + chunk >= n  # covers the tail
+        if n_chunks > 1:
+            assert starts[-2] + chunk < n  # dropping one loses coverage
+        covered = set()
+        for s in starts:
+            covered.update(range(s, min(s + chunk, n)))
+        assert covered == set(range(n))  # every token in >= 1 window
+
+
+def test_chunk_spark_matches_python_formula(spark):
+    # One Spark execution over a sweep of lengths, cross-checked against
+    # the same python formula the property test validates.
+    chunk, overlap = 7, 3
+    stride = chunk - overlap
+    rows = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(0, 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got: dict[int, int] = {}
+    for r in (
+        chunk_documents(df, "text", "doc_id", chunk_size=chunk, overlap=overlap)
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    ):
+        got[r["doc_id"]] = r["count"]
+    for n in range(0, 40):
+        expect = 0 if n == 0 else (1 if n <= chunk else (n - chunk + stride - 1) // stride + 1)
+        assert got.get(n, 0) == expect, n
