@@ -135,3 +135,19 @@ def pandas_lm_score(gram_hashes, gram_counts, prefix_hashes, prefix_counts,
         return pd.Series(out, dtype="float64")
 
     return score
+
+
+def pandas_unicode_normalize(form: str):
+    """UDF factory: Unicode-normalize a string column per Arrow batch
+    (``unicodedata.normalize``). No JVM builtin covers this; the Python
+    stdlib call is cheap relative to Arrow transfer and the operator
+    stays stateless/stream-safe."""
+    import unicodedata
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize(form, x)
+        )
+
+    return norm

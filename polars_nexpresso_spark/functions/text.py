@@ -740,3 +740,26 @@ def token_length_histogram(
             F.sum("__n").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+def normalize_unicode(
+    df, text_col: str, *, form: str = "NFC", out_col: str | None = None
+):
+    """Unicode-normalize ``text_col`` (default NFC) — the multilingual
+    prerequisite for content hashing: composed and decomposed encodings
+    of the same glyphs ("À" vs "A"+U+0300) must fingerprint identically
+    before any dedup/decontamination pass, or re-crawls with different
+    encoders silently escape deduplication.
+
+    Arrow-batched ``unicodedata.normalize`` (no JVM builtin exists for
+    this); map-side, stateless, stream-safe. DuckDB's ``nfc_normalize``
+    reproduces the NFC form for the oracle.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be a unicodedata form, got {form!r}")
+    from polars_nexpresso_spark.functions._vectorized import (
+        pandas_unicode_normalize,
+    )
+
+    fn = pandas_unicode_normalize(form)
+    return df.withColumn(out_col or text_col, fn(F.col(text_col)))

@@ -584,6 +584,35 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization: the corpus text is salted with a
+    DECOMPOSED letter+combining-grave pair derived from doc_id (both
+    engines build the identical string), normalized with
+    ``unicodedata.normalize`` (Spark, Arrow-batched) vs DuckDB's
+    ``nfc_normalize`` — composed output and shrunken length prove the
+    combining sequence actually folded."""
+    from polars_nexpresso_spark.functions.text import normalize_unicode
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    letter = F.substring(
+        F.lit("ABCDEFGHIJKLMNOPQRSTUVWXYZ"),
+        (F.col("doc_id") % 26).cast("int") + 1,
+        1,
+    )
+    salted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" "), letter, F.lit("̀")).alias(
+            "text"
+        ),
+    )
+    out = normalize_unicode(salted, "text", form="NFC")
+    return out.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("bigint").alias("n_chars_nfc"),
+    )
+
+
 def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing: per-source terciles
     of the self-trained LM score, labeled map-side from one broadcast
@@ -904,6 +933,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_topfrac": q_quality_topfrac,
     "project_embeddings": q_project_embeddings,
     "quality_buckets": q_quality_buckets,
+    "unicode_nfc": q_unicode_nfc,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1664,3 +1694,18 @@ def _project_oracle() -> str | None:
 _proj_oracle = _project_oracle()
 if _proj_oracle is not None:
     PIPELINE_ORACLE_SQL["project_embeddings"] = _proj_oracle
+
+# chr(768) is U+0300 COMBINING GRAVE ACCENT — the decomposed salt; NFC
+# must fold letter+grave into the single precomposed codepoint.
+PIPELINE_ORACLE_SQL["unicode_nfc"] = """
+    SELECT doc_id,
+           nfc_normalize(text || ' '
+               || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         (doc_id % 26)::INT + 1, 1)
+               || chr(768)) AS text,
+           length(nfc_normalize(text || ' '
+               || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                         (doc_id % 26)::INT + 1, 1)
+               || chr(768))) AS n_chars_nfc
+    FROM documents
+"""

@@ -500,3 +500,36 @@ def test_chunk_spark_matches_python_formula(spark):
     for n in range(0, 40):
         expect = 0 if n == 0 else (1 if n <= chunk else (n - chunk + stride - 1) // stride + 1)
         assert got.get(n, 0) == expect, n
+
+
+def test_normalize_unicode_composes_and_roundtrips(spark):
+    from polars_nexpresso_spark.functions.text import (
+        doc_fingerprint,
+        normalize_unicode,
+    )
+
+    decomposed = "caf" + "é"  # 'café' with combining acute
+    composed = "café"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in normalize_unicode(df, "text", form="NFC").collect()
+    }
+    assert out[1] == composed and out[2] == composed and out[3] is None
+    # the dedup motivation: identical fingerprints after normalization
+    fps = (
+        normalize_unicode(df.filter(df.doc_id < 3), "text", form="NFC")
+        .select(doc_fingerprint(F.col("text")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    assert fps == 1
+    nfd = {
+        r["doc_id"]: r["text"]
+        for r in normalize_unicode(df, "text", form="NFD").collect()
+    }
+    assert nfd[2] == decomposed
+    with pytest.raises(ValueError, match="form"):
+        normalize_unicode(df, "text", form="NFX")
