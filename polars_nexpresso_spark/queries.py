@@ -651,6 +651,17 @@ def q_interval_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_topkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic: the 10 hottest users by event count with
+    their row share — the measurement every salting / AQE-skew decision
+    starts from. Partial-agg count + broadcast total + TakeOrdered (no
+    full sort, no window)."""
+    from polars_nexpresso_spark.plans.stats import key_skew_stats
+
+    ev = read_table(spark, sf_dir, "events")
+    return key_skew_stats(ev, ["user_id"], top_n=10)
+
+
 # ---------------------------------------------------------------------------
 # Catalog
 # ---------------------------------------------------------------------------
@@ -681,6 +692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_props_json": q_event_props_json,
     "asof_attribution": q_asof_attribution,
     "interval_views": q_interval_views,
+    "skew_topkeys": q_skew_topkeys,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -699,6 +711,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM facts f
         ASOF LEFT JOIN clicks c
           ON f.user_id = c.user_id AND f.ts >= c.click_ts
+    """,
+    "skew_topkeys": """
+        SELECT user_id, count(*) AS n_rows,
+               ROUND(count(*)::DOUBLE
+                     / (SELECT count(*) FROM events), 6) AS share
+        FROM events
+        GROUP BY user_id
+        ORDER BY n_rows DESC, user_id ASC
+        LIMIT 10
     """,
     "interval_views": """
         WITH s AS (
