@@ -584,6 +584,41 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot diff — the recrawl-ingest primitive: compare
+    content fingerprints across two corpus versions and label every doc
+    added / changed / removed / unchanged, so downstream dedup/scoring
+    re-runs only on the delta. The 'old' snapshot is constructed
+    deterministically in BOTH engines (docs with id < 400, every
+    10th one with reversed text), the 'new' snapshot is the corpus
+    itself; a full outer join on doc_id compares md5 fingerprints. One
+    co-keyed join, map-side fingerprints — at scale this is the
+    cheapest possible two-snapshot pass."""
+    from polars_nexpresso_spark.functions.text import doc_fingerprint
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    n_cut = 400  # sf-independent oracle needs a fixed id cut; sf0.001 has 500
+    old = docs.filter(F.col("doc_id") < n_cut).select(
+        "doc_id",
+        doc_fingerprint(
+            F.when(
+                F.col("doc_id") % 10 == 0, F.reverse(F.col("text"))
+            ).otherwise(F.col("text"))
+        ).alias("__old_fp"),
+    )
+    new = docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("__new_fp")
+    )
+    joined = old.join(new, on="doc_id", how="full_outer")
+    status = (
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") == F.col("__new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select("doc_id", status.alias("status"))
+
+
 def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization: the corpus text is salted with a
     DECOMPOSED letter+combining-grave pair derived from doc_id (both
@@ -934,6 +969,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "project_embeddings": q_project_embeddings,
     "quality_buckets": q_quality_buckets,
     "unicode_nfc": q_unicode_nfc,
+    "corpus_diff": q_corpus_diff,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1708,4 +1744,21 @@ PIPELINE_ORACLE_SQL["unicode_nfc"] = """
                          (doc_id % 26)::INT + 1, 1)
                || chr(768))) AS n_chars_nfc
     FROM documents
+"""
+
+PIPELINE_ORACLE_SQL["corpus_diff"] = f"""
+    WITH old AS (
+      SELECT doc_id, md5({_NORM}) AS ofp FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN reverse(text) ELSE text END
+                   AS text
+        FROM documents WHERE doc_id < 400)
+    ),
+    new AS (SELECT doc_id, md5({_NORM}) AS nfp FROM documents)
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.ofp IS NULL THEN 'added'
+                WHEN n.nfp IS NULL THEN 'removed'
+                WHEN o.ofp = n.nfp THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """

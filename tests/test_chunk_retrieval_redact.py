@@ -533,3 +533,28 @@ def test_normalize_unicode_composes_and_roundtrips(spark):
     assert nfd[2] == decomposed
     with pytest.raises(ValueError, match="form"):
         normalize_unicode(df, "text", form="NFX")
+
+
+def test_corpus_diff_statuses_include_removed(spark):
+    from polars_nexpresso_spark.functions.text import doc_fingerprint
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "old text"), (3, "gone text")],
+        ["doc_id", "text"],
+    ).select("doc_id", doc_fingerprint(F.col("text")).alias("ofp"))
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "new text"), (4, "brand new")],
+        ["doc_id", "text"],
+    ).select("doc_id", doc_fingerprint(F.col("text")).alias("nfp"))
+    j = old.join(new, on="doc_id", how="full_outer")
+    status = (
+        F.when(F.col("ofp").isNull(), F.lit("added"))
+        .when(F.col("nfp").isNull(), F.lit("removed"))
+        .when(F.col("ofp") == F.col("nfp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in j.select("doc_id", status.alias("s")).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
