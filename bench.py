@@ -466,6 +466,13 @@ def main() -> None:
     bench(
         "quality_buckets", lambda: force(q_quality_buckets(spark, sf_dir))
     )
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_corpus_diff,
+        q_unicode_nfc,
+    )
+
+    bench("corpus_diff", lambda: force(q_corpus_diff(spark, sf_dir)))
+    bench("unicode_nfc", lambda: force(q_unicode_nfc(spark, sf_dir)))
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a
