@@ -66,6 +66,13 @@ def asof_join(
             f"payload columns {sorted(overlap)} collide with left columns; "
             "rename before joining"
         )
+    reserved = {"__t", "__is_left", "__payload", "__c"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"columns {sorted(taken)} collide with asof_join internals; "
+            "rename before joining"
+        )
 
     r = right
     for c in [*on, right_time]:

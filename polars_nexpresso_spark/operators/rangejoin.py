@@ -58,6 +58,12 @@ def interval_join(
         raise ValueError(f"how must be inner|left: {how!r}")
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive: {bucket_width}")
+    taken = {"__b", "__lid"} & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"columns {sorted(taken)} collide with interval_join "
+            "internals; rename before joining"
+        )
     w = F.lit(int(bucket_width))
     p = F.col(point).cast("long")
     s, e = F.col(start).cast("long"), F.col(end).cast("long")

@@ -146,3 +146,13 @@ def test_single_shuffle_plan(frames):
     # one hashpartitioning exchange on the key for the window; the union
     # sides must NOT each pay their own key shuffle after it
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_reserved_column_guard(spark, frames=None):
+    left = spark.createDataFrame([(1, "k", 5, 0)], ["e", "key", "t", "__t"])
+    right = spark.createDataFrame([("k", 1, 2.0)], ["key", "rt", "rate"])
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(
+            left, right, on=["key"], left_time="t", right_time="rt",
+            payload_cols=["rate"],
+        )

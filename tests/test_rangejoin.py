@@ -120,3 +120,15 @@ def test_invalid_args(frames):
             points, intervals, on=["key"], point="t", start="s", end="e",
             bucket_width=5, how="outer",
         )
+
+
+def test_reserved_column_guard(spark):
+    points = spark.createDataFrame([(1, "k", 5, 9)], ["pid", "key", "t", "__b"])
+    intervals = spark.createDataFrame([("k", "A", 0, 10)], ["key", "iv", "s", "e"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="internals"):
+        interval_join(
+            points, intervals, on=["key"], point="t", start="s", end="e",
+            bucket_width=5,
+        )
