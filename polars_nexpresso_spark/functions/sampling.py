@@ -305,12 +305,15 @@ def score_buckets(
             ]
         )
     )
+    # LEFT join: a group whose scores are ALL NULL has no threshold row —
+    # its rows must survive with a NULL bucket, not silently drop.
     joined = (
-        df.join(F.broadcast(thresholds), on=keys)
+        df.join(F.broadcast(thresholds), on=keys, how="left")
         if keys
         else df.crossJoin(F.broadcast(thresholds))
     )
-    bucket = F.when(score.isNull(), F.lit(None).cast("string"))
+    no_thr = F.col(f"__thr{len(fracs) - 1}").isNull()
+    bucket = F.when(score.isNull() | no_thr, F.lit(None).cast("string"))
     for i, label in enumerate(labels[:-1]):
         bucket = bucket.when(score <= F.col(f"__thr{i}"), F.lit(label))
     bucket = bucket.otherwise(F.lit(labels[-1]))

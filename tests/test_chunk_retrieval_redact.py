@@ -558,3 +558,18 @@ def test_corpus_diff_statuses_include_removed(spark):
         for r in j.select("doc_id", status.alias("s")).collect()
     }
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_score_buckets_all_null_group_survives(spark):
+    from polars_nexpresso_spark.functions.sampling import score_buckets
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "b", None)],
+        "doc_id long, src string, score double",
+    )
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in score_buckets(df, "score", by=["src"]).collect()
+    }
+    assert out[4] is None  # group 'b' has no threshold row; row survives
+    assert out[1] == "head" and out[3] == "tail"
