@@ -148,7 +148,7 @@ def test_single_shuffle_plan(frames):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_reserved_column_guard(spark, frames=None):
+def test_reserved_column_guard(spark):
     left = spark.createDataFrame([(1, "k", 5, 0)], ["e", "key", "t", "__t"])
     right = spark.createDataFrame([("k", 1, 2.0)], ["key", "rt", "rate"])
     with pytest.raises(ValueError, match="internals"):
