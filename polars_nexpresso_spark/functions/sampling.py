@@ -320,3 +320,40 @@ def score_buckets(
     return joined.withColumn("bucket", bucket).drop(
         *[f"__thr{i}" for i in range(len(fracs))]
     )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list,
+    *,
+    k: int,
+    rank_col: str | None = "rank",
+) -> DataFrame:
+    """Keep the top ``k`` rows per key group under ``order_by`` (list of
+    Columns or column names; wrap with ``F.col(...).desc()`` for
+    descending). Include a tie-breaking column to make the cut
+    deterministic — ``row_number`` is arbitrary within ties otherwise.
+
+    The standard one-window shape: one shuffle on the keys, per-group
+    sort, early filter. Spark's window TopK rewrite (rank-limit pushdown)
+    keeps per-partition state at ``k`` rows per group rather than
+    sorting whole groups where the optimizer supports it. Hot keys
+    concentrate in single partitions (windows don't salt); for heavy
+    skew use :func:`cap_per_group`'s hash-ordered variant or pre-filter
+    with a per-partition partial top-k.
+
+    ``rank_col=None`` drops the rank from the output.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    from pyspark.sql import Window
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*cols)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    if rank_col is None:
+        return ranked.drop("__rn")
+    return ranked.withColumnRenamed("__rn", rank_col)

@@ -651,6 +651,26 @@ def q_interval_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: each user's 3 highest-value events (value desc,
+    event_id asc tie-break) — the grouped top-k the reference has no
+    operator for (SURVEY §2.F: no sorts/limits/top-k). One window
+    shuffle; rank included so the cut is auditable."""
+    from polars_nexpresso_spark.functions.sampling import top_k_per_group
+
+    ev = read_table(spark, sf_dir, "events")
+    out = top_k_per_group(
+        ev.select("event_id", "user_id", "value"),
+        ["user_id"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+    )
+    return out.select(
+        "user_id", F.col("rank").cast("bigint").alias("rank"),
+        "event_id", "value",
+    )
+
+
 def q_skew_topkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic: the 10 hottest users by event count with
     their row share — the measurement every salting / AQE-skew decision
@@ -693,6 +713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_attribution": q_asof_attribution,
     "interval_views": q_interval_views,
     "skew_topkeys": q_skew_topkeys,
+    "top_events_per_user": q_top_events_per_user,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -711,6 +732,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM facts f
         ASOF LEFT JOIN clicks c
           ON f.user_id = c.user_id AND f.ts >= c.click_ts
+    """,
+    "top_events_per_user": """
+        SELECT user_id, rank, event_id, value FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY value DESC, event_id ASC
+                 ) AS rank
+          FROM events)
+        WHERE rank <= 3
     """,
     "skew_topkeys": """
         SELECT user_id, count(*) AS n_rows,

@@ -573,3 +573,26 @@ def test_score_buckets_all_null_group_survives(spark):
     }
     assert out[4] is None  # group 'b' has no threshold row; row survives
     assert out[1] == "head" and out[3] == "tail"
+
+
+def test_top_k_per_group(spark):
+    from polars_nexpresso_spark.functions.sampling import top_k_per_group
+
+    rows = [
+        (1, "a", 9.0), (2, "a", 7.0), (3, "a", 7.0), (4, "a", 1.0),
+        (5, "b", 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    out = top_k_per_group(
+        df, ["g"], [F.col("v").desc(), F.col("id").asc()], k=2
+    ).collect()
+    got = {(r["g"], r["rank"]): r["id"] for r in out}
+    assert got == {("a", 1): 1, ("a", 2): 2, ("b", 1): 5}
+    # rank_col=None drops the rank; k validation
+    no_rank = top_k_per_group(
+        df, ["g"], [F.col("v").desc(), F.col("id").asc()], k=1,
+        rank_col=None,
+    )
+    assert "rank" not in no_rank.columns and no_rank.count() == 2
+    with pytest.raises(ValueError, match="k must"):
+        top_k_per_group(df, ["g"], ["v"], k=0)
