@@ -319,3 +319,36 @@ def flat_orders_lineitem(
         "orders.lineitem.l_returnflag": df["l_returnflag"],
     }
     return df.select(*[v.alias(k) for k, v in cols.items()])
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    *,
+    n_shards: int,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    seed: int = 42,
+) -> None:
+    """Write training shards with DETERMINISTIC membership: every row's
+    shard is the md5-hash bucket of its id (same family as
+    ``sampling.hash_split``), so a re-run, a retried stage, or a
+    different cluster layout writes the SAME shard contents — the
+    property a resumable training job needs from its input listing
+    (shard k can be re-read or re-materialized independently and
+    identically).
+
+    Output layout is ``path/shard=<k>/...`` (hive-partitioned, so a
+    reader filtering on ``shard`` prunes directories). One shuffle-free
+    projection plus the partitioned write's file fan-out; repartition by
+    ``shard`` first yourself if you need exactly one file per shard.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive: {n_shards}")
+    from polars_nexpresso_spark.functions.sampling import hash_bucket
+
+    shard = (hash_bucket(F.col(id_col), seed) % n_shards).alias("shard")
+    df.withColumn("shard", shard).write.mode(mode).format(format).partitionBy(
+        "shard"
+    ).save(path)

@@ -101,3 +101,25 @@ def test_partitioned_write_prunes_directories(spark, tmpdir):
     assert got.count() == 2
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_write_sharded_deterministic_membership(spark, tmp_path):
+    from polars_nexpresso_spark.sources.io import write_sharded
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_sharded(df, p1, "doc_id", n_shards=4)
+    # different partitioning, same membership
+    write_sharded(df.repartition(7), p2, "doc_id", n_shards=4)
+    r1 = spark.read.parquet(p1).select("doc_id", "shard")
+    r2 = spark.read.parquet(p2).select("doc_id", "shard")
+    m1 = {r["doc_id"]: r["shard"] for r in r1.collect()}
+    m2 = {r["doc_id"]: r["shard"] for r in r2.collect()}
+    assert m1 == m2 and len(m1) == 100
+    assert set(m1.values()) == {0, 1, 2, 3}
+    # hive layout prunes on shard
+    pruned = spark.read.parquet(p1).filter("shard = 2")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
