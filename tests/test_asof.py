@@ -156,3 +156,47 @@ def test_reserved_column_guard(spark):
             left, right, on=["key"], left_time="t", right_time="rt",
             payload_cols=["rate"],
         )
+
+
+def test_asof_matches_bruteforce_randomized(spark):
+    # Seeded random scenario cross-checked against a python brute force:
+    # duplicate timestamps, sparse keys, both directions.
+    import random
+
+    rng = random.Random(11)
+    keys = ["a", "b", "c", "d"]
+    left_rows = [
+        (i, rng.choice(keys), rng.randint(0, 30))
+        for i in range(60)
+    ]
+    right_rows = [
+        (rng.choice(keys), t, float(i))
+        for i, t in enumerate(rng.sample(range(0, 30), 12))
+    ]
+    # make right unique per (key, t): keep max rate like the catalog query
+    uniq = {}
+    for k, t, v in right_rows:
+        uniq[(k, t)] = max(uniq.get((k, t), float("-inf")), v)
+    right_rows = [(k, t, v) for (k, t), v in uniq.items()]
+
+    left = spark.createDataFrame(left_rows, ["eid", "key", "t"])
+    right = spark.createDataFrame(right_rows, ["key", "rt", "rate"])
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["eid"]: r["rate"]
+            for r in asof_join(
+                left, right, on=["key"], left_time="t", right_time="rt",
+                payload_cols=["rate"], direction=direction,
+            ).collect()
+        }
+        for eid, k, t in left_rows:
+            if direction == "backward":
+                cands = [(rt, v) for (kk, rt, v) in right_rows
+                         if kk == k and rt <= t]
+                want = max(cands)[1] if cands else None
+            else:
+                cands = [(rt, v) for (kk, rt, v) in right_rows
+                         if kk == k and rt >= t]
+                want = min(cands)[1] if cands else None
+            assert got[eid] == want, (direction, eid, k, t)

@@ -132,3 +132,34 @@ def test_reserved_column_guard(spark):
             points, intervals, on=["key"], point="t", start="s", end="e",
             bucket_width=5,
         )
+
+
+def test_interval_join_matches_bruteforce_randomized(spark):
+    import random
+
+    rng = random.Random(7)
+    keys = ["a", "b", "c"]
+    points = [(i, rng.choice(keys), rng.randint(0, 50)) for i in range(40)]
+    intervals = []
+    for i in range(15):
+        s = rng.randint(0, 45)
+        intervals.append(
+            (rng.choice(keys), f"iv{i}", s, s + rng.randint(0, 20))
+        )
+    pdf = spark.createDataFrame(points, ["pid", "key", "t"])
+    idf = spark.createDataFrame(intervals, ["key", "iv", "s", "e"])
+    for width in (1, 7, 64):  # tiny, mid, larger-than-any-interval buckets
+        got = {
+            (r["pid"], r["iv"])
+            for r in interval_join(
+                pdf, idf, on=["key"], point="t", start="s", end="e",
+                bucket_width=width,
+            ).collect()
+        }
+        want = {
+            (pid, iv)
+            for (pid, pk, t) in points
+            for (ik, iv, s, e) in intervals
+            if pk == ik and s <= t <= e
+        }
+        assert got == want, width
