@@ -352,3 +352,60 @@ def write_sharded(
     df.withColumn("shard", shard).write.mode(mode).format(format).partitionBy(
         "shard"
     ).save(path)
+
+
+_CORRUPT_COL = "_corrupt_record"
+
+
+def read_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+) -> tuple[DataFrame, DataFrame]:
+    """Read JSON-lines with bad-record capture: returns
+    ``(good, quarantine)`` where ``good`` rows parsed cleanly under
+    ``schema`` and ``quarantine`` holds the raw text of every malformed
+    line.
+
+    The production-ingest contract: a handful of mangled lines in a
+    million-file drop must neither kill the job (FAILFAST) nor vanish
+    silently (DROPMALFORMED) — they land in a reviewable side channel.
+
+    Implementation note: Spark's built-in JSON reader REFUSES plans
+    whose scan references only its internal corrupt-record column
+    (``QUERY_ONLY_CORRUPT_RECORD_COLUMN``), which makes the idiomatic
+    "filter where corrupt is not null" quarantine branch an error
+    unless the parsed frame is cached first. Reading the file as TEXT
+    and parsing with ``from_json`` (PERMISSIVE + corrupt column in the
+    struct) sidesteps the restriction with ONE scan and no cache; the
+    raw line is already in hand for the quarantine output. An explicit
+    ``schema`` is required — also the at-scale rule (no inference
+    pass). JSON-lines only: it is the text interchange format the
+    nested/packed representations roundtrip through (CSV cannot hold
+    them; see :func:`read_any`).
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    if not isinstance(schema, StructType):
+        raise ValueError("read_with_quarantine requires an explicit schema")
+    full = StructType(schema.fields).add(_CORRUPT_COL, StringType())
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.col("value"),
+        F.from_json(
+            F.col("value"),
+            full,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": _CORRUPT_COL,
+            },
+        ).alias("__d"),
+    )
+    bad = F.col("__d").isNull() | F.col(f"__d.{_CORRUPT_COL}").isNotNull()
+    good = parsed.filter(~bad).select(
+        *[F.col(f"__d.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = parsed.filter(bad).select(
+        F.col("value").alias("raw_record")
+    )
+    return good, quarantine

@@ -123,3 +123,38 @@ def test_write_sharded_deterministic_membership(spark, tmp_path):
     pruned = spark.read.parquet(p1).filter("shard = 2")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_read_with_quarantine_splits_bad_json(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from polars_nexpresso_spark.sources.io import read_with_quarantine
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        '{"doc_id": 2, "text": "also good"}\n'
+        'this is not json at all\n'
+        '{"doc_id": "not-a-number", "text": "type mismatch"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    good, quarantine = read_with_quarantine(spark, str(p), schema)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    bad = [r["raw_record"] for r in quarantine.collect()]
+    assert len(bad) == 2
+    assert any("not json" in b for b in bad)
+    assert any("not-a-number" in b for b in bad)
+
+
+def test_read_with_quarantine_validates(spark, tmp_path):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.sources.io import read_with_quarantine
+
+    with _pytest.raises(ValueError, match="schema"):
+        read_with_quarantine(spark, "x.jsonl", schema=None)
