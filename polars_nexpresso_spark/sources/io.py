@@ -409,3 +409,54 @@ def read_with_quarantine(
         F.col("value").alias("raw_record")
     )
     return good, quarantine
+
+
+def compact_files(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    *,
+    target_file_mb: int = 128,
+    format: str = "parquet",
+) -> int:
+    """Compact a directory of small files into ~``target_file_mb`` files
+    at ``dest``; returns the output file count.
+
+    The small-files maintenance pass every streaming/incremental sink
+    eventually needs: micro-batches and per-task writers leave thousands
+    of KB-scale files whose per-file open/footer/list overhead dominates
+    scan time (and batters the namenode/object-store listing). One scan
+    → ``repartition(n)`` (round-robin, so output files are size-balanced
+    without any key assumption) → one write. ``n`` comes from Catalyst's
+    driver-side size estimate, so nothing runs before the single
+    compaction job. Content is preserved row-for-row; file-internal
+    order is NOT (round-robin) — downstream consumers of this engine
+    never depend on file order (packs order inside aggregations).
+
+    ``dest`` must differ from ``src``: a same-path overwrite would
+    delete the input mid-scan.
+    """
+    if os.path.abspath(src) == os.path.abspath(dest):
+        raise ValueError("compact in place is unsafe; write to a new path")
+    from polars_nexpresso_spark.plans.stats import plan_size_bytes
+
+    df = spark.read.format(format).load(src)
+    try:
+        est = plan_size_bytes(df)
+    except Exception:  # noqa: BLE001 — Connect: fall back to one file/core
+        est = 0
+    n = max(1, est // (target_file_mb * 1024 * 1024) + (1 if est else 0))
+    df.repartition(int(n)).write.mode("overwrite").format(format).save(dest)
+    out = spark.read.format(format).load(dest)
+    files = [
+        f for f in os.listdir(dest) if f.endswith(f".{format}")
+    ] if os.path.isdir(dest) else []
+    # Validate row preservation cheaply (counts; content equality is the
+    # caller's oracle if they need it). A real check, not an assert —
+    # -O must not strip a data-integrity gate.
+    n_out_rows, n_in_rows = out.count(), df.count()
+    if n_out_rows != n_in_rows:
+        raise RuntimeError(
+            f"compaction row mismatch: wrote {n_out_rows}, read {n_in_rows}"
+        )
+    return len(files)

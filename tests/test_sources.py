@@ -158,3 +158,25 @@ def test_read_with_quarantine_validates(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="schema"):
         read_with_quarantine(spark, "x.jsonl", schema=None)
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    from polars_nexpresso_spark.sources.io import compact_files
+
+    src, dest = str(tmp_path / "small"), str(tmp_path / "big")
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(2000)], ["doc_id", "text"]
+    )
+    df.repartition(40).write.parquet(src)
+    import os as _os
+
+    n_in = len([f for f in _os.listdir(src) if f.endswith(".parquet")])
+    assert n_in >= 30
+    n_out = compact_files(spark, src, dest, target_file_mb=128)
+    assert 1 <= n_out < n_in
+    got = {r["doc_id"] for r in spark.read.parquet(dest).collect()}
+    assert got == set(range(2000))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="in place"):
+        compact_files(spark, src, src)
