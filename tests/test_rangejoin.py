@@ -134,6 +134,94 @@ def test_reserved_column_guard(spark):
         )
 
 
+def test_bucket_math_exact_at_epoch_ns(spark):
+    """Bucket assignment must be exact long arithmetic, not double.
+
+    1_700_000_000_000_016_000 is an epoch-ns value whose nearest double
+    is 1_700_000_000_000_015_872 (ulp 256 at this magnitude), so
+    ``floor(x / 1000)`` computed via double division yields
+    1_700_000_000_000_015 — one bucket low. The exact ``DIV`` path must
+    give 1_700_000_000_000_016. This test fails if ``_floor_bucket``
+    reverts to ``F.floor(col / lit)``.
+    """
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.operators.rangejoin import _floor_bucket
+
+    x = 1_700_000_000_000_016_000
+    df = spark.createDataFrame([(x,), (-7,), (-9,), (9,)], "v long")
+    rows = {
+        r["v"]: (r["exact"], r["dbl"])
+        for r in df.select(
+            "v",
+            _floor_bucket("v", 1000).alias("exact"),
+            F.floor(F.col("v") / F.lit(1000)).alias("dbl"),
+        ).collect()
+    }
+    assert rows[x][0] == x // 1000
+    assert rows[x][1] == x // 1000 - 1  # the double path really is wrong
+    # negative axis: DIV truncates toward zero; floor correction applies
+    assert rows[-7][0] == -7 // 1000 == -1
+    assert rows[-9][0] == -1 and rows[9][0] == 0
+
+
+def test_interval_join_exact_at_epoch_ns_magnitude(spark):
+    """End-to-end at epoch-ns magnitude: boundary points land in their
+    true bucket and every containing interval is found."""
+    x = 1_700_000_000_000_016_000
+    points = spark.createDataFrame(
+        [(1, "k", x), (2, "k", x - 1), (3, "k", x + 999)],
+        "pid long, key string, t long",
+    )
+    intervals = spark.createDataFrame(
+        [("k", "A", x, x + 500), ("k", "B", x - 2000, x - 1)],
+        "key string, iv string, s long, e long",
+    )
+    got = {
+        (r["pid"], r["iv"])
+        for r in interval_join(
+            points, intervals, on=["key"], point="t", start="s", end="e",
+            bucket_width=1000,
+        ).collect()
+    }
+    assert got == {(1, "A"), (2, "B")}
+
+
+def test_right_left_column_collision_guard(spark):
+    points = spark.createDataFrame([(1, "k", 5)], ["pid", "key", "t"])
+    intervals = spark.createDataFrame(
+        [("k", 9, 0, 10)], ["key", "pid", "s", "e"]  # pid collides
+    )
+    with pytest.raises(ValueError, match="collide with left"):
+        interval_join(
+            points, intervals, on=["key"], point="t", start="s", end="e",
+            bucket_width=5,
+        )
+
+
+def test_left_without_left_id_stable_under_shuffle(spark):
+    """how='left' with no left_id must not lose/duplicate rows even when
+    the left frame is post-shuffle (ids pinned via localCheckpoint)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 200).select(
+        F.lit("k").alias("key"), (F.col("id") % 37).alias("t")
+    )
+    # aggregation output = post-shuffle frame with duplicate payload rows
+    left = base.groupBy("key", "t").agg(F.count("*").alias("n")).repartition(8)
+    intervals = spark.createDataFrame(
+        [("k", "A", 0, 9)], ["key", "iv", "s", "e"]
+    )
+    out = interval_join(
+        left, intervals, on=["key"], point="t", start="s", end="e",
+        bucket_width=5, how="left",
+    )
+    n_left = left.count()
+    assert out.count() == n_left  # each left row exactly once (<=1 match each)
+    matched = out.filter(F.col("iv").isNotNull()).count()
+    assert matched == left.filter(F.col("t") <= 9).count()
+
+
 def test_interval_join_matches_bruteforce_randomized(spark):
     import random
 
