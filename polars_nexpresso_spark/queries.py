@@ -610,6 +610,43 @@ def q_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_attribution_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same last-touch attribution as ``asof_attribution``, but through
+    the skew-sharded two-phase plan (``skew_time_bucket``): the carry
+    window partitions by (user, coarse-time-bucket) so a power-law hot
+    user never lands in a single window partition. Same DuckDB ASOF
+    oracle — results must be identical to the unsharded path."""
+    from polars_nexpresso_spark.operators.asof import asof_join
+
+    ev = _events_with_event_time(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts_ts")
+        .agg(F.max("value").alias("rate"))
+        .select(
+            "user_id",
+            F.col("ts_ts").alias("__rt"),
+            "rate",
+            F.unix_micros(F.col("ts_ts")).alias("last_click_us"),
+        )
+    )
+    facts = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select("event_id", "user_id", "ts_ts", "event_type", "value")
+    out = asof_join(
+        facts,
+        clicks,
+        on=["user_id"],
+        left_time="ts_ts",
+        right_time="__rt",
+        payload_cols=["rate", "last_click_us"],
+        skew_time_bucket=86_400,  # 1-day buckets on the seconds axis
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", "value", "rate", "last_click_us"
+    )
+
+
 def q_interval_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join: every 'view' event joined to each 'signup' of
     the same user whose 2-hour follow-up window contains it (inclusive).
@@ -711,6 +748,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_by_first_last": q_order_by_first_last,
     "event_props_json": q_event_props_json,
     "asof_attribution": q_asof_attribution,
+    "asof_attribution_sharded": q_asof_attribution_sharded,
     "interval_views": q_interval_views,
     "skew_topkeys": q_skew_topkeys,
     "top_events_per_user": q_top_events_per_user,
@@ -718,6 +756,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE_SQL: dict[str, str] = {
     "asof_attribution": """
+        WITH clicks AS (
+          SELECT user_id, ts AS click_ts, MAX(value) AS rate
+          FROM events WHERE event_type = 'click'
+          GROUP BY user_id, ts
+        ),
+        facts AS (
+          SELECT event_id, user_id, ts, event_type, value
+          FROM events WHERE event_type IN ('purchase', 'view')
+        )
+        SELECT f.event_id, f.user_id, f.event_type, f.value, c.rate,
+               epoch_us(c.click_ts) AS last_click_us
+        FROM facts f
+        ASOF LEFT JOIN clicks c
+          ON f.user_id = c.user_id AND f.ts >= c.click_ts
+    """,
+    "asof_attribution_sharded": """
         WITH clicks AS (
           SELECT user_id, ts AS click_ts, MAX(value) AS rate
           FROM events WHERE event_type = 'click'

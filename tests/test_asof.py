@@ -200,3 +200,117 @@ def test_asof_matches_bruteforce_randomized(spark):
                          if kk == k and rt >= t]
                 want = min(cands)[1] if cands else None
             assert got[eid] == want, (direction, eid, k, t)
+
+
+def test_sharded_matches_base_on_fixture(frames):
+    left, right = frames
+    base = {
+        (r["event_id"], r["rate"])
+        for r in asof_join(
+            left, right, on=["key"], left_time="t", right_time="rt",
+            payload_cols=["rate"],
+        ).collect()
+    }
+    for width in (1, 7, 1000):  # 1000 >> range: everything in one bucket
+        sharded = {
+            (r["event_id"], r["rate"])
+            for r in asof_join(
+                left, right, on=["key"], left_time="t", right_time="rt",
+                payload_cols=["rate"], skew_time_bucket=width,
+            ).collect()
+        }
+        assert sharded == base, width
+
+
+def test_sharded_matches_bruteforce_hot_key(spark):
+    # One key holds 50% of all rows (the skew scenario the sharding
+    # exists for); cross-bucket gaps force the phase-B carry.
+    import random
+
+    rng = random.Random(23)
+    keys = ["hot"] * 4 + ["a", "b", "c", "d"]
+    left_rows = [
+        (i, rng.choice(keys), rng.randint(0, 500)) for i in range(120)
+    ]
+    uniq = {}
+    for _ in range(25):
+        k, t = rng.choice(keys), rng.randint(0, 80)  # rights early only:
+        uniq[(k, t)] = float(len(uniq))  # late lefts need far-back carry
+    right_rows = [(k, t, v) for (k, t), v in uniq.items()]
+    left = spark.createDataFrame(left_rows, ["eid", "key", "t"])
+    right = spark.createDataFrame(right_rows, ["key", "rt", "rate"])
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["eid"]: r["rate"]
+            for r in asof_join(
+                left, right, on=["key"], left_time="t", right_time="rt",
+                payload_cols=["rate"], direction=direction,
+                skew_time_bucket=16,
+            ).collect()
+        }
+        for eid, k, t in left_rows:
+            if direction == "backward":
+                cands = [(rt, v) for (kk, rt, v) in right_rows
+                         if kk == k and rt <= t]
+                want = max(cands)[1] if cands else None
+            else:
+                cands = [(rt, v) for (kk, rt, v) in right_rows
+                         if kk == k and rt >= t]
+                want = min(cands)[1] if cands else None
+            assert got[eid] == want, (direction, eid, k, t)
+
+
+def test_sharded_no_key_only_window_over_full_union(frames):
+    # The full |left|+|right| union must only ever be windowed by
+    # (key, bucket); a key-only window may appear solely over the
+    # bounded distinct-bucket frame (phase B). Assert every window that
+    # carries __payload partitions by __bk too.
+    left, right = frames
+    plan = (
+        asof_join(
+            left, right, on=["key"], left_time="t", right_time="rt",
+            payload_cols=["rate"], skew_time_bucket=10,
+        )
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    import re
+
+    payload_windows = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "__payload" in ln
+    ]
+    assert payload_windows, plan
+    for ln in payload_windows:
+        assert re.search(r"windowspecdefinition\([^)]*__bk", ln), ln
+
+
+def test_sharded_invalid_width(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="skew_time_bucket"):
+        asof_join(
+            left, right, on=["key"], left_time="t", right_time="rt",
+            payload_cols=["rate"], skew_time_bucket=0,
+        )
+
+
+def test_sharded_null_left_time_matches_nothing(spark):
+    left = spark.createDataFrame(
+        [(1, "k", None), (2, "k", 30)], "eid long, key string, t long"
+    )
+    right = spark.createDataFrame(
+        [("k", 10, 1.5)], ["key", "rt", "rate"]
+    )
+    for direction in ("backward", "forward"):
+        out = {
+            r["eid"]: r["rate"]
+            for r in asof_join(
+                left, right, on=["key"], left_time="t", right_time="rt",
+                payload_cols=["rate"], direction=direction,
+                skew_time_bucket=8,
+            ).collect()
+        }
+        assert out[1] is None
+        assert out[2] == (1.5 if direction == "backward" else None)
