@@ -343,12 +343,24 @@ def write_sharded(
     reader filtering on ``shard`` prunes directories). One shuffle-free
     projection plus the partitioned write's file fan-out; repartition by
     ``shard`` first yourself if you need exactly one file per shard.
+
+    Sharding hashes directly into ``n_shards`` buckets (no second
+    modulo over a coarser bucket space, which would bias shard sizes
+    whenever ``n_shards`` doesn't divide it). A NULL id fails the write
+    (map-side ``assert_true``): silently routing NULLs to hive's
+    ``__HIVE_DEFAULT_PARTITION__`` would break the deterministic
+    re-read contract.
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive: {n_shards}")
     from polars_nexpresso_spark.functions.sampling import hash_bucket
 
-    shard = (hash_bucket(F.col(id_col), seed) % n_shards).alias("shard")
+    bucket = hash_bucket(F.col(id_col), seed, denom=n_shards)
+    guard = F.assert_true(
+        F.col(id_col).isNotNull(),
+        F.lit(f"write_sharded: NULL {id_col!r} cannot be sharded"),
+    )
+    shard = F.when(guard.isNull(), bucket).alias("shard")
     df.withColumn("shard", shard).write.mode(mode).format(format).partitionBy(
         "shard"
     ).save(path)
@@ -433,11 +445,21 @@ def compact_files(
     order is NOT (round-robin) — downstream consumers of this engine
     never depend on file order (packs order inside aggregations).
 
-    ``dest`` must differ from ``src``: a same-path overwrite would
-    delete the input mid-scan.
+    ``dest`` and ``src`` must be disjoint paths: a same-path overwrite
+    would delete the input mid-scan; a dest nested under src would be
+    re-scanned by the integrity re-count (inflating it); a src nested
+    under dest would be wiped by the overwrite. Paths are compared by
+    ``realpath`` so symlinked equivalents are caught too.
     """
-    if os.path.abspath(src) == os.path.abspath(dest):
-        raise ValueError("compact in place is unsafe; write to a new path")
+    real_src, real_dest = os.path.realpath(src), os.path.realpath(dest)
+    if (
+        real_src == real_dest
+        or os.path.commonpath([real_src, real_dest]) in (real_src, real_dest)
+    ):
+        raise ValueError(
+            "compact_files: src and dest must be disjoint paths "
+            f"(got src={src!r}, dest={dest!r})"
+        )
     from polars_nexpresso_spark.plans.stats import plan_size_bytes
 
     df = spark.read.format(format).load(src)
@@ -448,9 +470,10 @@ def compact_files(
     n = max(1, est // (target_file_mb * 1024 * 1024) + (1 if est else 0))
     df.repartition(int(n)).write.mode("overwrite").format(format).save(dest)
     out = spark.read.format(format).load(dest)
-    files = [
-        f for f in os.listdir(dest) if f.endswith(f".{format}")
-    ] if os.path.isdir(dest) else []
+    # File count from the read-back frame itself (input_file_name), not
+    # os.listdir — correct on any filesystem Spark can read, not just
+    # the local one.
+    files = out.select(F.input_file_name()).distinct().count()
     # Validate row preservation cheaply (counts; content equality is the
     # caller's oracle if they need it). A real check, not an assert —
     # -O must not strip a data-integrity gate.
@@ -459,4 +482,4 @@ def compact_files(
         raise RuntimeError(
             f"compaction row mismatch: wrote {n_out_rows}, read {n_in_rows}"
         )
-    return len(files)
+    return int(files)

@@ -178,5 +178,54 @@ def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
     assert got == set(range(2000))
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="in place"):
+    with _pytest.raises(ValueError, match="disjoint"):
         compact_files(spark, src, src)
+
+
+def test_compact_files_rejects_nested_paths(spark, tmp_path):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.sources.io import compact_files
+
+    src = str(tmp_path / "small")
+    spark.createDataFrame([(1, "x")], ["doc_id", "text"]).write.parquet(src)
+    # dest under src: the integrity re-count would re-scan dest files
+    with _pytest.raises(ValueError, match="disjoint"):
+        compact_files(spark, src, src + "/compacted")
+    # src under dest: the overwrite would wipe the input
+    with _pytest.raises(ValueError, match="disjoint"):
+        compact_files(spark, src, str(tmp_path))
+    # symlinked equivalent of src is caught via realpath
+    import os as _os
+
+    link = str(tmp_path / "link")
+    _os.symlink(src, link)
+    with _pytest.raises(ValueError, match="disjoint"):
+        compact_files(spark, src, link)
+
+
+def test_write_sharded_unbiased_and_null_safe(spark, tmp_path):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.sources.io import write_sharded
+
+    # n_shards=7 doesn't divide the legacy 1_000_000 bucket space; direct
+    # hashing keeps every shard populated and roughly balanced.
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(700)], ["doc_id", "text"]
+    )
+    p = str(tmp_path / "seven")
+    write_sharded(df, p, "doc_id", n_shards=7)
+    sizes = {
+        r["shard"]: r["n"]
+        for r in spark.read.parquet(p).groupBy("shard").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert set(sizes) == set(range(7))
+    assert max(sizes.values()) < 3 * min(sizes.values())
+
+    nulls = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="NULL 'doc_id'"):
+        write_sharded(nulls, str(tmp_path / "nulls"), "doc_id", n_shards=2)
