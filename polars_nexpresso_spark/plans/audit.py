@@ -43,6 +43,18 @@ _ANTIPATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def _has_unpartitioned_window(plan: str) -> bool:
+    """A WindowExec with no partition spec prints as ``Window [funcs],
+    [order]`` (two bracket groups; partitioned adds a third) and forces
+    an ``Exchange SinglePartition`` — the whole input sorts in ONE task.
+    """
+    for ln in plan.splitlines():
+        stripped = ln.lstrip(" +-:*")
+        if stripped.startswith("Window ") and stripped.count("], [") < 2:
+            return True
+    return False
+
+
 def audit_plan(
     df: DataFrame, *, max_exchanges: int | None = None
 ) -> list[str]:
@@ -55,6 +67,12 @@ def audit_plan(
     for wid, needle, why in _ANTIPATTERNS:
         if needle.lower() in plan.lower():
             warnings.append(f"{wid}: {why}")
+    if _has_unpartitioned_window(plan):
+        warnings.append(
+            "window-without-partitionBy: single-partition sort of the "
+            "whole input through one task; add a partition key, or keep "
+            "such windows strictly on provably bounded (≤k-row) frames"
+        )
     if max_exchanges is not None:
         n = plan.count("Exchange hashpartitioning")
         if n > max_exchanges:

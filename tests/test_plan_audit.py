@@ -52,3 +52,61 @@ def test_key_skew_stats_ranks_hot_keys(spark):
     out = key_skew_stats(df, ["k"], top_n=2).collect()
     assert [(r["k"], r["n_rows"]) for r in out] == [("hot", 70), ("warm", 20)]
     assert out[0]["share"] == 0.7
+
+
+def test_audit_flags_unpartitioned_window(spark):
+    from pyspark.sql import Window
+
+    # offender: whole-frame window, no partition key
+    bad = spark.range(100).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    assert any(
+        w.startswith("window-without-partitionBy") for w in audit_plan(bad)
+    )
+    # partitioned window: clean
+    good = spark.range(100).withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy((F.col("id") % 5)).orderBy("id")
+        ),
+    )
+    assert not any(
+        w.startswith("window-without-partitionBy") for w in audit_plan(good)
+    )
+
+
+def test_catalog_unpartitioned_windows_are_bounded(spark):
+    """The ONLY catalog queries with an unpartitioned window are
+    vocab_topk (window over a .limit(k) survivor frame, ≤k rows) and
+    source_mix (window over the per-source planning table, #sources
+    rows). Pin the justification: each such window's input is bounded
+    by an explicit limit/aggregation in the same plan. A new catalog
+    query that windows an unbounded frame must either partition it or
+    be added here with its own bound."""
+    from polars_nexpresso_spark.plans.audit import _has_unpartitioned_window
+
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    qs = em.queries()
+    for name in ("vocab_topk", "source_mix"):
+        plan = (
+            qs[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert _has_unpartitioned_window(plan), name
+    # vocab_topk's window input is capped by GlobalLimit k
+    vt_plan = (
+        qs["vocab_topk"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "GlobalLimit" in vt_plan or "TakeOrderedAndProject" in vt_plan
+    # source_mix's window input is the output of a per-source aggregate
+    sm_plan = (
+        qs["source_mix"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in sm_plan
