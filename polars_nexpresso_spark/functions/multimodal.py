@@ -14,8 +14,12 @@ implementation remains available — it derives output purely from the bytes
 so results are reproducible and oracle-checkable (``octet_length``-style
 features). **Audio decode is real for PCM WAV** via the stdlib ``wave``
 module (``decode_audio``) — sample rate / channels / duration / RMS;
-compressed audio (mp3/flac/ogg) and video would need soundfile/ffmpeg and
-raise the same clear ``NotImplementedError``.
+compressed audio (mp3/flac/ogg) would need soundfile/ffmpeg and raises the
+same clear ``NotImplementedError``. **Video decode is real for
+uncompressed RGB24 AVI** (``decode_video``): RIFF container parse via
+stdlib ``struct`` plus raw-frame pixel decode via numpy — no codec
+library needed, exactly the PCM-WAV policy; compressed streams use
+imageio/PyAV when importable and raise ``NotImplementedError`` otherwise.
 
 Scale notes: ``mapInPandas`` streams Arrow batches through one Python worker
 per core with no shuffle; blob columns should be pruned before any wide
@@ -414,13 +418,257 @@ def decode_audio(
     )
 
 
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("fps", DoubleType()),
+        StructField("duration_sec", DoubleType()),
+        StructField("mean_pixel", DoubleType()),
+    ]
+)
+
+AVI_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def video_codec_available() -> bool:
+    """True when a compressed-video codec library (imageio or PyAV) is
+    importable. Uncompressed RGB AVI needs NO codec — the RIFF parse and
+    raw-frame decode in :func:`decode_video` are pure stdlib + numpy,
+    the same policy as PCM WAV in :func:`decode_audio`."""
+    for mod in ("imageio", "av"):
+        try:
+            __import__(mod)
+            return True
+        except ImportError:
+            continue
+    return False
+
+
+def _build_avi(frames: list[bytes], width: int, height: int, fps: int) -> bytes:
+    """Minimal real AVI container: RIFF('AVI ') → hdrl(avih + strl(strh,
+    strf)) → movi('00db' raw RGB24 frames, top-down rows, no padding —
+    width is chosen so the 3-byte-pixel stride is already 4-aligned).
+    """
+    import struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(subtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", subtype + payload)
+
+    frame_bytes = width * height * 3
+    n = len(frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = struct.pack(
+        "<4s4sI2HIIIIIIiI4h",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,  # flags, priority, language, initial frames
+        1, fps,  # dwScale / dwRate → fps
+        0, n,  # start, length (frames)
+        frame_bytes, 0,  # buffer size, quality=0
+        frame_bytes,  # dwSampleSize
+        0, 0, width, height,  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height,  # biSize, biWidth, negative = top-down rows
+        1, 24,  # biPlanes, biBitCount (RGB24)
+        0,  # biCompression = BI_RGB (uncompressed)
+        frame_bytes, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+    ))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _parse_avi(blob: bytes) -> tuple[int, int, float, int, list[bytes]]:
+    """Walk the RIFF tree of an AVI blob; return (width, height, fps,
+    compression, frames). Raises ``ValueError`` on a malformed container.
+    """
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF) container")
+    width = height = None
+    fps = 0.0
+    compression = 0
+    frames: list[bytes] = []
+
+    def walk(data: bytes) -> None:
+        nonlocal width, height, fps, compression
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            payload = data[pos + 8:pos + 8 + size]
+            if fourcc == b"LIST":
+                walk(payload[4:])  # skip list subtype
+            elif fourcc == b"avih":
+                fields = struct.unpack_from("<14I", payload)
+                if fields[0]:
+                    fps = round(1_000_000 / fields[0], 6)
+                width, height = fields[8], fields[9]
+            elif fourcc == b"strf":
+                (compression,) = struct.unpack_from("<I", payload, 16)
+            elif fourcc in (b"00db", b"00dc"):
+                frames.append(payload)
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+
+    walk(blob[12:])
+    if width is None:
+        raise ValueError("AVI missing avih header")
+    return int(width), int(height), float(fps), int(compression), frames
+
+
+def synth_avi(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    width: int = 8,
+    height: int = 6,
+    fps: int = 10,
+    n_base: int = 4,
+    n_mod: int = 6,
+) -> DataFrame:
+    """Deterministic uncompressed RGB24 AVI blob per row (test/demo
+    source; the video analog of :func:`synth_wav`).
+
+    Byte ``i`` of frame ``f`` for row ``id`` is
+    ``(id*31 + f*17 + i*7) % 256`` over ``width*height*3`` bytes and
+    ``n_base + id % n_mod`` frames — a closed form a SQL oracle can
+    replay, so the REAL ``decode_video`` path (RIFF parse + raw-frame
+    numpy decode) is hash-checkable end to end without video files in
+    the testdata. ``width*3`` must be 4-byte aligned (no row padding).
+    """
+    if (width * 3) % 4:
+        raise ValueError("width*3 must be a multiple of 4 (no row padding)")
+
+    def gen(batches):
+        import pandas as pd
+
+        n_px = width * height * 3
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                nf = n_base + mid % n_mod
+                frames = [
+                    bytes((mid * 31 + f * 17 + i * 7) % 256 for i in range(n_px))
+                    for f in range(nf)
+                ]
+                rows.append((mid, _build_avi(frames, width, height, fps)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return df.select(F.col(id_col)).mapInPandas(gen, schema=AVI_SCHEMA)
+
+
+def decode_video(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    fake: bool = False,
+) -> DataFrame:
+    """Decode video blobs to ``(media_id, width, height, n_frames, fps,
+    duration_sec, mean_pixel)``.
+
+    Real path (default): RIFF/AVI container parse (stdlib ``struct``)
+    plus raw-frame pixel decode via numpy for uncompressed RGB
+    (``BI_RGB``) streams — the video analog of the PCM-WAV audio path;
+    no codec library needed. Compressed streams fall back to
+    imageio/PyAV when importable and raise ``NotImplementedError``
+    otherwise (same policy as image decode without Pillow). ``fake=True``
+    derives the same output shape straight from the bytes for plumbing
+    tests with arbitrary blobs.
+
+    Corrupt containers raise inside the stage — corrupt media should
+    fail loudly, not silently skew features.
+    """
+    have_codec = video_codec_available() if not fake else False
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = blob or b""
+                if fake:
+                    arr = np.frombuffer(blob, dtype=np.uint8)
+                    mean = float(arr.mean()) if arr.size else 0.0
+                    rows.append(
+                        (int(mid), len(blob), 1, 1, 1.0, 1.0, round(mean, 6))
+                    )
+                    continue
+                w, h, fps, compression, frames = _parse_avi(blob)
+                if compression != 0:
+                    if not have_codec:
+                        _require_codec("video")
+                    import imageio.v3 as iio  # pragma: no cover — codec envs
+
+                    pixels = iio.imread(blob, index=None)  # pragma: no cover
+                    arr = np.asarray(pixels, np.uint8).ravel()  # pragma: no cover
+                    nf = int(pixels.shape[0])  # pragma: no cover
+                else:
+                    arr = (
+                        np.frombuffer(b"".join(frames), dtype=np.uint8)
+                        if frames
+                        else np.array([], dtype=np.uint8)
+                    )
+                    nf = len(frames)
+                mean = float(arr.mean()) if arr.size else 0.0
+                duration = nf / fps if fps else 0.0
+                rows.append(
+                    (int(mid), w, h, nf, fps, round(duration, 6), round(mean, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "fps", "duration_sec", "mean_pixel",
+                ],
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        gen, schema=VIDEO_SCHEMA
+    )
+
+
 def sample_frames(df: DataFrame, *, every_n_bytes: int = 1024, fake: bool = True,
                   id_col: str = "media_id", content_col: str = "content") -> DataFrame:
     """Frame-sample a video-like blob: one output row per sampled offset.
 
     Fake implementation emits (media_id, frame_index, offset, frame_byte) per
     ``every_n_bytes`` — exercising the 1→N mapInPandas row-expansion shape a
-    real frame sampler has.
+    real frame sampler has. For real frame EXTRACTION from an
+    uncompressed AVI use :func:`decode_video` / :func:`_parse_avi`;
+    compressed codecs require imageio/PyAV.
     """
     if not fake:
         _require_codec("video")

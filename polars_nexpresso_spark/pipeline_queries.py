@@ -480,6 +480,29 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(media, fake=False)
 
 
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end to end: deterministic uncompressed RGB24
+    AVI blobs (closed-form pixels the oracle replays) → RIFF container
+    parse + raw-frame numpy decode in an Arrow-batched ``mapInPandas``
+    stage. No codec library needed for BI_RGB streams — the video analog
+    of the PCM-WAV audio path."""
+    from polars_nexpresso_spark.functions.multimodal import (
+        decode_video,
+        synth_avi,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    media = synth_avi(
+        docs.select(F.col("doc_id").alias("media_id")),
+        width=8,
+        height=6,
+        fps=10,
+        n_base=4,
+        n_mod=6,
+    )
+    return decode_video(media, fake=False)
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (32-token windows, 8 overlap):
     the unit-length bound between raw documents and sequence packing."""
@@ -944,6 +967,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_video": q_multimodal_video,
     "lm_score": q_lm_score,
     "lm_score_stream": q_lm_score_stream,
     "source_mix": q_source_mix,
@@ -1279,6 +1303,26 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                ROUND(n / 8000.0, 6) AS duration_sec,
                ROUND(SQRT(msq), 6) AS rms
         FROM s
+    """,
+    "multimodal_video": """
+        WITH base AS (
+          SELECT doc_id AS media_id, 4 + doc_id % 6 AS nf FROM documents
+        ),
+        px AS (
+          SELECT media_id, nf,
+                 AVG(((media_id * 31 + f * 17 + i * 7) % 256)::DOUBLE) AS mp
+          FROM base, range(0, 10) rf(f), range(0, 144) ri(i)
+          WHERE f < nf                  -- lateral range args unsupported
+          GROUP BY media_id, nf
+        )
+        SELECT media_id,
+               8 AS width,
+               6 AS height,
+               nf::BIGINT AS n_frames,
+               10.0::DOUBLE AS fps,
+               (ROUND(nf / 10.0, 6))::DOUBLE AS duration_sec,
+               ROUND(mp, 6) AS mean_pixel
+        FROM px
     """,
     # The numpy fast path computes the identical exact result (pinned by
     # tests/test_ann_recall.py::test_cosine_topk_pandas_matches_expr), so it

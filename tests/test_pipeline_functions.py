@@ -888,3 +888,75 @@ def test_corpus_rollup_margins(spark):
     assert len(total) == 1
     per_source = [r for r in rows if r["source"] and r["lang"] is None]
     assert sum(r["n_docs"] for r in per_source) == total[0]["n_docs"]
+
+
+def test_decode_video_real_avi_roundtrip(spark):
+    """synth_avi → decode_video parses the real RIFF container and
+    decodes raw RGB24 frames with numpy — no codec library involved."""
+    from polars_nexpresso_spark.functions.multimodal import (
+        decode_video,
+        synth_avi,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], ["media_id"])
+    media = synth_avi(ids, width=8, height=6, fps=10, n_base=4, n_mod=6)
+    got = {r["media_id"]: r for r in decode_video(media).collect()}
+    assert len(got) == 12
+    n_px = 8 * 6 * 3
+    for mid, r in got.items():
+        nf = 4 + mid % 6
+        assert (r["width"], r["height"], r["n_frames"]) == (8, 6, nf)
+        assert r["fps"] == 10.0
+        assert r["duration_sec"] == round(nf / 10.0, 6)
+        exact = sum(
+            (mid * 31 + f * 17 + i * 7) % 256
+            for f in range(nf)
+            for i in range(n_px)
+        ) / (nf * n_px)
+        assert abs(r["mean_pixel"] - round(exact, 6)) < 1e-6, mid
+
+
+def test_decode_video_compressed_requires_codec(spark):
+    """A non-BI_RGB stream must raise the documented NotImplementedError
+    when no codec library is importable (this container has none)."""
+    import struct
+
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.multimodal import (
+        _build_avi,
+        decode_video,
+        video_codec_available,
+    )
+
+    if video_codec_available():  # pragma: no cover — codec-ful envs
+        _pytest.skip("codec library present; compressed path would decode")
+    blob = bytearray(_build_avi([b"\x00" * 144], 8, 6, 10))
+    # flip biCompression (strf offset 16) to 'MJPG'
+    idx = blob.index(b"strf") + 8 + 16
+    blob[idx:idx + 4] = struct.pack("<I", 0x47504A4D)
+    df = spark.createDataFrame([(1, bytes(blob))], ["media_id", "content"])
+    with _pytest.raises(Exception, match="codec"):
+        decode_video(df).collect()
+
+
+def test_decode_video_malformed_raises(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.multimodal import decode_video
+
+    df = spark.createDataFrame(
+        [(1, b"this is not an avi")], ["media_id", "content"]
+    )
+    with _pytest.raises(Exception, match="RIFF"):
+        decode_video(df).collect()
+
+
+def test_decode_video_fake_mode(spark):
+    from polars_nexpresso_spark.functions.multimodal import decode_video
+
+    df = spark.createDataFrame(
+        [(1, bytes([10, 20, 30, 40]))], ["media_id", "content"]
+    )
+    r = decode_video(df, fake=True).collect()[0]
+    assert r["mean_pixel"] == 25.0 and r["width"] == 4
