@@ -446,12 +446,25 @@ def main() -> None:
     from polars_nexpresso_spark.pipeline_queries import q_chunk_dedup
 
     bench("chunk_dedup", lambda: force(q_chunk_dedup(spark, sf_dir)))
-    from polars_nexpresso_spark.queries import q_asof_attribution, q_interval_views
+    from polars_nexpresso_spark.queries import (
+        q_asof_attribution,
+        q_asof_attribution_sharded,
+        q_interval_views,
+    )
 
     bench(
         "asof_attribution", lambda: force(q_asof_attribution(spark, sf_dir))
     )
+    bench(
+        "asof_attribution_sharded",
+        lambda: force(q_asof_attribution_sharded(spark, sf_dir)),
+    )
     bench("interval_views", lambda: force(q_interval_views(spark, sf_dir)))
+    from polars_nexpresso_spark.pipeline_queries import q_multimodal_video
+
+    bench(
+        "multimodal_video", lambda: force(q_multimodal_video(spark, sf_dir))
+    )
     from polars_nexpresso_spark.pipeline_queries import (
         q_corpus_report,
         q_project_embeddings,
@@ -722,6 +735,73 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors["scale_split_join_dominant"] = f"{type(e).__name__}: {e}"[:300]
 
+        try:
+            # The REFERENCE's own parent-dominant config
+            # (benchmarks/README.md:156): 64 children/parent, 16384-px
+            # payload + 16 attrs per parent; 100 parents at 1x, 400 at
+            # 4x. Payload elements are pseudo-random per index
+            # (incompressible, like real pixels) but a pure function of
+            # the parent id (group-uniform). On Spark BOTH strategies
+            # are fast here: the plain pack's PARTIAL aggregation takes
+            # first(payload) per key map-side, so the shuffle carries
+            # ~keys x partitions payloads — not x children — which is
+            # the very dedup split_join exists to do by hand in the
+            # reference's engine. See split_join_analysis in the
+            # details sidecar.
+            from polars_nexpresso_spark import HierarchySpec, LevelSpec
+
+            img_spec = HierarchySpec.from_levels(
+                LevelSpec(name="image", id_fields=["img_id"]),
+                LevelSpec(name="patch", id_fields=["patch_id"]),
+            )
+            img_packer = HierarchicalPacker(img_spec)
+
+            def _ref_shape(n_parents: int):
+                base = spark.range(n_parents * 64).select(
+                    (F.col("id") / 64).cast("long").alias("image.img_id"),
+                    F.col("id").alias("image.patch.patch_id"),
+                    (F.col("id") % 997).cast("double").alias(
+                        "image.patch.val"
+                    ),
+                )
+                payload = F.expr(
+                    "transform(sequence(1, 16384), i -> cast((`image.img_id`"
+                    " * 2654435761 + i * 40503) % 65536 AS float))"
+                )
+                out = base.withColumn("image.payload", payload)
+                for a in range(16):
+                    out = out.withColumn(
+                        f"image.attr{a}",
+                        (F.col("`image.img_id`") * a).cast("double"),
+                    )
+                return out
+
+            ref_probe: dict[str, dict] = {}
+            for n_parents, label in ((100, "1x"), (400, "4x")):
+                dom_ref = _ref_shape(n_parents).cache()
+                dom_ref.count()
+                t_plain = _once(
+                    lambda: force(img_packer.pack(dom_ref, "patch"))
+                )
+                t_sj = _once(
+                    lambda: force(
+                        img_packer.pack(
+                            dom_ref, "patch", parent_strategy="split_join"
+                        )
+                    )
+                )
+                dom_ref.unpersist()
+                ref_probe[label] = {
+                    "t_pack": t_plain,
+                    "t_split_join": t_sj,
+                    "ratio": round(t_sj / t_plain, 3) if t_plain else None,
+                }
+            scale_probe["split_join_parent_dominant_ref_shape"] = ref_probe
+        except Exception as e:  # noqa: BLE001
+            errors["scale_split_join_ref_shape"] = (
+                f"{type(e).__name__}: {e}"[:300]
+            )
+
     flat.unpersist()
     # Headline total = the engine's fast paths. Deliberately-slower memory
     # modes (bounded bucket loop, capped-heap probe) are benched for their
@@ -829,6 +909,33 @@ def main() -> None:
             "verdict": "no code regression; shared-session deltas are "
             "cache-pressure / JIT-warmth ordering effects",
         },
+        # Why the split_join parent-dominant ratio plateaus near 0.5-0.65x
+        # on Spark instead of approaching the reference's 0.11x — measured,
+        # round 5. (1) The 4x probe refutes the fixed-floor theory: both
+        # sides scale roughly with data, so amortization does not shrink
+        # the ratio. (2) The decisive experiment is the ref-shape probe
+        # (the reference's own 64-children/16384-px config, incompressible
+        # payload): plain pack ~= split_join there (ratio ~1), because
+        # Catalyst's PARTIAL aggregation already applies first(payload)
+        # per key map-side — the shuffle carries ~keys x partitions
+        # payload copies, not x children. That map-side payload dedup is
+        # exactly what the reference's split_join does by hand; on Spark
+        # the plain path subsumes it (same conclusion as pack_streaming
+        # vs the shuffle). (3) split_join still wins 0.5x at 1x / 0.65x
+        # at 4x on the supplier shape (600 children/parent, wide rows):
+        # there first() over heavy array attrs forces sort-based
+        # aggregation and the win is avoiding the wide in-partition sort,
+        # not shuffle volume. The remaining ratio is structural-pack +
+        # one dim payload scan — both data-proportional, both necessary.
+        "split_join_analysis": {
+            "supplier_shape_ratio": {"1x": "~0.50", "4x": "~0.65"},
+            "ref_shape_ratio": "~1.0 (plain pack already map-side-dedups "
+            "the payload via partial aggregation)",
+            "conclusion": "the reference's 0.11x measures its OWN plain "
+            "pack's pathology; Spark's plain pack does not exhibit it, "
+            "so the honest comparison is absolute seconds, where both "
+            "strategies beat the reference at like-for-like data shapes",
+        },
     }
     # Full-fidelity sidecar, committed with the round evidence.
     try:
@@ -849,6 +956,7 @@ def main() -> None:
         "ann_recall_at_k",
         "bounded_rss",
         "regression_isolation",
+        "split_join_analysis",
     ):
         print(json.dumps({"detail": key, key: details[key]}))
     print(json.dumps(headline))
