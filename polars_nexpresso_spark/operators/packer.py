@@ -193,7 +193,15 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                 cheaper when root attributes are heavy relative to child data
                 (payload not replicated through the shuffle), a regression
                 when child data dominates; kept opt-in exactly like the
-                reference.
+                reference. ``"auto"`` picks from the SCHEMA: any
+                complex-typed root attribute (array/struct/map/binary)
+                routes to split_join — measured 0.50-0.65x of the plain
+                pack on such shapes because the wide rows otherwise ride
+                the aggregation's sort path (docs/benchmarks.md) — while
+                scalar-only attrs stay on the plain pack, whose partial
+                aggregation already dedups them map-side at no extra cost.
+                At 100 TB the wrong choice costs 1.5-2x; auto makes the
+                measured default the default.
             skew_salt: When set (e.g. 32), each grouped level folds in TWO
                 phases — ``groupBy(keys, salt)`` partial chunks, then
                 ``groupBy(keys)`` flatten + sort — so one pathological parent
@@ -207,6 +215,8 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
             HierarchyValidationError: On extra_columns="error" violations, or
                 non-uniform group values when ``validate_on_pack`` is set.
         """
+        if parent_strategy == "auto":
+            parent_strategy = self._choose_parent_strategy(frame)
         if parent_strategy == "split_join":
             return self._pack_split_join(
                 frame, to_level, extra_columns=extra_columns, skew_salt=skew_salt
@@ -274,6 +284,28 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                 continue
             attrs.append(col)
         return attrs
+
+    def _choose_parent_strategy(self, frame: DataFrame) -> ParentStrategy:
+        """Schema-driven strategy choice for ``parent_strategy="auto"``.
+
+        Complex-typed root attributes (array/struct/map/binary) make the
+        pack aggregation's ``first(attr)`` buffers object-typed, which at
+        realistic per-partition key counts runs the wide rows through the
+        aggregation's sort path — the measured case where split_join wins
+        (0.50x at sf0.1, 0.65x at 4x on the supplier shape;
+        docs/benchmarks.md). Scalar attributes ride the partial
+        aggregation's map-side dedup at no extra cost, where split_join's
+        dim scan would be pure overhead (measured ~1x on the reference's
+        own parent-dominant shape). A pure schema inspection: no job, no
+        stats, deterministic.
+        """
+        from pyspark.sql.types import BinaryType, MapType
+
+        for col in self._root_attribute_columns(frame.columns):
+            dt = frame.schema[col].dataType
+            if isinstance(dt, (ArrayType, StructType, MapType, BinaryType)):
+                return "split_join"
+        return "aggregate"
 
     @staticmethod
     def _maybe_broadcast(dim: DataFrame) -> DataFrame:

@@ -37,7 +37,7 @@ from polars_nexpresso_spark.columns import (
 
 ColumnSelector = Union[str, Column, tuple[str, Column]]
 ExtraColumnsMode = Literal["preserve", "drop", "error"]
-ParentStrategy = Literal["aggregate", "split_join"]
+ParentStrategy = Literal["aggregate", "split_join", "auto"]
 PromoteAggregation = Literal[
     "list", "set", "sum", "mean", "min", "max", "first", "last", "count", "single"
 ]

@@ -100,6 +100,27 @@ def test_pack_split_join_without_root_attrs_falls_back(packer, apartment_level_d
     assert_same_rows(aggregated, split_joined)
 
 
+def test_parent_strategy_auto_dispatch(packer, apartment_df_with_root_attrs):
+    # scalar root attrs (string + int): plain aggregation already dedups
+    # them map-side — auto stays on the aggregate path
+    assert (
+        packer._choose_parent_strategy(apartment_df_with_root_attrs)
+        == "aggregate"
+    )
+    # a complex-typed root attr (array payload) routes to split_join
+    heavy = apartment_df_with_root_attrs.withColumn(
+        "country.payload",
+        F.array_repeat(qcol("country.population").cast("double"), 8),
+    )
+    assert packer._choose_parent_strategy(heavy) == "split_join"
+    # results are identical either way (the strategy is pure plan shape)
+    for to_level in ("country", "street"):
+        assert_same_rows(
+            packer.pack(heavy, to_level),
+            packer.pack(heavy, to_level, parent_strategy="auto"),
+        )
+
+
 def test_pack_split_join_unordered_packer(apartment_df_with_root_attrs):
     """split_join with preserve_child_order=False (no internal row id):
     the content-fingerprint rep path works without the row-id column and
