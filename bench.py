@@ -446,6 +446,11 @@ def main() -> None:
     from polars_nexpresso_spark.pipeline_queries import q_chunk_dedup
 
     bench("chunk_dedup", lambda: force(q_chunk_dedup(spark, sf_dir)))
+    from polars_nexpresso_spark.pipeline_queries import q_dup_window_frac
+
+    bench(
+        "dup_window_frac", lambda: force(q_dup_window_frac(spark, sf_dir))
+    )
     from polars_nexpresso_spark.queries import (
         q_asof_attribution,
         q_asof_attribution_sharded,

@@ -34,6 +34,7 @@ from polars_nexpresso_spark.functions.text import (
     doc_fingerprint,
     simhash_table,
     word_ngrams,
+    word_ngrams_all,
 )
 
 # Blocking tables persisted by the pair finders (minhash buckets, simhash
@@ -674,4 +675,67 @@ def decontaminate_stream(
         train.withColumn("__doc_shingles", doc_hashes)
         .filter(~contaminated(F.col("__doc_shingles")))
         .drop("__doc_shingles")
+    )
+
+
+def duplicated_window_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document fraction of token windows whose content also appears
+    in at least ``min_df`` distinct documents — the exact-substring
+    duplication metric from "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022: fraction of w-grams duplicated
+    across the corpus; their w=50, the default here is smaller for
+    short-document corpora).
+
+    Complements the similarity family (MinHash/SimHash find near-dup
+    DOCUMENT PAIRS; this scores how much of each document is made of
+    corpus-repeated SPANS — boilerplate headers, licence blocks, copied
+    paragraphs) and the per-document ``repetition`` signal (which is
+    within-doc only). Filter or down-weight on ``dup_frac``.
+
+    Scale shape: one explode to (window-hash, doc) pairs, a partial-agg
+    distinct-doc count per hash, a co-partitioned left join back on the
+    hash (both sides arrive hash-partitioned on it — no extra exchange),
+    and a per-doc aggregation. No pairwise anything: cost is linear in
+    total windows. Windowing uses ``word_ngrams_all`` (multiset,
+    position-ordered), so documents shorter than ``window`` tokens
+    contribute one window holding their whole token sequence.
+
+    Returns ``(id_col, n_windows, n_dup_windows, dup_frac)``.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2: {min_df}")
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams_all(F.col(text_col), window)).alias("__win"),
+    ).select(F.col(id_col), F.xxhash64(F.col("__win")).alias("__h"))
+    dup = (
+        exploded.groupBy("__h")
+        .agg(F.countDistinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__h", F.lit(1).alias("__isdup"))
+    )
+    marked = exploded.join(dup, on="__h", how="left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.coalesce(F.sum("__isdup"), F.lit(0)).alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+        )
     )

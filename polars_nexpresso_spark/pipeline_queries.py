@@ -480,6 +480,20 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(media, fake=False)
 
 
+def q_dup_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication score (Lee et al. 2022): per document,
+    the fraction of 4-token windows whose content appears in >= 2
+    distinct documents. Linear in total windows — no pairwise joins."""
+    from polars_nexpresso_spark.functions.dedup import (
+        duplicated_window_fraction,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return duplicated_window_fraction(
+        docs, "text", "doc_id", window=4, min_df=2
+    )
+
+
 def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode end to end: deterministic uncompressed RGB24
     AVI blobs (closed-form pixels the oracle replays) → RIFF container
@@ -968,6 +982,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_audio": q_multimodal_audio,
     "multimodal_video": q_multimodal_video,
+    "dup_window_frac": q_dup_window_frac,
     "lm_score": q_lm_score,
     "lm_score_stream": q_lm_score_stream,
     "source_mix": q_source_mix,
@@ -1303,6 +1318,28 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                ROUND(n / 8000.0, 6) AS duration_sec,
                ROUND(SQRT(msq), 6) AS rms
         FROM s
+    """,
+    "dup_window_frac": f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        win AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(len(toks) - 3, 1) + 1),
+                     i -> array_to_string(list_slice(toks, i, i + 3), ' ')
+                 )) AS gram
+          FROM toks
+        ),
+        wc AS (
+          SELECT gram, COUNT(DISTINCT doc_id) AS docs FROM win GROUP BY gram
+        )
+        SELECT w.doc_id,
+               COUNT(*)::BIGINT AS n_windows,
+               SUM(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_dup_windows,
+               ROUND(SUM(CASE WHEN c.docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                     / COUNT(*), 6) AS dup_frac
+        FROM win w JOIN wc c USING (gram)
+        GROUP BY w.doc_id
     """,
     "multimodal_video": """
         WITH base AS (

@@ -1013,6 +1013,7 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # (they stay oracle-paired and covered by scripts/check_oracle.py).
 _MULTIPLY_PROVEN_TAIL = [
     "event_props_json",
+    "skew_topkeys",
     "text_stats",
     "repetition",
     "token_fingerprint",

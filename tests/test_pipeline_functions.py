@@ -960,3 +960,64 @@ def test_decode_video_fake_mode(spark):
     )
     r = decode_video(df, fake=True).collect()[0]
     assert r["mean_pixel"] == 25.0 and r["width"] == 4
+
+
+def test_duplicated_window_fraction_semantics(spark):
+    from polars_nexpresso_spark.functions.dedup import (
+        duplicated_window_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox sat on the mat today"),  # shares lead 4-gram
+            (3, "completely different text with no shared spans at all"),
+            (4, "tiny doc"),  # shorter than window: one whole-doc window
+            (5, "tiny doc"),  # exact dup of 4 -> both fully duplicated
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_window_fraction(
+            docs, "text", "doc_id", window=4, min_df=2
+        ).collect()
+    }
+    # brute force in python (mirrors tokens(): lower + whitespace split)
+    def windows(t):
+        toks = t.lower().split()
+        if len(toks) <= 4:
+            return [" ".join(toks)]
+        return [" ".join(toks[i:i + 4]) for i in range(len(toks) - 3)]
+
+    texts = {r[0]: r[1] for r in docs.collect()}
+    from collections import Counter
+
+    owner = {}
+    for d, t in texts.items():
+        for g in set(windows(t)):
+            owner.setdefault(g, set()).add(d)
+    for d, t in texts.items():
+        ws = windows(t)
+        n_dup = sum(1 for g in ws if len(owner[g]) >= 2)
+        assert out[d]["n_windows"] == len(ws), d
+        assert out[d]["n_dup_windows"] == n_dup, d
+        assert out[d]["dup_frac"] == round(n_dup / len(ws), 6), d
+    # sanity on the fixture itself: 1&2 share a span, 3 is clean, 4&5 dup
+    assert out[3]["n_dup_windows"] == 0
+    assert out[4]["dup_frac"] == 1.0 and out[5]["dup_frac"] == 1.0
+    assert 0 < out[1]["dup_frac"] < 1
+
+
+def test_duplicated_window_fraction_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.dedup import (
+        duplicated_window_fraction,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="window"):
+        duplicated_window_fraction(docs, "text", "doc_id", window=0)
+    with _pytest.raises(ValueError, match="min_df"):
+        duplicated_window_fraction(docs, "text", "doc_id", min_df=1)
