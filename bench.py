@@ -465,6 +465,11 @@ def main() -> None:
         lambda: force(q_asof_attribution_sharded(spark, sf_dir)),
     )
     bench("interval_views", lambda: force(q_interval_views(spark, sf_dir)))
+    from polars_nexpresso_spark.queries import q_fuzzy_name_pairs
+
+    bench(
+        "fuzzy_name_pairs", lambda: force(q_fuzzy_name_pairs(spark, sf_dir))
+    )
     from polars_nexpresso_spark.pipeline_queries import q_multimodal_video
 
     bench(

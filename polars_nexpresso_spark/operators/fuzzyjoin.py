@@ -1,0 +1,112 @@
+"""Fuzzy (edit-distance) string join without a cross join.
+
+Joining on "name is within k edits" is a non-equi predicate that Spark
+would otherwise plan as a cartesian/nested-loop — quadratic. The
+scalable form here is SYMSPELL-STYLE DELETION-NEIGHBORHOOD BLOCKING
+(Garbe's SymSpell; same family as q-gram signature joins): if
+``levenshtein(a, b) <= k`` then some string is obtainable from BOTH by
+deleting at most ``k`` characters (take an optimal edit script and
+delete from each side every character it touches). So:
+
+1. explode each side into its distinct <=k-deletion variants
+   (``1 + len`` variants at k=1, ``O(len^2/2)`` at k=2);
+2. equi-join on the variant (plus any exact ``on`` keys) — an ordinary
+   hash join Catalyst shuffles by variant;
+3. dedup candidate pairs and verify with the EXACT
+   ``levenshtein(a, b, threshold)`` (early-exit form).
+
+The blocking is EXHAUSTIVE (no missed pairs — unlike LSH) and the
+verify makes it exact, so a brute-force SQL oracle agrees row-for-row.
+Shuffle volume is |rows| x (variants per string); keep ``max_distance``
+at 1-2 for name-length strings (the entity-resolution sweet spot) —
+variant counts grow O(len^choose k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _delete_one(col: Column) -> Column:
+    """Array of every string obtainable by deleting exactly one char."""
+    n = F.length(col)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat(
+            col.substr(F.lit(1), i - 1), col.substr(i + 1, n)
+        ),
+    )
+
+
+def deletion_variants(col: Column, k: int) -> Column:
+    """Distinct strings obtainable from ``col`` by deleting at most ``k``
+    characters (includes the string itself). NULL input yields NULL."""
+    variants = F.array(col)
+    frontier = F.array(col)
+    for _ in range(k):
+        frontier = F.array_distinct(
+            F.flatten(F.transform(frontier, _delete_one))
+        )
+        variants = F.array_distinct(F.concat(variants, frontier))
+    return variants
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    max_distance: int = 1,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """Join rows whose ``left_on``/``right_on`` strings are within
+    ``max_distance`` Levenshtein edits, optionally also matching exact
+    ``on`` keys. Returns all left columns, all non-key right columns,
+    and an integer ``distance`` column.
+
+    Rows with NULL join strings match nothing. Each qualifying pair
+    appears exactly once (candidates are dedup'd before the verify).
+    ``max_distance`` must be 1 or 2 — beyond that the deletion
+    neighborhood explodes combinatorially; block on a coarser key first.
+    """
+    if max_distance not in (1, 2):
+        raise ValueError(
+            f"max_distance must be 1 or 2: {max_distance} "
+            "(larger radii need coarser pre-blocking)"
+        )
+    on = list(on or [])
+    reserved = {"__v", "__lid", "distance"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"columns {sorted(taken)} collide with fuzzy_join internals; "
+            "rename before joining"
+        )
+    right_payload = [c for c in right.columns if c not in on]
+    overlap = set(right_payload) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right columns {sorted(overlap)} collide with left columns; "
+            "rename before joining"
+        )
+
+    l_var = left.filter(F.col(left_on).isNotNull()).withColumn(
+        "__v", F.explode(deletion_variants(F.col(left_on), max_distance))
+    )
+    r_var = right.filter(F.col(right_on).isNotNull()).withColumn(
+        "__v", F.explode(deletion_variants(F.col(right_on), max_distance))
+    )
+    # A pair sharing several variants would surface several times —
+    # dedup candidates on the full joined row BEFORE the (cheap,
+    # early-exit) verify so the output has exactly one row per pair.
+    candidates = l_var.join(r_var, on=[*on, "__v"], how="inner").drop(
+        "__v"
+    ).dropDuplicates([*on, *left.columns, *right_payload])
+    dist = F.levenshtein(
+        F.col(left_on), F.col(right_on), max_distance
+    )
+    return candidates.withColumn("distance", dist).filter(
+        (F.col("distance") >= 0) & (F.col("distance") <= max_distance)
+    ).select(*left.columns, *right_payload, "distance")

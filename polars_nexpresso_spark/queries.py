@@ -647,6 +647,30 @@ def q_asof_attribution_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join: customer-name pairs within 1 Levenshtein edit,
+    via exhaustive deletion-neighborhood blocking + exact verify — no
+    cross join. Oracle is DuckDB's native ``levenshtein`` over the full
+    quadratic self-join, so blocking completeness is value-checked."""
+    from polars_nexpresso_spark.operators.fuzzyjoin import fuzzy_join
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a")
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b")
+    )
+    out = fuzzy_join(
+        a, b, left_on="name_a", right_on="name_b", max_distance=1
+    )
+    return out.filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "distance"
+    )
+
+
 def q_interval_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join: every 'view' event joined to each 'signup' of
     the same user whose 2-hour follow-up window contains it (inclusive).
@@ -749,6 +773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_props_json": q_event_props_json,
     "asof_attribution": q_asof_attribution,
     "asof_attribution_sharded": q_asof_attribution_sharded,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "interval_views": q_interval_views,
     "skew_topkeys": q_skew_topkeys,
     "top_events_per_user": q_top_events_per_user,
@@ -770,6 +795,12 @@ ORACLE_SQL: dict[str, str] = {
         FROM facts f
         ASOF LEFT JOIN clicks c
           ON f.user_id = c.user_id AND f.ts >= c.click_ts
+    """,
+    "fuzzy_name_pairs": """
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               levenshtein(a.c_name, b.c_name)::INTEGER AS distance
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
     "asof_attribution_sharded": """
         WITH clicks AS (
@@ -1014,6 +1045,7 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 _MULTIPLY_PROVEN_TAIL = [
     "event_props_json",
     "skew_topkeys",
+    "top_events_per_user",
     "text_stats",
     "repetition",
     "token_fingerprint",
