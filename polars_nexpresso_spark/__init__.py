@@ -26,6 +26,7 @@ from polars_nexpresso_spark.expressions import (
     struct_fn,
 )
 from polars_nexpresso_spark.operators.asof import asof_join
+from polars_nexpresso_spark.operators.fuzzyjoin import fuzzy_join
 from polars_nexpresso_spark.operators.packer import HierarchicalPacker
 from polars_nexpresso_spark.operators.rangejoin import interval_join
 from polars_nexpresso_spark.plans.spec import (
@@ -67,6 +68,7 @@ __all__ = [
     "struct_fn",
     # Relational operators Spark lacks
     "asof_join",
+    "fuzzy_join",
     "interval_join",
     # Hierarchical packer
     "DiscoveredLevel",
