@@ -20,6 +20,14 @@ verify makes it exact, so a brute-force SQL oracle agrees row-for-row.
 Shuffle volume is |rows| x (variants per string); keep ``max_distance``
 at 1-2 for name-length strings (the entity-resolution sweet spot) —
 variant counts grow O(len^choose k).
+
+Measured at sf0.1 (15k customer names, 18-19 chars, k=1, local[32]):
+variant explode 223k rows/side, candidate join 2.2M pairs, 262k
+verified matches, ~6.5 s end to end — against a 225M-levenshtein
+quadratic baseline. Cost splits roughly evenly across candidate
+generation, the variant hash join, and verify+pair-dedup; no stage is
+driver-side and the verify is pushed into the join condition (plan
+pinned in tests/test_fuzzyjoin.py).
 """
 
 from __future__ import annotations
