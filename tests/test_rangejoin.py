@@ -251,3 +251,24 @@ def test_interval_join_matches_bruteforce_randomized(spark):
             if pk == ik and s <= t <= e
         }
         assert got == want, width
+
+
+def test_floor_bucket_exact_on_random_extremes(spark):
+    """_floor_bucket == Python floor-division over the full long range,
+    including magnitudes where double division is wrong."""
+    import random
+
+    from polars_nexpresso_spark.operators.rangejoin import _floor_bucket
+
+    rng = random.Random(97)
+    widths = [1, 3, 1000, 86_400_000_000]
+    vals = [0, 1, -1, 2**62, -(2**62), 2**63 - 1, -(2**63)]
+    vals += [rng.randint(-(2**63), 2**63 - 1) for _ in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for w in widths:
+        got = {
+            r["v"]: r["b"]
+            for r in df.select("v", _floor_bucket("v", w).alias("b")).collect()
+        }
+        for v in vals:
+            assert got[v] == v // w, (v, w)
