@@ -739,3 +739,60 @@ def duplicated_window_fraction(
             ).alias("dup_frac"),
         )
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Per-eval-document contamination severity: how many of the doc's
+    distinct word ``n``-grams appear anywhere in the training corpus.
+
+    :func:`decontaminate` DROPS train docs on any collision; this is the
+    measurement side — run it before deciding, or on a benchmark suite
+    to quantify leakage (``hit_frac`` near 1 = the benchmark is
+    effectively memorizable from training data). Same 13-gram rule and
+    shingling convention as ``decontaminate`` (docs shorter than ``n``
+    tokens contribute their whole token sequence as one shingle).
+
+    Scale shape: the train side reduces to DISTINCT shingle hashes (one
+    partial-agg pass); eval shingles LEFT JOIN it on the 64-bit hash
+    (broadcast when small — the typical case, since eval benchmarks are
+    tiny next to training corpora) and aggregate per eval doc. Linear,
+    no pairwise step.
+
+    Returns ``(id_col, n_shingles, n_hit, hit_frac)``, one row per eval
+    document with at least one token.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    ev = eval_df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__s"),
+    ).select(F.col(id_col), F.xxhash64(F.col("__s")).alias("__h"))
+    train_sh = (
+        train.select(F.explode(word_ngrams(F.col(text_col), n)).alias("__s"))
+        .select(F.xxhash64(F.col("__s")).alias("__h"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        ev.join(train_sh, on="__h", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias(
+                "hit_frac"
+            ),
+        )
+    )

@@ -231,6 +231,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id")
 
 
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc contamination severity on the same split as
+    ``decontaminate``: for each benchmark doc (< 25), the fraction of
+    its distinct 13-grams found anywhere in the training split."""
+    from polars_nexpresso_spark.functions.dedup import contamination_report
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    eval_df = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+    return contamination_report(train, eval_df, "text", "doc_id", n=13)
+
+
 def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-safe decontaminator on the same split as
     ``decontaminate`` — stateless broadcast-dictionary filtering, so the
@@ -972,6 +984,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
     "decontaminate_stream": q_decontaminate_stream,
+    "contamination_report": q_contamination_report,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dedup": q_embedding_dedup,
@@ -1072,6 +1085,25 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "minhash_lsh": _jaccard_pairs_oracle(0.8),
     # 13-gram contamination rule, mirrored shingle construction (short docs
     # fold to one full-sequence shingle on both sides).
+    "contamination_report": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(toks)-12, 1)+1),
+              i -> array_to_string(list_slice(toks, i, i+12), ' ')))) AS s
+          FROM t
+        ),
+        tr AS (SELECT DISTINCT s FROM sh WHERE doc_id >= 25)
+        SELECT e.doc_id,
+               COUNT(*)::BIGINT AS n_shingles,
+               SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_hit,
+               ROUND(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0
+                         END)::DOUBLE / COUNT(*), 6) AS hit_frac
+        FROM sh e LEFT JOIN tr ON e.s = tr.s
+        WHERE e.doc_id < 25
+        GROUP BY e.doc_id
+    """,
     "decontaminate": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         sh AS (

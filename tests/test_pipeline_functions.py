@@ -1021,3 +1021,46 @@ def test_duplicated_window_fraction_validates(spark):
         duplicated_window_fraction(docs, "text", "doc_id", window=0)
     with _pytest.raises(ValueError, match="min_df"):
         duplicated_window_fraction(docs, "text", "doc_id", min_df=1)
+
+
+def test_contamination_report_semantics(spark):
+    from polars_nexpresso_spark.functions.dedup import contamination_report
+
+    train = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta"),
+            (101, "delta epsilon zeta eta"),
+        ],
+        ["doc_id", "text"],
+    )
+    evals = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),   # fully contained in train 100
+            (2, "beta gamma delta epsilon"), # partial overlap
+            (3, "nothing shared here at"),   # clean
+            (4, "tiny"),                     # < n tokens: one whole-doc shingle
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in contamination_report(
+            train, evals, "text", "doc_id", n=2
+        ).collect()
+    }
+
+    def grams(t, n=2):
+        toks = t.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    train_grams = set().union(*(grams(t) for _, t in train.collect()))
+    for d, t in evals.collect():
+        g = grams(t)
+        hits = sum(1 for s in g if s in train_grams)
+        assert out[d]["n_shingles"] == len(g), d
+        assert out[d]["n_hit"] == hits, d
+        assert out[d]["hit_frac"] == round(hits / len(g), 6), d
+    assert out[1]["hit_frac"] == 1.0
+    assert out[3]["n_hit"] == 0 and out[4]["n_hit"] == 0
