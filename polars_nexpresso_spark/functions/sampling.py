@@ -56,6 +56,7 @@ def cap_per_group(
     *,
     max_n: int,
     seed: int = 42,
+    skew_salt: int | None = None,
 ) -> DataFrame:
     """Keep at most ``max_n`` rows per group — the per-domain/per-source
     cap that stops any single origin from dominating a training mix.
@@ -64,20 +65,35 @@ def cap_per_group(
     tie-break), not arrival order or partition layout, so the cap is
     deterministic across runs, partitionings, and engines — same property
     as :func:`hash_split`. One shuffle (the window partition on
-    ``group_col``); groups under the cap pass through untouched. Skew note:
-    a pathologically hot group concentrates its rows in one task — cap
-    extremely hot domains upstream with a coarse filter, or raise
-    ``spark.sql.shuffle.partitions`` so remaining tasks stay balanced.
+    ``group_col``); groups under the cap pass through untouched.
+
+    ``skew_salt=S`` (opt-in; decide with ``plans.stats.key_skew_stats``)
+    handles a pathologically hot group with the IMPLEMENTED two-phase
+    form: partial cap per ``(group, salt-of-id-hash)`` — the hot group
+    spreads over S window partitions — then a final cap over the
+    ``<= S * max_n`` survivors per group. Because the (hash, id) order
+    is total, the two-phase result is IDENTICAL to the single-window
+    result; the extra shuffle only pays off under real skew.
     """
     from pyspark.sql.window import Window
 
     if max_n <= 0:
         raise ValueError(f"max_n must be positive, got {max_n}")
-    w = Window.partitionBy(group_col).orderBy(
-        hash_bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()
-    )
+    order = [hash_bucket(F.col(id_col), seed).asc(), F.col(id_col).asc()]
+    out = df
+    if skew_salt is not None:
+        if skew_salt <= 1:
+            raise ValueError(f"skew_salt must be > 1: {skew_salt}")
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(skew_salt)))
+        w1 = Window.partitionBy(F.col(group_col), salt).orderBy(*order)
+        out = (
+            out.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= max_n)
+            .drop("__rn")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        out.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_n)
         .drop("__rn")
     )
@@ -329,6 +345,8 @@ def top_k_per_group(
     *,
     k: int,
     rank_col: str | None = "rank",
+    skew_salt: int | None = None,
+    salt_on: list[str] | None = None,
 ) -> DataFrame:
     """Keep the top ``k`` rows per key group under ``order_by`` (list of
     Columns or column names; wrap with ``F.col(...).desc()`` for
@@ -338,10 +356,19 @@ def top_k_per_group(
     The standard one-window shape: one shuffle on the keys, per-group
     sort, early filter. Spark's window TopK rewrite (rank-limit pushdown)
     keeps per-partition state at ``k`` rows per group rather than
-    sorting whole groups where the optimizer supports it. Hot keys
-    concentrate in single partitions (windows don't salt); for heavy
-    skew use :func:`cap_per_group`'s hash-ordered variant or pre-filter
-    with a per-partition partial top-k.
+    sorting whole groups where the optimizer supports it.
+
+    ``skew_salt=S`` (opt-in; decide with ``plans.stats.key_skew_stats``)
+    is the IMPLEMENTED hot-key path: a partial top-k per
+    ``(keys, salt)`` spreads a dominant key over S window partitions,
+    then the final window ranks the ``<= S * k`` survivors per key.
+    Any global top-k row ranks <= k inside every subset containing it,
+    so when ``order_by`` is a total order (tie-break included, as the
+    determinism contract already requires) the two-phase result is
+    IDENTICAL to the single-window result. The salt hashes ``salt_on``
+    (default: the plain-string entries of ``order_by`` — direction
+    wrappers like ``.desc()`` cannot be hashed); pick high-cardinality
+    columns (the tie-break id is ideal) so a hot key spreads evenly.
 
     ``rank_col=None`` drops the rank from the output.
     """
@@ -350,8 +377,28 @@ def top_k_per_group(
     from pyspark.sql import Window
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    out = df
+    if skew_salt is not None:
+        if skew_salt <= 1:
+            raise ValueError(f"skew_salt must be > 1: {skew_salt}")
+        salt_cols = salt_on or [c for c in order_by if isinstance(c, str)]
+        if not salt_cols:
+            raise ValueError(
+                "skew_salt needs hashable salt columns: pass salt_on=[...] "
+                "when every order_by entry carries a sort direction"
+            )
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in salt_cols]),
+            F.lit(int(skew_salt)),
+        )
+        w1 = Window.partitionBy(*keys, salt).orderBy(*cols)
+        out = (
+            out.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
     w = Window.partitionBy(*keys).orderBy(*cols)
-    ranked = df.withColumn("__rn", F.row_number().over(w)).filter(
+    ranked = out.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") <= k
     )
     if rank_col is None:

@@ -1064,3 +1064,74 @@ def test_contamination_report_semantics(spark):
         assert out[d]["hit_frac"] == round(hits / len(g), 6), d
     assert out[1]["hit_frac"] == 1.0
     assert out[3]["n_hit"] == 0 and out[4]["n_hit"] == 0
+
+
+def test_skew_salted_top_k_and_cap_match_unsalted(spark):
+    """The two-phase salted forms must return EXACTLY the single-window
+    result (total order => any global top-k row survives its salt
+    partition), while the hot key spreads over (key, salt) partitions."""
+    import random
+
+    from polars_nexpresso_spark.functions.sampling import (
+        cap_per_group,
+        top_k_per_group,
+    )
+
+    rng = random.Random(41)
+    rows = [
+        (i, "hot" if i % 2 == 0 else f"g{i % 7}", rng.randint(0, 1000))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "grp", "value"])
+
+    base_topk = {
+        (r["grp"], r["event_id"], r["rank"])
+        for r in top_k_per_group(
+            df, ["grp"], [F.col("value").desc(), "event_id"], k=5
+        ).collect()
+    }
+    salted_topk_df = top_k_per_group(
+        df, ["grp"], [F.col("value").desc(), "event_id"], k=5,
+        skew_salt=8,
+    )
+    salted_topk = {
+        (r["grp"], r["event_id"], r["rank"])
+        for r in salted_topk_df.collect()
+    }
+    assert salted_topk == base_topk
+    # the partial phase really windows by (key, salt)
+    plan = (
+        salted_topk_df._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "pmod(xxhash64" in plan
+
+    base_cap = {
+        r["event_id"]
+        for r in cap_per_group(
+            df, "grp", "event_id", max_n=4
+        ).collect()
+    }
+    salted_cap = {
+        r["event_id"]
+        for r in cap_per_group(
+            df, "grp", "event_id", max_n=4, skew_salt=8
+        ).collect()
+    }
+    assert salted_cap == base_cap
+
+
+def test_skew_salt_validation(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.sampling import (
+        cap_per_group,
+        top_k_per_group,
+    )
+
+    df = spark.createDataFrame([(1, "g", 2)], ["event_id", "grp", "value"])
+    with _pytest.raises(ValueError, match="skew_salt"):
+        cap_per_group(df, "grp", "event_id", max_n=1, skew_salt=1)
+    with _pytest.raises(ValueError, match="salt_on"):
+        top_k_per_group(
+            df, ["grp"], [F.col("value").desc()], k=1, skew_salt=4
+        )
