@@ -732,6 +732,27 @@ def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_events_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same grouped top-k as ``top_events_per_user`` through the
+    two-phase salted skew path (``skew_salt``): partial top-k per
+    (user, salt-of-event_id), final rank over the survivors. Results
+    must be identical — same SQL oracle."""
+    from polars_nexpresso_spark.functions.sampling import top_k_per_group
+
+    ev = read_table(spark, sf_dir, "events")
+    out = top_k_per_group(
+        ev.select("event_id", "user_id", "value"),
+        ["user_id"],
+        [F.col("value").desc(), "event_id"],
+        k=3,
+        skew_salt=8,
+    )
+    return out.select(
+        "user_id", F.col("rank").cast("bigint").alias("rank"),
+        "event_id", "value",
+    )
+
+
 def q_skew_topkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic: the 10 hottest users by event count with
     their row share — the measurement every salting / AQE-skew decision
@@ -777,6 +798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_views": q_interval_views,
     "skew_topkeys": q_skew_topkeys,
     "top_events_per_user": q_top_events_per_user,
+    "top_events_salted": q_top_events_salted,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -817,6 +839,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM facts f
         ASOF LEFT JOIN clicks c
           ON f.user_id = c.user_id AND f.ts >= c.click_ts
+    """,
+    "top_events_salted": """
+        SELECT user_id, rank, event_id, value FROM (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY value DESC, event_id ASC
+                 ) AS rank
+          FROM events)
+        WHERE rank <= 3
     """,
     "top_events_per_user": """
         SELECT user_id, rank, event_id, value FROM (
@@ -1076,6 +1108,7 @@ _MULTIPLY_PROVEN_TAIL = [
 # as the current window's entries become multiply-proven.
 _NEXT_WINDOW_TAIL = [
     "contamination_report",
+    "top_events_salted",
 ]
 _TAIL = _MULTIPLY_PROVEN_TAIL + _NEXT_WINDOW_TAIL
 QUERIES = {
