@@ -470,6 +470,19 @@ def main() -> None:
     bench(
         "fuzzy_name_pairs", lambda: force(q_fuzzy_name_pairs(spark, sf_dir))
     )
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_contamination_report,
+    )
+    from polars_nexpresso_spark.queries import q_top_events_salted
+
+    bench(
+        "contamination_report",
+        lambda: force(q_contamination_report(spark, sf_dir)),
+    )
+    bench(
+        "top_events_salted",
+        lambda: force(q_top_events_salted(spark, sf_dir)),
+    )
     from polars_nexpresso_spark.pipeline_queries import q_multimodal_video
 
     bench(
