@@ -82,3 +82,40 @@ def audit_plan(
                 "broadcastable side"
             )
     return warnings
+
+
+def scale_report(df: DataFrame) -> dict:
+    """One-call pre-deploy summary of a plan's scale posture — what a
+    reviewer greps an ``explain`` for, as a dict a CI check can assert
+    on. Driver-side only: no jobs run.
+
+    Keys: ``warnings`` (the :func:`audit_plan` findings), ``exchanges``
+    (hash-partitioned shuffle count), ``broadcasts`` (broadcast-exchange
+    count), ``estimated_input_bytes`` (Catalyst's static estimate — an
+    upper-bound-ish planning number, None on Connect), ``codegen_spans``
+    (WholeStageCodegen regions: more/wider spans = more of the plan runs
+    fused JVM code — under AQE this reads 0 until the plan has actually
+    executed, since the adaptive plan finalizes at runtime), and
+    ``python_stages`` (Arrow/pandas evaluation operators — expected for
+    mapInPandas operators, a smell elsewhere).
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    est: int | None
+    try:
+        from polars_nexpresso_spark.plans.stats import plan_size_bytes
+
+        est = plan_size_bytes(df)
+    except Exception:  # noqa: BLE001 — Connect / stats unavailable
+        est = None
+    return {
+        "warnings": audit_plan(df),
+        "exchanges": plan.count("Exchange hashpartitioning"),
+        "broadcasts": plan.count("BroadcastExchange"),
+        "estimated_input_bytes": est,
+        "codegen_spans": plan.count("WholeStageCodegen"),
+        "python_stages": sum(
+            plan.count(t)
+            for t in ("ArrowEvalPython", "BatchEvalPython",
+                      "MapInPandas", "FlatMapGroupsInPandas")
+        ),
+    }

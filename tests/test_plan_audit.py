@@ -110,3 +110,24 @@ def test_catalog_unpartitioned_windows_are_bounded(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "HashAggregate" in sm_plan
+
+
+def test_scale_report_shape(spark):
+    from polars_nexpresso_spark.plans.audit import scale_report
+
+    clean = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+    rep = scale_report(clean)
+    assert rep["warnings"] == []
+    assert rep["exchanges"] == 1
+    assert rep["python_stages"] == 0
+    assert rep["estimated_input_bytes"] is None or rep[
+        "estimated_input_bytes"
+    ] > 0
+    # under AQE a fresh QueryExecution is never finalized, so codegen
+    # spans read 0 here — informational only (docstring caveat)
+    assert rep["codegen_spans"] >= 0
+
+    bad = spark.range(10).crossJoin(
+        spark.range(10).withColumnRenamed("id", "id2")
+    )
+    assert scale_report(bad)["warnings"]
