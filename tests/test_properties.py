@@ -199,3 +199,29 @@ def test_computed_id_fields(spark):
     assert set(rows) == {"A", "B"}
     assert [e["iid"] for e in rows["A"]["g.item"]] == [1, 2]
     assert [e["iid"] for e in rows["B"]["g.item"]] == [3]
+
+
+@given(rows=_hierarchy_rows(), salt=st.sampled_from([None, 4]))
+@settings(max_examples=8, deadline=None)
+def test_parent_strategies_equivalent_random(spark, rows, salt):
+    """aggregate ≡ split_join ≡ auto on randomized group-uniform data
+    with a heavy array root attribute (the split_join trigger), with and
+    without the skew salt — strategy is plan shape, never content."""
+    df = spark.createDataFrame(
+        rows,
+        "`g.gid` long, `g.name` string, `g.item.iid` long, "
+        "`g.item.val` double, `g.item.tag` string",
+    ).withColumn(
+        "g.payload", F.array_repeat(qcol("g.gid").cast("double"), 5)
+    )
+    spec = HierarchySpec.from_levels(
+        LevelSpec(name="g", id_fields=["gid"]),
+        LevelSpec(name="item", id_fields=["iid"], order_by=["g.item.iid"]),
+    )
+    packer = HierarchicalPacker(spec)
+    base = canonical_rows(packer.pack(df, "g", skew_salt=salt))
+    for strategy in ("split_join", "auto"):
+        got = canonical_rows(
+            packer.pack(df, "g", parent_strategy=strategy, skew_salt=salt)
+        )
+        assert got == base, strategy
