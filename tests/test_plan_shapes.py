@@ -350,3 +350,33 @@ def test_split_join_dim_branch_is_narrow_and_broadcast(spark):
     # formatted-mode explain mentions each op twice (tree + detail
     # header), so 2 survivor-dedup aggs (partial + final) = 4 mentions.
     assert p.count("SortAggregate") <= 4
+
+
+def test_round5_operator_shuffle_budgets(spark):
+    """Pin each new operator's shuffle/python posture via scale_report:
+    fuzzy join = 1 exchange (pair dedup; variant join broadcasts at this
+    size), dup-window = 3 (hash agg, join side, doc agg), contamination
+    = 2, salted top-k = 2 (partial + final window), video decode = pure
+    mapInPandas (no shuffle, exactly 2 Arrow stages: synth + decode).
+    A regression that adds a shuffle or drops to row-Python fails here.
+    """
+    import __spark_entry__ as em
+
+    from polars_nexpresso_spark.plans.audit import scale_report
+
+    sf = "/root/testdata/sf0.001"
+    qs = em.queries()
+    budgets = {
+        "fuzzy_name_pairs": (1, 0),
+        "dup_window_frac": (3, 0),
+        "contamination_report": (2, 0),
+        "top_events_salted": (2, 0),
+        "multimodal_video": (0, 2),
+    }
+    for name, (max_exchanges, python_stages) in budgets.items():
+        rep = scale_report(qs[name](spark, sf))
+        assert rep["warnings"] == [], (name, rep["warnings"])
+        assert rep["exchanges"] <= max_exchanges, (name, rep["exchanges"])
+        assert rep["python_stages"] == python_stages, (
+            name, rep["python_stages"],
+        )
