@@ -659,9 +659,18 @@ def main() -> None:
                 }
             except Exception as e:  # noqa: BLE001
                 errors["scale_pack_organic"] = f"{type(e).__name__}: {e}"[:300]
+            from polars_nexpresso_spark.pipeline_queries import (
+                q_dup_window_frac as _q_dwf,
+            )
+            from polars_nexpresso_spark.queries import (
+                q_fuzzy_name_pairs as _q_fnp,
+            )
+
             for probe_name, q in (
                 ("minhash_lsh", q_minhash_lsh),
                 ("dedup_clusters", q_dedup_clusters),
+                ("dup_window_frac", _q_dwf),
+                ("fuzzy_name_pairs", _q_fnp),
             ):
                 try:
                     t_b = _big_time(
