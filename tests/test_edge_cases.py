@@ -192,3 +192,58 @@ def test_pack_streaming_missing_root_keys_is_a_clear_error(spark):
     )
     with pytest.raises(HierarchyValidationError, match="company.*id"):
         packer.pack_streaming(bogus, "department", partitions=2)
+
+
+def test_operators_invariant_under_aqe_toggle(spark):
+    """Results must not depend on adaptive execution being on (the
+    default) or off — catches accidental reliance on AQE-only rewrites
+    in the join/window operators added this round."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.sampling import top_k_per_group
+    from polars_nexpresso_spark.operators.asof import asof_join
+    from polars_nexpresso_spark.operators.fuzzyjoin import fuzzy_join
+    from polars_nexpresso_spark.operators.rangejoin import interval_join
+
+    left = spark.createDataFrame(
+        [(i, "k", i * 3 % 40) for i in range(30)], ["pid", "key", "t"]
+    )
+    right = spark.createDataFrame(
+        [("k", f"iv{i}", i * 5, i * 5 + 7) for i in range(8)],
+        ["key", "iv", "s", "e"],
+    )
+    words = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(["abc", "abd", "xbd", "zzz"])],
+        ["wid", "w"],
+    )
+    words2 = (
+        words.withColumnRenamed("wid", "wid2").withColumnRenamed("w", "w2")
+    )
+
+    def run_all():
+        return (
+            {(r["pid"], r["iv"]) for r in interval_join(
+                left, right, on=["key"], point="t", start="s", end="e",
+                bucket_width=6,
+            ).collect()},
+            {(r["pid"], r["iv"]) for r in asof_join(
+                left, right.select("key", F.col("s").alias("rt"), "iv"),
+                on=["key"], left_time="t", right_time="rt",
+                payload_cols=["iv"], skew_time_bucket=10,
+            ).collect()},
+            {(r["wid"], r["wid2"]) for r in fuzzy_join(
+                words, words2, left_on="w", right_on="w2", max_distance=1,
+            ).collect()},
+            {(r["pid"], r["rank"]) for r in top_k_per_group(
+                left, ["key"], [F.col("t").desc(), "pid"], k=4, skew_salt=4,
+            ).collect()},
+        )
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    with_aqe = run_all()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        without_aqe = run_all()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert with_aqe == without_aqe
