@@ -404,3 +404,94 @@ def top_k_per_group(
     if rank_col is None:
         return ranked.drop("__rn")
     return ranked.withColumnRenamed("__rn", rank_col)
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 2,
+    num_buckets: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each RAW document by how target-like its hashed n-gram profile
+    is, ``log w(x) = sum_g ln(p_target(b(g)) / p_raw(b(g)))`` with
+    ``b(g)`` an md5-derived bucket (``token_hash60 % num_buckets`` — the
+    same cross-engine hash the MinHash oracles replay in SQL) and
+    add-``alpha`` smoothed bucket frequencies.
+
+    Select by importance: rank on ``log_weight`` (deterministic, e.g.
+    :func:`keep_top_fraction`) or sample with Gumbel noise for the
+    paper's resampling semantics.
+
+    Scale shape: both corpora reduce to ``num_buckets``-row frequency
+    tables (one partial-agg pass each); the per-bucket log-ratio table
+    is tiny and BROADCAST back onto the raw side's exploded n-grams, so
+    the scoring pass is map-side — no shuffle touches the raw corpus
+    except its own per-doc aggregation. Raw docs with at least one token
+    get a row; ``n_grams`` counts the multiset.
+
+    Returns ``(id_col, n_grams, log_weight)``.
+    """
+    from polars_nexpresso_spark.functions.text import (
+        token_hash60,
+        word_ngrams_all,
+    )
+
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive: {num_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive: {alpha}")
+
+    def bucketed(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        return df.select(
+            *cols,
+            F.explode(word_ngrams_all(F.col(text_col), n)).alias("__g"),
+        ).select(
+            *([F.col(id_col)] if keep_id else []),
+            F.pmod(token_hash60(F.col("__g")), F.lit(num_buckets)).alias(
+                "__b"
+            ),
+        )
+
+    raw_b = bucketed(raw, keep_id=True)
+    tgt_b = bucketed(target, keep_id=False)
+
+    p_counts = tgt_b.groupBy("__b").agg(F.count("*").alias("__ct"))
+    q_counts = raw_b.groupBy("__b").agg(F.count("*").alias("__cr"))
+    nt = tgt_b.agg(F.count("*").alias("__nt"))
+    nr = raw_b.select("__b").agg(F.count("*").alias("__nr"))
+    # Buckets unseen on one side still get that side's smoothed mass:
+    # full-outer join the two <= num_buckets-row count tables, attach the
+    # scalar totals via broadcast 1-row frames (the repo's established
+    # pattern — no unpartitioned window). The raw explode is evaluated
+    # twice (counting + scoring); persist upstream if the corpus scan is
+    # expensive.
+    ratio = (
+        p_counts.join(q_counts, on="__b", how="full_outer")
+        .withColumn("__ct", F.coalesce("__ct", F.lit(0)))
+        .withColumn("__cr", F.coalesce("__cr", F.lit(0)))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+    )
+    smooth = float(alpha) * num_buckets
+    log_ratio = (
+        F.log((F.col("__ct") + F.lit(float(alpha)))
+              / (F.col("__nt") + F.lit(smooth)))
+        - F.log((F.col("__cr") + F.lit(float(alpha)))
+                / (F.col("__nr") + F.lit(smooth)))
+    )
+    bucket_table = ratio.select("__b", log_ratio.alias("__lr"))
+    return (
+        raw_b.join(F.broadcast(bucket_table), on="__b", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(F.sum("__lr"), 6).alias("log_weight"),
+        )
+    )

@@ -243,6 +243,20 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(train, eval_df, "text", "doc_id", n=13)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights on the decontaminate split: docs < 25 are
+    the target domain, the rest the raw pool; each raw doc scored by the
+    log-ratio of smoothed hashed-bigram bucket frequencies."""
+    from polars_nexpresso_spark.functions.sampling import dsir_log_weights
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    target = docs.filter(F.col("doc_id") < 25)
+    raw = docs.filter(F.col("doc_id") >= 25)
+    return dsir_log_weights(
+        raw, target, "text", "doc_id", n=2, num_buckets=1000, alpha=1.0
+    )
+
+
 def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-safe decontaminator on the same split as
     ``decontaminate`` — stateless broadcast-dictionary filtering, so the
@@ -985,6 +999,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "decontaminate_stream": q_decontaminate_stream,
     "contamination_report": q_contamination_report,
+    "dsir_weights": q_dsir_weights,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dedup": q_embedding_dedup,
@@ -1085,6 +1100,40 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "minhash_lsh": _jaccard_pairs_oracle(0.8),
     # 13-gram contamination rule, mirrored shingle construction (short docs
     # fold to one full-sequence shingle on both sides).
+    "dsir_weights": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_transform(
+              range(1, greatest(len(toks)-1, 1)+1),
+              i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS gram
+          FROM t
+        ),
+        b AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % 1000
+                   AS bkt
+          FROM g
+        ),
+        ct AS (SELECT bkt, COUNT(*) AS c FROM b WHERE doc_id < 25
+               GROUP BY bkt),
+        cr AS (SELECT bkt, COUNT(*) AS c FROM b WHERE doc_id >= 25
+               GROUP BY bkt),
+        nt AS (SELECT COUNT(*) AS n FROM b WHERE doc_id < 25),
+        nr AS (SELECT COUNT(*) AS n FROM b WHERE doc_id >= 25),
+        lr AS (
+          SELECT r.bkt,
+                 ln((COALESCE(ct.c, 0) + 1.0) / (nt.n + 1000.0))
+               - ln((COALESCE(cr.c, 0) + 1.0) / (nr.n + 1000.0)) AS lr
+          FROM (SELECT DISTINCT bkt FROM b) r
+          LEFT JOIN ct USING (bkt) LEFT JOIN cr USING (bkt), nt, nr
+        )
+        SELECT b.doc_id,
+               COUNT(*)::BIGINT AS n_grams,
+               ROUND(SUM(l.lr), 6) AS log_weight
+        FROM b JOIN lr l USING (bkt)
+        WHERE b.doc_id >= 25
+        GROUP BY b.doc_id
+    """,
     "contamination_report": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         sh AS (

@@ -1109,6 +1109,7 @@ _MULTIPLY_PROVEN_TAIL = [
 _NEXT_WINDOW_TAIL = [
     "contamination_report",
     "top_events_salted",
+    "dsir_weights",
 ]
 _TAIL = _MULTIPLY_PROVEN_TAIL + _NEXT_WINDOW_TAIL
 QUERIES = {

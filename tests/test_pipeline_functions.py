@@ -1135,3 +1135,42 @@ def test_skew_salt_validation(spark):
         top_k_per_group(
             df, ["grp"], [F.col("value").desc()], k=1, skew_salt=4
         )
+
+
+def test_dsir_log_weights_prefers_target_like_docs(spark):
+    from polars_nexpresso_spark.functions.sampling import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),          # identical to target
+            (2, "the cat sat on a chair today"),    # partial overlap
+            (3, "quantum flux capacitor manifold"), # nothing shared
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_log_weights(
+            raw, target, "text", "doc_id", n=2, num_buckets=64
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_grams"] == 5  # 6 tokens -> 5 bigrams
+    # target-likeness must order the weights
+    assert out[1]["log_weight"] > out[2]["log_weight"] > out[3]["log_weight"]
+
+
+def test_dsir_log_weights_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.sampling import dsir_log_weights
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="num_buckets"):
+        dsir_log_weights(df, df, "text", "doc_id", num_buckets=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        dsir_log_weights(df, df, "text", "doc_id", alpha=0)
