@@ -483,6 +483,9 @@ def main() -> None:
         "top_events_salted",
         lambda: force(q_top_events_salted(spark, sf_dir)),
     )
+    from polars_nexpresso_spark.pipeline_queries import q_dsir_weights
+
+    bench("dsir_weights", lambda: force(q_dsir_weights(spark, sf_dir)))
     from polars_nexpresso_spark.pipeline_queries import q_multimodal_video
 
     bench(
