@@ -495,3 +495,45 @@ def dsir_log_weights(
             F.round(F.sum("__lr"), 6).alias("log_weight"),
         )
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    *,
+    k: int,
+    seed: int = 42,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Sample ``k`` rows WITHOUT replacement with probability proportional
+    to ``exp(score / temperature)`` — the Gumbel-top-k trick, closing the
+    DSIR loop (:func:`dsir_log_weights` produces the log-weights; the
+    paper resamples by them rather than hard-ranking).
+
+    The Gumbel noise is DETERMINISTIC: ``u = (hash_bucket(id, seed) +
+    0.5) / denom`` and ``g = -ln(-ln(u))`` — a pure md5 expression, so
+    the sample is reproducible across runs, partitionings, and engines
+    (same property as :func:`hash_split`; a DuckDB oracle replays it
+    bit-for-bit). Changing ``seed`` re-deals the noise.
+
+    Selection is ``TakeOrdered``-shaped via one global top-k (no window,
+    no full sort): adds a ``gumbel_key`` column and keeps the k largest
+    ``score/temperature + g`` with id as the deterministic tie-break.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive: {k}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive: {temperature}")
+    u = (hash_bucket(F.col(id_col), seed) + F.lit(0.5)) / F.lit(
+        float(_DENOM)
+    )
+    key = F.round(
+        F.col(score_col) / F.lit(float(temperature)) - F.log(-F.log(u)), 6
+    )
+    with_key = df.withColumn("gumbel_key", key)
+    # limit() after orderBy plans as TakeOrdered (per-partition partial
+    # top-k, merge on the driver-side of the exchange) — no global sort.
+    return with_key.orderBy(
+        F.col("gumbel_key").desc(), F.col(id_col).asc()
+    ).limit(k)

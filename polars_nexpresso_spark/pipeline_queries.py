@@ -257,6 +257,22 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Gumbel-top-k sample of 50 docs with probability
+    ∝ exp(token_count / 40): the importance-resampling selection step,
+    reproducible because the Gumbel noise is an md5 expression the
+    oracle replays bit-for-bit."""
+    from polars_nexpresso_spark.functions.sampling import gumbel_topk
+    from polars_nexpresso_spark.functions.text import token_count
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    scored = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    ).withColumn("score", F.col("n_tokens").cast("double"))
+    out = gumbel_topk(scored, "score", "doc_id", k=50, temperature=40.0)
+    return out.select("doc_id", "n_tokens", "gumbel_key")
+
+
 def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stream-safe decontaminator on the same split as
     ``decontaminate`` — stateless broadcast-dictionary filtering, so the
@@ -1000,6 +1016,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_stream": q_decontaminate_stream,
     "contamination_report": q_contamination_report,
     "dsir_weights": q_dsir_weights,
+    "gumbel_topk": q_gumbel_topk,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dedup": q_embedding_dedup,
@@ -1100,6 +1117,24 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "minhash_lsh": _jaccard_pairs_oracle(0.8),
     # 13-gram contamination rule, mirrored shingle construction (short docs
     # fold to one full-sequence shingle on both sides).
+    "gumbel_topk": f"""
+        WITH scored AS (
+          SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens
+          FROM documents
+        ),
+        keyed AS (
+          SELECT doc_id, n_tokens,
+                 ROUND(n_tokens / 40.0
+                       - ln(-ln((CAST('0x' || substr(
+                             md5('42:' || doc_id::VARCHAR), 1, 15)
+                           AS BIGINT) % 1000000 + 0.5) / 1000000.0)),
+                       6)::DOUBLE AS gumbel_key
+          FROM scored
+        )
+        SELECT doc_id, n_tokens, gumbel_key FROM keyed
+        ORDER BY gumbel_key DESC, doc_id ASC
+        LIMIT 50
+    """,
     "dsir_weights": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
         g AS (

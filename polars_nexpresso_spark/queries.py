@@ -1110,6 +1110,7 @@ _NEXT_WINDOW_TAIL = [
     "contamination_report",
     "top_events_salted",
     "dsir_weights",
+    "gumbel_topk",
 ]
 _TAIL = _MULTIPLY_PROVEN_TAIL + _NEXT_WINDOW_TAIL
 QUERIES = {

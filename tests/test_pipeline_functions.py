@@ -1174,3 +1174,44 @@ def test_dsir_log_weights_validates(spark):
         dsir_log_weights(df, df, "text", "doc_id", num_buckets=0)
     with _pytest.raises(ValueError, match="alpha"):
         dsir_log_weights(df, df, "text", "doc_id", alpha=0)
+
+
+def test_gumbel_topk_deterministic_and_biased_to_high_scores(spark):
+    from polars_nexpresso_spark.functions.sampling import gumbel_topk
+
+    df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], ["doc_id", "score"]
+    )
+    a = {r["doc_id"] for r in gumbel_topk(df, "score", "doc_id", k=100).collect()}
+    b = {r["doc_id"] for r in gumbel_topk(df, "score", "doc_id", k=100).collect()}
+    assert a == b and len(a) == 100  # same seed -> identical sample
+    c = {
+        r["doc_id"]
+        for r in gumbel_topk(df, "score", "doc_id", k=100, seed=7).collect()
+    }
+    assert c != a  # re-seeded -> a different deal
+    # soft-max bias: the selected mean score must beat the population mean
+    pop_mean = 49.5
+    sel_mean = sum(i % 100 for i in a) / len(a)
+    assert sel_mean > pop_mean + 10
+    # low temperature -> sharper selection (approaches hard top-k)
+    sharp = {
+        r["doc_id"]
+        for r in gumbel_topk(
+            df, "score", "doc_id", k=100, temperature=0.05
+        ).collect()
+    }
+    sharp_mean = sum(i % 100 for i in sharp) / len(sharp)
+    assert sharp_mean > sel_mean
+
+
+def test_gumbel_topk_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.sampling import gumbel_topk
+
+    df = spark.createDataFrame([(1, 1.0)], ["doc_id", "score"])
+    with _pytest.raises(ValueError, match="k must"):
+        gumbel_topk(df, "score", "doc_id", k=0)
+    with _pytest.raises(ValueError, match="temperature"):
+        gumbel_topk(df, "score", "doc_id", k=1, temperature=0)
