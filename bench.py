@@ -486,6 +486,9 @@ def main() -> None:
     from polars_nexpresso_spark.pipeline_queries import q_dsir_weights
 
     bench("dsir_weights", lambda: force(q_dsir_weights(spark, sf_dir)))
+    from polars_nexpresso_spark.pipeline_queries import q_gumbel_topk
+
+    bench("gumbel_topk", lambda: force(q_gumbel_topk(spark, sf_dir)))
     from polars_nexpresso_spark.pipeline_queries import q_multimodal_video
 
     bench(
