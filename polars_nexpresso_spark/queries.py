@@ -1072,8 +1072,15 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # The round driver records correctness rows for only the FIRST 50 entries
 # of queries() (dict order). Keep every operator that still lacks a
 # driver-artifact row inside that window; entries below are hash-green in
-# BOTH CORRECTNESS_r03 and CORRECTNESS_r04, so they rotate to the tail
+# at least TWO prior rounds' driver artifacts, so they rotate to the tail
 # (they stay oracle-paired and covered by scripts/check_oracle.py).
+#
+# Round-6 rotation: `contamination_report` / `top_events_salted` /
+# `dsir_weights` / `gumbel_topk` (green locally, never driver-checked)
+# move INTO the window, plus `lsh_ann_topk` (multiprobe default changed
+# this round — re-verify under the driver). Out: five entries green in
+# r04+r05 (`nested_expr_select`, `multihop_mean`, `key_aliases`,
+# `order_by_first_last`, `training_keepset`).
 _MULTIPLY_PROVEN_TAIL = [
     "event_props_json",
     "skew_topkeys",
@@ -1093,7 +1100,6 @@ _MULTIPLY_PROVEN_TAIL = [
     "embedding_dedup",
     "cosine_topk",
     "cosine_topk_pandas",
-    "lsh_ann_topk",
     "ivf_ann_topk",
     "multimodal_features",
     "multimodal_audio",
@@ -1101,18 +1107,13 @@ _MULTIPLY_PROVEN_TAIL = [
     "lm_score_stream",
     "source_mix",
     "cosine_topk_int8",
+    "nested_expr_select",
+    "multihop_mean",
+    "key_aliases",
+    "order_by_first_last",
+    "training_keepset",
 ]
-# Added after the round-5 window filled (50 slots exactly, every
-# previously-unverified operator inside): verified by
-# scripts/check_oracle.py now; rotates into the driver window next round
-# as the current window's entries become multiply-proven.
-_NEXT_WINDOW_TAIL = [
-    "contamination_report",
-    "top_events_salted",
-    "dsir_weights",
-    "gumbel_topk",
-]
-_TAIL = _MULTIPLY_PROVEN_TAIL + _NEXT_WINDOW_TAIL
+_TAIL = _MULTIPLY_PROVEN_TAIL
 QUERIES = {
     **{k: v for k, v in QUERIES.items() if k not in _TAIL},
     **{k: QUERIES[k] for k in _TAIL},
