@@ -103,3 +103,78 @@ def test_fuzzy_join_no_cartesian_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_fuzzy_join_preserves_duplicate_row_multiplicity(spark):
+    # Two fully identical left rows must each produce their own output
+    # pair — quadratic-join semantics, not collapsed (round-5 advice).
+    left = spark.createDataFrame(
+        [(1, "abc"), (1, "abc"), (2, "xbc")], ["lid", "lw"]
+    )
+    right = spark.createDataFrame([(9, "abd")], ["rid", "rw"])
+    got = sorted(
+        (r["lid"], r["rid"], r["distance"])
+        for r in fuzzy_join(
+            left, right, left_on="lw", right_on="rw", max_distance=1
+        ).collect()
+    )
+    # lid=1 twice (duplicate rows), lid=2 not within 1 edit of "abd"
+    assert got == [(1, 9, 1), (1, 9, 1)]
+
+
+def test_fuzzy_join_dedup_exchange_is_narrow(spark):
+    # The candidate-dedup aggregate must key and carry ONLY the narrow
+    # string pair (+ the verified distance) — payload columns re-attach
+    # after the dedup, so no exchange below it may output lid/rid.
+    left = spark.createDataFrame([(1, "abc", "L" * 50)], ["lid", "lw", "lpay"])
+    right = spark.createDataFrame([(2, "abd", "R" * 50)], ["rid", "rw", "rpay"])
+    out = fuzzy_join(left, right, left_on="lw", right_on="rw", max_distance=1)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The dedup is the HashAggregate keyed on [lw, rw]; its input
+    # SUBTREE (lines below it with deeper tree markers, stopping at the
+    # first sibling/ancestor) must not mention payload or id columns.
+    def _depth(ln: str) -> int:
+        for i, ch in enumerate(ln):
+            if ch not in " :+-":
+                return i
+        return len(ln)
+
+    lines = plan.splitlines()
+    agg_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "HashAggregate" in ln and "lw" in ln and "rw" in ln
+    ]
+    assert agg_idx, plan
+    top = agg_idx[0]
+    d0 = _depth(lines[top])
+    subtree = []
+    for ln in lines[top + 1 :]:
+        if _depth(ln) <= d0:
+            break
+        # Leaf scans list the source's full schema; a Project prunes to
+        # the narrow columns immediately above, so only the exchanges /
+        # aggregates / joins between scan and dedup matter here.
+        if "Scan " not in ln:
+            subtree.append(ln)
+    below = "\n".join(subtree)
+    assert below, plan
+    for col in ("lid", "rid", "lpay", "rpay"):
+        assert col not in below, f"{col} leaked below the dedup:\n{plan}"
+
+
+def test_fuzzy_join_variant_join_not_broadcast(spark):
+    # The variant equi-join is corpus-scale on both sides at real data
+    # sizes; the shuffle_hash hint must hold even when Catalyst's
+    # pre-explode estimate would pick a (measured 3.5x slower) broadcast.
+    left = spark.createDataFrame([(1, "abc")], ["lid", "lw"])
+    right = spark.createDataFrame([(2, "abd")], ["rid", "rw"])
+    out = fuzzy_join(left, right, left_on="lw", right_on="rw", max_distance=1)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    variant_join = [
+        ln for ln in plan.splitlines() if "Join" in ln and "__v" in ln
+    ]
+    assert variant_join, plan
+    assert all("Broadcast" not in ln for ln in variant_join), plan
