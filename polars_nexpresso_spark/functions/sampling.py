@@ -428,12 +428,15 @@ def dsir_log_weights(
     :func:`keep_top_fraction`) or sample with Gumbel noise for the
     paper's resampling semantics.
 
-    Scale shape: both corpora reduce to ``num_buckets``-row frequency
-    tables (one partial-agg pass each); the per-bucket log-ratio table
-    is tiny and BROADCAST back onto the raw side's exploded n-grams, so
-    the scoring pass is map-side — no shuffle touches the raw corpus
-    except its own per-doc aggregation. Raw docs with at least one token
-    get a row; ``n_grams`` counts the multiset.
+    Scale shape: ONE scan per corpus. The raw side reduces to per-doc
+    bucket counts (one partial-agg shuffle); the per-bucket totals, the
+    corpus total, and the scoring pass all branch ABOVE that shuffle,
+    so Spark's exchange reuse evaluates the raw scan+explode exactly
+    once (plan-pinned: a single raw scan + ReusedExchange). Likewise
+    the target total derives from the target's bucket counts. The
+    per-bucket log-ratio table is tiny and BROADCAST back onto the raw
+    side's per-doc counts, so scoring is map-side. Raw docs with at
+    least one token get a row; ``n_grams`` counts the multiset.
 
     Returns ``(id_col, n_grams, log_weight)``.
     """
@@ -459,19 +462,25 @@ def dsir_log_weights(
             ),
         )
 
-    raw_b = bucketed(raw, keep_id=True)
+    # Per-doc bucket counts are the ONLY aggregation that touches the
+    # raw corpus; everything downstream (per-bucket totals, the corpus
+    # total, the scoring join) re-aggregates this table, branching above
+    # its shuffle so exchange reuse keeps it a single scan.
+    raw_doc = (
+        bucketed(raw, keep_id=True)
+        .groupBy(id_col, "__b")
+        .agg(F.count("*").alias("__c"))
+    )
     tgt_b = bucketed(target, keep_id=False)
 
     p_counts = tgt_b.groupBy("__b").agg(F.count("*").alias("__ct"))
-    q_counts = raw_b.groupBy("__b").agg(F.count("*").alias("__cr"))
-    nt = tgt_b.agg(F.count("*").alias("__nt"))
-    nr = raw_b.select("__b").agg(F.count("*").alias("__nr"))
+    q_counts = raw_doc.groupBy("__b").agg(F.sum("__c").alias("__cr"))
+    nt = p_counts.agg(F.sum("__ct").alias("__nt"))
+    nr = q_counts.agg(F.sum("__cr").alias("__nr"))
     # Buckets unseen on one side still get that side's smoothed mass:
     # full-outer join the two <= num_buckets-row count tables, attach the
     # scalar totals via broadcast 1-row frames (the repo's established
-    # pattern — no unpartitioned window). The raw explode is evaluated
-    # twice (counting + scoring); persist upstream if the corpus scan is
-    # expensive.
+    # pattern — no unpartitioned window).
     ratio = (
         p_counts.join(q_counts, on="__b", how="full_outer")
         .withColumn("__ct", F.coalesce("__ct", F.lit(0)))
@@ -488,11 +497,13 @@ def dsir_log_weights(
     )
     bucket_table = ratio.select("__b", log_ratio.alias("__lr"))
     return (
-        raw_b.join(F.broadcast(bucket_table), on="__b", how="left")
+        raw_doc.join(F.broadcast(bucket_table), on="__b", how="left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_grams"),
-            F.round(F.sum("__lr"), 6).alias("log_weight"),
+            F.sum("__c").alias("n_grams"),
+            F.round(F.sum(F.col("__lr") * F.col("__c")), 6).alias(
+                "log_weight"
+            ),
         )
     )
 

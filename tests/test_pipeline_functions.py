@@ -1176,6 +1176,28 @@ def test_dsir_log_weights_validates(spark):
         dsir_log_weights(df, df, "text", "doc_id", alpha=0)
 
 
+def test_dsir_single_scan_per_corpus(spark):
+    """The raw corpus must be scanned ONCE: q_counts / nr / scoring all
+    branch above the per-doc bucket-count shuffle, which AQE dedupes via
+    ReusedExchange. The pin reads the FINAL adaptive plan (reuse only
+    materializes at execution) and counts concrete parquet scans."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.sampling import dsir_log_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    raw = docs.filter(F.col("doc_id") >= 25).select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") < 25).select("doc_id", "text")
+    out = dsir_log_weights(raw, target, "text", "doc_id", num_buckets=64)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final, final
+    # one scan for raw, one for target — every other branch reuses
+    assert final.count("FileScan") == 2, final
+    assert "ReusedExchange" in final, final
+
+
 def test_gumbel_topk_deterministic_and_biased_to_high_scores(spark):
     from polars_nexpresso_spark.functions.sampling import gumbel_topk
 
