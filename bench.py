@@ -530,8 +530,8 @@ def main() -> None:
 
     ANN_DIALS = {
         "lsh": {
-            "default": {"num_planes": 8, "multiprobe": 3},
-            "high": {"num_planes": 8, "multiprobe": 4},
+            "default": {"num_planes": 8, "multiprobe": 4},
+            "high": {"num_planes": 8, "multiprobe": 5},
         },
         "ivf": {
             "default": {"n_centroids": 16, "n_probe": 6},

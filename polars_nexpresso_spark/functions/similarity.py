@@ -512,7 +512,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     k: int = 5,
     num_planes: int = 8,
-    multiprobe: int = 1,
+    multiprobe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
     assign: str = "expr",
@@ -524,7 +524,11 @@ def lsh_ann_topk(
     probe bucket within Hamming distance ``multiprobe`` of it (probe count
     grows as sum of C(num_planes, d) — the recall/cost dial alongside
     ``num_planes``); exact cosine ranks the candidates. Same output shape
-    as :func:`cosine_topk`; recall < 1 by construction.
+    as :func:`cosine_topk`; recall < 1 by construction. The default
+    ``multiprobe=4`` measures recall@5 of 0.86 on a near-uniform corpus
+    (LSH's worst case; ~1.0 on clustered corpora) — radius 3 costs ~25%
+    less but drops uniform recall to 0.62, the dial-curve numbers live
+    in ``BENCH_DETAILS.json:ann_recall_at_k``.
 
     ``assign="expr"`` (default) keeps bucketing and scoring as pure column
     expressions; ``"pandas"`` swaps both for Arrow-batched kernels.

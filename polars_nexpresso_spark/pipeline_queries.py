@@ -335,15 +335,26 @@ def _embedding_dim(sf_dir: str) -> int:
     return len(first.column("embedding")[0])
 
 
+# Query + oracle share the probe radius; bumping it regenerates both
+# sides of the correctness pair. 4 (163 of 256 buckets probed) is the
+# round-6 default operating point: recall@5 0.86 vs 0.62 at radius 3 on
+# the near-uniform synthetic embeddings for ~1.3x time (the worst case
+# for LSH — clustered corpora reach 1.0 at either radius; bench records
+# the full dial curve in BENCH_DETAILS.ann_recall_at_k).
+_LSH_MULTIPROBE = 4
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
-    # multiprobe=3 probes all buckets within Hamming distance 3 (93 of 256):
-    # recall 0.62 vs 0.20 at distance 1 on the near-uniform synthetic
-    # embeddings, at the same measured cost (bench records recall@k).
     # dim comes from parquet metadata — no Spark probe job.
     return lsh_ann_topk(
-        emb, queries, k=5, num_planes=8, multiprobe=3, dim=_embedding_dim(sf_dir)
+        emb,
+        queries,
+        k=5,
+        num_planes=8,
+        multiprobe=_LSH_MULTIPROBE,
+        dim=_embedding_dim(sf_dir),
     )
 
 
@@ -878,8 +889,8 @@ def _lsh_ann_oracle() -> str | None:
     The hyperplanes are deterministic (md5-derived, seed 42 — see
     ``similarity._hyperplanes``), so they embed as literal VALUES; bucket
     assignment replays the same sign arithmetic, and the multiprobe set
-    (all buckets within Hamming distance 3) collapses to a
-    ``bit_count(xor(...)) <= 3`` join predicate. Returns None (rows-only
+    (all buckets within Hamming distance ``_LSH_MULTIPROBE``) collapses
+    to a ``bit_count(xor(...)) <= r`` join predicate. Returns None (rows-only
     check) when the oracle-SF testdata is unreadable — a wrong-dimension
     plane set would otherwise fail correctness spuriously.
     """
@@ -914,7 +925,7 @@ def _lsh_ann_oracle() -> str | None:
                             DESC, cb.vec_id ASC
                  ) AS rank
           FROM b cb
-          JOIN b qb ON bit_count(xor(cb.bucket, qb.bucket)) <= 3
+          JOIN b qb ON bit_count(xor(cb.bucket, qb.bucket)) <= {_LSH_MULTIPROBE}
           JOIN embeddings c ON c.vec_id = cb.vec_id
           JOIN embeddings q ON q.vec_id = qb.vec_id
           WHERE qb.vec_id < 10 AND cb.vec_id != qb.vec_id
