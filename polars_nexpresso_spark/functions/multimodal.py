@@ -439,17 +439,19 @@ AVI_SCHEMA = StructType(
 
 
 def video_codec_available() -> bool:
-    """True when a compressed-video codec library (imageio or PyAV) is
-    importable. Uncompressed RGB AVI needs NO codec — the RIFF parse and
-    raw-frame decode in :func:`decode_video` are pure stdlib + numpy,
-    the same policy as PCM WAV in :func:`decode_audio`."""
-    for mod in ("imageio", "av"):
-        try:
-            __import__(mod)
-            return True
-        except ImportError:
-            continue
-    return False
+    """True when ``imageio`` — the library the compressed-stream branch
+    of :func:`decode_video` actually imports — is importable. PyAV alone
+    does NOT count: advertising it would let a compressed AVI reach an
+    executor-side ``import imageio.v3`` ImportError instead of the
+    documented NotImplementedError (round-5 advice). Uncompressed RGB
+    AVI needs NO codec — the RIFF parse and raw-frame decode in
+    :func:`decode_video` are pure stdlib + numpy, the same policy as
+    PCM WAV in :func:`decode_audio`."""
+    try:
+        __import__("imageio")
+        return True
+    except ImportError:
+        return False
 
 
 def _build_avi(frames: list[bytes], width: int, height: int, fps: int) -> bytes:

@@ -44,14 +44,29 @@ _ANTIPATTERNS: list[tuple[str, str, str]] = [
 
 
 def _has_unpartitioned_window(plan: str) -> bool:
-    """A WindowExec with no partition spec prints as ``Window [funcs],
-    [order]`` (two bracket groups; partitioned adds a third) and forces
-    an ``Exchange SinglePartition`` — the whole input sorts in ONE task.
+    """A WindowExec with no partition spec forces an ``Exchange
+    SinglePartition`` — the whole input sorts in ONE task.
+
+    Bracket-group shapes (partition and order specs are BOTH optional):
+    ``Window [funcs]`` = neither; ``Window [funcs], [k#1L]`` = partition
+    only (the group carries no sort tokens); ``Window [funcs], [o ASC
+    NULLS FIRST]`` = order only; ``Window [funcs], [k#1L], [o ASC...]``
+    = both. So two groups are unpartitioned ONLY when the trailing
+    group is an order spec — naive group-counting false-positives on
+    every order-less partitioned window (round-5 advice).
     """
     for ln in plan.splitlines():
         stripped = ln.lstrip(" +-:*")
-        if stripped.startswith("Window ") and stripped.count("], [") < 2:
-            return True
+        if not stripped.startswith("Window "):
+            continue
+        groups = stripped.count("], [") + 1
+        if groups >= 3:
+            continue  # funcs + partition + order
+        if groups == 1:
+            return True  # funcs only: no partition spec at all
+        last = stripped.rsplit("], [", 1)[-1]
+        if " ASC" in last or " DESC" in last:
+            return True  # [funcs], [order] — unpartitioned sort
     return False
 
 

@@ -346,7 +346,17 @@ def write_sharded(
 
     Sharding hashes directly into ``n_shards`` buckets (no second
     modulo over a coarser bucket space, which would bias shard sizes
-    whenever ``n_shards`` doesn't divide it). A NULL id fails the write
+    whenever ``n_shards`` doesn't divide it).
+
+    .. note:: FORMAT BREAK (round 5): earlier revisions assigned
+       ``hash_bucket(id) % n_shards`` over a 1,000,000-bucket space;
+       ids now hash straight into ``n_shards``, so shard membership
+       differs from datasets written by pre-round-5 code. Re-materialize
+       old sharded datasets (or pin the old revision) before mixing —
+       per-dataset determinism is unchanged, only the mapping moved.
+       Pre-release framework, hence no compatibility shim.
+
+    A NULL id fails the write
     (map-side ``assert_true``): silently routing NULLs to hive's
     ``__HIVE_DEFAULT_PARTITION__`` would break the deterministic
     re-read contract.

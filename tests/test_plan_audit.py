@@ -74,6 +74,16 @@ def test_audit_flags_unpartitioned_window(spark):
     assert not any(
         w.startswith("window-without-partitionBy") for w in audit_plan(good)
     )
+    # partitioned window with NO orderBy prints as 'Window [funcs], [k]'
+    # — one bracket-pair like the unpartitioned form, but the trailing
+    # group is a partition spec, not a sort. Must stay clean (r5 advice).
+    orderless = spark.range(100).withColumn(
+        "s", F.sum("id").over(Window.partitionBy(F.col("id") % 5))
+    )
+    assert not any(
+        w.startswith("window-without-partitionBy")
+        for w in audit_plan(orderless)
+    )
 
 
 def test_catalog_unpartitioned_windows_are_bounded(spark):
