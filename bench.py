@@ -717,6 +717,49 @@ def main() -> None:
             }
         except Exception as e:  # noqa: BLE001
             errors["scale_pack_replicated"] = f"{type(e).__name__}: {e}"[:300]
+        # fuzzy_join's risk case (round-5 ask): k=2 on ~40-char strings,
+        # where the deletion neighborhood is O(len^2/2) per string. The
+        # catalog query measures the benign case (k=1, 19-char names);
+        # this probes the ceiling with real measured variant counts.
+        try:
+            from polars_nexpresso_spark.operators.fuzzyjoin import (
+                deletion_variants,
+                fuzzy_join,
+            )
+
+            docs40 = read_table(spark, sf_dir, "documents").select(
+                F.col("doc_id"), F.substring("text", 1, 40).alias("s")
+            )
+            fa = docs40.select(
+                F.col("doc_id").alias("id_a"), F.col("s").alias("s_a")
+            )
+            fb = docs40.select(
+                F.col("doc_id").alias("id_b"), F.col("s").alias("s_b")
+            )
+            n_str = fa.count()
+            n_var = fa.select(
+                F.explode(deletion_variants(F.col("s_a"), 2))
+            ).count()
+            t_k2 = _once(
+                lambda: force(
+                    fuzzy_join(
+                        fa, fb, left_on="s_a", right_on="s_b", max_distance=2
+                    ).filter(F.col("id_a") < F.col("id_b"))
+                )
+            )
+            scale_probe["fuzzy_k2_long_strings"] = {
+                "strings": n_str,
+                "string_len": 40,
+                "variants_per_string": round(n_var / max(n_str, 1), 1),
+                "variant_rows_per_side": n_var,
+                "sec": t_k2,
+                "ceiling": "variants/string ~ 1 + L + L(L-1)/2; keep "
+                "L <= ~64 at k=2 (truncate the key or pre-block on a "
+                "coarser key first) — shuffle volume is |distinct "
+                "strings| x that quadratic factor",
+            }
+        except Exception as e:  # noqa: BLE001
+            errors["scale_fuzzy_k2"] = f"{type(e).__name__}: {e}"[:300]
 
         try:
             # 4x parent-dominant split_join ratio. At 1x the split_join
@@ -923,29 +966,53 @@ def main() -> None:
         "scale_probe": scale_probe,
         "ann_recall_at_k": ann_dial,
         "bounded_rss": bounded_rss,
-        # Round-5 isolation experiment for the five r04-flagged
+        # Round-6 isolation experiment for the four r05-flagged
         # regressions (fresh JVM per query, warmup + median-of-3, sf0.1):
-        # none is a code regression. label_centroids isolated 1.36s
-        # matches r03's 1.34s — r04's 1.61s was shared-session cache
-        # pressure from the 16 queries added that round. simhash_pairs
-        # isolated 2.04s matches r04's 2.02s and the operator's code is
-        # UNCHANGED since r03 (git diff r3..r4: only the persist call
-        # site moved), so r03's 1.70s reflects that session's state,
-        # not faster code. cap_per_source/ngram_jaccard/lsh_ann_topk
-        # isolate SLOWER than either shared round (0.45/1.65/2.41s — a
-        # fresh JVM lacks the 54-query suite's JIT warmth), placing
-        # their ±0.1-0.2s shared-session deltas inside ordering noise.
+        # none is a code regression. The decisive test for the
+        # pack_no_child_order>pack inversion is the INTERLEAVED A/B
+        # (both variants alternated 6x in one warm session): ordered
+        # 1.571s vs unordered 1.526s — unordered is (slightly) faster,
+        # as it must be, and the executed plans differ only by the
+        # row-id column in the collect struct (diffed this round). The
+        # r05 shared-session 2.375s and even the consecutive-process
+        # 2.07-vs-1.80 readings are run-ordering variance; the unordered
+        # kernel has strictly less work per row. multihop_count /
+        # enrich_stats / session_pack isolate at 1.70/1.32/1.15s —
+        # AT or ABOVE their r05 shared-session values (1.50/0.92/0.78),
+        # the same fresh-JVM-lacks-suite-JIT-warmth pattern round 5
+        # established, so their r04->r05 deltas are session ordering
+        # effects, not code.
         "regression_isolation": {
-            "method": "fresh JVM per query, 1 warmup + median of 3, sf0.1",
+            "method": "fresh JVM per query, 1 warmup + median of 3, "
+            "sf0.1; plus interleaved A/B for the pack-order pair",
             "isolated_sec": {
-                "simhash_pairs": 2.041,
-                "label_centroids": 1.359,
-                "cap_per_source": 0.454,
-                "ngram_jaccard": 1.652,
-                "lsh_ann_topk": 2.413,
+                "pack": 1.799,
+                "pack_no_child_order": 2.065,
+                "multihop_count": 1.704,
+                "enrich_stats": 1.321,
+                "session_pack": 1.153,
+            },
+            "interleaved_ab_sec": {
+                "pack": 1.571,
+                "pack_no_child_order": 1.526,
+                "note": "6 alternated warm runs each, one session — "
+                "unordered <= ordered, inversion was session noise",
             },
             "verdict": "no code regression; shared-session deltas are "
             "cache-pressure / JIT-warmth ordering effects",
+        },
+        # pack_heap_capped r05 anomaly (6.93->21.62s): re-probed this
+        # round 3x fresh -> 5.54/5.57/5.88s at 944-997 MB RSS, i.e.
+        # BETTER than r04 and squarely in band. No config or code diff
+        # touches the probe (git log bench.py r4..r6: dial/notes only);
+        # the probe runs deliberately at the edge of its 800 MB cap, so
+        # a contended host tips it into GC churn — the r05 21.6s was one
+        # such transient, not a regression.
+        "heap_capped_reprobe": {
+            "runs_sec": [5.544, 5.567, 5.876],
+            "peak_rss_mb": [944.5, 997.0, 978.2],
+            "verdict": "r05's 21.6s was host-contention GC churn at the "
+            "cap edge; current numbers beat r04 (6.93s)",
         },
         # Why the split_join parent-dominant ratio plateaus near 0.5-0.65x
         # on Spark instead of approaching the reference's 0.11x — measured,
@@ -994,6 +1061,7 @@ def main() -> None:
         "ann_recall_at_k",
         "bounded_rss",
         "regression_isolation",
+        "heap_capped_reprobe",
         "split_join_analysis",
     ):
         print(json.dumps({"detail": key, key: details[key]}))

@@ -30,7 +30,13 @@ output pairs, exactly like the quadratic join they replace.
 
 Shuffle volume is |distinct strings| x (variants per string); keep
 ``max_distance`` at 1-2 for name-length strings (the entity-resolution
-sweet spot) — variant counts grow O(len^choose k).
+sweet spot) — variant counts grow ``~ 1 + L + L(L-1)/2`` at k=2.
+Measured ceiling (bench ``scale_probe.fuzzy_k2_long_strings``): k=2 on
+40-char strings is 801 variants/string — 4.0M variant rows per side
+for just 5k strings, ~12 s at local[32]. Practical rule: at k=2 keep
+the join key at L <= ~64 chars (truncate, or pre-block on a coarser
+key via ``on=``); beyond that the variant explode dominates and a
+q-gram/LSH prefilter is the right tool.
 
 Measured at sf0.1 (15k customer names, 18-19 chars, k=1, local[32]):
 variant explode 223k rows/side, candidate join 2.2M narrow pairs,
