@@ -57,34 +57,30 @@ def _is_nested(dtype: DataType) -> bool:
 class IntrospectionMixin:
     """Hierarchy navigation + schema discovery/validation (SURVEY §2.E)."""
 
-    # ------------------------------------------------------------------
-    # Metadata accessors (E1-E3)
-    # ------------------------------------------------------------------
+    # ===== Metadata accessors (E1-E3) =====
 
     @property
     def level_names(self) -> list[str]:
-        """All level names ordered root (coarsest) → leaf (finest)."""
-        return [m.name for m in self._levels_meta]
+        """Every level name, coarsest first, finest last."""
+        return [lvl.name for lvl in self._levels_meta]
 
     @property
     def root_level(self) -> str:
-        """Name of the coarsest (root) level."""
-        return self._levels_meta[0].name
+        """The coarsest level's name."""
+        return self.level_names[0]
 
     @property
     def leaf_level(self) -> str:
-        """Name of the finest (leaf) level."""
-        return self._levels_meta[-1].name
+        """The finest level's name."""
+        return self.level_names[-1]
 
     def get_ancestor_levels(self, level: str) -> list[str]:
-        """Ancestor level names above ``level``, ordered root → parent."""
-        idx = self.spec.index_of(level)
-        return [m.name for m in self._levels_meta[:idx]]
+        """Level names strictly above ``level`` (root first)."""
+        return self.level_names[: self.spec.index_of(level)]
 
     def get_descendant_levels(self, level: str) -> list[str]:
-        """Descendant level names below ``level``, ordered child → leaf."""
-        idx = self.spec.index_of(level)
-        return [m.name for m in self._levels_meta[idx + 1 :]]
+        """Level names strictly below ``level`` (nearest child first)."""
+        return self.level_names[self.spec.index_of(level) + 1 :]
 
     def get_level_keys(
         self,
@@ -99,15 +95,52 @@ class IntrospectionMixin:
         ambiguity between same-named keys at different levels.
         """
         meta = self._levels_meta[self.spec.index_of(level)]
+        own = list(meta.id_columns)
         if include_ancestors:
-            return list(meta.ancestor_keys) + list(meta.id_columns)
+            return [*meta.ancestor_keys, *own]
         if form == "long":
-            return list(meta.id_columns)
-        return [col[len(meta.prefix) :] for col in meta.id_columns]
+            return own
+        return [c[len(meta.prefix) :] for c in own]
 
-    # ------------------------------------------------------------------
-    # Schema-aware field extraction (E4-E6)
-    # ------------------------------------------------------------------
+    # ===== Schema-aware field extraction (E4-E6) =====
+
+    def _level_members(
+        self, level: str, schema: StructType
+    ) -> tuple[list[tuple[str, DataType]], "object"]:
+        """Shared walker behind :meth:`get_level_fields` /
+        :meth:`get_level_schema`: the (short name, dtype) pairs owned by
+        ``level``, from whichever representation the schema is in.
+
+        Packed form (the level's path column is ``array<struct>`` or
+        ``struct``) wins; child-level struct fields / child-prefixed flat
+        columns are never part of the parent level.
+        """
+        meta = self._levels_meta[self.spec.index_of(level)]
+        children = {m.name for m in self._levels_meta[meta.index + 1 :]}
+        by_name = _schema_map(schema)
+
+        packed = by_name.get(meta.path)
+        if packed is not None:
+            inner = _unwrap_list(packed)
+            if isinstance(inner, StructType):
+                pairs = [
+                    (f.name, f.dataType)
+                    for f in inner.fields
+                    if f.name not in children
+                ]
+                return pairs, meta
+
+        pairs = []
+        if meta.prefix:
+            child_prefixes = tuple(c + self.separator for c in children)
+            for f in schema.fields:
+                if not f.name.startswith(meta.prefix):
+                    continue
+                short = f.name[len(meta.prefix) :]
+                if short in children or short.startswith(child_prefixes):
+                    continue
+                pairs.append((short, f.dataType))
+        return pairs, meta
 
     def get_level_fields(
         self,
@@ -123,37 +156,19 @@ class IntrospectionMixin:
         and flat schemas (prefix-matched top-level columns, excluding child
         prefixes).
         """
-        schema = _extract_schema(schema_or_frame)
-        meta = self._levels_meta[self.spec.index_of(level)]
-        child_level_names = {m.name for m in self._levels_meta[meta.index + 1 :]}
-        names = _schema_names(schema)
-        types = _schema_map(schema)
+        pairs, meta = self._level_members(level, _extract_schema(schema_or_frame))
+        if form == "long":
+            return [f"{meta.prefix}{short}" for short, _ in pairs]
+        return [short for short, _ in pairs]
 
-        if meta.path in types:
-            inner = _unwrap_list(types[meta.path])
-            if isinstance(inner, StructType):
-                fields: list[str] = []
-                for f in inner.fields:
-                    if f.name in child_level_names:
-                        continue
-                    fields.append(f"{meta.prefix}{f.name}" if form == "long" else f.name)
-                return fields
-
-        if not meta.prefix:
-            return []
-
-        result: list[str] = []
-        for col in names:
-            if not col.startswith(meta.prefix):
-                continue
-            remainder = col[len(meta.prefix) :]
-            if any(
-                remainder == n or remainder.startswith(n + self.separator)
-                for n in child_level_names
-            ):
-                continue
-            result.append(col if form == "long" else remainder)
-        return result
+    def get_level_schema(
+        self,
+        level: str,
+        schema_or_frame: SchemaInput,
+    ) -> dict[str, DataType]:
+        """Mapping of short field name → Spark DataType for ``level``."""
+        pairs, _ = self._level_members(level, _extract_schema(schema_or_frame))
+        return dict(pairs)
 
     def infer_current_level(self, schema_or_frame: SchemaInput) -> str:
         """Infer which hierarchy level each row currently represents.
@@ -163,112 +178,56 @@ class IntrospectionMixin:
         with flat prefix columns; otherwise ValueError.
         """
         schema = _extract_schema(schema_or_frame)
-        types = _schema_map(schema)
-        names = _schema_names(schema)
+        by_name = _schema_map(schema)
 
+        # Packed evidence wins: the shallowest struct-like path column
+        # says rows sit one level above it (at itself when root).
         for meta in self._levels_meta:
-            dtype = types.get(meta.path)
-            if dtype is None:
-                continue
-            if isinstance(dtype, (ArrayType, StructType)):
-                if meta.index == 0:
-                    return meta.name
-                return self._levels_meta[meta.index - 1].name
+            if isinstance(by_name.get(meta.path), (ArrayType, StructType)):
+                return self._levels_meta[max(meta.index - 1, 0)].name
 
-        leaf_meta = self._levels_meta[-1]
-        if leaf_meta.prefix and any(c.startswith(leaf_meta.prefix) for c in names):
-            return leaf_meta.name
-
-        for meta in reversed(self._levels_meta):
-            if meta.prefix and any(c.startswith(meta.prefix) for c in names):
-                return meta.name
+        # Flat evidence: the deepest level with any prefixed column.
+        flat_hits = [
+            m
+            for m in self._levels_meta
+            if m.prefix and any(c.startswith(m.prefix) for c in by_name)
+        ]
+        if flat_hits:
+            return flat_hits[-1].name
 
         raise ValueError(
             "Cannot infer current level: the schema does not match any recognisable "
-            f"hierarchy state. Schema columns: {names}"
+            f"hierarchy state. Schema columns: {list(by_name)}"
         )
-
-    def get_level_schema(
-        self,
-        level: str,
-        schema_or_frame: SchemaInput,
-    ) -> dict[str, DataType]:
-        """Mapping of short field name → Spark DataType for ``level``."""
-        schema = _extract_schema(schema_or_frame)
-        meta = self._levels_meta[self.spec.index_of(level)]
-        child_level_names = {m.name for m in self._levels_meta[meta.index + 1 :]}
-        types = _schema_map(schema)
-
-        if meta.path in types:
-            inner = _unwrap_list(types[meta.path])
-            if isinstance(inner, StructType):
-                return {
-                    f.name: f.dataType
-                    for f in inner.fields
-                    if f.name not in child_level_names
-                }
-
-        if not meta.prefix:
-            return {}
-
-        result: dict[str, DataType] = {}
-        for f in schema.fields:
-            if not f.name.startswith(meta.prefix):
-                continue
-            remainder = f.name[len(meta.prefix) :]
-            if any(
-                remainder == n or remainder.startswith(n + self.separator)
-                for n in child_level_names
-            ):
-                continue
-            result[remainder] = f.dataType
-        return result
 
     def describe(self) -> str:
         """Human-readable summary of the hierarchy structure."""
-        n = len(self._levels_meta)
-        lines = [f'HierarchicalPacker (separator="{self.separator}")', f"  Levels ({n}):"]
-        for meta in self._levels_meta:
-            tags = []
-            if meta.index == 0:
-                tags.append("root")
-            if meta.index == n - 1:
-                tags.append("leaf")
-            tag_str = f"  ({', '.join(tags)})" if tags else ""
-            lines.append(f"    {meta.index}. {meta.name}{tag_str}")
-            lines.append(f'       Path: "{meta.path}"')
-            keys = (
-                ", ".join(c[len(meta.prefix) :] for c in meta.id_columns)
-                if meta.id_columns
-                else "(none)"
-            )
-            lines.append(f"       Keys: {keys}")
+        last = len(self._levels_meta) - 1
+
+        def block(meta) -> list[str]:
+            tags = [t for t, hit in (("root", meta.index == 0), ("leaf", meta.index == last)) if hit]
+            shorts = [c[len(meta.prefix) :] for c in meta.id_columns]
+            out = [
+                f"    {meta.index}. {meta.name}"
+                + (f"  ({', '.join(tags)})" if tags else ""),
+                f'       Path: "{meta.path}"',
+                f"       Keys: {', '.join(shorts) if shorts else '(none)'}",
+            ]
             if meta.ancestor_keys:
-                lines.append(f"       Ancestor keys: {', '.join(meta.ancestor_keys)}")
-        return "\n".join(lines)
-
-    # ------------------------------------------------------------------
-    # Hierarchy discovery (E8)
-    # ------------------------------------------------------------------
-
-    @staticmethod
-    def _discover_from_struct(
-        dtype: StructType,
-        parent_path: tuple[str, ...],
-        levels: dict[tuple[str, ...], set[str]],
-        packed_paths: set[tuple[str, ...]],
-    ) -> None:
-        for f in dtype.fields:
-            inner = _unwrap_list(f.dataType)
-            if isinstance(inner, StructType) and inner.fields:
-                child_path = parent_path + (f.name,)
-                levels.setdefault(child_path, set())
-                packed_paths.add(child_path)
-                IntrospectionMixin._discover_from_struct(
-                    inner, child_path, levels, packed_paths
+                out.append(
+                    f"       Ancestor keys: {', '.join(meta.ancestor_keys)}"
                 )
-            else:
-                levels[parent_path].add(f.name)
+            return out
+
+        header = [
+            f'HierarchicalPacker (separator="{self.separator}")',
+            f"  Levels ({last + 1}):",
+        ]
+        return "\n".join(
+            header + [ln for m in self._levels_meta for ln in block(m)]
+        )
+
+    # ===== Hierarchy discovery (E8) =====
 
     @staticmethod
     def discover_levels(
@@ -284,48 +243,52 @@ class IntrospectionMixin:
         are created. Sorted by depth then name.
         """
         schema = _extract_schema(schema_or_frame)
-        levels: dict[tuple[str, ...], set[str]] = {}
-        packed_paths: set[tuple[str, ...]] = set()
+        fields_at: dict[tuple[str, ...], set[str]] = {}
+        packed_at: set[tuple[str, ...]] = set()
+
+        def note(path: tuple[str, ...], field: str | None = None) -> None:
+            bucket = fields_at.setdefault(path, set())
+            if field is not None:
+                bucket.add(field)
+
+        def walk(struct: StructType, at: tuple[str, ...]) -> None:
+            note(at)
+            packed_at.add(at)
+            for f in struct.fields:
+                body = _unwrap_list(f.dataType)
+                if isinstance(body, StructType) and body.fields:
+                    walk(body, at + (f.name,))
+                else:
+                    note(at, f.name)
 
         for f in schema.fields:
-            parts = split_path(f.name, separator, escape_char)
-            inner = _unwrap_list(f.dataType)
-            if isinstance(inner, StructType) and inner.fields:
-                level_path = tuple(parts)
-                levels.setdefault(level_path, set())
-                packed_paths.add(level_path)
-                IntrospectionMixin._discover_from_struct(
-                    inner, level_path, levels, packed_paths
-                )
-            elif len(parts) >= 2:
-                level_path = tuple(parts[:-1])
-                levels.setdefault(level_path, set()).add(parts[-1])
+            head = tuple(split_path(f.name, separator, escape_char))
+            body = _unwrap_list(f.dataType)
+            if isinstance(body, StructType) and body.fields:
+                walk(body, head)
+            elif len(head) > 1:
+                note(head[:-1], head[-1])
             # single-component scalar column — not hierarchical, skip
 
-        for path in list(levels.keys()):
-            for i in range(1, len(path)):
-                levels.setdefault(path[:i], set())
+        # Materialize implied intermediate levels (a.b.c implies a and a.b)
+        for path in list(fields_at):
+            for depth in range(1, len(path)):
+                note(path[:depth])
 
-        if not levels:
-            return []
-
-        result: list[DiscoveredLevel] = []
-        for path_tuple in sorted(levels.keys(), key=lambda p: (len(p), p)):
-            result.append(
-                DiscoveredLevel(
-                    name=path_tuple[-1],
-                    depth=len(path_tuple) - 1,
-                    path=separator.join(path_tuple),
-                    fields=tuple(sorted(levels[path_tuple])),
-                    parent=path_tuple[-2] if len(path_tuple) > 1 else None,
-                    is_packed=path_tuple in packed_paths,
-                )
+        def entry(path: tuple[str, ...]) -> DiscoveredLevel:
+            return DiscoveredLevel(
+                name=path[-1],
+                depth=len(path) - 1,
+                path=separator.join(path),
+                fields=tuple(sorted(fields_at[path])),
+                parent=path[-2] if len(path) > 1 else None,
+                is_packed=path in packed_at,
             )
-        return result
 
-    # ------------------------------------------------------------------
-    # Validation (E9-E11)
-    # ------------------------------------------------------------------
+        ordered = sorted(fields_at, key=lambda p: (len(p), p))
+        return [entry(p) for p in ordered]
+
+    # ===== Validation (E9-E11) =====
 
     def validate(
         self,
@@ -341,41 +304,98 @@ class IntrospectionMixin:
         single aggregation pass — one job regardless of hierarchy width,
         which matters at scale.
         """
-        errors: list[HierarchyValidationError] = []
-        schema_names = set(frame.columns)
-
-        levels_to_check = self._levels_meta
-        if level:
-            levels_to_check = [self._levels_meta[self.spec.index_of(level)]]
-
-        checks: list[tuple[str, str]] = []  # (level_name, key_col)
-        for meta in levels_to_check:
-            for key_col in meta.id_columns:
-                if key_col in schema_names:
-                    checks.append((meta.name, key_col))
-
-        if not checks:
-            return errors
-
-        agg_exprs = [
-            F.sum(qcol(col).isNull().cast("long")).alias(f"__nulls_{i}")
-            for i, (_, col) in enumerate(checks)
+        scope = (
+            [self._levels_meta[self.spec.index_of(level)]]
+            if level
+            else list(self._levels_meta)
+        )
+        available = set(frame.columns)
+        checks = [
+            (m.name, key)
+            for m in scope
+            for key in m.id_columns
+            if key in available
         ]
-        row = frame.agg(*agg_exprs).collect()[0]
+        if not checks:
+            return []
 
-        for i, (level_name, key_col) in enumerate(checks):
-            null_count = row[f"__nulls_{i}"] or 0
-            if null_count > 0:
-                error = HierarchyValidationError(
-                    f"Key column '{key_col}' contains {null_count} null values. "
-                    "Key columns must not be null unless the entire entity is null.",
-                    level=level_name,
-                    details={"column": key_col, "null_count": null_count},
-                )
-                if raise_on_error:
-                    raise error
-                errors.append(error)
+        counts = frame.agg(
+            *(
+                F.sum(qcol(key).isNull().cast("long")).alias(f"__nulls_{i}")
+                for i, (_, key) in enumerate(checks)
+            )
+        ).collect()[0]
+
+        errors: list[HierarchyValidationError] = []
+        for i, (level_name, key) in enumerate(checks):
+            n_null = counts[f"__nulls_{i}"] or 0
+            if not n_null:
+                continue
+            problem = HierarchyValidationError(
+                f"Key column '{key}' contains {n_null} null values. "
+                "Key columns must not be null unless the entire entity is null.",
+                level=level_name,
+                details={"column": key, "null_count": n_null},
+            )
+            if raise_on_error:
+                raise problem
+            errors.append(problem)
         return errors
+
+    @staticmethod
+    def _flat_key_findings(
+        meta, by_name: dict[str, DataType]
+    ) -> tuple[bool, list[str], list[str]]:
+        """Flat-form evidence for one level: (found?, errors, warnings)."""
+        hit = [c for c in meta.id_columns if c in by_name]
+        errs = [
+            f"[Level: {meta.name}] Key column '{c}' has "
+            f"type {by_name[c].simpleString()} but expected a scalar type."
+            for c in hit
+            if _is_nested(by_name[c])
+        ]
+        warns: list[str] = []
+        absent = [c for c in meta.id_columns if c not in by_name]
+        if hit and absent:
+            warns.append(
+                f"[Level: {meta.name}] Some key columns missing from flat "
+                f"schema: {absent}. Found: {hit}."
+            )
+        return bool(hit), errs, warns
+
+    @staticmethod
+    def _packed_findings(
+        meta, by_name: dict[str, DataType], flat_found: bool
+    ) -> tuple[bool, list[str], list[str]]:
+        """Packed-form evidence for one level: (found?, errors, warnings)."""
+        dtype = by_name.get(meta.path)
+        if dtype is None:
+            return False, [], []
+        inner = _unwrap_list(dtype)
+        if not (isinstance(inner, StructType) and inner.fields):
+            warns = (
+                []
+                if flat_found
+                else [
+                    f"[Level: {meta.name}] Column '{meta.path}' exists but "
+                    f"has type {dtype.simpleString()}, expected array<struct> "
+                    "or struct."
+                ]
+            )
+            return False, [], warns
+        have = {f.name for f in inner.fields}
+        want = [c[len(meta.prefix) :] for c in meta.id_columns]
+        lost = [s for s in want if s not in have]
+        errs = (
+            [
+                f"[Level: {meta.name}] Packed column '{meta.path}' "
+                f"is missing expected key fields: {lost}. "
+                f"Struct fields: {sorted(have)}."
+            ]
+            if lost
+            else []
+        )
+        return True, errs, []
 
     def validate_schema(
         self,
@@ -388,11 +408,9 @@ class IntrospectionMixin:
         No data is inspected; see :meth:`validate` for data checks.
         """
         schema = _extract_schema(schema_or_frame)
-        types = _schema_map(schema)
+        by_name = _schema_map(schema)
         errors: list[str] = []
         warnings: list[str] = []
-        present: list[str] = []
-        missing: list[str] = []
 
         inferred_level: str | None = None
         try:
@@ -400,80 +418,39 @@ class IntrospectionMixin:
         except ValueError:
             warnings.append(
                 "Could not infer current packing level from schema. "
-                f"Schema columns: {list(types.keys())}"
+                f"Schema columns: {list(by_name)}"
+            )
+        if expected_level and inferred_level and expected_level != inferred_level:
+            errors.append(
+                f"Expected data at level '{expected_level}' but inferred "
+                f"level is '{inferred_level}'."
             )
 
-        if expected_level is not None and inferred_level is not None:
-            if expected_level != inferred_level:
-                errors.append(
-                    f"Expected data at level '{expected_level}' but inferred "
-                    f"level is '{inferred_level}'."
-                )
-
+        present: list[str] = []
+        missing: list[str] = []
         for meta in self._levels_meta:
-            level_found = False
-
-            flat_id_found: list[str] = []
-            flat_id_missing: list[str] = []
-            for id_col in meta.id_columns:
-                if id_col in types:
-                    flat_id_found.append(id_col)
-                    if _is_nested(types[id_col]):
-                        errors.append(
-                            f"[Level: {meta.name}] Key column '{id_col}' has "
-                            f"type {types[id_col].simpleString()} but expected a "
-                            "scalar type."
-                        )
-                else:
-                    flat_id_missing.append(id_col)
-
-            if flat_id_found:
-                level_found = True
-                if flat_id_missing:
-                    warnings.append(
-                        f"[Level: {meta.name}] Some key columns missing from flat "
-                        f"schema: {flat_id_missing}. Found: {flat_id_found}."
-                    )
-
-            if meta.path in types:
-                dtype = types[meta.path]
-                inner = _unwrap_list(dtype)
-                if isinstance(inner, StructType) and inner.fields:
-                    level_found = True
-                    struct_field_names = {f.name for f in inner.fields}
-                    short_ids = [c[len(meta.prefix) :] for c in meta.id_columns]
-                    missing_ids = [s for s in short_ids if s not in struct_field_names]
-                    if missing_ids:
-                        errors.append(
-                            f"[Level: {meta.name}] Packed column '{meta.path}' "
-                            f"is missing expected key fields: {missing_ids}. "
-                            f"Struct fields: {sorted(struct_field_names)}."
-                        )
-                elif not flat_id_found:
-                    warnings.append(
-                        f"[Level: {meta.name}] Column '{meta.path}' exists but "
-                        f"has type {dtype.simpleString()}, expected array<struct> "
-                        "or struct."
-                    )
-
-            if level_found:
-                present.append(meta.name)
-            else:
-                missing.append(meta.name)
+            flat_ok, errs, warns = self._flat_key_findings(meta, by_name)
+            packed_ok, p_errs, p_warns = self._packed_findings(
+                meta, by_name, flat_ok
+            )
+            errors += errs + p_errs
+            warnings += warns + p_warns
+            (present if flat_ok or packed_ok else missing).append(meta.name)
 
         if not present:
+            sample_prefixes = [lvl.prefix for lvl in self._levels_meta[:3]]
             errors.append(
                 "No hierarchy levels found in schema. Expected columns with prefix "
-                f"patterns like: {[m.prefix for m in self._levels_meta[:3]]}..."
+                f"patterns like: {sample_prefixes}..."
             )
 
         return SchemaValidationResult(
-            is_compatible=len(errors) == 0,
             inferred_level=inferred_level,
             present_levels=present,
             missing_levels=missing,
             errors=errors,
             warnings=warnings,
+            is_compatible=not errors,
         )
 
     def get_level_columns(self, level: str) -> list[str]:
