@@ -516,6 +516,19 @@ def main() -> None:
     bench("corpus_diff", lambda: force(q_corpus_diff(spark, sf_dir)))
     bench("unicode_nfc", lambda: force(q_unicode_nfc(spark, sf_dir)))
 
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_boilerplate_tokens,
+        q_semantic_dedup,
+    )
+
+    bench(
+        "boilerplate_tokens",
+        lambda: force(q_boilerplate_tokens(spark, sf_dir)),
+    )
+    bench(
+        "semantic_dedup", lambda: force(q_semantic_dedup(spark, sf_dir))
+    )
+
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a
     # high-recall point), each timed — one point is a number, two points

@@ -796,3 +796,100 @@ def contamination_report(
             ),
         )
     )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_docs: int | None = 3,
+    min_doc_frac: float | None = None,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Strip cross-corpus boilerplate LINES: any line whose exact text
+    occurs in at least ``min_docs`` DISTINCT documents (or, with
+    ``min_doc_frac``, in at least ``ceil(frac * n_docs)`` of them — the
+    scale-robust form, since an absolute count means different things at
+    different corpus sizes) is removed from every document. This is the
+    CCNet / RefinedWeb move against nav bars, cookie banners, license
+    footers — repeated-across-docs lines carry no training signal and
+    skew n-gram statistics. ``delimiter`` is a LITERAL string (newline
+    by default; pass e.g. ``" "`` to treat tokens as the unit and strip
+    corpus-ubiquitous words).
+
+    A line repeated many times inside ONE document is not boilerplate
+    by this rule (that is :func:`duplicated_window_fraction`'s
+    department); the counting is per distinct document.
+
+    Scale shape: one explode over lines; the line-frequency aggregation
+    is a line-keyed groupBy with map-side partial ``count(distinct
+    doc)`` state; the fraction threshold attaches as a broadcast 1-row
+    aggregate (no driver action); the removal is a LEFT ANTI equi-join
+    of exploded lines against the (small — only lines crossing the
+    threshold) boilerplate table; reassembly is one doc-keyed groupBy
+    whose ``array_sort`` over (position, line) structs restores original
+    line order without a global sort. Documents whose every line is
+    boilerplate survive with empty ``clean_text`` (right join back to
+    the input — no silent row loss).
+
+    Returns ``(id_col, clean_text, n_kept, n_removed)``.
+    """
+    import re as _re
+
+    if min_doc_frac is not None:
+        if not 0.0 < min_doc_frac <= 1.0:
+            raise ValueError(
+                f"min_doc_frac must be in (0, 1]: {min_doc_frac}"
+            )
+    elif min_docs is None or min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1: {min_docs}")
+    if not delimiter:
+        raise ValueError("delimiter must be a non-empty literal string")
+    split_lines = F.split(F.col(text_col), _re.escape(delimiter))
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(split_lines).alias("__pos", "__line"),
+    )
+    counts = exploded.groupBy("__line").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    if min_doc_frac is not None:
+        bar = docs.agg(
+            F.ceil(F.count("*") * F.lit(float(min_doc_frac)))
+            .cast("long")
+            .alias("__bar")
+        )
+        counts = counts.crossJoin(F.broadcast(bar))
+        boiler = counts.filter(F.col("__nd") >= F.col("__bar")).select(
+            "__line"
+        )
+    else:
+        boiler = counts.filter(F.col("__nd") >= min_docs).select("__line")
+    kept = exploded.join(boiler, on="__line", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delimiter,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(
+        F.col(id_col), F.size(split_lines).cast("long").alias("__total")
+    )
+    return (
+        rebuilt.join(totals, on=id_col, how="right")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("__total") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

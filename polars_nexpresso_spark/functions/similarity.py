@@ -813,3 +813,109 @@ def project_embeddings(
         for row in mat
     ]
     return df.select(F.col(id_col), F.array(*coords).alias("proj"))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.95,
+    centroids: str = "kmeans",
+    assign: str = "expr",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster embeddings
+    with the deterministic k-means quantizer, then inside each cluster
+    drop every vector that has a SMALLER-id neighbor with cosine
+    similarity >= ``threshold``. Keep-earliest is deterministic and
+    order-free, so a brute-force SQL oracle replays it row-for-row.
+
+    Scale shape: centroid training is the same bounded deterministic
+    sample as :func:`ivf_ann_topk`; cell assignment is map-side; the
+    quadratic similarity test is CONFINED to within-cluster pairs by an
+    equi-join on the cell id — the SemDeDup trick — so cost is
+    sum(cluster_size^2), not corpus^2. Grow ``n_centroids`` with the
+    corpus (clusters of ~1-10k vectors keep the pair stage linear-ish);
+    no driver-side loop, no global sort.
+
+    Returns ``(id_col, cluster_id, keep)`` — one row per input vector;
+    filter ``keep`` to materialize the deduplicated corpus.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    if centroids == "kmeans":
+        cent_vecs = _kmeans_centroids(corpus, id_col, vec_col, n_centroids)
+    elif centroids == "sample":
+        cent_vecs = [
+            list(r["cv"])
+            for r in corpus.select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            )
+            .orderBy(_sample_key_expr(F.col("cid")), F.col("cid"))
+            .limit(n_centroids)
+            .collect()
+        ]
+    else:
+        raise ValueError(
+            f"centroids must be 'kmeans' or 'sample', got {centroids!r}"
+        )
+    cent_lits = [F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs]
+
+    def nearest_cell(vec):
+        if assign == "pandas":
+            return F.get(_pandas_nearest_cells(cent_vecs, 1)(vec), 0)
+        if assign == "expr":
+            ranked = F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            _sqdist(vec, cl).alias("d"), F.lit(i).alias("i")
+                        )
+                        for i, cl in enumerate(cent_lits)
+                    ]
+                )
+            )
+            return F.get(F.transform(ranked, lambda s: s["i"]), 0)
+        raise ValueError(f"assign must be 'pandas' or 'expr', got {assign!r}")
+
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+        nearest_cell(F.col(vec_col)).alias("cluster_id"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "cluster_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "cluster_id",
+    )
+    cos = F.round(
+        _pair_dot(F.col("__va"), F.col("__vb"), assign)
+        / (F.col("__na") * F.col("__nb")),
+        6,
+    )
+    dropped = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("__ida") > F.col("__idb"))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -1014,6 +1014,37 @@ def _jaccard_pairs_oracle(threshold: float) -> str:
     """
 
 
+def q_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate stripping at token granularity: every
+    token appearing in >= 50% of documents is removed from all of them
+    (the synthetic corpus has no newline/sentence structure, so the
+    token unit is what exercises the operator non-trivially; on real
+    web text the default newline delimiter strips nav/footer lines).
+    Fraction threshold = SF-robust: the bar is a broadcast 1-row
+    aggregate, never a driver action."""
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return remove_boilerplate_lines(
+        docs, "text", "doc_id", min_docs=None, min_doc_frac=0.5,
+        delimiter=" ",
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: deterministic k-means cells,
+    drop any vector with a smaller-id within-cluster neighbor at cosine
+    >= 0.3 (the synthetic corpus is near-uniform — its 99th-percentile
+    pair cosine is ~0.29 — so 0.3 exercises real drops; realistic web
+    corpora use ~0.95 against much tighter clusters)."""
+    from polars_nexpresso_spark.functions.similarity import semantic_dedup
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup(emb, n_centroids=16, threshold=0.3)
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "repetition": q_repetition,
@@ -1065,6 +1096,11 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_buckets": q_quality_buckets,
     "unicode_nfc": q_unicode_nfc,
     "corpus_diff": q_corpus_diff,
+    # Round-6 additions: registered AFTER the 50-slot driver window
+    # (verified by scripts/check_oracle.py this round, rotate into the
+    # window next round — same protocol the r5 additions followed).
+    "boilerplate_tokens": q_boilerplate_tokens,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1970,3 +2006,89 @@ PIPELINE_ORACLE_SQL["corpus_diff"] = f"""
                 ELSE 'changed' END AS status
     FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """
+
+PIPELINE_ORACLE_SQL["boilerplate_tokens"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    bar AS (
+      SELECT CAST(ceil(count(*) * 0.5) AS BIGINT) AS b FROM documents
+    ),
+    boiler AS (
+      SELECT tok FROM toks GROUP BY tok
+      HAVING count(DISTINCT doc_id) >= (SELECT b FROM bar)
+    ),
+    bl AS (SELECT coalesce(list(tok), []) AS l FROM boiler)
+    SELECT d.doc_id,
+           coalesce(array_to_string(k.kept, ' '), '') AS clean_text,
+           len(k.kept)::BIGINT AS n_kept,
+           (len(string_split(d.text, ' ')) - len(k.kept))::BIGINT
+               AS n_removed
+    FROM documents d, bl,
+         LATERAL (
+           SELECT list_filter(
+                    string_split(d.text, ' '),
+                    x -> NOT list_contains(bl.l, x)
+                  ) AS kept
+         ) k
+"""
+
+
+def _semantic_dedup_oracle() -> str | None:
+    """Exact DuckDB replica of ``q_semantic_dedup``: the deterministic
+    k-means centroids re-derive Spark-free (same machinery as
+    ``_ivf_ann_oracle``) and embed as literal VALUES; cell assignment
+    (nearest centroid, ties to the lowest index) and the
+    drop-if-smaller-id-neighbor rule replay in SQL."""
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from polars_nexpresso_spark.functions.similarity import (
+            kmeans_centroids_local,
+        )
+
+        cents = kmeans_centroids_local(
+            f"{sf_dir}/embeddings.parquet", n_centroids=16
+        )
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return None
+    values = ",\n             ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(i, v) AS (
+          VALUES {values}
+        ),
+        ranked AS (
+          SELECT e.vec_id, c.i,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.v) ASC,
+                            c.i ASC
+                 ) AS rn
+          FROM embeddings e, cents c
+        ),
+        cell AS (SELECT vec_id, i AS cluster_id FROM ranked WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT a.vec_id
+          FROM cell a
+          JOIN cell b
+            ON a.cluster_id = b.cluster_id AND a.vec_id > b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id
+          WHERE ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                             eb.embedding::DOUBLE[]), 6)
+                >= 0.3
+        )
+        SELECT c.vec_id, c.cluster_id::BIGINT AS cluster_id,
+               (d.vec_id IS NULL) AS keep
+        FROM cell c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    """
+
+
+_sem_oracle = _semantic_dedup_oracle()
+if _sem_oracle is not None:
+    PIPELINE_ORACLE_SQL["semantic_dedup"] = _sem_oracle

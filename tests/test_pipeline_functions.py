@@ -1237,3 +1237,145 @@ def test_gumbel_topk_validates(spark):
         gumbel_topk(df, "score", "doc_id", k=0)
     with _pytest.raises(ValueError, match="temperature"):
         gumbel_topk(df, "score", "doc_id", k=1, temperature=0)
+
+
+def test_remove_boilerplate_lines_basic(spark):
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nFOOTER\nbeta"),
+            (2, "FOOTER\ngamma"),
+            (3, "delta\nFOOTER"),
+            (4, "FOOTER"),  # every line boilerplate -> empty but kept
+            (5, "unique\nlines\nonly"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_boilerplate_lines(
+            docs, "text", "doc_id", min_docs=3
+        ).collect()
+    }
+    assert out[1] == ("alpha\nbeta", 2, 1)  # order preserved
+    assert out[2] == ("gamma", 1, 1)
+    assert out[3] == ("delta", 1, 1)
+    assert out[4] == ("", 0, 1)  # no silent row loss
+    assert out[5] == ("unique\nlines\nonly", 3, 0)
+
+
+def test_remove_boilerplate_lines_frac_and_delimiter(spark):
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    # token unit: 'the' appears in 3/4 docs (75% >= 50% bar), removed
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat"),
+            (2, "the dog"),
+            (3, "the bird"),
+            (4, "a fish"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(
+            docs, "text", "doc_id",
+            min_docs=None, min_doc_frac=0.5, delimiter=" ",
+        ).collect()
+    }
+    assert out == {1: "cat", 2: "dog", 3: "bird", 4: "a fish"}
+
+
+def test_remove_boilerplate_lines_intra_doc_repeats_dont_count(spark):
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    # 'x' repeats 3 times inside ONE doc: distinct-doc count is 1 < 2
+    docs = spark.createDataFrame(
+        [(1, "x\nx\nx"), (2, "y")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(
+            docs, "text", "doc_id", min_docs=2
+        ).collect()
+    }
+    assert out == {1: "x\nx\nx", 2: "y"}
+
+
+def test_remove_boilerplate_lines_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_lines(df, "text", "doc_id", min_docs=0)
+    with _pytest.raises(ValueError, match="min_doc_frac"):
+        remove_boilerplate_lines(
+            df, "text", "doc_id", min_doc_frac=1.5
+        )
+    with _pytest.raises(ValueError, match="delimiter"):
+        remove_boilerplate_lines(df, "text", "doc_id", delimiter="")
+
+
+def test_semantic_dedup_drops_near_duplicates_keep_earliest(spark):
+    from polars_nexpresso_spark.functions.similarity import semantic_dedup
+
+    # ids 1,2: identical vectors (cos=1); id 3: orthogonal; id 4: a
+    # scaled copy of 1 (cosine invariant to scale -> also a dup)
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [2.0, 0.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(
+            emb, n_centroids=2, threshold=0.95
+        ).collect()
+    }
+    assert out[1] is True  # earliest copy kept
+    assert out[2] is False
+    assert out[3] is True
+    assert out[4] is False
+    assert len(out) == 4  # one row per input vector
+
+
+def test_semantic_dedup_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.similarity import semantic_dedup
+
+    emb = spark.createDataFrame([(1, [1.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(emb, threshold=0.0)
+    with _pytest.raises(ValueError, match="centroids"):
+        semantic_dedup(emb, centroids="nope")
+
+
+def test_semantic_dedup_no_cross_cluster_pairs(spark):
+    """The quadratic test must be confined to within-cluster pairs: the
+    pair join is an equi-join on cluster_id, never a cartesian."""
+    from polars_nexpresso_spark.functions.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    df = semantic_dedup(emb, n_centroids=2, threshold=0.99)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
