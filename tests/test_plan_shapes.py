@@ -383,3 +383,28 @@ def test_round5_operator_shuffle_budgets(spark):
         assert rep["python_stages"] == python_stages, (
             name, rep["python_stages"],
         )
+
+
+def test_round6_operator_shuffle_budgets(spark):
+    """Round-6 operators: boilerplate removal = 3 exchanges (line-count
+    agg, anti-join side, doc reassembly; the fraction bar attaches as a
+    1-row broadcast whose BroadcastNestedLoopJoin the auditor flags —
+    benign by construction, the build side is a single aggregate row,
+    the repo's established scalar-attach pattern); semantic dedup = 2
+    (cell-keyed pair join + drop-list dedup), no Python stages, no
+    cartesian."""
+    import __spark_entry__ as em
+
+    from polars_nexpresso_spark.plans.audit import scale_report
+
+    sf = "/root/testdata/sf0.001"
+    qs = em.queries()
+    rep = scale_report(qs["boilerplate_tokens"](spark, sf))
+    assert [w for w in rep["warnings"] if not w.startswith("nested-loop")] == []
+    assert rep["exchanges"] <= 3, rep["exchanges"]
+    assert rep["python_stages"] == 0
+
+    rep = scale_report(qs["semantic_dedup"](spark, sf))
+    assert rep["warnings"] == [], rep["warnings"]
+    assert rep["exchanges"] <= 3, rep["exchanges"]
+    assert rep["python_stages"] == 0
