@@ -518,6 +518,7 @@ def main() -> None:
 
     from polars_nexpresso_spark.pipeline_queries import (
         q_boilerplate_tokens,
+        q_intradoc_dedup,
         q_semantic_dedup,
     )
 
@@ -527,6 +528,9 @@ def main() -> None:
     )
     bench(
         "semantic_dedup", lambda: force(q_semantic_dedup(spark, sf_dir))
+    )
+    bench(
+        "intradoc_dedup", lambda: force(q_intradoc_dedup(spark, sf_dir))
     )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs

@@ -893,3 +893,45 @@ def remove_boilerplate_lines(
             ),
         )
     )
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Remove repeated lines WITHIN each document, keeping the first
+    occurrence in reading order (the intra-doc counterpart of
+    :func:`remove_boilerplate_lines` — scraped pages repeat nav blocks,
+    chat logs repeat system banners; cross-DOC repetition is the other
+    function's job and :func:`duplicated_window_fraction` measures
+    sub-line window duplication).
+
+    Scale shape: ZERO shuffles — the whole operator is one map-side
+    higher-order expression per row (``filter`` with the element index:
+    keep a line iff it does not appear among the lines before it).
+    Per-row cost is O(lines^2) string compares in codegen, fine for the
+    document sizes a line unit implies; no explode, no reassembly join,
+    stream-safe by construction.
+
+    Returns ``(id_col, clean_text, n_kept, n_removed)`` — same contract
+    as :func:`remove_boilerplate_lines`.
+    """
+    import re as _re
+
+    if not delimiter:
+        raise ValueError("delimiter must be a non-empty literal string")
+    arr = F.split(F.col(text_col), _re.escape(delimiter))
+    firsts = F.filter(
+        arr,
+        lambda x, i: F.array_position(F.slice(arr, F.lit(1), i), x)
+        == F.lit(0),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.concat_ws(delimiter, firsts).alias("clean_text"),
+        F.size(firsts).cast("long").alias("n_kept"),
+        (F.size(arr) - F.size(firsts)).cast("long").alias("n_removed"),
+    )

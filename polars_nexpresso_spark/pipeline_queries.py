@@ -1033,6 +1033,20 @@ def q_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition removal at token granularity: keep
+    each token's FIRST occurrence per doc, drop later repeats. Zero
+    shuffles — a single map-side higher-order filter expression (the
+    synthetic corpus has no newline structure, so the token unit is the
+    non-trivial exercise; real logs/pages use the newline default)."""
+    from polars_nexpresso_spark.functions.dedup import (
+        dedup_lines_within_doc,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return dedup_lines_within_doc(docs, "text", "doc_id", delimiter=" ")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: deterministic k-means cells,
     drop any vector with a smaller-id within-cluster neighbor at cosine
@@ -1101,6 +1115,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window next round — same protocol the r5 additions followed).
     "boilerplate_tokens": q_boilerplate_tokens,
     "semantic_dedup": q_semantic_dedup,
+    "intradoc_dedup": q_intradoc_dedup,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2092,3 +2107,22 @@ def _semantic_dedup_oracle() -> str | None:
 _sem_oracle = _semantic_dedup_oracle()
 if _sem_oracle is not None:
     PIPELINE_ORACLE_SQL["semantic_dedup"] = _sem_oracle
+
+PIPELINE_ORACLE_SQL["intradoc_dedup"] = """
+    SELECT d.doc_id,
+           coalesce(array_to_string(k.kept, ' '), '') AS clean_text,
+           len(k.kept)::BIGINT AS n_kept,
+           (len(string_split(d.text, ' ')) - len(k.kept))::BIGINT
+               AS n_removed
+    FROM documents d,
+         LATERAL (
+           SELECT list_filter(
+                    string_split(d.text, ' '),
+                    (x, i) -> list_position(
+                                list_slice(string_split(d.text, ' '),
+                                           1, i - 1),
+                                x
+                              ) = 0
+                  ) AS kept
+         ) k
+"""

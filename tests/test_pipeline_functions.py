@@ -1379,3 +1379,48 @@ def test_semantic_dedup_no_cross_cluster_pairs(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_lines_within_doc_keeps_first_occurrence(spark):
+    from polars_nexpresso_spark.functions.dedup import (
+        dedup_lines_within_doc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb"), (2, "x"), (3, "")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in dedup_lines_within_doc(df, "text", "doc_id").collect()
+    }
+    assert out[1] == ("a\nb\nc", 3, 2)  # reading order, first kept
+    assert out[2] == ("x", 1, 0)
+    assert out[3] == ("", 1, 0)  # "" splits to [""] — one (empty) line
+
+
+def test_dedup_lines_within_doc_zero_shuffle_plan(spark):
+    from polars_nexpresso_spark.functions.dedup import (
+        dedup_lines_within_doc,
+    )
+
+    df = spark.createDataFrame([(1, "a\nb\na")], ["doc_id", "text"])
+    plan = (
+        dedup_lines_within_doc(df, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure map-side expression
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_lines_within_doc_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.dedup import (
+        dedup_lines_within_doc,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="delimiter"):
+        dedup_lines_within_doc(df, "text", "doc_id", delimiter="")
