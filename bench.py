@@ -520,6 +520,7 @@ def main() -> None:
         q_boilerplate_tokens,
         q_intradoc_dedup,
         q_semantic_dedup,
+        q_source_overlap,
     )
 
     bench(
@@ -531,6 +532,9 @@ def main() -> None:
     )
     bench(
         "intradoc_dedup", lambda: force(q_intradoc_dedup(spark, sf_dir))
+    )
+    bench(
+        "source_overlap", lambda: force(q_source_overlap(spark, sf_dir))
     )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs

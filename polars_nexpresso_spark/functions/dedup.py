@@ -935,3 +935,68 @@ def dedup_lines_within_doc(
         F.size(firsts).cast("long").alias("n_kept"),
         (F.size(arr) - F.size(firsts)).cast("long").alias("n_removed"),
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str,
+    source_col: str,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Pairwise n-gram overlap between corpus SOURCES: for every source
+    pair, the Jaccard of their distinct word-``n``-gram hash sets — the
+    corpus-accounting view of inter-source duplication (two crawls of
+    the same sites, a dataset repackaged under a new name, a benchmark
+    leaked into a web dump all show up as high off-diagonal overlap;
+    run it before mixing weights are chosen, cf. ``source_mix``).
+
+    Scale shape: one explode to (source, shingle-hash) reduced DISTINCT
+    per source (partial-agg shuffle); the intersection join is keyed on
+    the 64-bit hash, and each hash fans out to at most
+    ``C(n_sources, 2)`` pairs — sources are few, so the pair stage is
+    linear in distinct shingles. Sizes re-attach by broadcast (a
+    #sources-row table). Source pairs sharing NO shingle emit no row
+    (documented — a dense matrix would be #sources^2 mostly-zero).
+
+    Returns ``(source_a, source_b, n_shared, jaccard)`` with
+    ``source_a < source_b``.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    sh = (
+        docs.select(
+            F.col(source_col).alias("__src"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__s"),
+        )
+        .select("__src", F.xxhash64(F.col("__s")).alias("__h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("__src").agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col("__src").alias("source_a"), "__h")
+    b = sh.select(F.col("__src").alias("source_b"), "__h")
+    inter = (
+        a.join(b, on="__h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sz_a = sizes.select(
+        F.col("__src").alias("source_a"), F.col("__sz").alias("__sza")
+    )
+    sz_b = sizes.select(
+        F.col("__src").alias("source_b"), F.col("__sz").alias("__szb")
+    )
+    jac = F.col("n_shared") / (
+        F.col("__sza") + F.col("__szb") - F.col("n_shared")
+    )
+    return (
+        inter.join(F.broadcast(sz_a), on="source_a")
+        .join(F.broadcast(sz_b), on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )

@@ -1047,6 +1047,15 @@ def q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_within_doc(docs, "text", "doc_id", delimiter=" ")
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source 13-gram Jaccard matrix — which corpus sources
+    duplicate each other (the input to mixture-weight decisions)."""
+    from polars_nexpresso_spark.functions.dedup import source_overlap
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return source_overlap(docs, "text", "source", n=13)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: deterministic k-means cells,
     drop any vector with a smaller-id within-cluster neighbor at cosine
@@ -1116,6 +1125,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_tokens": q_boilerplate_tokens,
     "semantic_dedup": q_semantic_dedup,
     "intradoc_dedup": q_intradoc_dedup,
+    "source_overlap": q_source_overlap,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2125,4 +2135,25 @@ PIPELINE_ORACLE_SQL["intradoc_dedup"] = """
                               ) = 0
                   ) AS kept
          ) k
+"""
+
+PIPELINE_ORACLE_SQL["source_overlap"] = f"""
+    WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT source, unnest(list_distinct(list_transform(
+          range(1, greatest(len(toks)-12, 1)+1),
+          i -> array_to_string(list_slice(toks, i, i+12), ' ')))) AS s
+      FROM t
+    ),
+    sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*)::BIGINT AS n_shared,
+           ROUND(count(*)::DOUBLE
+                 / (any_value(sa.sz) + any_value(sb.sz) - count(*)),
+                 6) AS jaccard
+    FROM sh a
+    JOIN sh b ON a.s = b.s AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY a.source, b.source
 """

@@ -1424,3 +1424,35 @@ def test_dedup_lines_within_doc_validates(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="delimiter"):
         dedup_lines_within_doc(df, "text", "doc_id", delimiter="")
+
+
+def test_source_overlap_jaccard(spark):
+    from polars_nexpresso_spark.functions.dedup import source_overlap
+
+    # s1/s2 share one bigram universe member; s3 disjoint
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),
+            (2, "a b d", "s2"),
+            (3, "x y z", "s3"),
+        ],
+        ["doc_id", "text", "src"],
+    )
+    out = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["jaccard"])
+        for r in source_overlap(df, "text", "src", n=2).collect()
+    }
+    # s1 bigrams {ab, bc}; s2 {ab, bd}: share 1 of 3 distinct
+    assert out[("s1", "s2")] == (1, round(1 / 3, 6))
+    # disjoint pairs emit no row
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_source_overlap_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.dedup import source_overlap
+
+    df = spark.createDataFrame([(1, "x", "s")], ["doc_id", "text", "src"])
+    with _pytest.raises(ValueError, match="n must"):
+        source_overlap(df, "text", "src", n=0)
