@@ -521,6 +521,7 @@ def main() -> None:
         q_intradoc_dedup,
         q_semantic_dedup,
         q_source_overlap,
+        q_token_budget,
     )
 
     bench(
@@ -535,6 +536,9 @@ def main() -> None:
     )
     bench(
         "source_overlap", lambda: force(q_source_overlap(spark, sf_dir))
+    )
+    bench(
+        "token_budget", lambda: force(q_token_budget(spark, sf_dir))
     )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs

@@ -548,3 +548,82 @@ def gumbel_topk(
     return with_key.orderBy(
         F.col("gumbel_key").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def take_token_budget(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    budget: int,
+    seed: int = 42,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministically fill a TOKEN budget: order documents by their
+    md5 hash (the same ``(seed, id)`` family as :func:`hash_split` —
+    an unbiased, reproducible shuffle order) and keep the maximal
+    prefix whose inclusive cumulative token count stays within
+    ``budget``. "Give me exactly ~1T tokens of this corpus, the same
+    ones every run" is the training-set sizing primitive; changing
+    ``seed`` re-deals.
+
+    Scale shape: a global running sum normally means ONE unpartitioned
+    window over the whole corpus — a single-task sort. Here it is split
+    two-level: the 60-bit hash's HIGH bits give an order-consistent
+    bucket, per-bucket token sums (``n_buckets`` rows) get an
+    unpartitioned-but-bounded prefix window (<= ``n_buckets`` rows by
+    construction — the vocab_topk/source_mix justification), and each
+    row's global cumulative = its bucket's exclusive prefix (broadcast
+    back) + an in-bucket partitioned running window. No full-corpus
+    single-task sort anywhere.
+
+    Returns ``(id_col, n_tokens, cum_tokens)`` for the selected docs;
+    join back on ``id_col`` for payloads.
+    """
+    from pyspark.sql.window import Window
+
+    from polars_nexpresso_spark.functions.text import token_count
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+    # Raw 60-bit key (NOT modded — the high bits must stay
+    # order-consistent so bucket order == hash order).
+    h_hex = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    h60 = F.conv(F.substring(h_hex, 1, 15), 16, 10).cast("bigint")
+    width = (1 << 60) // n_buckets
+    base = docs.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        h60.alias("__h"),
+        F.floor(h60 / F.lit(width)).cast("int").alias("__b"),
+    )
+    bucket_sums = base.groupBy("__b").agg(
+        F.sum("n_tokens").alias("__bsum")
+    )
+    # Bounded unpartitioned window: <= n_buckets rows by construction.
+    wb = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = bucket_sums.select(
+        "__b",
+        F.coalesce(F.sum("__bsum").over(wb), F.lit(0)).alias("__before"),
+    )
+    wr = (
+        Window.partitionBy("__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(prefix), on="__b")
+        .withColumn(
+            "cum_tokens",
+            (F.col("__before") + F.sum("n_tokens").over(wr)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, "n_tokens", "cum_tokens")
+    )

@@ -1056,6 +1056,20 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(docs, "text", "source", n=13)
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget fill: hash-ordered maximal prefix of
+    the corpus whose cumulative token count stays within 10k tokens —
+    the "give me exactly N tokens, the same ones every run" sizing
+    primitive, with the global running sum split into a bounded bucket
+    prefix + partitioned in-bucket windows (no single-task sort)."""
+    from polars_nexpresso_spark.functions.sampling import (
+        take_token_budget,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return take_token_budget(docs, "text", "doc_id", budget=10_000)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: deterministic k-means cells,
     drop any vector with a smaller-id within-cluster neighbor at cosine
@@ -1126,6 +1140,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "intradoc_dedup": q_intradoc_dedup,
     "source_overlap": q_source_overlap,
+    "token_budget": q_token_budget,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2156,4 +2171,22 @@ PIPELINE_ORACLE_SQL["source_overlap"] = f"""
     JOIN sizes sa ON sa.source = a.source
     JOIN sizes sb ON sb.source = b.source
     GROUP BY a.source, b.source
+"""
+
+PIPELINE_ORACLE_SQL["token_budget"] = f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS})::BIGINT AS n_tokens,
+             CAST(concat('0x',
+                  substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )::BIGINT AS cum_tokens
+      FROM t
+    ) WHERE cum_tokens <= 10000
 """

@@ -1456,3 +1456,75 @@ def test_source_overlap_validates(spark):
     df = spark.createDataFrame([(1, "x", "s")], ["doc_id", "text", "src"])
     with _pytest.raises(ValueError, match="n must"):
         source_overlap(df, "text", "src", n=0)
+
+
+def test_take_token_budget_prefix_property(spark):
+    from polars_nexpresso_spark.functions.sampling import take_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    small = {
+        r["doc_id"]
+        for r in take_token_budget(
+            docs, "text", "doc_id", budget=200
+        ).collect()
+    }
+    big_rows = take_token_budget(docs, "text", "doc_id", budget=600).collect()
+    big = {r["doc_id"] for r in big_rows}
+    # growing the budget only ADDS docs (prefix of the same hash order)
+    assert small < big
+    # budget respected: max inclusive cumulative <= budget
+    assert max(r["cum_tokens"] for r in big_rows) <= 600
+    # deterministic across physical layouts
+    relaid = {
+        r["doc_id"]
+        for r in take_token_budget(
+            docs.repartition(13), "text", "doc_id", budget=600
+        ).collect()
+    }
+    assert relaid == big
+    # re-seed re-deals the order
+    reseeded = {
+        r["doc_id"]
+        for r in take_token_budget(
+            docs, "text", "doc_id", budget=600, seed=7
+        ).collect()
+    }
+    assert reseeded != big
+
+
+def test_take_token_budget_no_unbounded_row_window(spark):
+    """The only unpartitioned window must be over the <= n_buckets-row
+    bucket-sum table; the per-ROW running sum is partitioned by bucket."""
+    from polars_nexpresso_spark.functions.sampling import take_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(50)], ["doc_id", "text"]
+    )
+    plan = (
+        take_token_budget(docs, "text", "doc_id", budget=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the row-level window line must carry a partition spec (__b)
+    row_windows = [
+        ln
+        for ln in plan.splitlines()
+        if ln.lstrip(" +-:*").startswith("Window ") and "__h" in ln
+    ]
+    assert row_windows and all("__b" in ln for ln in row_windows), plan
+
+
+def test_take_token_budget_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.sampling import take_token_budget
+
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="budget"):
+        take_token_budget(docs, "text", "doc_id", budget=-1)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        take_token_budget(docs, "text", "doc_id", budget=1, n_buckets=0)
