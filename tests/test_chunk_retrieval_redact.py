@@ -307,10 +307,19 @@ def test_redact_chunk_gate_compose_on_readstream(spark):
         static = spark.read.parquet(f"{tmp}/in")
 
         def pipeline(frame):
+            from polars_nexpresso_spark.functions.dedup import (
+                dedup_lines_within_doc,
+            )
+
             red = redact_pii(frame, "text")
             gated = red.filter(F.col("n_pii") > 0)
+            # intra-doc dedup is a pure map-side expression — stream-safe
+            # in the same stateless plan (token unit: corpus has no \n)
+            deduped = dedup_lines_within_doc(
+                gated, "text", "doc_id", delimiter=" "
+            ).withColumnRenamed("clean_text", "text")
             return chunk_documents(
-                gated, "text", "doc_id", chunk_size=16, overlap=4
+                deduped, "text", "doc_id", chunk_size=16, overlap=4
             )
 
         expected = {
