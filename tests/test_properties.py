@@ -225,3 +225,110 @@ def test_parent_strategies_equivalent_random(spark, rows, salt):
             packer.pack(df, "g", parent_strategy=strategy, skew_salt=salt)
         )
         assert got == base, strategy
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "e f"]),
+            min_size=0,
+            max_size=6,
+        ).map("\n".join),
+        min_size=1,
+        max_size=8,
+    ),
+    min_docs=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_boilerplate_and_intradoc_match_python_reference(
+    spark, texts, min_docs
+):
+    """Both line operators must agree with a direct Python re-derivation
+    on randomized corpora (order preservation, counts, empty docs)."""
+    from polars_nexpresso_spark.functions.dedup import (
+        dedup_lines_within_doc,
+        remove_boilerplate_lines,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # python reference: boilerplate = lines in >= min_docs distinct docs
+    from collections import Counter
+
+    doc_lines = {i: t.split("\n") for i, t in rows}
+    df_counts = Counter()
+    for lines in doc_lines.values():
+        for line in set(lines):
+            df_counts[line] += 1
+    boiler = {ln for ln, c in df_counts.items() if c >= min_docs}
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=min_docs
+        ).collect()
+    }
+    for i, lines in doc_lines.items():
+        kept = [ln for ln in lines if ln not in boiler]
+        assert got[i] == (
+            "\n".join(kept),
+            len(kept),
+            len(lines) - len(kept),
+        ), i
+
+    got2 = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in dedup_lines_within_doc(df, "text", "doc_id").collect()
+    }
+    for i, lines in doc_lines.items():
+        seen: set[str] = set()
+        firsts = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                firsts.append(ln)
+        assert got2[i] == (
+            "\n".join(firsts),
+            len(firsts),
+            len(lines) - len(firsts),
+        ), i
+
+
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=40
+    ),
+    budget=st.integers(min_value=0, max_value=120),
+)
+@settings(max_examples=10, deadline=None)
+def test_take_token_budget_matches_sorted_cumsum(spark, sizes, budget):
+    """The two-level windowed selection must equal the straightforward
+    'sort by hash, take while cumsum <= budget' Python re-derivation."""
+    import hashlib
+
+    from polars_nexpresso_spark.functions.sampling import take_token_budget
+
+    rows = [(i, " ".join(["w"] * n) if n else "") for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def h60(i):
+        return int(hashlib.md5(f"42:{i}".encode()).hexdigest()[:15], 16)
+
+    # token_count("") == 0 (tokens() drops empties)
+    ordered = sorted(range(len(sizes)), key=lambda i: (h60(i), i))
+    cum = 0
+    want = {}
+    for i in ordered:
+        cum += sizes[i]
+        if cum > budget:
+            break
+        want[i] = (sizes[i], cum)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_tokens"])
+        for r in take_token_budget(
+            df, "text", "doc_id", budget=budget, n_buckets=8
+        ).collect()
+    }
+    assert got == want
