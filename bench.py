@@ -702,6 +702,12 @@ def main() -> None:
                 ("dedup_clusters", q_dedup_clusters),
                 ("dup_window_frac", _q_dwf),
                 ("fuzzy_name_pairs", _q_fnp),
+                # round-6 operators: organic exponents on the same dial
+                ("boilerplate_tokens", q_boilerplate_tokens),
+                ("semantic_dedup", q_semantic_dedup),
+                ("intradoc_dedup", q_intradoc_dedup),
+                ("source_overlap", q_source_overlap),
+                ("token_budget", q_token_budget),
             ):
                 try:
                     t_b = _big_time(
