@@ -519,6 +519,7 @@ def main() -> None:
     from polars_nexpresso_spark.pipeline_queries import (
         q_boilerplate_tokens,
         q_intradoc_dedup,
+        q_nb_quality,
         q_semantic_dedup,
         q_source_overlap,
         q_token_budget,
@@ -540,6 +541,7 @@ def main() -> None:
     bench(
         "token_budget", lambda: force(q_token_budget(spark, sf_dir))
     )
+    bench("nb_quality", lambda: force(q_nb_quality(spark, sf_dir)))
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a

@@ -763,3 +763,97 @@ def normalize_unicode(
 
     fn = pandas_unicode_normalize(form)
     return df.withColumn(out_col or text_col, fn(F.col(text_col)))
+
+
+def nb_quality_model(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Train a unigram naive-Bayes quality classifier: per-token
+    add-``alpha`` smoothed log-odds of the positive (high-quality
+    reference, e.g. curated wiki/books) vs negative (raw crawl) corpus —
+    the classic cheap stand-in for the fastText/LR quality filters used
+    to curate GPT-3/CCNet-style training mixes. Higher score = more
+    positive-like.
+
+    Scale shape: each corpus reduces to a token-count table in ONE
+    map-side-combine aggregation; the model is their full-outer join
+    (vocab-size rows) with the scalar totals attached as broadcast
+    1-row aggregates that branch above the count shuffles (exchange
+    reuse — each corpus is scanned once, the DSIR pattern). No driver
+    collection; the model stays a DataFrame for :func:`nb_quality_score`
+    to broadcast-join.
+
+    Returns ``(token, log_odds)`` — pass to :func:`nb_quality_score`.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive: {alpha}")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias(name))
+        )
+
+    cp = counts(positive, "__cp")
+    cn = counts(negative, "__cn")
+    vocab = (
+        cp.join(cn, on="token", how="full_outer")
+        .withColumn("__cp", F.coalesce("__cp", F.lit(0)))
+        .withColumn("__cn", F.coalesce("__cn", F.lit(0)))
+    )
+    totals = vocab.agg(
+        F.sum("__cp").alias("__np"),
+        F.sum("__cn").alias("__nn"),
+        F.count("*").alias("__v"),
+    )
+    a = float(alpha)
+    log_odds = (
+        F.log((F.col("__cp") + F.lit(a))
+              / (F.col("__np") + F.lit(a) * F.col("__v")))
+        - F.log((F.col("__cn") + F.lit(a))
+                / (F.col("__nn") + F.lit(a) * F.col("__v")))
+    )
+    return vocab.crossJoin(F.broadcast(totals)).select(
+        "token", log_odds.alias("log_odds")
+    )
+
+
+def nb_quality_score(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Score documents with a :func:`nb_quality_model`: per doc, the
+    mean per-token log-odds (mean rather than sum so scores are
+    length-comparable — the CCNet convention for perplexity-style
+    filters). Out-of-vocabulary tokens contribute 0 (neutral — with
+    both corpora smoothed over the SAME vocab, an unseen token carries
+    no evidence either way).
+
+    Scale shape: explode tokens, LEFT JOIN the model on the token
+    (broadcast when the vocab fits — the usual case; Catalyst/AQE
+    decides), one per-doc aggregation. Docs with no tokens emit no row.
+
+    Returns ``(id_col, n_tokens, nb_logodds)``.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    return (
+        toks.join(model, on="token", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(F.coalesce("log_odds", F.lit(0.0))) / F.count("*"),
+                6,
+            ).alias("nb_logodds"),
+        )
+    )

@@ -1070,6 +1070,23 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return take_token_budget(docs, "text", "doc_id", budget=10_000)
 
 
+def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality scoring: train per-token log-odds on a
+    positive slice (doc_id < 100, standing in for a curated reference)
+    vs the rest, then score the whole corpus map-side — the cheap
+    classifier-filter stage of a CCNet/GPT-3-style curation pipeline."""
+    from polars_nexpresso_spark.functions.text import (
+        nb_quality_model,
+        nb_quality_score,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    pos = docs.filter(F.col("doc_id") < 100)
+    neg = docs.filter(F.col("doc_id") >= 100)
+    model = nb_quality_model(pos, neg, "text")
+    return nb_quality_score(docs, model, "text", "doc_id")
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: deterministic k-means cells,
     drop any vector with a smaller-id within-cluster neighbor at cosine
@@ -1141,6 +1158,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intradoc_dedup": q_intradoc_dedup,
     "source_overlap": q_source_overlap,
     "token_budget": q_token_budget,
+    "nb_quality": q_nb_quality,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2189,4 +2207,34 @@ PIPELINE_ORACLE_SQL["token_budget"] = f"""
              )::BIGINT AS cum_tokens
       FROM t
     ) WHERE cum_tokens <= 10000
+"""
+
+PIPELINE_ORACLE_SQL["nb_quality"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ),
+    cp AS (
+      SELECT token, count(*) AS c FROM toks WHERE doc_id < 100
+      GROUP BY token
+    ),
+    cn AS (
+      SELECT token, count(*) AS c FROM toks WHERE doc_id >= 100
+      GROUP BY token
+    ),
+    vocab AS (
+      SELECT coalesce(cp.token, cn.token) AS token,
+             coalesce(cp.c, 0) AS cp, coalesce(cn.c, 0) AS cn
+      FROM cp FULL OUTER JOIN cn ON cp.token = cn.token
+    ),
+    tot AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM vocab),
+    model AS (
+      SELECT token,
+             ln((cp + 0.5) / (np + 0.5 * v))
+               - ln((cn + 0.5) / (nn + 0.5 * v)) AS lo
+      FROM vocab, tot
+    )
+    SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           ROUND(sum(coalesce(m.lo, 0)) / count(*), 6) AS nb_logodds
+    FROM toks t LEFT JOIN model m ON t.token = m.token
+    GROUP BY t.doc_id
 """

@@ -1528,3 +1528,65 @@ def test_take_token_budget_validates(spark):
         take_token_budget(docs, "text", "doc_id", budget=-1)
     with _pytest.raises(ValueError, match="n_buckets"):
         take_token_budget(docs, "text", "doc_id", budget=1, n_buckets=0)
+
+
+def test_nb_quality_separates_corpora(spark):
+    from polars_nexpresso_spark.functions.text import (
+        nb_quality_model,
+        nb_quality_score,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, "insight evidence analysis careful") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    neg = spark.createDataFrame(
+        [(10 + i, "click spam buy now") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    model = nb_quality_model(pos, neg, "text")
+    test = spark.createDataFrame(
+        [
+            (100, "careful analysis evidence"),
+            (101, "buy spam click"),
+            (102, "unseen words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["nb_logodds"]
+        for r in nb_quality_score(test, model, "text", "doc_id").collect()
+    }
+    assert got[100] > 0 > got[101]  # positive-like vs negative-like
+    assert got[102] == 0.0  # OOV tokens are neutral
+
+
+def test_nb_quality_model_single_scan_per_corpus(spark):
+    """Totals branch above the count shuffles — exchange reuse keeps
+    each corpus at ONE scan (the DSIR plan shape)."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.text import nb_quality_model
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = nb_quality_model(
+        docs.filter(F.col("doc_id") < 100),
+        docs.filter(F.col("doc_id") >= 100),
+        "text",
+    )
+    model.collect()
+    plan = model._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in final
+    assert final.count("FileScan") == 2, final  # one per corpus
+    assert "ReusedExchange" in final, final
+
+
+def test_nb_quality_model_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.text import nb_quality_model
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="alpha"):
+        nb_quality_model(df, df, "text", alpha=0)
