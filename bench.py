@@ -520,6 +520,7 @@ def main() -> None:
         q_boilerplate_tokens,
         q_intradoc_dedup,
         q_nb_quality,
+        q_nb_quality_stream,
         q_semantic_dedup,
         q_source_overlap,
         q_token_budget,
@@ -542,6 +543,10 @@ def main() -> None:
         "token_budget", lambda: force(q_token_budget(spark, sf_dir))
     )
     bench("nb_quality", lambda: force(q_nb_quality(spark, sf_dir)))
+    bench(
+        "nb_quality_stream",
+        lambda: force(q_nb_quality_stream(spark, sf_dir)),
+    )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a

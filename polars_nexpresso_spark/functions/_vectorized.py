@@ -151,3 +151,41 @@ def pandas_unicode_normalize(form: str):
         )
 
     return norm
+
+
+def pandas_nb_score(token_hashes, log_odds):
+    """UDF factory for the stream-safe naive-Bayes scorer: per row, look
+    up each token hash in the sorted model dictionary (searchsorted,
+    OOV = 0.0 — neutral) and return the mean log-odds rounded to 6.
+    NULL/empty token arrays yield NULL."""
+    th = np.asarray(token_hashes, dtype=np.int64)
+    lo = np.asarray(log_odds, dtype=np.float64)
+
+    def _lookup(keys):
+        if th.size == 0:
+            return np.zeros(len(keys), dtype=np.float64)
+        idx = np.searchsorted(th, keys)
+        idx[idx == th.size] = th.size - 1
+        out = lo[idx].copy()
+        out[th[idx] != keys] = 0.0
+        return out
+
+    @pandas_udf("double")
+    def score(t_arrs: pd.Series) -> pd.Series:
+        out = np.full(len(t_arrs), np.nan)
+        rows = [
+            (i, np.asarray(ts, dtype=np.int64))
+            for i, ts in enumerate(t_arrs)
+            if ts is not None and len(ts) > 0
+        ]
+        if rows:
+            lens = np.array([len(t) for _, t in rows])
+            flat = np.concatenate([t for _, t in rows])
+            vals = _lookup(flat)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            means = np.round(np.add.reduceat(vals, starts) / lens, 6)
+            out[[i for i, _ in rows]] = means
+        return pd.Series(out, dtype="float64")
+
+    return score

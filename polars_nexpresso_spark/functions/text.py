@@ -857,3 +857,86 @@ def nb_quality_score(
             ).alias("nb_logodds"),
         )
     )
+
+
+def nb_quality_score_stream(
+    docs,
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str,
+    *,
+    alpha: float = 0.5,
+    max_vocab: int = 5_000_000,
+):
+    """Stream-safe :func:`nb_quality_score`: STATELESS, map-side only.
+
+    The batch scorer joins exploded tokens against the model table and
+    aggregates per doc — a join plus a grouped aggregation a stream
+    would need watermarked state for. This variant collects the model
+    ONCE into a sorted hash-keyed numpy dictionary (bounded by
+    ``max_vocab``) and scores each incoming document with a vectorized
+    binary-search probe per Arrow batch: no join, no shuffle, no state —
+    works identically on a batch DataFrame or an unbounded
+    ``readStream`` (the same pattern as
+    :func:`ngram_lm_score_stream` / ``decontaminate_stream``).
+
+    Dictionary keys are xxhash64 of the token (counts re-aggregated per
+    hash, so the dictionary is internally consistent; a 64-bit collision
+    merging two tokens is astronomically unlikely at real vocab sizes).
+    ``positive``/``negative`` must be batch DataFrames (they are
+    collected). Returns the input schema plus ``(n_tokens,
+    nb_logodds)``; docs with NULL/empty text get ``n_tokens=0`` and a
+    NULL score (the batch scorer emits no row for them — filter
+    ``n_tokens > 0`` for identical survivors).
+    """
+    import numpy as np
+
+    from polars_nexpresso_spark.functions._vectorized import pandas_nb_score
+
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive: {alpha}")
+
+    def hash_counts(df: DataFrame):
+        pdf = (
+            df.select(F.explode(tokens(F.col(text_col))).alias("__t"))
+            .select(F.xxhash64("__t").alias("__h"))
+            .groupBy("__h")
+            .agg(F.count("*").alias("__c"))
+            .toPandas()
+        )
+        return (
+            pdf["__h"].to_numpy(dtype=np.int64),
+            pdf["__c"].to_numpy(dtype=np.float64),
+        )
+
+    ph, pc = hash_counts(positive)
+    nh, nc = hash_counts(negative)
+    union = np.union1d(ph, nh)
+    if union.size > max_vocab:
+        raise ValueError(
+            f"model vocabulary has {union.size} tokens > "
+            f"max_vocab={max_vocab}; use the batch nb_quality_score "
+            "join path for vocabularies this large"
+        )
+    cp = np.zeros(union.size)
+    cp[np.searchsorted(union, ph)] = pc
+    cn = np.zeros(union.size)
+    cn[np.searchsorted(union, nh)] = nc
+    a = float(alpha)
+    lo = np.log((cp + a) / (cp.sum() + a * union.size)) - np.log(
+        (cn + a) / (cn.sum() + a * union.size)
+    )
+
+    score = pandas_nb_score(union, lo)
+    toks = tokens(F.col(text_col))
+    valid = F.size(toks) > 0
+    hashes = F.when(valid, F.transform(toks, lambda t: F.xxhash64(t)))
+    return (
+        docs.withColumn("__th", hashes)
+        .withColumn(
+            "n_tokens",
+            F.when(valid, F.size("__th")).otherwise(F.lit(0)).cast("bigint"),
+        )
+        .withColumn("nb_logodds", score(F.col("__th")))
+        .drop("__th")
+    )

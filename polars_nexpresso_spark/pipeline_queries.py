@@ -1087,6 +1087,24 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_quality_score(docs, model, "text", "doc_id")
 
 
+def q_nb_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless stream-safe NB scoring: model collected once into a
+    sorted hash dictionary, per-doc mean via a vectorized binary-search
+    probe — no join/shuffle/state; same oracle as the batch path
+    (``n_tokens > 0`` filter = the batch scorer's implicit contract)."""
+    from polars_nexpresso_spark.functions.text import (
+        nb_quality_score_stream,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    pos = docs.filter(F.col("doc_id") < 100)
+    neg = docs.filter(F.col("doc_id") >= 100)
+    out = nb_quality_score_stream(docs, pos, neg, "text")
+    return out.filter(F.col("n_tokens") > 0).select(
+        "doc_id", "n_tokens", "nb_logodds"
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: deterministic k-means cells,
     drop any vector with a smaller-id within-cluster neighbor at cosine
@@ -1159,6 +1177,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_overlap": q_source_overlap,
     "token_budget": q_token_budget,
     "nb_quality": q_nb_quality,
+    "nb_quality_stream": q_nb_quality_stream,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2238,3 +2257,5 @@ PIPELINE_ORACLE_SQL["nb_quality"] = f"""
     FROM toks t LEFT JOIN model m ON t.token = m.token
     GROUP BY t.doc_id
 """
+
+PIPELINE_ORACLE_SQL["nb_quality_stream"] = PIPELINE_ORACLE_SQL["nb_quality"]

@@ -286,3 +286,94 @@ def test_ngram_lm_score_stream_null_text(spark):
     }
     assert got[1] is not None
     assert got[2] is None
+
+
+def test_nb_quality_stream_matches_batch(spark):
+    """The stateless hash-dictionary scorer must reproduce the batch
+    join path's scores exactly (same rounding contract)."""
+    from polars_nexpresso_spark.functions.text import (
+        nb_quality_model,
+        nb_quality_score,
+        nb_quality_score_stream,
+    )
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    pos = docs.filter(F.col("doc_id") < 100)
+    neg = docs.filter(F.col("doc_id") >= 100)
+    batch = {
+        r["doc_id"]: (r["n_tokens"], r["nb_logodds"])
+        for r in nb_quality_score(
+            docs, nb_quality_model(pos, neg, "text"), "text", "doc_id"
+        ).collect()
+    }
+    stream_path = {
+        r["doc_id"]: (r["n_tokens"], r["nb_logodds"])
+        for r in nb_quality_score_stream(docs, pos, neg, "text")
+        .filter(F.col("n_tokens") > 0)
+        .select("doc_id", "n_tokens", "nb_logodds")
+        .collect()
+    }
+    assert stream_path == batch
+
+
+def test_nb_quality_stream_on_actual_stream(spark):
+    import shutil
+    import tempfile
+
+    from polars_nexpresso_spark.functions.text import (
+        nb_quality_score_stream,
+    )
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    pos = docs.filter(F.col("doc_id") < 100)
+    neg = docs.filter(F.col("doc_id") >= 100)
+    tmp = tempfile.mkdtemp(prefix="pns_nb_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+        static = spark.read.parquet(f"{tmp}/in")
+        expected = {
+            r["doc_id"]: r["nb_logodds"]
+            for r in nb_quality_score_stream(static, pos, neg, "text")
+            .select("doc_id", "nb_logodds")
+            .collect()
+        }
+        stream = spark.readStream.schema(static.schema).parquet(f"{tmp}/in")
+        scored = nb_quality_score_stream(stream, pos, neg, "text")
+        assert scored.isStreaming
+        q = (
+            scored.select("doc_id", "nb_logodds")
+            .writeStream.format("memory")
+            .queryName("nb_stream_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["nb_logodds"]
+            for r in spark.table("nb_stream_out").collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_nb_quality_stream_null_and_empty_text(spark):
+    from polars_nexpresso_spark.functions.text import (
+        nb_quality_score_stream,
+    )
+
+    pos = spark.createDataFrame([(1, "good words")], ["doc_id", "text"])
+    neg = spark.createDataFrame([(2, "bad stuff")], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "good"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nb_logodds"])
+        for r in nb_quality_score_stream(docs, pos, neg, "text").collect()
+    }
+    assert got[1][0] == 1 and got[1][1] > 0
+    assert got[2] == (0, None)
+    assert got[3] == (0, None)
