@@ -838,7 +838,13 @@ def semantic_dedup(
     equi-join on the cell id — the SemDeDup trick — so cost is
     sum(cluster_size^2), not corpus^2. Grow ``n_centroids`` with the
     corpus (clusters of ~1-10k vectors keep the pair stage linear-ish);
-    no driver-side loop, no global sort.
+    no driver-side loop, no global sort. A pathologically hot cluster
+    (many near-identical vectors collapsing into one cell — exactly the
+    data this operator targets) is the skew case: measure with
+    ``plans.stats.key_skew_stats`` on the assignment's ``cluster_id``
+    and raise ``n_centroids`` (the quantizer splits dense regions
+    first) before reaching for salting — unlike grouped top-k, the
+    pair semantics here cannot be salted without losing pairs.
 
     Returns ``(id_col, cluster_id, keep)`` — one row per input vector;
     filter ``keep`` to materialize the deduplicated corpus.
