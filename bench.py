@@ -519,6 +519,7 @@ def main() -> None:
     from polars_nexpresso_spark.pipeline_queries import (
         q_boilerplate_tokens,
         q_intradoc_dedup,
+        q_image_near_dup,
         q_nb_quality,
         q_nb_quality_stream,
         q_semantic_dedup,
@@ -546,6 +547,9 @@ def main() -> None:
     bench(
         "nb_quality_stream",
         lambda: force(q_nb_quality_stream(spark, sf_dir)),
+    )
+    bench(
+        "image_near_dup", lambda: force(q_image_near_dup(spark, sf_dir))
     )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs

@@ -368,28 +368,62 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Blocking: the 60-bit simhash splits into ``max_hamming + 1`` chunks; by
-    pigeonhole, any pair within the radius agrees on ≥1 chunk (a guarantee
-    a FIXED chunk count cannot give for larger radii), so candidates come
-    from an equi-join on (chunk_index, chunk_value) and are then verified
-    with the true bit_count of the XOR. Larger radii mean narrower chunks →
-    more candidates: the usual recall/cost dial.
-
-    ``persist_chunks`` (default on) caches the O(docs × chunks) blocking
-    table before the self-join — both sides read it and exchange reuse does
-    not unify the differently-aliased branches, so uncached the whole
-    simhash computation (explode + 60 grouped bit counts, the expensive
-    half) runs twice. Measured cold-cache at sf0.1: 1.01 s vs 1.82 s.
+    The blocking/verify machinery is :func:`hamming_pairs` (shared with
+    the multimodal average-hash dedup); this wrapper just computes the
+    60-bit text simhash first.
 
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
     """
-    bits = 60
+    hashed = simhash_table(df, text_col, id_col, bits=60)
+    return hamming_pairs(
+        hashed,
+        "simhash",
+        id_col,
+        bits=60,
+        max_hamming=max_hamming,
+        persist_chunks=persist_chunks,
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    *,
+    bits: int = 60,
+    max_hamming: int = 3,
+    persist_chunks: bool = True,
+) -> DataFrame:
+    """All id pairs whose ``bits``-wide integer hashes are within
+    Hamming distance ``max_hamming`` — the generic fingerprint-dedup
+    kernel behind :func:`simhash_pairs` (text) and
+    ``multimodal.image_ahash`` (images); any bounded-width integer
+    fingerprint column works.
+
+    Blocking: the hash splits into ``max_hamming + 1`` chunks; by
+    pigeonhole, any pair within the radius agrees on ≥1 chunk (a
+    guarantee a FIXED chunk count cannot give for larger radii), so
+    candidates come from an equi-join on (chunk_index, chunk_value) and
+    are then verified with the true bit_count of the XOR. Larger radii
+    mean narrower chunks → more candidates: the usual recall/cost dial.
+
+    ``persist_chunks`` (default on) caches the O(rows × chunks) blocking
+    table before the self-join — both sides read it and exchange reuse
+    does not unify the differently-aliased branches, so uncached the
+    upstream hash computation runs twice (for simhash, the expensive
+    explode + 60 grouped bit counts; measured cold-cache at sf0.1:
+    1.01 s vs 1.82 s).
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    if not 1 <= bits <= 63:
+        raise ValueError(f"bits must be in [1, 63]: {bits}")
     n_chunks = max_hamming + 1
     if n_chunks > bits:
         raise ValueError(f"max_hamming must be < {bits}")
     base, extra = divmod(bits, n_chunks)
-    hashed = simhash_table(df, text_col, id_col, bits=bits).select(
-        F.col(id_col).alias("__id"), F.col("simhash").alias("__sim")
+    hashed = df.select(
+        F.col(id_col).alias("__id"), F.col(hash_col).alias("__sim")
     )
     # One simhash evaluation per row: chunk values are cheap bit ops over
     # the materialized __sim column, posexploded to (chunk, value) rows (a

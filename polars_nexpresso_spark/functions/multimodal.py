@@ -698,3 +698,83 @@ def sample_frames(df: DataFrame, *, every_n_bytes: int = 1024, fake: bool = True
             )
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(gen, schema=schema)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    fake: bool = False,
+) -> DataFrame:
+    """Perceptual AVERAGE-HASH of an image blob: 60-bit fingerprint for
+    near-duplicate detection — the multimodal analog of the text
+    simhash, and the other half of the image-dedup story next to
+    :func:`decode_video` (decode gives features; this gives a
+    fingerprint that pairs via ``dedup.hamming_pairs``).
+
+    Real path (default): RIFF/AVI parse (same stdlib walker as
+    :func:`decode_video`), FIRST frame only, integer grayscale
+    ``(r+g+b) // 3`` per pixel, the first 60 pixels in scan order, bit
+    ``p`` set iff ``gray[p] >= mean(gray[:60]) // 1`` (integer mean) —
+    all-integer arithmetic, so a SQL oracle replays the hash bit for
+    bit from the synthetic closed form while Spark computes it from the
+    DECODED bytes. Frames smaller than 60 pixels zero-pad (deliberate:
+    tiny thumbnails still fingerprint deterministically). Compressed
+    streams follow :func:`decode_video`'s codec policy.
+
+    ``fake=True`` hashes the blob's first 180 raw bytes with the same
+    gray/threshold arithmetic — plumbing tests with arbitrary blobs.
+
+    Returns ``(media_id, ahash)``; feed to
+    ``hamming_pairs(out, "ahash", "media_id", bits=60)``.
+    """
+    have_codec = video_codec_available() if not fake else False
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import numpy as np
+        import pandas as pd
+
+        def pack(gray: "np.ndarray") -> int:
+            g = np.zeros(60, dtype=np.int64)
+            n = min(60, gray.size)
+            g[:n] = gray[:n]
+            mean = int(g.sum()) // 60
+            bits = g >= mean
+            return int((bits.astype(np.int64) << np.arange(60)).sum())
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = blob or b""
+                if fake:
+                    raw = np.zeros(180, dtype=np.int64)
+                    arr = np.frombuffer(blob[:180], dtype=np.uint8)
+                    raw[: arr.size] = arr
+                    gray = raw.reshape(-1, 3).sum(axis=1) // 3
+                    rows.append((int(mid), pack(gray)))
+                    continue
+                w, h, fps, compression, frames = _parse_avi(blob)
+                if compression != 0 and not have_codec:
+                    _require_codec("video")
+                first = (
+                    np.frombuffer(frames[0], dtype=np.uint8).astype(np.int64)
+                    if frames
+                    else np.zeros(0, dtype=np.int64)
+                )
+                usable = first[: (first.size // 3) * 3]
+                gray = usable.reshape(-1, 3).sum(axis=1) // 3
+                rows.append((int(mid), pack(gray)))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        gen, schema=AHASH_SCHEMA
+    )

@@ -1105,6 +1105,34 @@ def q_nb_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal near-dup end to end: deterministic RGB24 AVI
+    blobs → RIFF parse + first-frame average-hash (all-integer, from
+    the DECODED bytes) → pigeonhole Hamming pair join via the same
+    ``hamming_pairs`` kernel the text simhash uses. The oracle replays
+    the hash from the synthetic closed form, so the whole decode →
+    fingerprint → pair pipeline is value-checked."""
+    from polars_nexpresso_spark.functions.dedup import hamming_pairs
+    from polars_nexpresso_spark.functions.multimodal import (
+        image_ahash,
+        synth_avi,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    media = synth_avi(
+        docs.select(F.col("doc_id").alias("media_id")),
+        width=8,
+        height=8,
+        fps=10,
+        n_base=2,
+        n_mod=3,
+    )
+    hashed = image_ahash(media, fake=False)
+    return hamming_pairs(
+        hashed, "ahash", "media_id", bits=60, max_hamming=3
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: deterministic k-means cells,
     drop any vector with a smaller-id within-cluster neighbor at cosine
@@ -1178,6 +1206,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget": q_token_budget,
     "nb_quality": q_nb_quality,
     "nb_quality_stream": q_nb_quality_stream,
+    "image_near_dup": q_image_near_dup,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2259,3 +2288,27 @@ PIPELINE_ORACLE_SQL["nb_quality"] = f"""
 """
 
 PIPELINE_ORACLE_SQL["nb_quality_stream"] = PIPELINE_ORACLE_SQL["nb_quality"]
+
+PIPELINE_ORACLE_SQL["image_near_dup"] = """
+    WITH gray AS (
+      SELECT doc_id,
+             list_transform(range(0, 60), p ->
+               (((doc_id*31 + (3*p)*7) % 256)
+                + ((doc_id*31 + (3*p+1)*7) % 256)
+                + ((doc_id*31 + (3*p+2)*7) % 256)) // 3
+             ) AS g
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 60), p ->
+               CASE WHEN g[p+1] >= list_sum(g) // 60
+                    THEN (1::BIGINT << p) ELSE 0::BIGINT END))::BIGINT
+               AS ahash
+      FROM gray
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.ahash, b.ahash))::INTEGER AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""

@@ -1590,3 +1590,75 @@ def test_nb_quality_model_validates(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="alpha"):
         nb_quality_model(df, df, "text", alpha=0)
+
+
+def test_image_ahash_matches_closed_form_and_detects_dups(spark):
+    from polars_nexpresso_spark.functions.dedup import hamming_pairs
+    from polars_nexpresso_spark.functions.multimodal import (
+        image_ahash,
+        synth_avi,
+    )
+
+    # ids 0 and 256 synthesize identical first frames ((id*31) % 256
+    # collides), id 7 differs
+    ids = spark.createDataFrame([(0,), (7,), (256,)], ["media_id"])
+    media = synth_avi(ids, width=8, height=8, fps=10, n_base=2, n_mod=3)
+    hashed = {
+        r["media_id"]: r["ahash"]
+        for r in image_ahash(media, fake=False).collect()
+    }
+
+    def closed_form(mid):
+        gray = [
+            (
+                (mid * 31 + (3 * p) * 7) % 256
+                + (mid * 31 + (3 * p + 1) * 7) % 256
+                + (mid * 31 + (3 * p + 2) * 7) % 256
+            )
+            // 3
+            for p in range(60)
+        ]
+        mean = sum(gray) // 60
+        return sum(1 << p for p in range(60) if gray[p] >= mean)
+
+    for mid in (0, 7, 256):
+        assert hashed[mid] == closed_form(mid), mid
+    assert hashed[0] == hashed[256]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(
+            image_ahash(media, fake=False), "ahash", "media_id",
+            bits=60, max_hamming=3,
+        ).collect()
+    }
+    assert pairs[(0, 256)] == 0
+
+
+def test_image_ahash_fake_and_empty(spark):
+    from polars_nexpresso_spark.functions.multimodal import image_ahash
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x10" * 200)), (2, bytearray(b""))],
+        "media_id long, content binary",
+    )
+    got = {
+        r["media_id"]: r["ahash"]
+        for r in image_ahash(df, fake=True).collect()
+    }
+    # uniform bytes: every gray == mean -> all 60 bits set
+    assert got[1] == (1 << 60) - 1
+    # empty blob: zeros, mean 0, gray >= mean everywhere -> all bits set
+    assert got[2] == (1 << 60) - 1
+
+
+def test_hamming_pairs_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.dedup import hamming_pairs
+
+    df = spark.createDataFrame([(1, 5)], ["id", "h"])
+    with _pytest.raises(ValueError, match="bits"):
+        hamming_pairs(df, "h", "id", bits=0)
+    with _pytest.raises(ValueError, match="max_hamming"):
+        hamming_pairs(df, "h", "id", bits=4, max_hamming=4)
