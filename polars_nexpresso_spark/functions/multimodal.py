@@ -763,13 +763,27 @@ def image_ahash(
                     rows.append((int(mid), pack(gray)))
                     continue
                 w, h, fps, compression, frames = _parse_avi(blob)
-                if compression != 0 and not have_codec:
-                    _require_codec("video")
-                first = (
-                    np.frombuffer(frames[0], dtype=np.uint8).astype(np.int64)
-                    if frames
-                    else np.zeros(0, dtype=np.int64)
-                )
+                if compression != 0:
+                    # Mirror decode_video's codec policy exactly: a
+                    # compressed bitstream is never hashable as raw
+                    # pixels — decode the first frame via imageio when
+                    # available, raise otherwise.
+                    if not have_codec:
+                        _require_codec("video")
+                    import imageio.v3 as iio  # pragma: no cover — codec envs
+
+                    pixels = iio.imread(blob, index=0)  # pragma: no cover
+                    first = np.asarray(  # pragma: no cover
+                        pixels, np.uint8
+                    ).ravel().astype(np.int64)
+                else:
+                    first = (
+                        np.frombuffer(frames[0], dtype=np.uint8).astype(
+                            np.int64
+                        )
+                        if frames
+                        else np.zeros(0, dtype=np.int64)
+                    )
                 usable = first[: (first.size // 3) * 3]
                 gray = usable.reshape(-1, 3).sum(axis=1) // 3
                 rows.append((int(mid), pack(gray)))

@@ -595,12 +595,16 @@ def take_token_budget(
     )
     h60 = F.conv(F.substring(h_hex, 1, 15), 16, 10).cast("bigint")
     width = (1 << 60) // n_buckets
+    # Integer `div`, NOT floor(double division): float64 cannot represent
+    # every 60-bit hash exactly, so floor(h / width) lands rows one
+    # bucket off near boundaries (e.g. h=575334852396580832, width=2^50:
+    # 511 vs the true 510), breaking the bucket-order == hash-order
+    # invariant the two-level prefix sum depends on.
     base = docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         h60.alias("__h"),
-        F.floor(h60 / F.lit(width)).cast("int").alias("__b"),
-    )
+    ).withColumn("__b", F.expr(f"__h div {width}L").cast("int"))
     bucket_sums = base.groupBy("__b").agg(
         F.sum("n_tokens").alias("__bsum")
     )

@@ -815,15 +815,30 @@ def project_embeddings(
     return df.select(F.col(id_col), F.array(*coords).alias("proj"))
 
 
+def auto_centroid_count(
+    n_vectors: int, *, target_cluster_size: int = 4096, floor: int = 16
+) -> int:
+    """Default centroid count for :func:`semantic_dedup`: enough cells
+    that the within-cluster pair stage stays ~``target_cluster_size``
+    vectors per cell (SemDeDup's cost is sum(cluster^2) — a fixed k
+    that is right at sf0.1 is silently quadratic-ish on a corpus 1000×
+    larger). ``ceil(n / target)``, floored at ``floor`` so tiny corpora
+    keep a meaningful clustering."""
+    if n_vectors <= 0:
+        return floor
+    return max(floor, -(-n_vectors // target_cluster_size))
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     threshold: float = 0.95,
     centroids: str = "kmeans",
     assign: str = "expr",
+    persist_assignment: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): cluster embeddings
@@ -846,13 +861,34 @@ def semantic_dedup(
     first) before reaching for salting — unlike grouped top-k, the
     pair semantics here cannot be salted without losing pairs.
 
+    ``n_centroids=None`` (the default) derives the cell count from a
+    cheap corpus count via :func:`auto_centroid_count` (~4k vectors per
+    cell), so the operator stays linear-ish as the corpus grows without
+    retuning; pass an explicit value to pin it. ``persist_assignment``
+    (default on) caches the assignment table before the self-join —
+    the differently-aliased a/b branches and the final keep-join do not
+    unify under exchange reuse, so uncached the ``n_centroids``-way
+    nearest-cell sort expression evaluates ~3× per run (the same
+    recompute shape ``hamming_pairs``'s persist_chunks documents).
+
     Returns ``(id_col, cluster_id, keep)`` — one row per input vector;
     filter ``keep`` to materialize the deduplicated corpus.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    if n_centroids is None:
+        n_centroids = auto_centroid_count(corpus.count())
     if centroids == "kmeans":
-        cent_vecs = _kmeans_centroids(corpus, id_col, vec_col, n_centroids)
+        # Keep the training sample comfortably larger than k when the
+        # auto default scales up (Lloyd's needs >1 point per cell to
+        # split dense regions).
+        cent_vecs = _kmeans_centroids(
+            corpus,
+            id_col,
+            vec_col,
+            n_centroids,
+            sample_size=max(1024, 4 * n_centroids),
+        )
     elif centroids == "sample":
         cent_vecs = [
             list(r["cv"])
@@ -892,6 +928,10 @@ def semantic_dedup(
         _norm(F.col(vec_col)).alias("__n"),
         nearest_cell(F.col(vec_col)).alias("cluster_id"),
     )
+    if persist_assignment:
+        from polars_nexpresso_spark.functions.dedup import _persist_blocking
+
+        assigned = _persist_blocking(assigned)
     a = assigned.select(
         F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"),

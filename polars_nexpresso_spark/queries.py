@@ -1075,13 +1075,23 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # at least TWO prior rounds' driver artifacts, so they rotate to the tail
 # (they stay oracle-paired and covered by scripts/check_oracle.py).
 #
-# Round-6 rotation: `contamination_report` / `top_events_salted` /
-# `dsir_weights` / `gumbel_topk` (green locally, never driver-checked)
-# move INTO the window, plus `lsh_ann_topk` (multiprobe default changed
-# this round — re-verify under the driver). Out: five entries green in
-# r04+r05 (`nested_expr_select`, `multihop_mean`, `key_aliases`,
-# `order_by_first_last`, `training_keepset`).
+# Round-7 rotation: the eight round-6 operators (`boilerplate_tokens`,
+# `semantic_dedup`, `intradoc_dedup`, `source_overlap`, `token_budget`,
+# `nb_quality`, `nb_quality_stream`, `image_near_dup`) move INTO the
+# window — judge-verified ALL PASS in round 6 but still owed a driver
+# artifact row. Out: eight §2 oracles green in all six driver rounds
+# (`normalize_split`, `denormalize_roundtrip`, `promote_sum`,
+# `any_child`, `all_children`, `multihop_count`, `nested_expr`,
+# `unnest_all`); the pack family stays in-window as the headline.
 _MULTIPLY_PROVEN_TAIL = [
+    "normalize_split",
+    "denormalize_roundtrip",
+    "promote_sum",
+    "any_child",
+    "all_children",
+    "multihop_count",
+    "nested_expr",
+    "unnest_all",
     "event_props_json",
     "skew_topkeys",
     "top_events_per_user",

@@ -309,6 +309,7 @@ def test_redact_chunk_gate_compose_on_readstream(spark):
         def pipeline(frame):
             from polars_nexpresso_spark.functions.dedup import (
                 dedup_lines_within_doc,
+                remove_fixed_boilerplate,
             )
 
             red = redact_pii(frame, "text")
@@ -318,8 +319,13 @@ def test_redact_chunk_gate_compose_on_readstream(spark):
             deduped = dedup_lines_within_doc(
                 gated, "text", "doc_id", delimiter=" "
             ).withColumnRenamed("clean_text", "text")
+            # fixed-set boilerplate strip: broadcast dictionary, also
+            # stateless — completes the ingest chain
+            stripped = remove_fixed_boilerplate(
+                deduped, ["ping"], "text", "doc_id", delimiter=" "
+            ).withColumnRenamed("clean_text", "text")
             return chunk_documents(
-                deduped, "text", "doc_id", chunk_size=16, overlap=4
+                stripped, "text", "doc_id", chunk_size=16, overlap=4
             )
 
         expected = {

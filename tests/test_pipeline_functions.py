@@ -1662,3 +1662,342 @@ def test_hamming_pairs_validates(spark):
         hamming_pairs(df, "h", "id", bits=0)
     with _pytest.raises(ValueError, match="max_hamming"):
         hamming_pairs(df, "h", "id", bits=4, max_hamming=4)
+
+
+def test_remove_boilerplate_strategies_equivalent(spark):
+    """join and broadcast strategies produce identical rows, including
+    all-boiler docs (empty clean_text) and NULL text (counts as empty,
+    never negative counts)."""
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav\nreal one\nfooter"),
+            (2, "nav\nother text\nfooter"),
+            (3, "nav\nfooter"),
+            (4, None),
+            (5, "unique doc"),
+        ],
+        "doc_id long, text string",
+    )
+    expect = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=3
+        ).collect()
+    }
+    assert expect[1] == ("real one", 1, 2)
+    assert expect[3] == ("", 0, 2)  # every line boiler -> survives empty
+    assert expect[4] == ("", 1, 0)  # NULL text == "" -> one empty line
+    assert expect[5] == ("unique doc", 1, 0)
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=3, strategy="broadcast"
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_remove_boilerplate_join_shuffles_hashes_not_text(spark):
+    """The anti-join/count exchanges must carry 64-bit line hashes, not
+    the line text: at 100 TB the text payload dominates the shuffle. The
+    only exchange allowed to carry the text column is the final doc-keyed
+    reassembly join of the source rows."""
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc"), (3, "a\nd")],
+        "doc_id long, text string",
+    )
+    out = remove_boilerplate_lines(df, "text", "doc_id", min_docs=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__line" not in plan  # no exploded text column anywhere
+    assert "__h" in plan
+    rows = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert rows == {1: "b", 2: "c", 3: "d"}
+
+
+def test_remove_boilerplate_broadcast_guard(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="max_broadcast_lines"):
+        remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=2, strategy="broadcast",
+            max_broadcast_lines=0,
+        )
+    with _pytest.raises(ValueError, match="strategy"):
+        remove_boilerplate_lines(df, "text", "doc_id", strategy="nope")
+
+
+def test_remove_fixed_boilerplate_expr_and_pandas_paths(spark):
+    """Both branches (codegen array_contains and the Arrow frozenset
+    probe) return the family contract and identical rows."""
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_fixed_boilerplate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "nav\nbody\nfooter"), (2, "x\nnav"), (3, None)],
+        "doc_id long, text string",
+    )
+    want = {1: ("body", 1, 2), 2: ("x", 1, 1), 3: ("", 1, 0)}
+    for thresh in (256, 0):  # expr path, then pandas path
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+            for r in remove_fixed_boilerplate(
+                df, ["nav", "footer"], "text", "doc_id",
+                expr_threshold=thresh,
+            ).collect()
+        }
+        assert got == want, thresh
+
+
+def test_remove_fixed_boilerplate_df_input_and_guards(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_fixed_boilerplate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "nav\nbody")], "doc_id long, text string"
+    )
+    lines = spark.createDataFrame([("nav",), (None,)], ["line"])
+    got = remove_fixed_boilerplate(df, lines, "text", "doc_id").collect()
+    assert got[0]["clean_text"] == "body"
+    # empty set: everything survives
+    none = remove_fixed_boilerplate(df, [], "text", "doc_id").collect()
+    assert none[0]["n_removed"] == 0
+    with _pytest.raises(ValueError, match="max_lines"):
+        remove_fixed_boilerplate(
+            df, ["a", "b"], "text", "doc_id", max_lines=1
+        )
+    with _pytest.raises(ValueError, match="1 column"):
+        remove_fixed_boilerplate(
+            df, df, "text", "doc_id"
+        )
+    with _pytest.raises(ValueError, match="delimiter"):
+        remove_fixed_boilerplate(df, ["a"], "text", "doc_id", delimiter="")
+
+
+def test_remove_fixed_boilerplate_zero_shuffle_plan(spark):
+    """Stateless map-side only — the stream-safety precondition."""
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_fixed_boilerplate,
+    )
+
+    df = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (
+        remove_fixed_boilerplate(df, ["a"], "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan  # no row-Python ever
+
+
+def test_remove_fixed_boilerplate_matches_discovered_set(spark):
+    """Feeding the batch-discovered boiler set into the fixed variant
+    reproduces remove_boilerplate_lines exactly — the precompute-then-
+    stream workflow."""
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_boilerplate_lines,
+        remove_fixed_boilerplate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "nav\nreal one\nfooter"),
+            (2, "nav\nother\nfooter"),
+            (3, "nav\nfooter\nmore"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_boilerplate_lines(
+            df, "text", "doc_id", min_docs=3
+        ).collect()
+    }
+    fixed = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_fixed_boilerplate(
+            df, ["nav", "footer"], "text", "doc_id"
+        ).collect()
+    }
+    assert fixed == batch
+
+
+def test_dedup_lines_within_doc_null_and_pathological(spark):
+    """NULL text is well-defined (counts never negative) and a 100k-line
+    document dedups without a quadratic blowup (array_distinct is a
+    hash-set pass, not O(n^2) compares)."""
+    import time
+
+    from polars_nexpresso_spark.functions.dedup import (
+        dedup_lines_within_doc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None)], "doc_id long, text string"
+    )
+    row = dedup_lines_within_doc(df, "text", "doc_id").collect()[0]
+    assert (row["clean_text"], row["n_kept"], row["n_removed"]) == ("", 1, 0)
+
+    big = "\n".join(str(i % 1000) for i in range(100_000))
+    bdf = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    t0 = time.time()
+    out = dedup_lines_within_doc(bdf, "text", "doc_id").collect()[0]
+    assert out["n_kept"] == 1000
+    assert out["n_removed"] == 99_000
+    assert time.time() - t0 < 30  # seconds, not the hours O(n^2) implies
+
+
+def test_remove_fixed_boilerplate_on_actual_stream(spark):
+    """Runs unchanged on a real readStream (availableNow drain): the
+    fixed-set variant is stateless/broadcast-dictionary, so stream rows
+    equal the static run row-for-row — for both the codegen and the
+    Arrow-probe branches."""
+    import shutil
+    import tempfile
+
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_fixed_boilerplate,
+    )
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    boiler = ["the", "and", "of"]
+    tmp = tempfile.mkdtemp(prefix="pns_fixedboiler_stream_")
+    try:
+        docs.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
+        static = spark.read.parquet(f"{tmp}/in")
+        for thresh in (256, 0):
+            expected = {
+                (r["doc_id"], r["clean_text"], r["n_kept"], r["n_removed"])
+                for r in remove_fixed_boilerplate(
+                    static, boiler, "text", "doc_id", delimiter=" ",
+                    expr_threshold=thresh,
+                ).collect()
+            }
+            stream = spark.readStream.schema(static.schema).parquet(
+                f"{tmp}/in"
+            )
+            out = remove_fixed_boilerplate(
+                stream, boiler, "text", "doc_id", delimiter=" ",
+                expr_threshold=thresh,
+            )
+            assert out.isStreaming
+            name = f"fixedboiler_out_{thresh}"
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = {
+                (r["doc_id"], r["clean_text"], r["n_kept"], r["n_removed"])
+                for r in spark.table(name).collect()
+            }
+            assert got == expected, thresh
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_take_token_budget_bucket_count_invariance(spark):
+    """Bucketing is an execution detail: the selected set must be
+    IDENTICAL for any n_buckets (bucket order must equal hash order —
+    exact integer division; float floor drifts one bucket near 60-bit
+    boundaries and would flip membership at the cutoff)."""
+    from polars_nexpresso_spark.functions.sampling import take_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 11))) for i in range(300)],
+        ["doc_id", "text"],
+    )
+    runs = [
+        {
+            (r["doc_id"], r["cum_tokens"])
+            for r in take_token_budget(
+                docs, "text", "doc_id", budget=500, n_buckets=nb
+            ).collect()
+        }
+        for nb in (1, 7, 64, 1024)
+    ]
+    assert all(s == runs[0] for s in runs[1:])
+    assert runs[0]
+
+
+def test_auto_centroid_count_scales_with_corpus(spark):
+    from polars_nexpresso_spark.functions.similarity import (
+        auto_centroid_count,
+        semantic_dedup,
+    )
+
+    # floor for tiny corpora, then linear-ish growth targeting ~4k/cell
+    assert auto_centroid_count(0) == 16
+    assert auto_centroid_count(1000) == 16
+    assert auto_centroid_count(65_536) == 16
+    assert auto_centroid_count(409_600) == 100
+    assert auto_centroid_count(40_960_000) == 10_000
+    assert auto_centroid_count(100, target_cluster_size=10, floor=2) == 10
+
+    # the default path derives k from the input (floor here) and stays
+    # correct: same keeps as the explicit-16 call on a small corpus
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    auto = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(emb, threshold=0.95).collect()
+    }
+    assert auto == {1: True, 2: False, 3: True}
+
+
+def test_semantic_dedup_persists_assignment_once(spark):
+    """The centroid-assignment table is cached before the self-join:
+    the a/b branches and the keep-join all read InMemoryTableScan
+    instead of recomputing the k-way nearest-cell sort ~3x (same
+    exchange-reuse gap hamming_pairs' persist_chunks documents).
+    persist_assignment=False opts out (and is cache-free)."""
+    from polars_nexpresso_spark.functions.dedup import (
+        release_blocking_caches,
+    )
+    from polars_nexpresso_spark.functions.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    try:
+        # Opt-out plan FIRST: once the default variant persists the
+        # assignment, Spark's CacheManager substitutes the cached
+        # relation into any later matching plan fragment, so checking
+        # the opt-out after it would see InMemoryTableScan regardless.
+        off = semantic_dedup(
+            emb, n_centroids=2, threshold=0.99, persist_assignment=False
+        )
+        plan_off = off._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" not in plan_off
+        df = semantic_dedup(emb, n_centroids=2, threshold=0.99)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan
+        assert df.count() == off.count() == 6
+    finally:
+        release_blocking_caches()
