@@ -157,25 +157,23 @@ class CrossLevelMixin:
         collapsed struct column): the child reference is then resolved
         against the frame's actual representation.
 
-        Raises:
-            KeyError: If either level is not found.
-            ValueError: If ``from_level`` is coarser than ``to_level``.
+        KeyError on an unknown level name; ValueError when ``from_level``
+        sits above ``to_level`` (attributes never flow down the tree).
         """
-        from_idx = self.spec.index_of(from_level)
-        to_idx = self.spec.index_of(to_level)
+        lo = self.spec.index_of(to_level)  # coarser: where the value lands
+        hi = self.spec.index_of(from_level)  # finer: where it comes from
 
-        if from_idx < to_idx:
+        if hi < lo:
             raise ValueError(
-                f"from_level '{from_level}' (index {from_idx}) must be at the same "
-                f"or finer granularity as to_level '{to_level}' (index {to_idx}). "
-                "Attributes cannot be derived from a coarser level."
+                f"from_level '{from_level}' (index {hi}) must be at the "
+                f"same or finer granularity as to_level '{to_level}' "
+                f"(index {lo}) — a coarser level cannot be a source."
             )
 
-        to_meta = self._levels_meta[to_idx]
-
-        if from_idx == to_idx:
+        target = self._levels_meta[lo]
+        if hi == lo:
             return self._packed_ref(
-                frame, f"{to_meta.prefix}{self._escape_field(attribute)}"
+                frame, target.prefix + self._escape_field(attribute)
             )
 
         if agg not in _LIST_AGGREGATIONS:
@@ -184,14 +182,13 @@ class CrossLevelMixin:
                 f"Expected one of: {sorted(_LIST_AGGREGATIONS)}"
             )
 
-        # traverse[0] = immediate child of to_level; traverse[-1] = from_level.
-        traverse = list(range(to_idx + 1, from_idx + 1))
-        n_hops = len(traverse)
-        final_agg = _LIST_AGGREGATIONS[agg]
-        intermediate_agg = _INTERMEDIATE_AGGREGATIONS[agg]
+        # Metas strictly below the target, down to (and including)
+        # from_level — hops[0] is the target's immediate child.
+        hops = self._levels_meta[lo + 1 : hi + 1]
+        deepest = _LIST_AGGREGATIONS[agg]
+        midway = _INTERMEDIATE_AGGREGATIONS[agg]
 
-        # Innermost: extract the attribute from a from_level struct element.
-        # NB: the lambdas passed to F.transform must take exactly one
+        # NB: the lambdas handed to F.transform must take exactly one
         # positional parameter — PySpark inspects arity to decide between
         # (element) and (element, index) forms — so closures are built with
         # factory functions, never default arguments.
@@ -203,20 +200,20 @@ class CrossLevelMixin:
         ) -> Callable[[Column], Column]:
             return lambda e: agg_fn(F.transform(e[field], prev))
 
-        inner_fn = make_extract(attribute)
+        # Compose inside-out: extract the attribute at from_level, then
+        # wrap one (parent, child) aggregation per hop. The innermost
+        # wrap applies the caller's agg; every outer one the intermediate
+        # variant (count→sum etc.).
+        fn = make_extract(attribute)
+        steps = list(zip(hops, hops[1:]))
+        for depth in range(len(steps) - 1, -1, -1):
+            parent, child = steps[depth]
+            chosen = deepest if depth == len(steps) - 1 else midway
+            fn = make_hop(child.path[len(parent.prefix) :], chosen, fn)
 
-        # Wrap each intermediate hop from the innermost outward.
-        for hop in range(n_hops - 1, 0, -1):
-            parent_meta = self._levels_meta[traverse[hop - 1]]
-            child_meta = self._levels_meta[traverse[hop]]
-            field_in_parent = child_meta.path[len(parent_meta.prefix) :]
-            agg_fn = final_agg if hop == n_hops - 1 else intermediate_agg
-            inner_fn = make_hop(field_in_parent, agg_fn, inner_fn)
-
-        imm_child_meta = self._levels_meta[traverse[0]]
-        outer_agg = final_agg if n_hops == 1 else intermediate_agg
-        return outer_agg(
-            F.transform(self._packed_ref(frame, imm_child_meta.path), inner_fn)
+        outermost = deepest if not steps else midway
+        return outermost(
+            F.transform(self._packed_ref(frame, hops[0].path), fn)
         )
 
     def enrich(
@@ -230,15 +227,15 @@ class CrossLevelMixin:
         The frame must already be packed at ``at_level`` granularity. Output
         columns are qualified with the ``at_level`` prefix.
         """
-        to_meta = self._levels_meta[self.spec.index_of(at_level)]
-        new_cols = {}
-        for spec in specs:
-            expr = self.attribute_expr(
-                spec.attribute, spec.from_level, at_level, spec.agg, frame=frame
+        target = self._levels_meta[self.spec.index_of(at_level)]
+        added = {
+            target.prefix
+            + self._escape_field(s.alias or s.attribute): self.attribute_expr(
+                s.attribute, s.from_level, at_level, s.agg, frame=frame
             )
-            col_name = f"{to_meta.prefix}{self._escape_field(spec.alias or spec.attribute)}"
-            new_cols[col_name] = expr
-        return frame.withColumns(new_cols)
+            for s in specs
+        }
+        return frame.withColumns(added)
 
     def any_child_satisfies(
         self,
@@ -278,16 +275,18 @@ class CrossLevelMixin:
             F.forall(self._packed_ref(frame, from_meta.path), condition)
         )
 
-    def _immediate_child_meta(self, from_level: str, to_level: str):
-        from_idx = self.spec.index_of(from_level)
-        to_idx = self.spec.index_of(to_level)
-        if from_idx != to_idx + 1:
+    def _immediate_child_meta(
+        self, from_level: str, to_level: str, why: str = "existential predicates"
+    ):
+        child = self.spec.index_of(from_level)
+        parent = self.spec.index_of(to_level)
+        if child - parent != 1:
             raise ValueError(
                 f"from_level '{from_level}' must be the immediate child of "
-                f"to_level '{to_level}' for existential predicates. "
-                f"Got indices {from_idx} and {to_idx}."
+                f"to_level '{to_level}' for {why} — got indices "
+                f"{child} and {parent}."
             )
-        return self._levels_meta[from_idx]
+        return self._levels_meta[child]
 
     def promote_attribute(
         self,
@@ -305,47 +304,41 @@ class CrossLevelMixin:
         then aggregates the attribute with array expressions — no extra
         explode/groupBy round-trips beyond the pack shuffle itself.
         """
-        from_idx = self.spec.index_of(from_level)
-        to_idx = self.spec.index_of(to_level)
-        if from_idx != to_idx + 1:
-            raise ValueError(
-                f"from_level '{from_level}' must be the immediate child of "
-                f"to_level '{to_level}'. Got indices {from_idx} and {to_idx}."
-            )
-
-        from_meta = self._levels_meta[from_idx]
-        to_meta = self._levels_meta[to_idx]
+        child = self._immediate_child_meta(
+            from_level, to_level, why="attribute promotion"
+        )
+        target = self._levels_meta[self.spec.index_of(to_level)]
 
         packed = self.pack(frame, from_level)
         self._validate_list_struct_field(
-            packed.schema, from_meta.path, attribute, from_level
+            packed.schema, child.path, attribute, from_level
         )
 
-        expr = self.attribute_expr(attribute, from_level, to_level, agg)
-        out_col = f"{to_meta.prefix}{self._escape_field(alias or attribute)}"
-        return packed.withColumn(out_col, expr)
+        return packed.withColumn(
+            target.prefix + self._escape_field(alias or attribute),
+            self.attribute_expr(attribute, from_level, to_level, agg),
+        )
 
     @staticmethod
     def _validate_list_struct_field(
         schema: StructType, list_col: str, attribute: str, level_name: str
     ) -> None:
         """Raise ValueError if ``attribute`` is not a struct field of ``list_col``."""
-        names = {f.name: f.dataType for f in schema.fields}
-        if list_col not in names:
+        try:
+            dtype = schema[list_col].dataType
+        except KeyError:
             raise ValueError(
                 f"Expected packed column '{list_col}' not found in schema. "
-                f"Available columns: {list(names)}"
-            )
-        dtype = names[list_col]
+                f"Available columns: {schema.fieldNames()}"
+            ) from None
         inner = dtype.elementType if isinstance(dtype, ArrayType) else dtype
         if not isinstance(inner, StructType):
             raise ValueError(
                 f"Expected struct inside list column '{list_col}', got "
                 f"{inner.simpleString()}."
             )
-        field_names = [f.name for f in inner.fields]
-        if attribute not in field_names:
+        if attribute not in inner.fieldNames():
             raise ValueError(
                 f"Attribute '{attribute}' not found at level '{level_name}'. "
-                f"Available fields: {field_names}"
+                f"Available fields: {inner.fieldNames()}"
             )

@@ -1,11 +1,11 @@
 """Hierarchy specification: levels, metadata, errors, result types.
 
-Pure-Python (no SparkSession required) port of the declarative layer of the
-reference (``nexpresso/hierarchical_packer.py:97-352``): ``LevelSpec``,
-``HierarchySpec``, ``LevelMetadata``, ``LevelAttribute``, ``DiscoveredLevel``,
-``SchemaValidationResult``, and ``HierarchyValidationError``. The hierarchy is
-a strict tree of levels ordered coarse → fine; all engine behavior is driven
-by these specs.
+Pure-Python (no SparkSession required) declarative layer matching the
+reference's spec surface (``nexpresso/hierarchical_packer.py:97-352``):
+``LevelSpec``, ``HierarchySpec``, ``LevelMetadata``, ``LevelAttribute``,
+``DiscoveredLevel``, ``SchemaValidationResult``, and
+``HierarchyValidationError``. A hierarchy is a strict tree of levels
+ordered coarse → fine; every engine behavior is driven by these specs.
 
 Differences from the reference, driven by Spark:
 
@@ -38,8 +38,10 @@ from polars_nexpresso_spark.columns import (
 ColumnSelector = Union[str, Column, tuple[str, Column]]
 ExtraColumnsMode = Literal["preserve", "drop", "error"]
 ParentStrategy = Literal["aggregate", "split_join", "auto"]
+# Alphabetical; the engine's dispatch tables (operators/crosslevel.py)
+# define the semantics of each entry.
 PromoteAggregation = Literal[
-    "list", "set", "sum", "mean", "min", "max", "first", "last", "count", "single"
+    "count", "first", "last", "list", "max", "mean", "min", "set", "single", "sum"
 ]
 
 _ALIAS_RE = re.compile(r"\sAS\s`?([^'`]+?)`?'?>?$")
@@ -56,104 +58,121 @@ def column_alias(col: Column) -> str | None:
 
 
 class HierarchyValidationError(Exception):
-    """Raised when hierarchy validation fails.
+    """Validation failure anywhere in the hierarchy engine.
 
-    Attributes:
-        level: The hierarchy level where the error occurred (or None).
-        details: Additional context about the error.
+    Carries the offending ``level`` (when known) and a free-form
+    ``details`` dict for programmatic inspection; the rendered message
+    gains a ``[Level: <name>]`` prefix whenever a level is attached.
     """
 
     def __init__(
         self, message: str, level: str | None = None, details: dict | None = None
     ) -> None:
+        tag = f"[Level: {level}] " if level else ""
+        super().__init__(tag + message)
         self.level = level
-        self.details = details or {}
-        prefix = f"[Level: {level}] " if level else ""
-        super().__init__(f"{prefix}{message}")
+        self.details = {} if details is None else details
 
 
 @dataclass(frozen=True)
 class LevelSpec:
     """Declarative description of one hierarchy level.
 
-    Args:
-        name: Logical identifier (e.g. ``"country"``); the column path follows
-            the coarse→fine ordering of levels in :class:`HierarchySpec`.
-        id_fields: Columns (level-relative names) or computed expressions that
-            uniquely identify records at this level. Computed entries must be
-            ``(alias, Column)`` tuples or aliased Columns.
-        required_fields: Columns that must be non-null when emitting standalone
-            tables via ``split_levels``.
-        order_by: Column expressions (or qualified column-name strings,
-            resolved lazily at pack time) enforcing deterministic child
-            ordering inside the parent's list column.
-        parent_keys: FK column names in this level's raw table linking to the
-            parent's ``id_fields`` (positionally matched); used by
-            ``build_from_tables``.
+    Strings in ``id_fields`` / ``required_fields`` are level-relative
+    column names (qualified with the level path at metadata-build time);
+    computed entries must be ``(alias, Column)`` tuples or aliased
+    Columns. ``order_by`` pins deterministic child ordering inside the
+    parent's list column. ``parent_keys`` are this level's FK columns
+    linking to the parent's ``id_fields`` (positionally matched) — only
+    ``build_from_tables`` reads them.
     """
 
+    # logical identifier, e.g. "country"; its slot in HierarchySpec
+    # (coarse → fine) determines the dotted column path
     name: str
+    # what uniquely identifies a record at this level
     id_fields: Sequence[ColumnSelector] = ()
+    # must be non-null when split_levels emits standalone tables
     required_fields: Sequence[ColumnSelector] | None = None
+    # child-sort expressions over qualified flat names (resolved lazily)
     order_by: Sequence[Column] | None = None
+    # FKs to the parent level, for build_from_tables
     parent_keys: Sequence[str] | None = None
 
 
 @dataclass(frozen=True)
 class LevelMetadata:
-    """Derived per-level metadata, computed once per packer instance."""
+    """Derived per-level facts, computed once per packer instance."""
 
+    # position in the coarse → fine ordering
     index: int
+    # the LevelSpec name
     name: str
+    # dotted path from the root, e.g. "country.city"
     path: str
+    # path + separator — what this level's flat columns start with
     prefix: str
+    # qualified id columns of every coarser level: the pack group key
     ancestor_keys: tuple[str, ...]
+    # qualified names of this level's own id columns
     id_columns: tuple[str, ...]
+    # computed-key expressions to materialize before packing
     id_exprs: tuple[Column, ...]
+    # qualified names of the split_levels non-null columns
     required_columns: tuple[str, ...]
+    # computed required-field expressions
     required_exprs: tuple[Column, ...]
+    # child ordering inside the parent's list column
     order_by: tuple[Column, ...]
 
 
 @dataclass(frozen=True)
 class LevelAttribute:
-    """Spec of an attribute derived from a level, for ``enrich``.
+    """Spec of an attribute derived from a level, for ``enrich``."""
 
-    Args:
-        attribute: Field name at ``from_level`` (unqualified).
-        from_level: Level where the attribute lives (target level or a
-            descendant).
-        agg: Aggregation applied when rolling up; defaults to ``"list"``.
-        alias: Output column name (unqualified); defaults to ``attribute``.
-    """
-
+    # field name at from_level (unqualified)
     attribute: str
+    # where the attribute lives: the target level or a descendant
     from_level: str
+    # roll-up aggregation
     agg: PromoteAggregation = "list"
+    # output column name (unqualified); attribute when None
     alias: str | None = None
 
 
 @dataclass(frozen=True)
 class DiscoveredLevel:
-    """A hierarchy level inferred from schema inspection (``discover_levels``)."""
+    """A hierarchy level inferred by ``discover_levels`` schema inspection."""
 
+    # inferred level name (the last path component)
     name: str
+    # zero-based tree depth, 0 = root
     depth: int
+    # full separator-joined path from the root
     path: str
+    # non-level scalar field names found at this level
     fields: tuple[str, ...]
+    # parent level name; None at the root
     parent: str | None
+    # True when found inside array<struct>/struct rather than flat names
     is_packed: bool = False
 
 
 @dataclass(frozen=True)
 class SchemaValidationResult:
-    """Result of structural schema validation (``validate_schema``)."""
+    """Outcome of structural schema validation (``validate_schema``)."""
 
+    # usable with this packer at all?
     is_compatible: bool
+    # packing level inferred from the schema; None if inference failed
     inferred_level: str | None
+    # level names whose columns/fields were found
     present_levels: list[str]
+    # level names whose expected columns are absent
     missing_levels: list[str]
+    # fatal incompatibilities, human-readable
     errors: list[str]
+    # non-fatal notes (e.g. missing optional fields)
     warnings: list[str]
 
 
@@ -161,59 +180,62 @@ class SchemaValidationResult:
 class HierarchySpec:
     """Ordered collection of levels, coarse → fine.
 
-    Args:
-        levels: LevelSpec objects from root to leaf.
-        key_aliases: ``{target_column: source_column}`` — missing target key
-            columns are cloned from source columns before packing.
+    ``key_aliases`` maps ``{target_column: source_column}``: missing
+    target key columns are cloned from source columns before packing.
     """
 
     levels: Sequence[LevelSpec]
     key_aliases: Mapping[str, str] = field(default_factory=dict)
 
     def __post_init__(self) -> None:
-        names = [lvl.name for lvl in self.levels]
-        if len(names) != len(set(names)):
-            raise ValueError("Level names must be unique inside a HierarchySpec.")
+        # Name → index lookup, built once; doubles as the uniqueness check.
+        slots: dict[str, int] = {}
+        for pos, lvl in enumerate(self.levels):
+            if lvl.name in slots:
+                raise ValueError(
+                    "Level names must be unique inside a HierarchySpec."
+                )
+            slots[lvl.name] = pos
+        object.__setattr__(self, "_slots", slots)
 
     @classmethod
     def from_levels(
         cls, *levels: LevelSpec, key_aliases: Mapping[str, str] | None = None
     ) -> HierarchySpec:
         """Build a spec, validating parent_keys arity against parent id_fields."""
-        for i, level in enumerate(levels):
-            if i == 0:
-                if level.parent_keys:
-                    raise ValueError(
-                        f"Root level '{level.name}' should not have parent_keys defined."
-                    )
-            else:
-                parent = levels[i - 1]
-                if level.parent_keys and len(level.parent_keys) != len(parent.id_fields):
-                    raise ValueError(
-                        f"Level '{level.name}' has {len(level.parent_keys)} parent_keys "
-                        f"but parent '{parent.name}' has {len(parent.id_fields)} "
-                        "id_fields. These must match."
-                    )
-        return cls(levels=list(levels), key_aliases=key_aliases or {})
+        if levels and levels[0].parent_keys:
+            raise ValueError(
+                f"Root level '{levels[0].name}' should not have "
+                "parent_keys defined."
+            )
+        for parent, child in zip(levels, levels[1:]):
+            fks = child.parent_keys
+            if fks and len(fks) != len(parent.id_fields):
+                raise ValueError(
+                    f"Level '{child.name}' has {len(fks)} parent_keys but "
+                    f"parent '{parent.name}' has {len(parent.id_fields)} "
+                    "id_fields. These must match."
+                )
+        return cls(list(levels), dict(key_aliases or {}))
 
     @property
     def levels_by_name(self) -> Mapping[str, LevelSpec]:
-        return {level.name: level for level in self.levels}
+        return {lvl.name: lvl for lvl in self.levels}
 
     def index_of(self, level_name: str) -> int:
-        for idx, level in enumerate(self.levels):
-            if level.name == level_name:
-                return idx
-        raise KeyError(f"Level '{level_name}' not found in hierarchy.")
+        try:
+            return self._slots[level_name]  # type: ignore[attr-defined]
+        except KeyError:
+            raise KeyError(
+                f"Level '{level_name}' not found in hierarchy."
+            ) from None
 
     def level(self, level_name: str) -> LevelSpec:
         return self.levels[self.index_of(level_name)]
 
     def next_level(self, level_name: str) -> LevelSpec | None:
-        idx = self.index_of(level_name)
-        if idx + 1 >= len(self.levels):
-            return None
-        return self.levels[idx + 1]
+        below = self.index_of(level_name) + 1
+        return self.levels[below] if below < len(self.levels) else None
 
 
 def resolve_selector(
@@ -226,18 +248,35 @@ def resolve_selector(
     Strings are qualified with the level path; ``(alias, Column)`` tuples and
     aliased Columns yield computed columns materialized before packing.
     """
+    if isinstance(selector, str):
+        return qualify(selector), None
     if isinstance(selector, tuple):
         alias, expr = selector
-        return alias, expr.alias(alias)
-    if isinstance(selector, Column):
+    else:
         alias = column_alias(selector)
         if alias is None:
             raise ValueError(
-                f"Expression provided for level '{level_name}' must have an alias: "
-                "use (name, Column) or Column.alias(name)."
+                f"Expression provided for level '{level_name}' must have "
+                "an alias: use (name, Column) or Column.alias(name)."
             )
         return alias, selector
-    return qualify(selector), None
+    return alias, expr.alias(alias)
+
+
+def _resolved(
+    selectors: Sequence[ColumnSelector],
+    level_name: str,
+    qualify: "callable",
+) -> tuple[tuple[str, ...], tuple[Column, ...]]:
+    """Split selectors into (qualified names, computed expressions)."""
+    names: list[str] = []
+    computed: list[Column] = []
+    for sel in selectors:
+        name, expr = resolve_selector(sel, level_name, qualify)
+        names.append(name)
+        if expr is not None:
+            computed.append(expr)
+    return tuple(names), tuple(computed)
 
 
 def build_metadata(
@@ -249,53 +288,40 @@ def build_metadata(
 
     ``ancestor_keys`` for a level is the concatenation of all coarser levels'
     qualified id columns — it is the pack group-by key (reference
-    ``hierarchical_packer.py:2571-2603``).
+    ``hierarchical_packer.py:2571-2603``). Level names are escaped into the
+    path so a name containing the separator cannot produce a path that
+    splits differently than it was built (keeps this consistent with
+    ``join_path`` / ``_qualify_field``).
     """
-    metas: list[LevelMetadata] = []
-    path_components: list[str] = []
-    ancestor_keys: list[str] = []
+    out: list[LevelMetadata] = []
+    trail: list[str] = []  # escaped level names, root → current
+    group_keys: list[str] = []  # qualified ids of all coarser levels
 
-    for index, level in enumerate(spec.levels):
-        # Escape level names so a name containing the separator cannot
-        # produce a path that splits differently than it was built
-        # (keeps build_metadata consistent with join_path/_qualify_field).
-        path_components.append(escape_field(level.name, separator, escape_char))
-        path = separator.join(path_components)
+    for pos, lvl in enumerate(spec.levels):
+        trail.append(escape_field(lvl.name, separator, escape_char))
+        path = separator.join(trail)
         prefix = f"{path}{separator}" if path else ""
 
-        def qualify(fname: str, _prefix: str = prefix) -> str:
-            return f"{_prefix}{escape_field(fname, separator, escape_char)}"
+        def qualify(fname: str, _p: str = prefix) -> str:
+            return _p + escape_field(fname, separator, escape_char)
 
-        id_columns: list[str] = []
-        id_exprs: list[Column] = []
-        for sel in level.id_fields:
-            name, expr = resolve_selector(sel, level.name, qualify)
-            id_columns.append(name)
-            if expr is not None:
-                id_exprs.append(expr)
+        ids, id_exprs = _resolved(lvl.id_fields, lvl.name, qualify)
+        req, req_exprs = _resolved(lvl.required_fields or (), lvl.name, qualify)
 
-        required_columns: list[str] = []
-        required_exprs: list[Column] = []
-        for sel in level.required_fields or ():
-            name, expr = resolve_selector(sel, level.name, qualify)
-            required_columns.append(name)
-            if expr is not None:
-                required_exprs.append(expr)
-
-        metas.append(
+        out.append(
             LevelMetadata(
-                index=index,
-                name=level.name,
-                path=path,
-                prefix=prefix,
-                ancestor_keys=tuple(ancestor_keys),
-                id_columns=tuple(id_columns),
-                id_exprs=tuple(id_exprs),
-                required_columns=tuple(required_columns),
-                required_exprs=tuple(required_exprs),
-                order_by=tuple(level.order_by or ()),
+                pos,
+                lvl.name,
+                path,
+                prefix,
+                tuple(group_keys),
+                ids,
+                id_exprs,
+                req,
+                req_exprs,
+                tuple(lvl.order_by or ()),
             )
         )
-        ancestor_keys.extend(id_columns)
+        group_keys.extend(ids)
 
-    return metas
+    return out
