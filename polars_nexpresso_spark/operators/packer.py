@@ -173,7 +173,7 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         to_level: str,
         *,
         extra_columns: ExtraColumnsMode = "preserve",
-        parent_strategy: ParentStrategy = "aggregate",
+        parent_strategy: ParentStrategy = "auto",
         skew_salt: int | None = None,
     ) -> DataFrame:
         """Fold flat columns into nested ``array<struct>`` per level, leaf →
@@ -187,21 +187,22 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
             extra_columns: Non-hierarchy columns: ``"preserve"`` keeps them
                 (aggregated ``first(ignorenulls)`` — they must be uniform per
                 group), ``"drop"`` drops them, ``"error"`` raises.
-            parent_strategy: ``"aggregate"`` (default) carries root attributes
+            parent_strategy: ``"aggregate"`` carries root attributes
                 through the group-by; ``"split_join"`` factors them into a
                 per-root-key dim table and reattaches after packing — far
                 cheaper when root attributes are heavy relative to child data
                 (payload not replicated through the shuffle), a regression
-                when child data dominates; kept opt-in exactly like the
-                reference. ``"auto"`` picks from the SCHEMA: any
+                when child data dominates (the reference keeps it opt-in).
+                ``"auto"`` (default) picks from the SCHEMA: any
                 complex-typed root attribute (array/struct/map/binary)
-                routes to split_join — measured 0.50-0.65x of the plain
+                routes to split_join — measured 0.50-0.68x of the plain
                 pack on such shapes because the wide rows otherwise ride
                 the aggregation's sort path (docs/benchmarks.md) — while
                 scalar-only attrs stay on the plain pack, whose partial
                 aggregation already dedups them map-side at no extra cost.
-                At 100 TB the wrong choice costs 1.5-2x; auto makes the
-                measured default the default.
+                At 100 TB the wrong choice costs 1.5-2x; the default makes
+                the measured winner fire without retuning, and both
+                explicit strategies remain available to pin a plan.
             skew_salt: When set (e.g. 32), each grouped level folds in TWO
                 phases — ``groupBy(keys, salt)`` partial chunks, then
                 ``groupBy(keys)`` flatten + sort — so one pathological parent
@@ -468,7 +469,15 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         attr_cols = self._root_attribute_columns(df.columns)
 
         if not root_keys or not attr_cols:
-            return self.pack(frame, to_level, extra_columns=extra_columns)
+            # Nothing to factor out — explicit "aggregate" (not the
+            # "auto" default, which could re-route here and recurse).
+            return self.pack(
+                frame,
+                to_level,
+                extra_columns=extra_columns,
+                parent_strategy="aggregate",
+                skew_salt=skew_salt,
+            )
 
         dim = None
         fingerprint = self._row_fingerprint(df)
