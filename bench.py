@@ -1008,40 +1008,38 @@ def main() -> None:
         "scale_probe": scale_probe,
         "ann_recall_at_k": ann_dial,
         "bounded_rss": bounded_rss,
-        # Round-6 isolation experiment for the four r05-flagged
-        # regressions (fresh JVM per query, warmup + median-of-3, sf0.1):
-        # none is a code regression. The decisive test for the
-        # pack_no_child_order>pack inversion is the INTERLEAVED A/B
-        # (both variants alternated 6x in one warm session): ordered
-        # 1.571s vs unordered 1.526s — unordered is (slightly) faster,
-        # as it must be, and the executed plans differ only by the
-        # row-id column in the collect struct (diffed this round). The
-        # r05 shared-session 2.375s and even the consecutive-process
-        # 2.07-vs-1.80 readings are run-ordering variance; the unordered
-        # kernel has strictly less work per row. multihop_count /
-        # enrich_stats / session_pack isolate at 1.70/1.32/1.15s —
-        # AT or ABOVE their r05 shared-session values (1.50/0.92/0.78),
-        # the same fresh-JVM-lacks-suite-JIT-warmth pattern round 5
-        # established, so their r04->r05 deltas are session ordering
-        # effects, not code.
+        # Round-7 isolation experiment for the three r06-flagged
+        # regressions (scripts/isolate_query.py: fresh JVM per query,
+        # 1 warmup + median-of-3, sf0.1). Their code paths did not change
+        # r05->r06 (git diff 3a08d53..HEAD — additive edits only around
+        # them); the fresh-JVM medians land AT the r06 shared-session
+        # values and between the r05 and r06 readings
+        # (multimodal_video 0.953 vs r05 0.68 / r06 1.01;
+        # contamination_report 1.226 vs 0.93 / 1.34; corpus_report 0.736
+        # vs 0.55 / 0.74), i.e. the r05 shared-session numbers were the
+        # unusually-WARM outliers — run-ordering / JIT-warmth variance,
+        # the same pattern rounds 5 and 6 established. Not code.
+        # (Round-6 findings, retained: the pack ordered/unordered
+        # interleaved A/B measured 1.571 vs 1.526s — unordered <=
+        # ordered as it must be; pack/multihop_count/enrich_stats/
+        # session_pack isolated at 1.80/1.70/1.32/1.15s, all session
+        # noise; full numbers in the r06 round artifacts.)
         "regression_isolation": {
-            "method": "fresh JVM per query, 1 warmup + median of 3, "
-            "sf0.1; plus interleaved A/B for the pack-order pair",
+            "method": "fresh JVM per query (scripts/isolate_query.py), "
+            "1 warmup + median of 3, sf0.1",
             "isolated_sec": {
-                "pack": 1.799,
-                "pack_no_child_order": 2.065,
-                "multihop_count": 1.704,
-                "enrich_stats": 1.321,
-                "session_pack": 1.153,
+                "multimodal_video": 0.953,
+                "contamination_report": 1.226,
+                "corpus_report": 0.736,
             },
-            "interleaved_ab_sec": {
-                "pack": 1.571,
-                "pack_no_child_order": 1.526,
-                "note": "6 alternated warm runs each, one session — "
-                "unordered <= ordered, inversion was session noise",
+            "shared_session_sec": {
+                "multimodal_video": {"r05": 0.68, "r06": 1.01},
+                "contamination_report": {"r05": 0.93, "r06": 1.34},
+                "corpus_report": {"r05": 0.55, "r06": 0.74},
             },
-            "verdict": "no code regression; shared-session deltas are "
-            "cache-pressure / JIT-warmth ordering effects",
+            "verdict": "no code regression (paths unchanged r05->r06); "
+            "isolated medians match r06 and sit between r05/r06 — the "
+            "r05 shared-session readings were warm-session outliers",
         },
         # pack_heap_capped r05 anomaly (6.93->21.62s): re-probed this
         # round 3x fresh -> 5.54/5.57/5.88s at 944-997 MB RSS, i.e.

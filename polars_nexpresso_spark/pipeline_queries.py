@@ -1047,6 +1047,27 @@ def q_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_within_doc(docs, "text", "doc_id", delimiter=" ")
 
 
+# Shared with the oracle SQL below so query and oracle can never drift.
+FIXED_BOILER_TOKENS = ("a", "the", "data", "value")
+
+
+def q_fixed_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip a KNOWN boilerplate set (here: the corpus's filler tokens)
+    — the stream-safe member of the boilerplate family. No corpus
+    aggregation at all: the set is given, the removal is one stateless
+    map-side array filter, so the identical call works on an unbounded
+    readStream (batch/stream equivalence pinned in
+    test_remove_fixed_boilerplate_on_actual_stream)."""
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_fixed_boilerplate,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return remove_fixed_boilerplate(
+        docs, FIXED_BOILER_TOKENS, "text", "doc_id", delimiter=" "
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-source 13-gram Jaccard matrix — which corpus sources
     duplicate each other (the input to mixture-weight decisions)."""
@@ -1207,6 +1228,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_quality": q_nb_quality,
     "nb_quality_stream": q_nb_quality_stream,
     "image_near_dup": q_image_near_dup,
+    # Round-7 addition: registered after the 50-slot driver window,
+    # verified via scripts/check_oracle.py this round (rotates into the
+    # window next round — the standing protocol for new operators).
+    "fixed_boilerplate": q_fixed_boilerplate,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2136,6 +2161,22 @@ PIPELINE_ORACLE_SQL["boilerplate_tokens"] = """
            SELECT list_filter(
                     string_split(d.text, ' '),
                     x -> NOT list_contains(bl.l, x)
+                  ) AS kept
+         ) k
+"""
+
+_FIXED_BOILER_LIST = ", ".join(f"'{t}'" for t in FIXED_BOILER_TOKENS)
+PIPELINE_ORACLE_SQL["fixed_boilerplate"] = f"""
+    SELECT doc_id,
+           array_to_string(k.kept, ' ') AS clean_text,
+           len(k.kept)::BIGINT AS n_kept,
+           (len(string_split(coalesce(text, ''), ' ')) - len(k.kept))::BIGINT
+               AS n_removed
+    FROM documents,
+         LATERAL (
+           SELECT list_filter(
+                    string_split(coalesce(text, ''), ' '),
+                    x -> NOT list_contains([{_FIXED_BOILER_LIST}], x)
                   ) AS kept
          ) k
 """
