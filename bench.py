@@ -287,7 +287,17 @@ def main() -> None:
     )
     heavy.cache()
     heavy.count()
+    # Default call: parent_strategy="auto" routes this shape (complex
+    # array root attr) to split_join — what a user gets out of the box.
     bench("pack_parent_heavy", lambda: force(packer.pack(heavy, "orders")))
+    # The plain aggregate path, pinned explicitly so the strategy gap
+    # stays measured now that the default no longer takes it here.
+    bench(
+        "pack_parent_heavy_aggregate",
+        lambda: force(
+            packer.pack(heavy, "orders", parent_strategy="aggregate")
+        ),
+    )
     bench(
         "pack_split_join_parent_heavy",
         lambda: force(packer.pack(heavy, "orders", parent_strategy="split_join")),

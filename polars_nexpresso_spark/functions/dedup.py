@@ -1113,6 +1113,71 @@ def dedup_lines_within_doc(
     )
 
 
+def keep_best_in_clusters(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware dedup decisions: per near-dup cluster keep the
+    HIGHEST-``score_col`` member, not an arbitrary one.
+
+    :func:`dedup_clusters` canonicalizes each connected component to its
+    minimum id — correct as a dedup decision but indifferent to which
+    copy survives. Production corpora care: near-dup crawls of a page
+    differ in boilerplate residue, truncation, encoding damage, and the
+    keeper should be the best copy (Gopher/C4 keep-best practice). This
+    takes the cluster labeling plus any per-document numeric quality
+    score (:func:`~polars_nexpresso_spark.functions.text.quality_score`,
+    an LM/NB score, or plain length) and flags the argmax per cluster.
+
+    Tie-break: equal scores keep the smallest id; NULL scores rank below
+    every non-NULL score (a scoreless doc never beats a scored one —
+    all-NULL clusters fall back to min-id, i.e. ``dedup_clusters``'s own
+    rule). Singleton clusters keep themselves.
+
+    Scale shape: the corpus text never moves — only ``(id, score)``
+    joins the ``(id, cluster_id)`` labeling (an id-keyed equi-join), the
+    winner election is one ``min_by`` aggregation on ``cluster_id``
+    (sort-based because the ordering key is a struct, but with a
+    map-side ``partial_min_by`` phase, and the per-partition sort is
+    over the three narrow election columns only), and the keep flag
+    attaches by joining the (one-row-per-cluster — small, AQE
+    broadcasts it at runtime) winner table back to the LABELING, not to
+    the scored join — the docs table is scanned once. No window
+    function, no per-cluster sort of documents.
+
+    Returns ``(id_col, cluster_id, keep)`` — one row per ``clusters``
+    row; filter ``keep`` for the surviving corpus.
+    """
+    scored = docs.select(
+        F.col(id_col),
+        F.col(score_col).cast("double").alias("__score"),
+    )
+    labeled = clusters.join(scored, on=id_col, how="left")
+    # Lexicographic struct order: (-score asc, id asc) == score desc,
+    # id asc. NULL scores coalesce to -inf so they sort after any real
+    # score (struct comparison with a NULL field would otherwise make
+    # the whole comparison NULL-ordered).
+    rank_key = F.struct(
+        (-F.coalesce(F.col("__score"), F.lit(float("-inf")))).alias("__negs"),
+        F.col(id_col).alias("__id"),
+    )
+    winners = labeled.groupBy("cluster_id").agg(
+        F.min_by(F.col(id_col), rank_key).alias("__winner")
+    )
+    # The keep flag needs no score — join winners onto the raw labeling
+    # so the docs(score) join is not computed a second time.
+    return (
+        clusters.join(winners, on="cluster_id", how="left")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            (F.col(id_col) == F.col("__winner")).alias("keep"),
+        )
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     text_col: str,

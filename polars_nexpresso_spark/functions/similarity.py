@@ -965,3 +965,72 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_id_col: str = "query_id",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval / embedding-model training:
+    per query vector, the top-``k`` most-similar corpus vectors that are
+    NOT known positives for that query.
+
+    Contrastive training (DPR/SBERT practice) needs negatives that are
+    hard — near the query in embedding space — but wrong; random
+    negatives are trivially separable and teach nothing. ``positives``
+    is the labeled relevance table ``(query_id_col, doc_id_col)``; the
+    query itself is always excluded.
+
+    Scale shape — same contract as :func:`cosine_topk`, which this
+    extends: the query set broadcasts, the corpus NEVER shuffles, and
+    the only exchange carries ≤ k rows per (query, partition) via the
+    exact two-phase top-k. The positive sets ride the query broadcast
+    as per-query id arrays (one small aggregation over the labels
+    table — bounded by queries × positives-per-query, the same
+    smallness assumption the query broadcast already makes), so the
+    exclusion is a map-side ``array_contains`` filter, not a join
+    against the scored corpus.
+
+    Returns ``(query_id, neighbor_id, cosine, rank)`` with the
+    deterministic (cosine desc, neighbor_id asc) tie-break.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    pos_sets = positives.groupBy(
+        F.col(query_id_col).alias("query_id")
+    ).agg(F.collect_set(F.col(doc_id_col)).alias("__pos"))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
+        )
+        .join(pos_sets, on="query_id", how="left")
+        .withColumn("__pos", F.coalesce("__pos", F.array()))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(~F.array_contains(F.col("__pos"), F.col("neighbor_id")))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__cv"), F.col("__qv"))
+                / (F.col("__cn") * F.col("__qn")),
+                6,
+            ),
+        )
+    )
+    return _two_phase_topk(scored, k)

@@ -298,6 +298,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs, "doc_id")
 
 
+def q_dedup_best_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup decisions: the same MinHash+LSH components as
+    ``dedup_clusters``, but each cluster keeps its highest-QUALITY member
+    (score = text length here; any numeric score plugs in) instead of
+    the arbitrary min-id — the Gopher/C4 keep-best-copy practice. The
+    election is one narrow min_by aggregation on (id, score, cluster);
+    the corpus text never rides a cluster exchange."""
+    from polars_nexpresso_spark.functions.dedup import (
+        keep_best_in_clusters,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    scored = docs.withColumn("quality", F.length("text"))
+    return keep_best_in_clusters(scored, clusters, "doc_id", "quality")
+
+
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     # Blocked on the label column (the shard/class/cluster pattern): pairs
@@ -321,6 +341,29 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_pandas(emb, queries, k=5)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per
+    query, the top-5 most-similar corpus vectors whose label DIFFERS
+    (same-label docs are the positives and are excluded). The positive
+    sets ride the query broadcast as id arrays; the corpus never
+    shuffles — same two-phase top-k contract as ``cosine_topk``."""
+    from polars_nexpresso_spark.functions.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    positives = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "label"),
+            on="label",
+        )
+        .select("query_id", "doc_id")
+    )
+    return mine_hard_negatives(emb, queries, positives, k=5)
 
 
 def _embedding_dim(sf_dir: str) -> int:
@@ -1228,10 +1271,12 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_quality": q_nb_quality,
     "nb_quality_stream": q_nb_quality_stream,
     "image_near_dup": q_image_near_dup,
-    # Round-7 addition: registered after the 50-slot driver window,
-    # verified via scripts/check_oracle.py this round (rotates into the
+    # Round-7 additions: registered after the 50-slot driver window,
+    # verified via scripts/check_oracle.py this round (rotate into the
     # window next round — the standing protocol for new operators).
     "fixed_boilerplate": q_fixed_boilerplate,
+    "dedup_best_keep": q_dedup_best_keep,
+    "hard_negatives": q_hard_negatives,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1407,6 +1452,52 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
           SELECT r.n, e.b FROM r JOIN e ON e.a = r.m
         )
         SELECT n AS doc_id, MIN(m) AS cluster_id FROM r GROUP BY n
+    """,
+    # dedup_best_keep: same connected components, then per-cluster argmax
+    # by (text length desc, doc_id asc) — the keep-best-copy election.
+    "dedup_best_keep": f"""
+        WITH RECURSIVE shingled AS (
+          SELECT doc_id, {_SHINGLES} AS sh
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+          WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                6) >= 0.8
+        ),
+        e AS (
+          SELECT id_a AS a, id_b AS b FROM jp
+          UNION ALL SELECT id_b, id_a FROM jp
+        ),
+        r(n, m) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.n, e.b FROM r JOIN e ON e.a = r.m
+        ),
+        cl AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM r GROUP BY n)
+        SELECT doc_id, cluster_id,
+               (ROW_NUMBER() OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY length(d.text) DESC, doc_id ASC
+                ) = 1) AS keep
+        FROM cl JOIN (SELECT doc_id AS did, text FROM documents) d
+          ON cl.doc_id = d.did
+    """,
+    "hard_negatives": """
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                            DESC, c.vec_id ASC
+                 ) AS rank
+          FROM embeddings c
+          CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+          WHERE c.vec_id != q.vec_id AND c.label != q.label
+        ) WHERE rank <= 5
     """,
     "simhash": f"""
         SELECT doc_id,

@@ -2001,3 +2001,122 @@ def test_semantic_dedup_persists_assignment_once(spark):
         assert df.count() == off.count() == 6
     finally:
         release_blocking_caches()
+
+
+def test_keep_best_in_clusters_election(spark):
+    """Argmax per cluster: highest score wins, ties break to smallest
+    id, NULL scores lose to any real score, all-NULL clusters fall back
+    to min-id, singletons keep themselves."""
+    from polars_nexpresso_spark.functions.dedup import (
+        keep_best_in_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, 5.0), (2, 9.0), (3, 9.0),      # cluster 1: tie 2 vs 3 -> 2
+            (4, None), (5, 1.0),               # cluster 4: NULL loses -> 5
+            (6, None), (7, None),              # cluster 6: all NULL -> 6
+            (8, 0.0),                          # singleton -> itself
+        ],
+        "doc_id long, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 6), (8, 8)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in keep_best_in_clusters(docs, clusters, "doc_id", "q").collect()
+    }
+    assert got == {
+        1: (1, False), 2: (1, True), 3: (1, False),
+        4: (4, False), 5: (4, True),
+        6: (6, True), 7: (6, False),
+        8: (8, True),
+    }
+
+
+def test_keep_best_in_clusters_no_window_no_text(spark):
+    """The election is a min_by aggregation with a map-side partial
+    phase, not a window sort; the text column never leaves the source
+    scan (only id + score move); and the docs join is computed once
+    (the keep flag attaches to the labeling, not the scored join)."""
+    from polars_nexpresso_spark.functions.dedup import (
+        keep_best_in_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "payload a", 3.0), (2, "payload b", 4.0)],
+        "doc_id long, text string, q double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    out = keep_best_in_clusters(docs, clusters, "doc_id", "q")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+    assert "partial_min_by" in p
+    for line in p.splitlines():
+        if "text#" in line:
+            assert "Scan" in line, f"text moved past the scan: {line}"
+    # one scored docs join, not two
+    assert p.count("__score") <= 4  # project + partial/final agg refs
+
+
+def test_mine_hard_negatives_excludes_positives_and_self(spark):
+    from polars_nexpresso_spark.functions.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),   # closest to 0, but a positive
+            (2, [0.8, 0.2]),   # hardest true negative
+            (3, [0.0, 1.0]),   # far negative
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter("vec_id = 0")
+    positives = spark.createDataFrame(
+        [(0, 1)], "query_id long, doc_id long"
+    )
+    rows = mine_hard_negatives(emb, queries, positives, k=2).collect()
+    assert [(r["neighbor_id"], r["rank"]) for r in rows] == [(2, 1), (3, 2)]
+
+    # A query with NO positives row still mines (left join -> empty set),
+    # excluding only itself.
+    rows2 = mine_hard_negatives(
+        emb,
+        emb.filter("vec_id = 3"),
+        positives,
+        k=3,
+    ).collect()
+    assert sorted(r["neighbor_id"] for r in rows2) == [0, 1, 2]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        mine_hard_negatives(emb, queries, positives, k=0)
+
+
+def test_mine_hard_negatives_broadcasts_queries(spark):
+    """Same scale contract as cosine_topk: the query+positives side is
+    broadcast; the corpus side never shuffles before scoring."""
+    from polars_nexpresso_spark.functions.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    positives = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_id long, doc_id long"
+    )
+    out = mine_hard_negatives(
+        emb, emb.filter("vec_id < 2"), positives, k=3
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p
