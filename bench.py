@@ -562,6 +562,24 @@ def main() -> None:
         "image_near_dup", lambda: force(q_image_near_dup(spark, sf_dir))
     )
 
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_dedup_best_keep,
+        q_fixed_boilerplate,
+        q_hard_negatives,
+    )
+
+    bench(
+        "fixed_boilerplate",
+        lambda: force(q_fixed_boilerplate(spark, sf_dir)),
+    )
+    bench(
+        "dedup_best_keep",
+        lambda: force(q_dedup_best_keep(spark, sf_dir)),
+    )
+    bench(
+        "hard_negatives", lambda: force(q_hard_negatives(spark, sf_dir))
+    )
+
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a
     # high-recall point), each timed — one point is a number, two points
@@ -729,6 +747,10 @@ def main() -> None:
                 ("intradoc_dedup", q_intradoc_dedup),
                 ("source_overlap", q_source_overlap),
                 ("token_budget", q_token_budget),
+                # round-7 operators
+                ("fixed_boilerplate", q_fixed_boilerplate),
+                ("dedup_best_keep", q_dedup_best_keep),
+                ("hard_negatives", q_hard_negatives),
             ):
                 try:
                     t_b = _big_time(
