@@ -564,6 +564,7 @@ def main() -> None:
 
     from polars_nexpresso_spark.pipeline_queries import (
         q_dedup_best_keep,
+        q_exact_substring_dedup,
         q_fixed_boilerplate,
         q_hard_negatives,
     )
@@ -578,6 +579,10 @@ def main() -> None:
     )
     bench(
         "hard_negatives", lambda: force(q_hard_negatives(spark, sf_dir))
+    )
+    bench(
+        "exact_substring_dedup",
+        lambda: force(q_exact_substring_dedup(spark, sf_dir)),
     )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
@@ -751,6 +756,7 @@ def main() -> None:
                 ("fixed_boilerplate", q_fixed_boilerplate),
                 ("dedup_best_keep", q_dedup_best_keep),
                 ("hard_negatives", q_hard_negatives),
+                ("exact_substring_dedup", q_exact_substring_dedup),
             ):
                 try:
                     t_b = _big_time(

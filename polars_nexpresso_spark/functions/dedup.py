@@ -1113,6 +1113,131 @@ def dedup_lines_within_doc(
     )
 
 
+def remove_duplicated_windows(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    window: int = 8,
+    delimiter: str = " ",
+    keep_first: bool = True,
+) -> DataFrame:
+    """Exact duplicated-substring REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    ``window``-token span whose exact content occurs >= 2 times
+    corpus-wide (across documents or repeated within one) is removed
+    from every occurrence except the canonical first — the removal
+    counterpart of :func:`duplicated_window_fraction`, which only
+    measures. The paper's w=50 suits web-scale corpora; the smaller
+    default matches this repo's short-document test corpus.
+
+    ``keep_first=True`` keeps the globally first occurrence (minimum
+    ``(doc_id, position)``) so shared content survives exactly once;
+    ``keep_first=False`` strips every occurrence (the decontamination-
+    style hard mode). Tokens are ``delimiter`` splits (a LITERAL
+    string); documents shorter than ``window`` tokens have no windows
+    and pass through unchanged. NULL text counts as empty. A token is
+    removed when ANY removed occurrence covers it, so overlapping
+    duplicated windows merge into removed spans naturally.
+
+    Scale shape — the corpus text never rides a duplication exchange
+    (same discipline as :func:`remove_boilerplate_lines`): the exploded
+    table is narrow ``(doc, position, xxhash64(window))`` rows; the
+    occurrence count is one hash-keyed partial agg; the canonical-first
+    election is a ``min(struct(doc, pos))`` over the same key (only for
+    windows already known duplicated); covered token positions fan out
+    by at most ``window`` per REMOVED occurrence (duplication is sparse
+    in a healthy corpus — the fan-out is proportional to what gets
+    removed, not to the corpus); reassembly joins one int-array of
+    removed positions per affected doc back to the source and slices
+    the split array map-side. No global sort, no row loss.
+
+    Returns ``(id_col, clean_text, n_kept, n_removed)`` — the family
+    contract (counts in tokens).
+    """
+    import re as _re
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    if not delimiter:
+        raise ValueError("delimiter must be a non-empty literal string")
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    arr = F.split(txt, _re.escape(delimiter))
+    src = docs.select(
+        F.col(id_col),
+        arr.alias("__arr"),
+        F.size(arr).cast("long").alias("__n"),
+    )
+    # Window-content hashes by start position (0-based); docs shorter
+    # than the window emit none. sequence() would count DOWN for a
+    # negative span, hence the explicit guard.
+    win_hashes = F.when(
+        F.col("__n") >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__n") - window),
+            lambda p: F.xxhash64(
+                F.array_join(
+                    F.slice(F.col("__arr"), p + 1, window), delimiter
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = src.select(
+        F.col(id_col), F.posexplode(win_hashes).alias("__pos", "__h")
+    )
+    dup_h = occ.groupBy("__h").count().filter(F.col("count") >= 2)
+    if keep_first:
+        # Canonical-first election rides the same aggregation key; the
+        # join back is co-partitioned on __h.
+        first = occ.groupBy("__h").agg(
+            F.min(F.struct(F.col(id_col), F.col("__pos"))).alias("__w")
+        )
+        removed_occ = (
+            occ.join(dup_h.select("__h"), on="__h")
+            .join(first, on="__h")
+            .filter(
+                ~(
+                    (F.col(id_col) == F.col("__w")[id_col])
+                    & (F.col("__pos") == F.col("__w.__pos"))
+                )
+            )
+            .select(F.col(id_col), F.col("__pos"))
+        )
+    else:
+        removed_occ = occ.join(dup_h.select("__h"), on="__h").select(
+            F.col(id_col), F.col("__pos")
+        )
+    removed_pos = (
+        removed_occ.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + (window - 1))
+            ).alias("__tp"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__tp").alias("__rm"))
+    )
+    merged = src.join(removed_pos, on=id_col, how="left")
+    kept = F.array_except(
+        F.sequence(F.lit(0), F.col("__n") - 1),
+        F.coalesce(F.col("__rm"), F.array().cast("array<int>")),
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            kept,
+            lambda p: F.element_at(F.col("__arr"), (p + 1).cast("int")),
+        ),
+        delimiter,
+    )
+    return merged.select(
+        F.col(id_col),
+        rebuilt.alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.col("__n") - F.size(kept)).cast("long").alias("n_removed"),
+    )
+
+
 def keep_best_in_clusters(
     docs: DataFrame,
     clusters: DataFrame,

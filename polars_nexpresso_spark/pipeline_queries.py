@@ -1111,6 +1111,21 @@ def q_fixed_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring REMOVAL (Lee et al. 2022): every
+    4-token span occurring >= 2 times corpus-wide is stripped from all
+    but its globally first occurrence — the removal counterpart of
+    ``dup_window_frac``'s measurement, same window size. All duplication
+    exchanges carry (doc, pos, hash); the text only rides the final
+    doc-keyed reassembly join."""
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_duplicated_windows,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return remove_duplicated_windows(docs, "text", "doc_id", window=4)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-source 13-gram Jaccard matrix — which corpus sources
     duplicate each other (the input to mixture-weight decisions)."""
@@ -1277,6 +1292,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fixed_boilerplate": q_fixed_boilerplate,
     "dedup_best_keep": q_dedup_best_keep,
     "hard_negatives": q_hard_negatives,
+    "exact_substring_dedup": q_exact_substring_dedup,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2253,6 +2269,54 @@ PIPELINE_ORACLE_SQL["boilerplate_tokens"] = """
                     string_split(d.text, ' '),
                     x -> NOT list_contains(bl.l, x)
                   ) AS kept
+         ) k
+"""
+
+# exact_substring_dedup: positional window replay — occurrences group by
+# window STRING (Spark groups by xxhash64 of it: the same partition of
+# windows), canonical first = ROW_NUMBER over (doc_id, pos), covered
+# token positions fan out by the window width, reassembly is an indexed
+# list_filter. Window = 4, matching q_exact_substring_dedup.
+PIPELINE_ORACLE_SQL["exact_substring_dedup"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 2)) AS i
+      FROM t WHERE len(toks) >= 4
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(toks, i, i + 3), ' ') AS win
+      FROM w
+    ),
+    dup AS (SELECT win FROM occ GROUP BY win HAVING count(*) >= 2),
+    ranked AS (
+      SELECT o.doc_id, o.pos,
+             ROW_NUMBER() OVER (
+               PARTITION BY o.win ORDER BY o.doc_id, o.pos
+             ) AS rn
+      FROM occ o JOIN dup USING (win)
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, pos + d AS tp
+      FROM ranked CROSS JOIN (SELECT unnest(range(0, 4)) AS d)
+      WHERE rn > 1
+    ),
+    rl AS (SELECT doc_id, list(tp) AS rml FROM rem GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(
+             array_to_string(list_transform(k.kept, p -> toks[p + 1]), ' '),
+             ''
+           ) AS clean_text,
+           len(k.kept)::BIGINT AS n_kept,
+           (len(toks) - len(k.kept))::BIGINT AS n_removed
+    FROM t LEFT JOIN rl USING (doc_id),
+         LATERAL (
+           SELECT list_filter(range(0, len(toks)),
+                              p -> NOT list_contains(coalesce(rml, []), p))
+               AS kept
          ) k
 """
 

@@ -2120,3 +2120,69 @@ def test_mine_hard_negatives_broadcasts_queries(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
     assert "BatchEvalPython" not in p
+
+
+def test_remove_duplicated_windows_semantics(spark):
+    """Canonical-first survives, later occurrences strip, within-doc
+    repetition counts, short/NULL docs pass through, overlapping dup
+    occurrences may eat into the canonical span (documented)."""
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_duplicated_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x y z"),
+            (2, "q q a b c d e t"),
+            (3, "short"),
+            (4, None),
+            (5, "r r r r r r r r"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_duplicated_windows(
+            docs, "text", "doc_id", window=4
+        ).collect()
+    }
+    assert got[1] == ("a b c d e x y z", 8, 0)   # first occurrence kept
+    assert got[2] == ("q q t", 3, 5)             # later occurrence stripped
+    assert got[3] == ("short", 1, 0)             # shorter than window
+    assert got[4] == ("", 1, 0)                  # NULL text == ""
+    assert got[5] == ("r", 1, 7)                 # within-doc repeats
+
+    hard = {
+        r["doc_id"]: r["n_kept"]
+        for r in remove_duplicated_windows(
+            docs, "text", "doc_id", window=4, keep_first=False
+        ).collect()
+    }
+    assert hard[1] == 3 and hard[5] == 0  # no canonical survivor
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        remove_duplicated_windows(docs, "text", "doc_id", window=0)
+    with _pytest.raises(ValueError, match="delimiter"):
+        remove_duplicated_windows(docs, "text", "doc_id", delimiter="")
+
+
+def test_remove_duplicated_windows_exchanges_carry_no_text(spark, tmp_path):
+    """Every exchange in the plan carries (doc, pos, hash) or the small
+    removal arrays — the text column appears only at the scan and the
+    final doc-keyed reassembly join."""
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_duplicated_windows,
+    )
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w x y z " * 4) for i in range(8)], "doc_id long, text string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    out = remove_duplicated_windows(docs, "text", "doc_id", window=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the aggregations run on hashed occurrences, not window text
+    assert "xxhash64" in plan
+    assert "Window" not in plan  # no window function anywhere
