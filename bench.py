@@ -567,6 +567,8 @@ def main() -> None:
         q_exact_substring_dedup,
         q_fixed_boilerplate,
         q_hard_negatives,
+        q_leakage_free_split,
+        q_temperature_mix,
     )
 
     bench(
@@ -583,6 +585,13 @@ def main() -> None:
     bench(
         "exact_substring_dedup",
         lambda: force(q_exact_substring_dedup(spark, sf_dir)),
+    )
+    bench(
+        "temperature_mix", lambda: force(q_temperature_mix(spark, sf_dir))
+    )
+    bench(
+        "leakage_free_split",
+        lambda: force(q_leakage_free_split(spark, sf_dir)),
     )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs

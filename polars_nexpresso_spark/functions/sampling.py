@@ -210,6 +210,62 @@ def source_mix_weights(
     )
 
 
+def temperature_mix_weights(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    *,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled mixture weights: the target token share of each
+    source is its OBSERVED share raised to ``alpha`` and renormalized
+    (the T5 / multilingual-LM sampling rule — ``alpha=1`` keeps the
+    natural mix, ``alpha=0`` forces uniform, the 0.2-0.5 band boosts
+    small sources without flattening). The companion of
+    :func:`source_mix_weights`: that one takes explicit targets, this
+    derives them from the corpus itself, so it needs no curation pass.
+
+    Weights are downsample-only (normalized by the max ratio) exactly
+    like :func:`source_mix_weights`, and the scale shape is identical —
+    one per-source map-side-combine aggregation, then window math over
+    the #sources-row planning table.
+
+    Returns ``(source, n_docs, n_tokens, token_share, target_share,
+    weight)``.
+    """
+    from pyspark.sql import Window
+
+    from polars_nexpresso_spark.functions.text import token_count
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    per_source = (
+        df.select(
+            F.col(source_col),
+            token_count(F.col(text_col)).alias("__tc"),
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__tc").alias("n_tokens"),
+        )
+    )
+    everything = Window.partitionBy()
+    share = F.col("n_tokens") / F.sum("n_tokens").over(everything)
+    powered = F.pow(share, F.lit(float(alpha)))
+    target = powered / F.sum(powered).over(everything)
+    raw = target / share
+    max_raw = F.max(raw).over(everything)
+    return per_source.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(raw / max_raw, 6).alias("weight"),
+    )
+
+
 def keep_top_fraction(
     df: DataFrame,
     score_col: str,

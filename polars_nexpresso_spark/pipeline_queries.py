@@ -167,6 +167,37 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture planning (T5 rule): target shares are
+    the observed token shares ^ 0.3, renormalized — boosts small sources
+    with no curated target table."""
+    from polars_nexpresso_spark.functions.sampling import (
+        temperature_mix_weights,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return temperature_mix_weights(docs, "text", "source", alpha=0.3)
+
+
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/test split: the md5 split decision hashes the
+    near-dup CLUSTER id (from the MinHash+LSH connected components), so
+    a document and all its near-duplicates land on the same side — the
+    composition that makes held-out evaluation honest. Same split
+    arithmetic as ``hash_split``; clusters come from the same pair
+    machinery as ``dedup_clusters``."""
+    from polars_nexpresso_spark.functions.sampling import hash_split
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    return hash_split(clusters, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
 def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k over int8-quantized vectors — the 4x-smaller-shuffle
     embedding path; integer scoring arithmetic makes even this
@@ -1293,6 +1324,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_best_keep": q_dedup_best_keep,
     "hard_negatives": q_hard_negatives,
     "exact_substring_dedup": q_exact_substring_dedup,
+    "temperature_mix": q_temperature_mix,
+    "leakage_free_split": q_leakage_free_split,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2318,6 +2351,60 @@ PIPELINE_ORACLE_SQL["exact_substring_dedup"] = """
                               p -> NOT list_contains(coalesce(rml, []), p))
                AS kept
          ) k
+"""
+
+PIPELINE_ORACLE_SQL["temperature_mix"] = f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len({_TOKS}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    s AS (
+      SELECT *, n_tokens / SUM(n_tokens) OVER () AS share FROM per
+    ),
+    r AS (
+      SELECT *,
+             pow(share, 0.3) / SUM(pow(share, 0.3)) OVER () AS target
+      FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(share, 6) AS token_share,
+           ROUND(target, 6) AS target_share,
+           ROUND((target / share) / MAX(target / share) OVER (), 6)
+               AS weight
+    FROM r
+"""
+
+# leakage_free_split: the dedup_clusters recursive CTE + hash_split's
+# md5 arithmetic applied to the CLUSTER id.
+PIPELINE_ORACLE_SQL["leakage_free_split"] = f"""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    jp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+      WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+            6) >= 0.8
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp
+    ),
+    r(n, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.n, e.b FROM r JOIN e ON e.a = r.m
+    ),
+    cl AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM r GROUP BY n)
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(concat('0x', substr(
+                    md5('42:' || CAST(cluster_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 < 100000
+                THEN 'test' ELSE 'train' END AS split
+    FROM cl
 """
 
 _FIXED_BOILER_LIST = ", ".join(f"'{t}'" for t in FIXED_BOILER_TOKENS)

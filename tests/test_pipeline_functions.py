@@ -2186,3 +2186,73 @@ def test_remove_duplicated_windows_exchanges_carry_no_text(spark, tmp_path):
     # the aggregations run on hashed occurrences, not window text
     assert "xxhash64" in plan
     assert "Window" not in plan  # no window function anywhere
+
+
+def test_temperature_mix_weights_properties(spark):
+    """alpha=1 keeps the natural mix (all weights 1); alpha=0 targets
+    uniform; in between, smaller sources get boosted relative share and
+    the largest source anchors weight 1."""
+    from polars_nexpresso_spark.functions.sampling import (
+        temperature_mix_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "big " * 9, "big") for i in range(9)]
+        + [(100, "small", "small")],
+        "doc_id long, text string, source string",
+    )
+    natural = {
+        r["source"]: r["weight"]
+        for r in temperature_mix_weights(
+            docs, "text", "source", alpha=1.0
+        ).collect()
+    }
+    assert natural == {"big": 1.0, "small": 1.0}
+
+    uniform = {
+        r["source"]: r["target_share"]
+        for r in temperature_mix_weights(
+            docs, "text", "source", alpha=0.0
+        ).collect()
+    }
+    assert uniform == {"big": 0.5, "small": 0.5}
+
+    mid = {
+        r["source"]: r
+        for r in temperature_mix_weights(
+            docs, "text", "source", alpha=0.3
+        ).collect()
+    }
+    # the small source's target share exceeds its token share; the big
+    # source is the one being downsampled (weight 1 anchors the SMALL
+    # side since its ratio is the max)
+    assert mid["small"]["target_share"] > mid["small"]["token_share"]
+    assert mid["big"]["weight"] < 1.0
+    assert mid["small"]["weight"] == 1.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mix_weights(docs, "text", "source", alpha=1.5)
+
+
+def test_leakage_free_split_clusters_never_straddle(spark):
+    """Every member of a near-dup cluster lands on the same side —
+    the property the composition exists for."""
+    from polars_nexpresso_spark.functions.dedup import dedup_clusters
+    from polars_nexpresso_spark.functions.sampling import hash_split
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 40, 2)], "id_a long, id_b long"
+    )
+    clusters = dedup_clusters(nodes, pairs, "doc_id")
+    split = hash_split(clusters, "cluster_id")
+    per_cluster = (
+        split.groupBy("cluster_id")
+        .agg({"split": "collect_set"})
+        .collect()
+    )
+    assert all(len(r["collect_set(split)"]) == 1 for r in per_cluster)
