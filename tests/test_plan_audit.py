@@ -89,10 +89,11 @@ def test_audit_flags_unpartitioned_window(spark):
 def test_catalog_unpartitioned_windows_are_bounded(spark):
     """The ONLY catalog queries with an unpartitioned window are
     vocab_topk (window over a .limit(k) survivor frame, ≤k rows),
-    source_mix (window over the per-source planning table, #sources
-    rows), and token_budget (prefix window over the <= n_buckets-row
-    bucket-sum table; the per-ROW running sum is partitioned — pinned
-    in test_take_token_budget_no_unbounded_row_window). Pin the
+    source_mix and temperature_mix (windows over the per-source
+    planning table, #sources rows), and token_budget (prefix window
+    over the <= n_buckets-row bucket-sum table; the per-ROW running sum
+    is partitioned — pinned in
+    test_take_token_budget_no_unbounded_row_window). Pin the
     justification: each such window's input is bounded by an explicit
     limit/aggregation in the same plan. A new catalog query that
     windows an unbounded frame must either partition it or be added
@@ -103,7 +104,7 @@ def test_catalog_unpartitioned_windows_are_bounded(spark):
 
     sf = "/root/testdata/sf0.001"
     qs = em.queries()
-    for name in ("vocab_topk", "source_mix", "token_budget"):
+    for name in ("vocab_topk", "source_mix", "temperature_mix", "token_budget"):
         plan = (
             qs[name](spark, sf)
             ._jdf.queryExecution()

@@ -408,3 +408,49 @@ def test_round6_operator_shuffle_budgets(spark):
     assert rep["warnings"] == [], rep["warnings"]
     assert rep["exchanges"] <= 3, rep["exchanges"]
     assert rep["python_stages"] == 0
+
+
+def test_round7_operator_shuffle_budgets(spark):
+    """Round-7 operators. fixed_boilerplate and leakage_free_split = 0
+    exchanges in the audited frame (fixed_boilerplate is map-side only;
+    leakage_free_split's cluster labels arrive through dedup_clusters'
+    localCheckpoint, which truncates lineage — its iteration shuffles
+    are budgeted by the dedup_clusters entry itself). dedup_best_keep
+    = 2 past the checkpoint (score join + min_by election; the
+    winners re-join broadcasts at this size). exact_substring_dedup
+    = 3 narrow-row exchanges (occurrence count + canonical election
+    fan-in, removal-position agg, doc reassembly join).
+    temperature_mix = 1 (the per-source agg; its whole-frame window
+    runs on the #sources planning table — pinned bounded in
+    test_catalog_unpartitioned_windows_are_bounded). hard_negatives'
+    BroadcastNestedLoopJoin is the deliberate broadcast-queries
+    cross-score (same contract as cosine_topk) — everything else must
+    stay warning-free, and no operator may touch row-Python."""
+    import __spark_entry__ as em
+
+    from polars_nexpresso_spark.plans.audit import scale_report
+
+    sf = "/root/testdata/sf0.001"
+    qs = em.queries()
+    budgets = {
+        "fixed_boilerplate": 0,
+        "leakage_free_split": 0,
+        "dedup_best_keep": 2,
+        "exact_substring_dedup": 3,
+        "temperature_mix": 1,
+        "hard_negatives": 4,
+    }
+    benign = ("nested-loop-join", "window-without-partitionBy")
+    for name, max_exchanges in budgets.items():
+        rep = scale_report(qs[name](spark, sf))
+        hard_warnings = [
+            w
+            for w in rep["warnings"]
+            if not (
+                name in ("hard_negatives", "temperature_mix")
+                and w.startswith(benign)
+            )
+        ]
+        assert hard_warnings == [], (name, hard_warnings)
+        assert rep["exchanges"] <= max_exchanges, (name, rep["exchanges"])
+        assert rep["python_stages"] == 0, (name, rep["python_stages"])
