@@ -567,6 +567,7 @@ def main() -> None:
         q_exact_substring_dedup,
         q_fixed_boilerplate,
         q_hard_negatives,
+        q_hard_negatives_ann,
         q_leakage_free_split,
         q_temperature_mix,
     )
@@ -592,6 +593,10 @@ def main() -> None:
     bench(
         "leakage_free_split",
         lambda: force(q_leakage_free_split(spark, sf_dir)),
+    )
+    bench(
+        "hard_negatives_ann",
+        lambda: force(q_hard_negatives_ann(spark, sf_dir)),
     )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs

@@ -977,6 +977,10 @@ def mine_hard_negatives(
     k: int = 5,
     query_id_col: str = "query_id",
     doc_id_col: str = "doc_id",
+    engine: str = "exact",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    max_positives: int = 16,
 ) -> DataFrame:
     """Hard-negative mining for retrieval / embedding-model training:
     per query vector, the top-``k`` most-similar corpus vectors that are
@@ -988,24 +992,61 @@ def mine_hard_negatives(
     is the labeled relevance table ``(query_id_col, doc_id_col)``; the
     query itself is always excluded.
 
-    Scale shape — same contract as :func:`cosine_topk`, which this
-    extends: the query set broadcasts, the corpus NEVER shuffles, and
-    the only exchange carries ≤ k rows per (query, partition) via the
-    exact two-phase top-k. The positive sets ride the query broadcast
-    as per-query id arrays (one small aggregation over the labels
-    table — bounded by queries × positives-per-query, the same
-    smallness assumption the query broadcast already makes), so the
-    exclusion is a map-side ``array_contains`` filter, not a join
-    against the scored corpus.
+    ``engine="exact"`` (default, the correctness baseline) scans the
+    full corpus: same contract as :func:`cosine_topk`, which it extends
+    — the query set broadcasts, the corpus NEVER shuffles, the only
+    exchange carries ≤ k rows per (query, partition) via the exact
+    two-phase top-k, and the positive sets ride the query broadcast as
+    per-query id arrays (one small aggregation over the labels table),
+    so the exclusion is a map-side ``array_contains`` filter, not a
+    join against the scored corpus.
+
+    ``engine="ivf"`` is the 100 TB path: candidates come from
+    :func:`ivf_ann_topk` (the candidate join touches ~n_probe/
+    n_centroids of the corpus, not all of it), over-fetched to
+    ``k + max_positives`` so the positive filter cannot starve the
+    top-k, then filtered and re-ranked — the re-rank window is bounded
+    to ≤ k + max_positives rows per query. Recall < 1 by construction,
+    exactly as documented for the ANN engines; a query with more than
+    ``max_positives`` positives among its candidates may return fewer
+    than k rows (raise ``max_positives`` to taste — candidates stay
+    queries × (k + max_positives)).
 
     Returns ``(query_id, neighbor_id, cosine, rank)`` with the
     deterministic (cosine desc, neighbor_id asc) tie-break.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    if engine not in ("exact", "ivf"):
+        raise ValueError(f"engine must be 'exact' or 'ivf', got {engine!r}")
     pos_sets = positives.groupBy(
         F.col(query_id_col).alias("query_id")
     ).agg(F.collect_set(F.col(doc_id_col)).alias("__pos"))
+    if engine == "ivf":
+        cand = ivf_ann_topk(
+            corpus,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k + max_positives,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+        )
+        filtered = (
+            cand.join(F.broadcast(pos_sets), on="query_id", how="left")
+            .withColumn("__pos", F.coalesce("__pos", F.array()))
+            .filter(~F.array_contains(F.col("__pos"), F.col("neighbor_id")))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            filtered.withColumn(
+                "rank", F.row_number().over(w).cast("bigint")
+            )
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank")
+        )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),

@@ -198,6 +198,39 @@ def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining on the 100 TB path: IVF candidate
+    generation (probe 6 of 16 cells — the candidate join touches ~3/8
+    of the corpus instead of all of it), over-fetched so the positive
+    filter cannot starve the top-k, then re-ranked in a bounded
+    per-query window. Same deterministic k-means as ``ivf_ann_topk``,
+    so the oracle re-derives the exact centroids Spark-free."""
+    from polars_nexpresso_spark.functions.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    positives = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "label"),
+            on="label",
+        )
+        .select("query_id", "doc_id")
+    )
+    return mine_hard_negatives(
+        emb,
+        queries,
+        positives,
+        k=5,
+        engine="ivf",
+        n_centroids=16,
+        n_probe=6,
+        max_positives=64,
+    )
+
+
 def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-k over int8-quantized vectors — the 4x-smaller-shuffle
     embedding path; integer scoring arithmetic makes even this
@@ -1326,6 +1359,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_substring_dedup": q_exact_substring_dedup,
     "temperature_mix": q_temperature_mix,
     "leakage_free_split": q_leakage_free_split,
+    "hard_negatives_ann": q_hard_negatives_ann,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2028,6 +2062,86 @@ if _lsh_oracle is not None:
 _ivf_oracle = _ivf_ann_oracle()
 if _ivf_oracle is not None:
     PIPELINE_ORACLE_SQL["ivf_ann_topk"] = _ivf_oracle
+
+
+def _hard_negatives_ann_oracle() -> str | None:
+    """Exact DuckDB replica of ``q_hard_negatives_ann``: the same
+    re-derived centroid VALUES as ``_ivf_ann_oracle``, the 6-cell probe,
+    an over-fetch rank <= k + max_positives (5 + 64), then the
+    same-label positive filter and the bounded re-rank — replaying the
+    IVF engine of ``mine_hard_negatives`` step for step."""
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from polars_nexpresso_spark.functions.similarity import (
+            kmeans_centroids_local,
+        )
+
+        cents = kmeans_centroids_local(
+            f"{sf_dir}/embeddings.parquet", n_centroids=16
+        )
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return None
+    values = ",\n                 ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(i, v) AS (
+          VALUES {values}
+        ),
+        ranked AS (
+          SELECT e.vec_id, c.i,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.v) ASC, c.i ASC
+                 ) AS rn
+          FROM embeddings e, cents c
+        ),
+        corpus_cell AS (SELECT vec_id, i AS cell FROM ranked WHERE rn = 1),
+        query_cell AS (
+          SELECT vec_id, i AS cell FROM ranked WHERE rn <= 6 AND vec_id < 10
+        ),
+        cand AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC
+                 ) AS rank
+          FROM (
+            SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM corpus_cell cb
+            JOIN query_cell qb ON cb.cell = qb.cell
+            JOIN embeddings c ON c.vec_id = cb.vec_id
+            JOIN embeddings q ON q.vec_id = qb.vec_id
+            WHERE cb.vec_id != qb.vec_id
+          )
+        ),
+        negs AS (
+          SELECT cand.query_id, cand.neighbor_id, cand.cosine
+          FROM cand
+          JOIN embeddings cq ON cq.vec_id = cand.query_id
+          JOIN embeddings cn ON cn.vec_id = cand.neighbor_id
+          WHERE cand.rank <= 69 AND cq.label != cn.label
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, neighbor_id ASC
+                 ) AS rank
+          FROM negs
+        ) WHERE rank <= 5
+    """
+
+
+_hn_ann_oracle = _hard_negatives_ann_oracle()
+if _hn_ann_oracle is not None:
+    PIPELINE_ORACLE_SQL["hard_negatives_ann"] = _hn_ann_oracle
 
 
 # --- Round-4 pipeline additions: chunking / retrieval / redaction / gate ----

@@ -2256,3 +2256,42 @@ def test_leakage_free_split_clusters_never_straddle(spark):
         .collect()
     )
     assert all(len(r["collect_set(split)"]) == 1 for r in per_cluster)
+
+
+def test_mine_hard_negatives_ivf_engine(spark):
+    """The IVF engine returns the same negatives as exact when every
+    cell is probed (n_probe == n_centroids => full candidate coverage),
+    over-fetch absorbs the positives, and validation fires."""
+    from polars_nexpresso_spark.functions.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter("vec_id < 3")
+    positives = spark.createDataFrame(
+        [(q, d) for q in range(3) for d in range(30) if d % 5 == q % 5],
+        "query_id long, doc_id long",
+    )
+    exact = mine_hard_negatives(emb, queries, positives, k=4).collect()
+    ann = mine_hard_negatives(
+        emb,
+        queries,
+        positives,
+        k=4,
+        engine="ivf",
+        n_centroids=4,
+        n_probe=4,
+        max_positives=30,
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact]
+    ) == sorted([(r["query_id"], r["neighbor_id"], r["rank"]) for r in ann])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="engine"):
+        mine_hard_negatives(emb, queries, positives, engine="lsh")
