@@ -566,6 +566,7 @@ def main() -> None:
         q_dedup_best_keep,
         q_exact_substring_dedup,
         q_fixed_boilerplate,
+        q_audio_near_dup,
         q_hard_negatives,
         q_hard_negatives_ann,
         q_leakage_free_split,
@@ -597,6 +598,9 @@ def main() -> None:
     bench(
         "hard_negatives_ann",
         lambda: force(q_hard_negatives_ann(spark, sf_dir)),
+    )
+    bench(
+        "audio_near_dup", lambda: force(q_audio_near_dup(spark, sf_dir))
     )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
@@ -770,6 +774,7 @@ def main() -> None:
                 ("fixed_boilerplate", q_fixed_boilerplate),
                 ("dedup_best_keep", q_dedup_best_keep),
                 ("hard_negatives", q_hard_negatives),
+                ("hard_negatives_ann", q_hard_negatives_ann),
                 ("exact_substring_dedup", q_exact_substring_dedup),
             ):
                 try:

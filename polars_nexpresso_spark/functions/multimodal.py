@@ -792,3 +792,103 @@ def image_ahash(
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
         gen, schema=AHASH_SCHEMA
     )
+
+
+AFP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("afp", LongType()),
+    ]
+)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    fake: bool = False,
+) -> DataFrame:
+    """60-bit ENERGY-DELTA fingerprint of PCM audio: the audio analog of
+    :func:`image_ahash`, completing the multimodal near-dup family
+    (text simhash / image average-hash / this) over the shared
+    ``dedup.hamming_pairs`` kernel.
+
+    The decoded sample stream splits into 61 integer-boundary windows
+    (``bounds[w] = w*n // 61``); window energy is the plain integer sum
+    of the 0-255 sample values; bit ``i`` is set iff
+    ``energy[i+1] >= energy[i]`` — the coarse loudness CONTOUR, which
+    survives level shifts and codec dither the way the image hash
+    survives brightness shifts (the Haitsma-Kalker/Shazam family's
+    delta-sign idea in its simplest all-integer form, so a SQL oracle
+    replays the hash bit for bit from the synthetic closed form).
+
+    Real path: stdlib ``wave`` parse, same widths as
+    :func:`decode_audio`; 16/32-bit PCM downshifts to the 0-255 grid
+    (``(s >> 8*(width-1)) + 128``) so the arithmetic stays integer.
+    Empty audio yields the all-ones fingerprint (0 >= 0), fine for
+    dedup (empty blobs ARE duplicates of each other).
+    ``fake=True`` treats raw blob bytes as 8-bit samples.
+
+    Returns ``(media_id, afp)``; feed to
+    ``hamming_pairs(out, "afp", "media_id", bits=60)``.
+    """
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        def pack(samples: "np.ndarray") -> int:
+            n = int(samples.size)
+            bounds = [(w * n) // 61 for w in range(62)]
+            energy = [
+                int(samples[bounds[w] : bounds[w + 1]].sum())
+                for w in range(61)
+            ]
+            return sum(
+                1 << i for i in range(60) if energy[i + 1] >= energy[i]
+            )
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                blob = blob or b""
+                if fake:
+                    samples = np.frombuffer(blob, dtype=np.uint8).astype(
+                        np.int64
+                    )
+                else:
+                    with wave.open(io.BytesIO(blob)) as w:
+                        width = w.getsampwidth()
+                        frames = w.readframes(w.getnframes())
+                    if width == 1:
+                        samples = np.frombuffer(
+                            frames, dtype=np.uint8
+                        ).astype(np.int64)
+                    elif width == 2:
+                        samples = (
+                            np.frombuffer(frames, dtype="<i2").astype(
+                                np.int64
+                            )
+                            >> 8
+                        ) + 128
+                    elif width == 4:
+                        samples = (
+                            np.frombuffer(frames, dtype="<i4").astype(
+                                np.int64
+                            )
+                            >> 24
+                        ) + 128
+                    else:
+                        raise NotImplementedError(
+                            f"unsupported PCM sample width {width}"
+                        )
+                rows.append((int(mid), pack(samples)))
+            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        gen, schema=AFP_SCHEMA
+    )

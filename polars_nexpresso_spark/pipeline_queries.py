@@ -640,6 +640,31 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(media, fake=False)
 
 
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio near-dup end to end: deterministic 8-bit PCM WAV
+    blobs → stdlib wave parse + 60-bit energy-delta fingerprint
+    (integer loudness contour from the DECODED samples) → pigeonhole
+    Hamming pair join via the same ``hamming_pairs`` kernel the text
+    simhash and image average-hash use. The oracle replays the
+    fingerprint from the synthetic closed form, value-checking the
+    whole decode → fingerprint → pair pipeline."""
+    from polars_nexpresso_spark.functions.dedup import hamming_pairs
+    from polars_nexpresso_spark.functions.multimodal import (
+        audio_fingerprint,
+        synth_wav,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    media = synth_wav(
+        docs.select(F.col("doc_id").alias("media_id")),
+        sample_rate=8000,
+        n_base=100,
+        n_mod=50,
+    )
+    hashed = audio_fingerprint(media, fake=False)
+    return hamming_pairs(hashed, "afp", "media_id", bits=60, max_hamming=3)
+
+
 def q_dup_window_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication score (Lee et al. 2022): per document,
     the fraction of 4-token windows whose content appears in >= 2
@@ -1360,6 +1385,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "leakage_free_split": q_leakage_free_split,
     "hard_negatives_ann": q_hard_negatives_ann,
+    "audio_near_dup": q_audio_near_dup,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2685,6 +2711,37 @@ PIPELINE_ORACLE_SQL["nb_quality"] = f"""
 """
 
 PIPELINE_ORACLE_SQL["nb_quality_stream"] = PIPELINE_ORACLE_SQL["nb_quality"]
+
+# audio_near_dup: replay synth_wav's closed form (sample i of id m is
+# (m*31 + i*7) % 256 over 100 + m % 50 samples), the 61-window integer
+# energy contour, the delta-sign bit pack, and the radius-3 pair set.
+PIPELINE_ORACLE_SQL["audio_near_dup"] = """
+    WITH s AS (
+      SELECT doc_id AS media_id, 100 + doc_id % 50 AS n,
+             list_transform(range(0, 100 + doc_id % 50),
+                            i -> (doc_id*31 + i*7) % 256) AS smp
+      FROM documents
+    ),
+    e AS (
+      SELECT media_id,
+             list_transform(range(0, 61), w ->
+               coalesce(list_sum(list_slice(smp, (w*n)//61 + 1,
+                                            ((w+1)*n)//61)), 0)) AS en
+      FROM s
+    ),
+    f AS (
+      SELECT media_id,
+             list_sum(list_transform(range(0, 60), i ->
+               CASE WHEN en[i+2] >= en[i+1]
+                    THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT
+               AS afp
+      FROM e
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.afp, b.afp))::INTEGER AS hamming
+    FROM f a JOIN f b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""
 
 PIPELINE_ORACLE_SQL["image_near_dup"] = """
     WITH gray AS (

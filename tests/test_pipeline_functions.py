@@ -2295,3 +2295,75 @@ def test_mine_hard_negatives_ivf_engine(spark):
 
     with _pytest.raises(ValueError, match="engine"):
         mine_hard_negatives(emb, queries, positives, engine="lsh")
+
+
+def test_audio_fingerprint_matches_closed_form(spark):
+    """The REAL wave-decode fingerprint equals the closed-form replay
+    (the oracle's arithmetic), an identical blob pairs at hamming 0,
+    and the 16-bit PCM path downshifts to the same 0-255 grid."""
+    import io
+    import wave as _wave
+
+    import numpy as _np
+
+    from polars_nexpresso_spark.functions.dedup import hamming_pairs
+    from polars_nexpresso_spark.functions.multimodal import (
+        audio_fingerprint,
+        synth_wav,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (3, 7, 3000)], "media_id long")
+    media = synth_wav(ids, sample_rate=8000, n_base=100, n_mod=50)
+    got = {
+        r["media_id"]: r["afp"]
+        for r in audio_fingerprint(media, fake=False).collect()
+    }
+
+    def closed_form(mid):
+        n = 100 + mid % 50
+        s = _np.array(
+            [(mid * 31 + i * 7) % 256 for i in range(n)], dtype=_np.int64
+        )
+        b = [(w * n) // 61 for w in range(62)]
+        e = [int(s[b[w] : b[w + 1]].sum()) for w in range(61)]
+        return sum(1 << i for i in range(60) if e[i + 1] >= e[i])
+
+    assert got == {m: closed_form(m) for m in (3, 7, 3000)}
+
+    # ids 3 and 3000 share n (mod 50) but differ in content; an exact
+    # byte-duplicate of id 3 under a new id must pair at hamming 0
+    dup = spark.createDataFrame([(3,), (9003,)], "media_id long")
+    blobs = synth_wav(
+        dup.selectExpr("media_id % 9000 AS media_id"),
+        sample_rate=8000, n_base=100, n_mod=50,
+    ).collect()
+    two = spark.createDataFrame(
+        [(3, bytes(blobs[0]["content"])), (9003, bytes(blobs[1]["content"]))],
+        "media_id long, content binary",
+    )
+    pairs = hamming_pairs(
+        audio_fingerprint(two, fake=False), "afp", "media_id", bits=60
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [
+        (3, 9003, 0)
+    ]
+
+    # 16-bit PCM: samples s<<8 - 32768 downshift back to the same grid
+    raw8 = bytes((5 * 31 + i * 7) % 256 for i in range(100))
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        arr16 = (
+            _np.frombuffer(raw8, dtype=_np.uint8).astype(_np.int64) - 128
+        ) << 8
+        w.writeframes(arr16.astype("<i2").tobytes())
+    df16 = spark.createDataFrame(
+        [(5, buf.getvalue())], "media_id long, content binary"
+    )
+    got16 = audio_fingerprint(df16, fake=False).collect()[0]["afp"]
+    raw_df = spark.createDataFrame(
+        [(5, raw8)], "media_id long, content binary"
+    )
+    assert got16 == audio_fingerprint(raw_df, fake=True).collect()[0]["afp"]
