@@ -433,15 +433,20 @@ def test_round7_operator_shuffle_budgets(spark):
     sf = "/root/testdata/sf0.001"
     qs = em.queries()
     budgets = {
-        "fixed_boilerplate": 0,
-        "leakage_free_split": 0,
-        "dedup_best_keep": 2,
-        "exact_substring_dedup": 3,
-        "temperature_mix": 1,
-        "hard_negatives": 4,
+        "fixed_boilerplate": (0, 0),
+        "leakage_free_split": (0, 0),
+        "dedup_best_keep": (2, 0),
+        "exact_substring_dedup": (3, 0),
+        "temperature_mix": (1, 0),
+        "hard_negatives": (4, 0),
+        # ANN engine: candidate join + bounded re-rank past the
+        # checkpoint; kmeans assignment is Arrow-batched by design.
+        "hard_negatives_ann": (2, 4),
+        # synth + fingerprint Arrow stages; one pigeonhole pair shuffle.
+        "audio_near_dup": (1, 4),
     }
     benign = ("nested-loop-join", "window-without-partitionBy")
-    for name, max_exchanges in budgets.items():
+    for name, (max_exchanges, python_stages) in budgets.items():
         rep = scale_report(qs[name](spark, sf))
         hard_warnings = [
             w
@@ -453,4 +458,6 @@ def test_round7_operator_shuffle_budgets(spark):
         ]
         assert hard_warnings == [], (name, hard_warnings)
         assert rep["exchanges"] <= max_exchanges, (name, rep["exchanges"])
-        assert rep["python_stages"] == 0, (name, rep["python_stages"])
+        assert rep["python_stages"] <= python_stages, (
+            name, rep["python_stages"],
+        )
