@@ -131,8 +131,8 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
     ) -> None:
         if escape_char == granularity_separator:
             raise ValueError(
-                f"escape_char '{escape_char}' cannot be the same as "
-                f"granularity_separator '{granularity_separator}'."
+                "escape_char and granularity_separator must differ; both "
+                f"are '{escape_char}'."
             )
         self.spec: HierarchySpec = spec
         self.separator: str = granularity_separator
@@ -147,9 +147,7 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         # DataFrame or None}. Bounded FIFO (8) — see _pack_split_join.
         self._sj_gate_cache: dict[tuple, DataFrame | None] = {}
 
-    # ------------------------------------------------------------------
-    # Separator escaping (instance-configured wrappers)
-    # ------------------------------------------------------------------
+    # ===== Separator escaping (instance-configured wrappers) =====
 
     def _escape_field(self, name: str) -> str:
         return escape_field(name, self.separator, self.escape_char)
@@ -163,9 +161,7 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
     def _join_path(self, components: Sequence[str]) -> str:
         return join_path(components, self.separator, self.escape_char)
 
-    # ------------------------------------------------------------------
-    # Core public API: pack / unpack
-    # ------------------------------------------------------------------
+    # ===== Core public API: pack / unpack =====
 
     def pack(
         self,
@@ -248,17 +244,16 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         re-evaluate key-alias / computed-key expressions on every row for
         no semantic effect)."""
         extra_cols = self._identify_extra_columns(df.columns)
-        if extra_cols:
-            if extra_columns == "error":
-                raise HierarchyValidationError(
-                    f"Found {len(extra_cols)} column(s) not part of the hierarchy: "
-                    f"{extra_cols[:5]}{'...' if len(extra_cols) > 5 else ''}. "
-                    "Use extra_columns='preserve' to keep them or 'drop' to "
-                    "remove them.",
-                    details={"extra_columns": extra_cols},
-                )
-            if extra_columns == "drop":
-                df = df.drop(*extra_cols)
+        if extra_cols and extra_columns == "error":
+            shown = extra_cols[:5] + (["..."] if len(extra_cols) > 5 else [])
+            raise HierarchyValidationError(
+                f"Found {len(extra_cols)} column(s) not part of the "
+                f"hierarchy: {shown}. Use extra_columns='preserve' to keep "
+                "them or 'drop' to remove them.",
+                details={"extra_columns": extra_cols},
+            )
+        if extra_cols and extra_columns == "drop":
+            df = df.drop(*extra_cols)
 
         target_idx = self.spec.index_of(to_level)
         for level_idx in reversed(range(target_idx, len(self._levels_meta))):
@@ -273,18 +268,18 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
     def _root_attribute_columns(self, columns: Sequence[str]) -> list[str]:
         """Columns owned by the root level itself (attrs, not keys/children)."""
         root = self._levels_meta[0]
-        child = self._levels_meta[1] if len(self._levels_meta) > 1 else None
-        id_columns = set(root.id_columns)
-        attrs: list[str] = []
-        for col in columns:
-            if not col.startswith(root.prefix) or col in id_columns:
-                continue
-            if child is not None and col.startswith(child.prefix):
-                continue
-            if col == ROW_ID_COLUMN:
-                continue
-            attrs.append(col)
-        return attrs
+        keys = set(root.id_columns)
+        below = (
+            self._levels_meta[1].prefix if len(self._levels_meta) > 1 else None
+        )
+        return [
+            c
+            for c in columns
+            if c.startswith(root.prefix)
+            and c not in keys
+            and c != ROW_ID_COLUMN
+            and not (below is not None and c.startswith(below))
+        ]
 
     def _choose_parent_strategy(self, frame: DataFrame) -> ParentStrategy:
         """Schema-driven strategy choice for ``parent_strategy="auto"``.
@@ -599,9 +594,7 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                 break
         return self._drop_internal_columns(df)
 
-    # ------------------------------------------------------------------
-    # Streaming (out-of-core) parity wrappers
-    # ------------------------------------------------------------------
+    # ===== Streaming (out-of-core) parity wrappers =====
 
     def pack_streaming(
         self,
@@ -787,9 +780,7 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
             raise ValueError("A SparkSession is required to read a path source.")
         return session.read.parquet(str(source))
 
-    # ------------------------------------------------------------------
-    # Relational bridge
-    # ------------------------------------------------------------------
+    # ===== Relational bridge =====
 
     def split_levels(self, frame: DataFrame) -> dict[str, DataFrame]:
         """Split a packed frame into one standalone table per level.
@@ -802,28 +793,25 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         outputs: dict[str, DataFrame] = {}
         current = df
 
-        for level in self._levels_meta:
+        below = self._levels_meta[1:] + [None]
+        for level, finer in zip(self._levels_meta, below):
             if level.path not in current.columns:
                 continue
 
-            level_table = self.unpack(current, level.name)
-            output_table = level_table
-
-            next_meta = (
-                self._levels_meta[level.index + 1]
-                if level.index + 1 < len(self._levels_meta)
-                else None
-            )
-            if next_meta:
-                drop_cols = [
+            unpacked = self.unpack(current, level.name)
+            output_table = unpacked
+            if finer is not None:
+                # This level's table must not carry the next level's
+                # columns — they belong to that level's own table.
+                owned_by_finer = [
                     c
                     for c in output_table.columns
-                    if c.startswith(next_meta.prefix) or c == next_meta.path
+                    if c.startswith(finer.prefix) or c == finer.path
                 ]
-                if drop_cols:
-                    output_table = output_table.drop(*drop_cols)
+                if owned_by_finer:
+                    output_table = output_table.drop(*owned_by_finer)
                 subset = [
-                    c for c in next_meta.ancestor_keys if c in output_table.columns
+                    c for c in finer.ancestor_keys if c in output_table.columns
                 ]
                 output_table = self._drop_nulls(output_table, subset)
             elif level.required_columns:
@@ -838,7 +826,7 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                     output_table = output_table.drop(*drop_candidates)
 
             outputs[level.name] = self._drop_internal_columns(output_table)
-            current = level_table
+            current = unpacked
         return outputs
 
     @staticmethod
@@ -858,6 +846,14 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         target = root_level or self._levels_meta[0].name
         return self.split_levels(self.pack(frame, target))
 
+    def _missing_table(self, name: str, tables: Mapping, kind: str = "level"):
+        """Uniform missing-entry error for the table-mapping APIs."""
+        return HierarchyValidationError(
+            f"Missing table for {kind} '{name}'.",
+            level=name,
+            details={"provided_levels": list(tables.keys())},
+        )
+
     def denormalize(
         self,
         tables: Mapping[str, DataFrame],
@@ -872,24 +868,20 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                 "Expected at least one table to denormalize.",
                 details={"tables_provided": 0},
             )
-
-        target_name = target_level or self._levels_meta[0].name
-        target_idx = self.spec.index_of(target_name)
-
-        root_name = self._levels_meta[0].name
-        if root_name not in tables:
+        top = self._levels_meta[0].name
+        if top not in tables:
             raise HierarchyValidationError(
-                f"Missing root level '{root_name}' in table mapping.",
-                level=root_name,
+                f"Missing root level '{top}' in table mapping.",
+                level=top,
                 details={"provided_levels": list(tables.keys())},
             )
+        goal = self.spec.index_of(target_level) if target_level else 0
+        goal_name = self._levels_meta[goal].name
 
         prepared: dict[str, DataFrame] = {}
         alias_map: dict[str, tuple[str, ...]] = {}
         for name, table in tables.items():
-            df, added = self._prepare_frame(table)
-            prepared[name] = df
-            alias_map[name] = added
+            prepared[name], alias_map[name] = self._prepare_frame(table)
 
         for level_idx in reversed(range(1, len(self._levels_meta))):
             level = self._levels_meta[level_idx]
@@ -897,20 +889,16 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
 
             child_df = prepared.get(level.name)
             if child_df is None:
-                if level_idx <= target_idx:
-                    raise HierarchyValidationError(
-                        f"Missing table for level '{level.name}'.",
-                        level=level.name,
-                        details={"provided_levels": list(tables.keys())},
-                    )
+                # Levels at or above the target must all be present;
+                # finer ones may simply be absent from this mapping.
+                if level_idx <= goal:
+                    raise self._missing_table(level.name, tables)
                 continue
 
             parent_df = prepared.get(parent_meta.name)
             if parent_df is None:
-                raise HierarchyValidationError(
-                    f"Missing table for parent level '{parent_meta.name}'.",
-                    level=parent_meta.name,
-                    details={"provided_levels": list(tables.keys())},
+                raise self._missing_table(
+                    parent_meta.name, tables, kind="parent level"
                 )
 
             child_packed = self._pack_single_level(child_df, level_idx, validate=False)
@@ -928,14 +916,13 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                 child_struct_frame, on=join_keys, how="left"
             )
 
-        result = prepared.get(target_name)
+        result = prepared.get(goal_name)
         if result is None:
             raise HierarchyValidationError(
-                f"Missing table for level '{target_name}'.", level=target_name
+                f"Missing table for level '{goal_name}'.", level=goal_name
             )
-        added_aliases = alias_map.get(target_name, ())
-        if added_aliases:
-            result = result.drop(*added_aliases)
+        if alias_map.get(goal_name):
+            result = result.drop(*alias_map[goal_name])
         return self._drop_internal_columns(result)
 
     def build_from_tables(
@@ -959,19 +946,13 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                 "Expected at least one table to build from.",
                 details={"tables_provided": 0},
             )
-
-        target_name = target_level or self._levels_meta[0].name
-        target_idx = self.spec.index_of(target_name)
-
-        for i, meta in enumerate(self._levels_meta):
-            if i > target_idx:
-                break
+        goal = self.spec.index_of(target_level) if target_level else 0
+        target_name = self._levels_meta[goal].name
+        target_idx = goal
+        # Everything at or above the target must be supplied.
+        for meta in self._levels_meta[: goal + 1]:
             if meta.name not in tables:
-                raise HierarchyValidationError(
-                    f"Missing table for level '{meta.name}'.",
-                    level=meta.name,
-                    details={"provided_levels": list(tables.keys())},
-                )
+                raise self._missing_table(meta.name, tables)
 
         prepared: dict[str, DataFrame] = {}
         for level_idx, meta in enumerate(self._levels_meta):
@@ -1004,9 +985,10 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
             parent_id_cols = list(parent_meta.id_columns)
             if len(parent_keys) != len(parent_id_cols):
                 raise HierarchyValidationError(
-                    f"Level '{level.name}' has {len(parent_keys)} parent_keys "
-                    f"but parent '{parent_meta.name}' has {len(parent_id_cols)} "
-                    "id_fields.",
+                    f"parent_keys arity mismatch at level '{level.name}': "
+                    f"{len(parent_keys)} parent_keys vs "
+                    f"{len(parent_id_cols)} id_fields on parent "
+                    f"'{parent_meta.name}'.",
                     level=level.name,
                     details={
                         "parent_keys": list(parent_keys),
@@ -1053,9 +1035,7 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
             *[qcol(c).alias(f"{meta.prefix}{c}") for c in df.columns]
         )
 
-    # ------------------------------------------------------------------
-    # Internal: frame preparation
-    # ------------------------------------------------------------------
+    # ===== Internal: frame preparation =====
 
     def _prepare_frame(self, frame: DataFrame) -> tuple[DataFrame, tuple[str, ...]]:
         """Materialize key aliases, the best-effort row id, and computed fields."""
@@ -1134,15 +1114,11 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
         """Qualify a field name with the level path prefix (idempotent)."""
         if len(self._split_path(field)) > 1:
             return field
-        level_names = [lvl.name for lvl in self.spec.levels[: level_idx + 1]]
-        path = self._join_path(level_names)
-        prefix = f"{path}{self.separator}" if path else ""
-        escaped = self._escape_field(field)
-        return f"{prefix}{escaped}" if prefix else escaped
+        # build_metadata already computed the escaped prefix for this level.
+        prefix = self._levels_meta[level_idx].prefix
+        return prefix + self._escape_field(field)
 
-    # ------------------------------------------------------------------
-    # Internal: the pack kernel
-    # ------------------------------------------------------------------
+    # ===== Internal: the pack kernel =====
 
     def _pack_single_level(
         self,
