@@ -333,7 +333,14 @@ def main() -> None:
     parent_dom.count()
     bench(
         "pack_parent_dominant",
-        lambda: force(sl_packer.pack(parent_dom, "lineitem")),
+        # Explicit aggregate: the default is "auto", which routes this
+        # shape (array payload) to split_join — this entry pins the
+        # PLAIN-pack denominator the baseline ratio compares against.
+        lambda: force(
+            sl_packer.pack(
+                parent_dom, "lineitem", parent_strategy="aggregate"
+            )
+        ),
     )
     bench(
         "pack_split_join_parent_dominant",
@@ -896,7 +903,12 @@ def main() -> None:
             dom4 = dom4.cache()
             dom4.count()
             t_plain4 = _once(
-                lambda: force(sl_packer.pack(dom4, "lineitem")), warm=False
+                lambda: force(
+                    sl_packer.pack(
+                        dom4, "lineitem", parent_strategy="aggregate"
+                    )
+                ),
+                warm=False,
             )
             t_sj4 = _once(
                 lambda: force(
@@ -961,7 +973,11 @@ def main() -> None:
                 dom_ref = _ref_shape(n_parents).cache()
                 dom_ref.count()
                 t_plain = _once(
-                    lambda: force(img_packer.pack(dom_ref, "patch"))
+                    lambda: force(
+                        img_packer.pack(
+                            dom_ref, "patch", parent_strategy="aggregate"
+                        )
+                    )
                 )
                 t_sj = _once(
                     lambda: force(

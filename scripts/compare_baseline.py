@@ -45,10 +45,16 @@ REFERENCE_RATIOS = [
         0.50,
     ),
     ("pack_no_child_order / pack", "pack_no_child_order", "pack", 0.89, 1.00),
+    # Denominator is the explicit AGGREGATE path: since round 7 the
+    # default pack routes this shape (complex root attr) to split_join
+    # via parent_strategy="auto", so the default-vs-default ratio would
+    # compare split_join to itself. The reference's ratio compares
+    # split_join to its plain pack; pack_parent_heavy_aggregate is that
+    # plain path, pinned explicitly in bench.py.
     (
         "pack_split_join / pack (parent_heavy)",
         "pack_split_join_parent_heavy",
-        "pack_parent_heavy",
+        "pack_parent_heavy_aggregate",
         1.17,
         0.94,
     ),
