@@ -250,3 +250,62 @@ def streaming_topk(
     return stream.groupBy(*keys).applyInPandasWithState(
         topk_fn, out_ddl, state_ddl, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_cap_per_group(
+    stream: DataFrame,
+    group_col: str,
+    *,
+    max_n: int,
+) -> DataFrame:
+    """Emit at most ``max_n`` rows per group over the stream's LIFETIME —
+    the ingest-time analog of ``sampling.cap_per_group`` (per-domain /
+    per-source share caps applied while the crawl is still arriving,
+    instead of a batch pass after landing everything).
+
+    First-arrival wins: once a group has emitted ``max_n`` rows, every
+    later row of that group is dropped, across micro-batches. (The batch
+    variant picks survivors by id hash for layout-independence; a stream
+    cannot retract already-emitted rows, so arrival order IS the
+    selection — the deterministic-replay caveat every append-mode
+    streaming operator shares.)
+
+    Scale design: state is sharded BY GROUP (hash-partitioned slots, one
+    8-byte counter each — O(#groups) state total, no row retention); each
+    batch does one bounded ``head`` per group. State never needs a TTL:
+    a saturated counter is exactly the information future batches need.
+    """
+    from polars_nexpresso_spark.compat import (
+        HAS_APPLY_IN_PANDAS_WITH_STATE,
+        require,
+    )
+
+    require(
+        "streaming_cap_per_group (applyInPandasWithState)",
+        HAS_APPLY_IN_PANDAS_WITH_STATE,
+        "3.4",
+    )
+    if max_n < 1:
+        raise ValueError(f"max_n must be >= 1: {max_n}")
+    out_schema = stream.schema
+
+    def cap(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        taken = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            room = max_n - taken
+            if room <= 0 or pdf.empty:
+                continue
+            emit = pdf.head(room)
+            taken += len(emit)
+            yield emit
+        state.update((taken,))
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        cap,
+        out_schema,
+        "taken long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -545,3 +545,56 @@ def test_events_ns_branch_division_is_exact(spark):
     out = df.withColumn("ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
     got = out.select(F.unix_micros("ts_ts").alias("us")).collect()[0]["us"]
     assert got == awkward_ns // 1000
+
+
+def test_streaming_cap_per_group_across_batches(spark):
+    """Lifetime per-group quota: a group saturated in batch 0 emits
+    nothing in batch 1; partial room is filled exactly to the cap."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from polars_nexpresso_spark.streaming.stateful import (
+        streaming_cap_per_group,
+    )
+
+    tmp = _tempfile.mkdtemp(prefix="pns_cap_")
+    try:
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "source"]
+        ).coalesce(1).write.parquet(f"{tmp}/in/batch0")
+        spark.createDataFrame(
+            [(4, "a"), (5, "b"), (6, "b"), (7, "c")],
+            ["doc_id", "source"],
+        ).coalesce(1).write.parquet(f"{tmp}/in/batch1")
+
+        stream = (
+            spark.readStream.schema("doc_id long, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in/*")
+        )
+        capped = streaming_cap_per_group(stream, "source", max_n=2)
+        q = (
+            capped.writeStream.format("memory")
+            .queryName("cap_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.table("cap_out").collect()
+        per = {}
+        for r in rows:
+            per.setdefault(r["source"], []).append(r["doc_id"])
+        # a: saturated by batch 0 (2 rows), batch-1 row 4 dropped
+        assert sorted(per["a"]) == [1, 2]
+        # b: one from batch 0 + exactly one more from batch 1
+        assert len(per["b"]) == 2 and 3 in per["b"]
+        # c: under cap, passes through
+        assert per["c"] == [7]
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_n"):
+            streaming_cap_per_group(stream, "source", max_n=0)
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
