@@ -332,3 +332,59 @@ def test_take_token_budget_matches_sorted_cumsum(spark, sizes, budget):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    window=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=12, deadline=None)
+def test_remove_duplicated_windows_properties(spark, corpus, window):
+    """Structural invariants of ExactSubstr removal on random small
+    corpora: token counts conserve (n_kept + n_removed == n), kept text
+    is a subsequence of the original, and keep_first=True never removes
+    MORE than keep_first=False."""
+    from polars_nexpresso_spark.functions.dedup import (
+        remove_duplicated_windows,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+
+    def run(keep_first):
+        return {
+            r["doc_id"]: r
+            for r in remove_duplicated_windows(
+                docs, "text", "doc_id", window=window, keep_first=keep_first
+            ).collect()
+        }
+
+    soft, hard = run(True), run(False)
+
+    def is_subsequence(sub, full):
+        it = iter(full)
+        return all(tok in it for tok in sub)
+
+    for i, toks in enumerate(corpus):
+        # split("", " ") yields one empty token — the family's empty-text
+        # convention; mirror it for the expected counts
+        full = toks if toks else [""]
+        for variant in (soft, hard):
+            row = variant[i]
+            assert row["n_kept"] + row["n_removed"] == len(full), (i, row)
+            kept = row["clean_text"].split(" ") if row["clean_text"] else []
+            assert len(kept) == row["n_kept"] or (
+                row["n_kept"] == 1 and row["clean_text"] == ""
+            )
+            assert is_subsequence(kept, full), (i, kept, full)
+        assert soft[i]["n_removed"] <= hard[i]["n_removed"], i
