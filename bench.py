@@ -362,6 +362,43 @@ def main() -> None:
         lambda: force(packer.unpack(packer.pack(flat, "orders"), "lineitem")),
     )
 
+    # Deep hierarchy: nation → customer → orders → lineitem built from the
+    # raw tables and packed to root — three FK equi-joins plus THREE
+    # chained pack shuffles on progressively coarser keys, the N-level
+    # shape the scale notes describe. Unordered (no row-id) so the timing
+    # isolates the join+agg chain.
+    from polars_nexpresso_spark import HierarchySpec, LevelSpec
+
+    ncol_spec = HierarchySpec.from_levels(
+        LevelSpec(name="nation", id_fields=["n_nationkey"]),
+        LevelSpec(
+            name="customer",
+            id_fields=["c_custkey"],
+            parent_keys=["c_nationkey"],
+        ),
+        LevelSpec(
+            name="orders", id_fields=["o_orderkey"], parent_keys=["o_custkey"]
+        ),
+        LevelSpec(
+            name="lineitem",
+            id_fields=["l_orderkey", "l_linenumber"],
+            parent_keys=["l_orderkey"],
+        ),
+    )
+    deep_packer = HierarchicalPacker(ncol_spec, preserve_child_order=False)
+    deep_tables = {
+        "nation": read_table(spark, sf_dir, "nation"),
+        "customer": read_table(spark, sf_dir, "customer"),
+        "orders": read_table(spark, sf_dir, "orders"),
+        "lineitem": read_table(spark, sf_dir, "lineitem"),
+    }
+    bench(
+        "pack_deep_4level",
+        lambda: force(
+            deep_packer.build_from_tables(deep_tables, join_type="inner")
+        ),
+    )
+
     # --- Cross-level operators --------------------------------------------
     bench("promote_sum", lambda: force(q_promote_sum(spark, sf_dir)))
     bench("enrich_stats", lambda: force(q_enrich_stats(spark, sf_dir)))
