@@ -159,6 +159,58 @@ def q_build_from_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rename_rnc_flat(packer.unpack(packed, "customer"))
 
 
+def q_deep_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOUR-level identity: nation → customer → orders → lineitem built
+    from the raw tables (three FK equi-joins), packed to root (THREE
+    chained pack shuffles on progressively coarser keys), then unpacked
+    back to the leaf — the N-level chain the scale notes describe,
+    value-checked against the plain 4-table join."""
+    spec = HierarchySpec.from_levels(
+        LevelSpec(name="nation", id_fields=["n_nationkey"]),
+        LevelSpec(
+            name="customer",
+            id_fields=["c_custkey"],
+            parent_keys=["c_nationkey"],
+        ),
+        LevelSpec(
+            name="orders", id_fields=["o_orderkey"], parent_keys=["o_custkey"]
+        ),
+        LevelSpec(
+            name="lineitem",
+            id_fields=["l_orderkey", "l_linenumber"],
+            parent_keys=["l_orderkey"],
+        ),
+    )
+    packer = HierarchicalPacker(spec, preserve_child_order=False)
+    tables = {
+        "nation": read_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        ),
+        "customer": read_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey", "c_name"
+        ),
+        "orders": read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        "lineitem": read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity"
+        ),
+    }
+    packed = packer.build_from_tables(tables, join_type="inner")
+    leaf = packer.unpack(packed, "lineitem")
+    pre = "nation.customer.orders.lineitem."
+    return leaf.select(
+        qcol("nation.n_nationkey").alias("n_nationkey"),
+        qcol("nation.n_name").alias("n_name"),
+        qcol("nation.customer.c_custkey").alias("c_custkey"),
+        qcol("nation.customer.c_name").alias("c_name"),
+        qcol("nation.customer.orders.o_orderkey").alias("o_orderkey"),
+        qcol("nation.customer.orders.o_totalprice").alias("o_totalprice"),
+        qcol(pre + "l_linenumber").alias("l_linenumber"),
+        qcol(pre + "l_quantity").alias("l_quantity"),
+    )
+
+
 def q_normalize_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7+C8: normalize to per-level tables; return the nation-level table."""
     packer = HierarchicalPacker(RNC_SPEC)
@@ -774,6 +826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_streaming": q_pack_streaming,
     "pack_salted": q_pack_salted,
     "build_from_tables": q_build_from_tables,
+    "deep_roundtrip": q_deep_roundtrip,
     "normalize_split": q_normalize_split,
     "denormalize_roundtrip": q_denormalize_roundtrip,
     "promote_sum": q_promote_sum,
@@ -891,6 +944,16 @@ ORACLE_SQL: dict[str, str] = {
     "pack_streaming": _RNC_FLAT_SQL,
     "pack_salted": _RNC_FLAT_SQL,
     "build_from_tables": _RNC_FLAT_SQL,
+    "deep_roundtrip": """
+        SELECT n.n_nationkey AS n_nationkey, n.n_name AS n_name,
+               c.c_custkey AS c_custkey, c.c_name AS c_name,
+               o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice,
+               l.l_linenumber AS l_linenumber, l.l_quantity AS l_quantity
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    """,
     "denormalize_roundtrip": _RNC_FLAT_SQL,
     "normalize_split": """
         SELECT DISTINCT r.r_regionkey AS r_regionkey, r.r_name AS r_name,
