@@ -1138,15 +1138,36 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # at least TWO prior rounds' driver artifacts, so they rotate to the tail
 # (they stay oracle-paired and covered by scripts/check_oracle.py).
 #
-# Round-7 rotation: the eight round-6 operators (`boilerplate_tokens`,
-# `semantic_dedup`, `intradoc_dedup`, `source_overlap`, `token_budget`,
-# `nb_quality`, `nb_quality_stream`, `image_near_dup`) move INTO the
-# window — judge-verified ALL PASS in round 6 but still owed a driver
-# artifact row. Out: eight §2 oracles green in all six driver rounds
-# (`normalize_split`, `denormalize_roundtrip`, `promote_sum`,
-# `any_child`, `all_children`, `multihop_count`, `nested_expr`,
-# `unnest_all`); the pack family stays in-window as the headline.
+# Round-7 rotation, part 1: the eight round-6 operators
+# (`boilerplate_tokens`, `semantic_dedup`, `intradoc_dedup`,
+# `source_overlap`, `token_budget`, `nb_quality`, `nb_quality_stream`,
+# `image_near_dup`) move INTO the window — judge-verified ALL PASS in
+# round 6 but still owed a driver artifact row. Out: eight §2 oracles
+# green in all six driver rounds (`normalize_split`,
+# `denormalize_roundtrip`, `promote_sum`, `any_child`, `all_children`,
+# `multihop_count`, `nested_expr`, `unnest_all`); the pack family stays
+# in-window as the headline.
+#
+# Part 2: the nine round-7 operators (`deep_roundtrip`,
+# `fixed_boilerplate`, `dedup_best_keep`, `hard_negatives`,
+# `hard_negatives_ann`, `exact_substring_dedup`, `temperature_mix`,
+# `leakage_free_split`, `audio_near_dup` — each ALL PASS via
+# scripts/check_oracle.py at sf0.01 this round) also move INTO the
+# window so they earn their driver rows immediately. Out: nine entries
+# with >=2 driver-green rounds each (per-round history checked in the
+# r01-r06 artifacts): enrich_stats 6 rounds, agg_set/part_hierarchy 5,
+# windowed_pack/session_pack 4, asof_attribution/interval_views 3,
+# asof_attribution_sharded/fuzzy_name_pairs 2.
 _MULTIPLY_PROVEN_TAIL = [
+    "enrich_stats",
+    "agg_set",
+    "part_hierarchy",
+    "asof_attribution",
+    "asof_attribution_sharded",
+    "interval_views",
+    "fuzzy_name_pairs",
+    "windowed_pack",
+    "session_pack",
     "normalize_split",
     "denormalize_roundtrip",
     "promote_sum",
