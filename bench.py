@@ -615,6 +615,7 @@ def main() -> None:
         q_hard_negatives_ann,
         q_leakage_free_split,
         q_temperature_mix,
+        q_token_shift,
     )
 
     bench(
@@ -646,6 +647,7 @@ def main() -> None:
     bench(
         "audio_near_dup", lambda: force(q_audio_near_dup(spark, sf_dir))
     )
+    bench("token_shift", lambda: force(q_token_shift(spark, sf_dir)))
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a

@@ -940,3 +940,85 @@ def nb_quality_score_stream(
         .withColumn("nb_logodds", score(F.col("__th")))
         .drop("__th")
     )
+
+
+def token_shift_topk(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str,
+    *,
+    k: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Corpus DRIFT between two snapshots: the ``k`` tokens contributing
+    most to the Jensen-Shannon divergence of the unigram distributions —
+    the distribution-level complement of ``sources.io``'s id-level
+    ``corpus_diff`` (a recrawl can keep every document id and still
+    shift WHAT the corpus says; mixture and filter changes show up here
+    first, which is what a between-snapshot data-quality gate needs).
+
+    Per token ``t`` with add-``alpha`` smoothed probabilities
+    ``p/q = (count + alpha) / (N + alpha·V)`` (V = UNION vocab, so both
+    distributions smooth over the same support and a token absent from
+    one side contributes its full mass):
+    ``js_t = (q·ln(q/m) + p·ln(p/m)) / 2`` with ``m = (p+q)/2`` —
+    non-negative, and ``sum(js_t)`` over the union vocab is the total
+    JS divergence in nats. ``direction`` is +1 where the token grew.
+
+    Scale shape: one explode + hash count agg per corpus (map-side
+    combine — the shuffles carry ~vocab, not corpus, rows), a full
+    outer equi-join of the two vocab tables on the token, the three
+    scalars (two totals + union vocab size) attach as a broadcast 1-row
+    aggregate, and the final top-k is a TakeOrdered with the
+    (js desc, token asc) deterministic tie-break. Contributions round
+    to 9 decimals so ranking is engine-reproducible.
+
+    Returns ``(token, count_old, count_new, js_contrib, direction,
+    rank)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0: {alpha}")
+    from pyspark.sql.window import Window
+
+    def vocab(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias(name))
+        )
+
+    merged = (
+        vocab(old, "count_old")
+        .join(vocab(new, "count_new"), on="token", how="full_outer")
+        .select(
+            "token",
+            F.coalesce("count_old", F.lit(0)).alias("count_old"),
+            F.coalesce("count_new", F.lit(0)).alias("count_new"),
+        )
+    )
+    scalars = merged.agg(
+        F.sum("count_old").alias("__no"),
+        F.sum("count_new").alias("__nn"),
+        F.count("*").alias("__v"),
+    )
+    j = merged.crossJoin(F.broadcast(scalars))
+    a = F.lit(float(alpha))
+    q = (F.col("count_old") + a) / (F.col("__no") + a * F.col("__v"))
+    p = (F.col("count_new") + a) / (F.col("__nn") + a * F.col("__v"))
+    m = (p + q) / 2
+    js = F.round((q * F.log(q / m) + p * F.log(p / m)) / 2, 9)
+    scored = j.select(
+        "token",
+        "count_old",
+        "count_new",
+        js.alias("js_contrib"),
+        F.when(p >= q, F.lit(1)).otherwise(F.lit(-1)).alias("direction"),
+    )
+    top = scored.orderBy(
+        F.col("js_contrib").desc(), F.col("token").asc()
+    ).limit(k)
+    # <= k survivors; the unpartitioned window is bounded by construction.
+    w = Window.orderBy(F.col("js_contrib").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

@@ -572,6 +572,19 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, "text", k=50)
 
 
+def q_token_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report: the 20 tokens contributing most JS
+    divergence between the first and second half of the corpus (by id)
+    — the distribution-level complement of ``corpus_diff``'s id-level
+    recrawl delta. Vocab-sized shuffles only; scalars broadcast."""
+    from polars_nexpresso_spark.functions.text import token_shift_topk
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return token_shift_topk(old, new, "text", k=20)
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 keywords by smoothed TF-IDF."""
     from polars_nexpresso_spark.functions.text import tfidf_keywords
@@ -1386,6 +1399,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_free_split": q_leakage_free_split,
     "hard_negatives_ann": q_hard_negatives_ann,
     "audio_near_dup": q_audio_near_dup,
+    "token_shift": q_token_shift,
 }
 
 _sw = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -2715,6 +2729,53 @@ PIPELINE_ORACLE_SQL["nb_quality_stream"] = PIPELINE_ORACLE_SQL["nb_quality"]
 # audio_near_dup: replay synth_wav's closed form (sample i of id m is
 # (m*31 + i*7) % 256 over 100 + m % 50 samples), the 61-window integer
 # energy contour, the delta-sign bit pack, and the radius-3 pair set.
+# token_shift: add-0.5 smoothed unigram JS contributions over the UNION
+# vocab, first vs second half of the corpus; 9-decimal rounding is part
+# of the contract so the ranking is engine-reproducible.
+PIPELINE_ORACLE_SQL["token_shift"] = f"""
+    WITH co AS (
+      SELECT tok, count(*)::BIGINT AS c
+      FROM (SELECT unnest(toks) AS tok
+            FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id < 250))
+      GROUP BY tok
+    ),
+    cn AS (
+      SELECT tok, count(*)::BIGINT AS c
+      FROM (SELECT unnest(toks) AS tok
+            FROM (SELECT {_TOKS} AS toks FROM documents WHERE doc_id >= 250))
+      GROUP BY tok
+    ),
+    m AS (
+      SELECT coalesce(co.tok, cn.tok) AS token,
+             coalesce(co.c, 0) AS count_old,
+             coalesce(cn.c, 0) AS count_new
+      FROM co FULL JOIN cn ON co.tok = cn.tok
+    ),
+    s AS (
+      SELECT sum(count_old) AS no, sum(count_new) AS nn, count(*) AS v
+      FROM m
+    ),
+    jx AS (
+      SELECT token, count_old, count_new,
+             (count_old + 0.5) / (s.no + 0.5 * s.v) AS q,
+             (count_new + 0.5) / (s.nn + 0.5 * s.v) AS p
+      FROM m, s
+    ),
+    sc AS (
+      SELECT token, count_old, count_new,
+             ROUND((q * ln(q / ((p + q) / 2))
+                    + p * ln(p / ((p + q) / 2))) / 2, 9) AS js_contrib,
+             CASE WHEN p >= q THEN 1 ELSE -1 END AS direction
+      FROM jx
+    )
+    SELECT token, count_old, count_new, js_contrib, direction, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               ORDER BY js_contrib DESC, token ASC) AS rank
+      FROM sc
+    ) WHERE rank <= 20
+"""
+
 PIPELINE_ORACLE_SQL["audio_near_dup"] = """
     WITH s AS (
       SELECT doc_id AS media_id, 100 + doc_id % 50 AS n,

@@ -2367,3 +2367,37 @@ def test_audio_fingerprint_matches_closed_form(spark):
         [(5, raw8)], "media_id long, content binary"
     )
     assert got16 == audio_fingerprint(raw_df, fake=True).collect()[0]["afp"]
+
+
+def test_token_shift_topk_semantics(spark):
+    """JS contributions are non-negative, direction tracks growth, an
+    identical corpus yields ~zero divergence everywhere, and a token
+    absent from one side contributes its full mass."""
+    from polars_nexpresso_spark.functions.text import token_shift_topk
+
+    old = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "alpha gamma")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(3, "alpha delta delta"), (4, "delta gamma")], ["doc_id", "text"]
+    )
+    rows = token_shift_topk(old, new, "text", k=10).collect()
+    by_tok = {r["token"]: r for r in rows}
+    assert all(r["js_contrib"] >= 0 for r in rows)
+    # delta appeared (growth), beta vanished (shrink), and both rank
+    # above the stable gamma
+    assert by_tok["delta"]["direction"] == 1
+    assert by_tok["beta"]["direction"] == -1
+    assert by_tok["delta"]["js_contrib"] > by_tok["gamma"]["js_contrib"]
+    assert by_tok["beta"]["js_contrib"] > by_tok["gamma"]["js_contrib"]
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+    same = token_shift_topk(old, old, "text", k=10).collect()
+    assert all(abs(r["js_contrib"]) < 1e-9 for r in same)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        token_shift_topk(old, new, "text", k=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        token_shift_topk(old, new, "text", alpha=0)
