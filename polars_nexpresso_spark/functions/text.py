@@ -1022,3 +1022,53 @@ def token_shift_topk(
     # <= k survivors; the unpartitioned window is bounded by construction.
     w = Window.orderBy(F.col("js_contrib").desc(), F.col("token").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def truncate_tokens(
+    df: DataFrame,
+    text_col: str,
+    max_tokens: int,
+    *,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Cap each document at its first ``max_tokens`` whitespace tokens —
+    the sequence-length guard that runs before ``sequence_pack`` /
+    ``take_token_budget`` so one pathological multi-megabyte document
+    cannot blow the packing math or an executor's row buffer.
+
+    Appends ``n_tokens`` (the ORIGINAL token count — the planning input
+    for length histograms even after the cut) and ``was_truncated``.
+    Case and token order are preserved; whitespace runs normalize to
+    single spaces in the output (the tokens are rejoined with ' ').
+    NULL text stays NULL with ``n_tokens`` 0.
+
+    Map-side only: one Project over the scan — no shuffle, no Python,
+    no state, identical under ``readStream``. At 100 TB the cost is the
+    scan itself; there is nothing to partition or salt. Line-boundary
+    truncation is the composition ``chunk_documents`` (size =
+    max_tokens, first chunk) when chunk edges must respect structure.
+    """
+    if text_col not in df.columns:
+        raise ValueError(f"column {text_col!r} not in DataFrame")
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    target = out_col or text_col
+    raw = F.col(text_col)
+    # Strip ALL whitespace at the edges (F.trim handles only spaces)
+    # so edge newlines/tabs never produce empty edge tokens.
+    stripped = F.regexp_replace(raw, r"^\s+|\s+$", "")
+    toks = F.when(
+        F.length(stripped) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(stripped, r"\s+"))
+    n = F.size(toks).cast("bigint")
+    kept = F.slice(toks, 1, max_tokens)
+    return (
+        df.withColumn("n_tokens", F.coalesce(n, F.lit(0)).cast("bigint"))
+        .withColumn("was_truncated", F.coalesce(n > max_tokens, F.lit(False)))
+        .withColumn(
+            target,
+            F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(
+                F.array_join(kept, " ")
+            ),
+        )
+    )

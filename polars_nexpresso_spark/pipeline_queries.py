@@ -2827,3 +2827,129 @@ PIPELINE_ORACLE_SQL["image_near_dup"] = """
     FROM h a JOIN h b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 """
+
+
+# --- round-7 (session 2) additions ------------------------------------------
+
+
+def q_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping: the corpus text is wrapped in a deterministic
+    HTML shell built from doc_id (style + script payloads, a comment,
+    block tags, a <br/>, and every entity the decode table knows), so
+    the oracle exercises EVERY stage of the cleaning chain — block
+    boundaries to newlines, tag strip, single-pass entity decode, and
+    whitespace squeeze — rather than matching nothing."""
+    from polars_nexpresso_spark.functions.markup import strip_markup
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><style>p color red</style><script>var j = "),
+            F.col("doc_id"),
+            F.lit(";</script></head><body><!-- c "),
+            F.col("doc_id"),
+            F.lit(" --><h1>Doc &amp; "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit("</p><div>tail &lt;"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&gt;&nbsp;end<br/></div></body></html>"),
+        ).alias("text"),
+    )
+    out = strip_markup(salted, "text")
+    return out.select("doc_id", "text", "had_markup")
+
+
+PIPELINE_QUERIES["strip_markup"] = q_strip_markup
+
+
+def _markup_sql_chain(expr: str) -> str:
+    """The DuckDB replay of the full cleaning chain, generated from the
+    SAME ordered pattern tables the Spark expression uses — the two
+    engines cannot drift apart."""
+    from polars_nexpresso_spark.functions.markup import (
+        ENTITY_DECODES,
+        MARKUP_PATTERNS,
+        SQUEEZE_PATTERNS,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def rep_sql(s: str) -> str:
+        return "chr(10)" if s == "\n" else lit(s)
+
+    out = expr
+    for _, pattern, replacement in MARKUP_PATTERNS:
+        out = f"regexp_replace({out}, {lit(pattern)}, {rep_sql(replacement)}, 'g')"
+    for entity, char in ENTITY_DECODES:
+        out = f"replace({out}, {lit(entity)}, {lit(char)})"
+    for _, pattern, replacement in SQUEEZE_PATTERNS:
+        out = f"regexp_replace({out}, {lit(pattern)}, {rep_sql(replacement)}, 'g')"
+    return out
+
+
+def _markup_oracle() -> str:
+    from polars_nexpresso_spark.functions.markup import (
+        ENTITY_PROBE,
+        TAG_PROBE,
+    )
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             '<html><head><style>p color red</style><script>var j = '
+               || doc_id || ';</script></head><body><!-- c ' || doc_id
+               || ' --><h1>Doc &amp; ' || (doc_id % 7) || '</h1><p>'
+               || text || '</p><div>tail &lt;' || (doc_id % 5)
+               || '&gt;&nbsp;end<br/></div></body></html>' AS text
+      FROM documents)
+    SELECT doc_id,
+           {_markup_sql_chain("text")} AS text,
+           COALESCE(regexp_matches(text, '{TAG_PROBE}')
+                    OR regexp_matches(text, '{ENTITY_PROBE}'),
+                    FALSE) AS had_markup
+    FROM s
+    """
+
+
+PIPELINE_ORACLE_SQL["strip_markup"] = _markup_oracle()
+
+
+def q_truncate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-boundary truncation at max_tokens=32: roughly half the
+    synthetic docs exceed the cap, so both branches (cut / kept) carry
+    real rows, and the whitespace-normalization contract is exercised
+    by the corpus text itself."""
+    from polars_nexpresso_spark.functions.text import truncate_tokens
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    out = truncate_tokens(docs, "text", 32)
+    return out.select(
+        "doc_id", "text", "n_tokens", "was_truncated"
+    )
+
+
+PIPELINE_QUERIES["truncate_tokens"] = q_truncate_tokens
+
+PIPELINE_ORACLE_SQL["truncate_tokens"] = r"""
+    WITH s AS (
+      SELECT doc_id, text,
+             regexp_replace(text, '^\s+|\s+$', '', 'g') AS stripped
+      FROM documents),
+    t AS (
+      SELECT doc_id, text,
+             CASE WHEN length(stripped) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(stripped, '\s+') END AS toks
+      FROM s)
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(
+                  array_to_string(list_slice(toks, 1, 32), ' '), '')
+           END AS text,
+           COALESCE(len(toks), 0)::BIGINT AS n_tokens,
+           COALESCE(len(toks) > 32, FALSE) AS was_truncated
+    FROM t
+"""
