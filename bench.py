@@ -649,6 +649,22 @@ def main() -> None:
     )
     bench("token_shift", lambda: force(q_token_shift(spark, sf_dir)))
 
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_epoch_plan,
+        q_repeat_upsample,
+        q_strip_markup,
+        q_truncate_tokens,
+    )
+
+    bench("strip_markup", lambda: force(q_strip_markup(spark, sf_dir)))
+    bench(
+        "truncate_tokens", lambda: force(q_truncate_tokens(spark, sf_dir))
+    )
+    bench("epoch_plan", lambda: force(q_epoch_plan(spark, sf_dir)))
+    bench(
+        "repeat_upsample", lambda: force(q_repeat_upsample(spark, sf_dir))
+    )
+
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a
     # high-recall point), each timed — one point is a number, two points
@@ -822,6 +838,9 @@ def main() -> None:
                 ("hard_negatives", q_hard_negatives),
                 ("hard_negatives_ann", q_hard_negatives_ann),
                 ("exact_substring_dedup", q_exact_substring_dedup),
+                # round-7 session-2 operators
+                ("strip_markup", q_strip_markup),
+                ("repeat_upsample", q_repeat_upsample),
             ):
                 try:
                     t_b = _big_time(

@@ -687,3 +687,117 @@ def take_token_budget(
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, "n_tokens", "cum_tokens")
     )
+
+
+def epoch_plan(
+    weights: DataFrame,
+    *,
+    token_budget: int,
+    max_epochs: float = 4.0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Turn mixture weights into a per-source EPOCH plan: how many passes
+    over each source fill a ``token_budget`` at the target mix — the
+    step between choosing proportions (:func:`source_mix_weights` /
+    :func:`temperature_mix_weights`) and materializing the corpus
+    (:func:`repeat_upsample`). Data-constrained scaling work (Muennighoff
+    et al. 2023) caps useful repetition at ~4 epochs: ``max_epochs``
+    enforces that ceiling and ``capped`` marks the sources that hit it
+    (their budget share is NOT silently reallocated — a short plan is
+    visible as ``sum(tokens_planned) < token_budget``, the honest signal
+    to either raise the cap or add data).
+
+    ``weights`` is any DataFrame with ``source_col``, ``n_tokens`` and
+    ``target_share`` columns — the mixture planners' output schema.
+    Budget is allocated by ``target_share`` renormalized over the rows
+    present, so a weights table filtered to a subset still plans
+    coherently.
+
+    Scale shape: the input is a #sources-row planning table; the
+    unbounded window runs at driver-scale cardinality, never over row
+    data. Returns ``(source, n_tokens, target_share, target_tokens,
+    epochs_raw, epochs, tokens_planned, capped)``.
+    """
+    from pyspark.sql import Window
+
+    for c in (source_col, "n_tokens", "target_share"):
+        if c not in weights.columns:
+            raise ValueError(f"weights is missing column {c!r}")
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    everything = Window.partitionBy()
+    tgt_sum = F.sum("target_share").over(everything)
+    target_tokens = (
+        F.lit(float(token_budget)) * F.col("target_share") / tgt_sum
+    )
+    epochs_raw = target_tokens / F.col("n_tokens")
+    epochs = F.round(
+        F.least(epochs_raw, F.lit(float(max_epochs))), 6
+    )
+    return weights.select(
+        source_col,
+        "n_tokens",
+        "target_share",
+        F.round(target_tokens, 2).alias("target_tokens"),
+        F.round(epochs_raw, 6).alias("epochs_raw"),
+        epochs.alias("epochs"),
+        F.round(epochs * F.col("n_tokens"))
+        .cast("bigint")
+        .alias("tokens_planned"),
+        (epochs_raw > max_epochs).alias("capped"),
+    )
+
+
+def repeat_upsample(
+    df: DataFrame,
+    id_col: str,
+    plan: DataFrame,
+    *,
+    source_col: str = "source",
+    epochs_col: str = "epochs",
+    seed: int = 43,
+) -> DataFrame:
+    """Materialize an epoch plan: replicate each source's rows
+    ``epochs`` times — whole copies for the integer part, plus one extra
+    copy for a deterministic hash-chosen ``frac`` of ids for the
+    fractional part. Each copy carries an ``epoch`` index (1-based), so
+    downstream shuffling/packing can keep or interleave epochs.
+
+    WHICH ids get the fractional extra copy is decided by the same
+    md5-of-(seed, id) arithmetic as :func:`hash_split` — stable across
+    runs, partitionings, and engines, and independent of the hash that
+    drives any later split (different seed stream). Sources absent from
+    ``plan`` are dropped (the plan IS the keep-list); negative epochs
+    clamp to 0.
+
+    Scale shape: the plan is a #sources-row table attached by broadcast
+    join — row data never shuffles; the only fan-out is the explode,
+    proportional to the tokens actually planned. The 100 TB version is
+    this exact plan with more input splits.
+    """
+    if id_col not in df.columns or source_col not in df.columns:
+        raise ValueError(
+            f"df must have columns {id_col!r} and {source_col!r}"
+        )
+    for c in (source_col, epochs_col):
+        if c not in plan.columns:
+            raise ValueError(f"plan is missing column {c!r}")
+    eps = F.greatest(F.col(epochs_col).cast("double"), F.lit(0.0))
+    whole = F.floor(eps)
+    cut = F.round((eps - whole) * _DENOM).cast("bigint")
+    extra = (hash_bucket(F.col(id_col), seed) < cut).cast("bigint")
+    n_copies = (whole + extra).alias("__n_copies")
+    joined = df.join(
+        F.broadcast(plan.select(source_col, epochs_col)),
+        on=source_col,
+        how="inner",
+    ).withColumn("__n_copies", n_copies)
+    copies = F.when(
+        F.col("__n_copies") >= 1,
+        F.sequence(F.lit(1).cast("bigint"), F.col("__n_copies")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return joined.withColumn("epoch", F.explode(copies)).drop(
+        "__n_copies", epochs_col
+    )

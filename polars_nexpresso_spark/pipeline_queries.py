@@ -2953,3 +2953,105 @@ PIPELINE_ORACLE_SQL["truncate_tokens"] = r"""
            COALESCE(len(toks) > 32, FALSE) AS was_truncated
     FROM t
 """
+
+
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planning composed over temperature mixture weights
+    (alpha=0.3): budget 60k tokens against the sf corpus, max_epochs
+    1.5 — at sf0.01 every source wants ~2.2 epochs so the cap binds;
+    at sf0.1 the same budget wants ~0.22 so it doesn't. The two driver
+    scales exercise both regimes of the plan arithmetic."""
+    from polars_nexpresso_spark.functions.sampling import (
+        epoch_plan,
+        temperature_mix_weights,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    w = temperature_mix_weights(docs, "text", "source", alpha=0.3)
+    return epoch_plan(w, token_budget=60_000, max_epochs=1.5)
+
+
+PIPELINE_QUERIES["epoch_plan"] = q_epoch_plan
+
+
+def q_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized epoch plan: whole copies + the md5-chosen fractional
+    extras, one (doc, epoch) row each — the corpus the trainer actually
+    reads. Composes weights -> plan -> upsample end to end."""
+    from polars_nexpresso_spark.functions.sampling import (
+        epoch_plan,
+        repeat_upsample,
+        temperature_mix_weights,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    w = temperature_mix_weights(docs, "text", "source", alpha=0.3)
+    plan = epoch_plan(w, token_budget=60_000, max_epochs=1.5)
+    out = repeat_upsample(docs, "doc_id", plan)
+    return out.select("doc_id", "source", "epoch")
+
+
+PIPELINE_QUERIES["repeat_upsample"] = q_repeat_upsample
+
+
+_EPOCH_PLAN_CTE = f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len({_TOKS}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    s AS (
+      SELECT *, n_tokens / SUM(n_tokens) OVER () AS share FROM per
+    ),
+    r AS (
+      SELECT *,
+             pow(share, 0.3) / SUM(pow(share, 0.3)) OVER () AS target
+      FROM s
+    ),
+    w AS (
+      SELECT source, n_tokens, ROUND(target, 6) AS target_share FROM r
+    ),
+    p AS (
+      SELECT source, n_tokens, target_share,
+             60000 * target_share / SUM(target_share) OVER () AS tt
+      FROM w
+    ),
+    plan AS (
+      SELECT source, n_tokens, target_share,
+             ROUND(tt, 2) AS target_tokens,
+             ROUND(tt / n_tokens, 6) AS epochs_raw,
+             ROUND(LEAST(tt / n_tokens, 1.5), 6) AS epochs,
+             CAST(ROUND(ROUND(LEAST(tt / n_tokens, 1.5), 6) * n_tokens)
+                  AS BIGINT) AS tokens_planned,
+             tt / n_tokens > 1.5 AS capped
+      FROM p
+    )
+"""
+
+PIPELINE_ORACLE_SQL["epoch_plan"] = f"""
+    {_EPOCH_PLAN_CTE}
+    SELECT source, n_tokens, target_share, target_tokens,
+           epochs_raw, epochs, tokens_planned, capped
+    FROM plan
+"""
+
+PIPELINE_ORACLE_SQL["repeat_upsample"] = f"""
+    {_EPOCH_PLAN_CTE},
+    j AS (
+      SELECT d.doc_id, d.source, plan.epochs
+      FROM documents d JOIN plan USING (source)
+    ),
+    n AS (
+      SELECT doc_id, source,
+             CAST(floor(epochs) AS BIGINT)
+             + CASE WHEN CAST(concat('0x',
+                     substr(md5('43:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS BIGINT) % 1000000
+                  < CAST(ROUND((epochs - floor(epochs)) * 1000000) AS BIGINT)
+               THEN 1 ELSE 0 END AS n_copies
+      FROM j
+    )
+    SELECT doc_id, source,
+           unnest(generate_series(1, n_copies)) AS epoch
+    FROM n WHERE n_copies >= 1
+"""

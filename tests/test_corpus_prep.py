@@ -71,3 +71,139 @@ def test_truncate_tokens_plan_has_no_exchange(spark):
         .toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# --- epoch planning + upsampling --------------------------------------------
+
+
+from pyspark.sql import functions as F
+
+from polars_nexpresso_spark.functions.sampling import (
+    epoch_plan,
+    repeat_upsample,
+)
+
+
+def _weights(spark):
+    # (source, n_tokens, target_share): a big natural source, a small
+    # boosted one, one absent from the plan's budget (share 0).
+    return spark.createDataFrame(
+        [("big", 1000, 0.5), ("small", 100, 0.5), ("off", 400, 0.0)],
+        "source string, n_tokens bigint, target_share double",
+    )
+
+
+def test_epoch_plan_hand_computed(spark):
+    plan = {
+        r["source"]: r
+        for r in epoch_plan(
+            _weights(spark), token_budget=1000, max_epochs=4.0
+        ).collect()
+    }
+    # shares renormalize over 1.0 total: each budgeted source gets 500.
+    assert plan["big"]["target_tokens"] == 500.0
+    assert plan["big"]["epochs"] == 0.5 and plan["big"]["capped"] is False
+    assert plan["big"]["tokens_planned"] == 500
+    # small would need 5 epochs -> capped at 4
+    assert plan["small"]["epochs_raw"] == 5.0
+    assert plan["small"]["epochs"] == 4.0 and plan["small"]["capped"] is True
+    assert plan["small"]["tokens_planned"] == 400
+    assert plan["off"]["epochs"] == 0.0 and plan["off"]["tokens_planned"] == 0
+
+
+def test_epoch_plan_validation(spark):
+    w = _weights(spark)
+    with pytest.raises(ValueError, match="token_budget"):
+        epoch_plan(w, token_budget=0)
+    with pytest.raises(ValueError, match="max_epochs"):
+        epoch_plan(w, token_budget=10, max_epochs=0)
+    with pytest.raises(ValueError, match="missing column"):
+        epoch_plan(w.drop("n_tokens"), token_budget=10)
+
+
+def _docs(spark, n=200):
+    rows = [(i, "big" if i % 2 == 0 else "small") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id bigint, source string")
+
+
+def test_repeat_upsample_whole_and_fractional(spark):
+    plan = spark.createDataFrame(
+        [("big", 2.0), ("small", 0.5)],
+        "source string, epochs double",
+    )
+    out = repeat_upsample(_docs(spark), "doc_id", plan)
+    by_source = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # 100 big docs x exactly 2 epochs
+    assert by_source["big"] == 200
+    # 100 small docs x 0.5 -> hash-chosen ~half, deterministic
+    assert 30 <= by_source["small"] <= 70
+    # epoch index is 1-based and dense per doc
+    epochs = {
+        r["epoch"]
+        for r in out.filter(F.col("source") == "big")
+        .select("epoch")
+        .distinct()
+        .collect()
+    }
+    assert epochs == {1, 2}
+
+
+def test_repeat_upsample_deterministic_and_plan_is_keep_list(spark):
+    docs = _docs(spark)
+    plan = spark.createDataFrame(
+        [("big", 1.25)], "source string, epochs double"
+    )
+    a = repeat_upsample(docs, "doc_id", plan).collect()
+    b = repeat_upsample(docs.repartition(7), "doc_id", plan).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # sources absent from the plan are dropped entirely
+    assert all(r["source"] == "big" for r in a)
+    # re-seeding re-deals the fractional extra copies
+    c = repeat_upsample(docs, "doc_id", plan, seed=99)
+    extra_a = {r["doc_id"] for r in a if r["epoch"] == 2}
+    extra_c = {r["doc_id"] for r in c.collect() if r["epoch"] == 2}
+    assert extra_a != extra_c and len(extra_a) > 0
+
+
+def test_repeat_upsample_zero_and_negative_epochs_drop(spark):
+    plan = spark.createDataFrame(
+        [("big", 0.0), ("small", -1.0)], "source string, epochs double"
+    )
+    assert repeat_upsample(_docs(spark), "doc_id", plan).count() == 0
+
+
+def test_repeat_upsample_plan_joins_broadcast(spark):
+    plan = spark.createDataFrame(
+        [("big", 1.0)], "source string, epochs double"
+    )
+    plan_str = (
+        repeat_upsample(_docs(spark), "doc_id", plan)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan_str
+    assert "SortMergeJoin" not in plan_str
+
+
+def test_epoch_plan_composes_with_temperature_weights(spark):
+    from polars_nexpresso_spark.functions.sampling import (
+        temperature_mix_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a a a a", "big"),
+            (2, "b b b b b b b b", "big"),
+            (3, "c c", "small"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    w = temperature_mix_weights(docs, "text", "source", alpha=0.5)
+    plan = epoch_plan(w, token_budget=100, max_epochs=10.0)
+    rows = {r["source"]: r for r in plan.collect()}
+    # the boosted small source plans MORE epochs than the big one
+    assert rows["small"]["epochs"] > rows["big"]["epochs"]

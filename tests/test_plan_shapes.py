@@ -461,3 +461,48 @@ def test_round7_operator_shuffle_budgets(spark):
         assert rep["python_stages"] <= python_stages, (
             name, rep["python_stages"],
         )
+
+
+def test_round7_session2_operator_shuffle_budgets(spark):
+    """Round-7 session-2 operators. strip_markup and truncate_tokens
+    are pure map-side regex/array chains — ZERO exchanges, zero Python.
+    epoch_plan = 1 exchange (the per-source token agg; its whole-frame
+    window runs over the #sources planning table, bounded like
+    temperature_mix). repeat_upsample = 1 exchange (same agg) — the
+    plan attaches to row data by BROADCAST join and the explode adds
+    no shuffle, so row data never exchanges."""
+    import __spark_entry__ as em
+
+    from polars_nexpresso_spark.plans.audit import scale_report
+
+    sf = "/root/testdata/sf0.001"
+    qs = em.queries()
+    budgets = {
+        "strip_markup": (0, 0),
+        "truncate_tokens": (0, 0),
+        "epoch_plan": (1, 0),
+        "repeat_upsample": (2, 0),
+    }
+    benign = ("window-without-partitionBy",)
+    for name, (max_exchanges, python_stages) in budgets.items():
+        rep = scale_report(qs[name](spark, sf))
+        hard_warnings = [
+            w
+            for w in rep["warnings"]
+            if not (
+                name in ("epoch_plan", "repeat_upsample")
+                and w.startswith(benign)
+            )
+        ]
+        assert hard_warnings == [], (name, hard_warnings)
+        assert rep["exchanges"] <= max_exchanges, (name, rep["exchanges"])
+        assert rep["python_stages"] <= python_stages, (
+            name, rep["python_stages"],
+        )
+    # repeat_upsample's plan joins by broadcast — row data must not
+    # shuffle on the source key.
+    plan = (
+        qs["repeat_upsample"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
