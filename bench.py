@@ -651,6 +651,8 @@ def main() -> None:
 
     from polars_nexpresso_spark.pipeline_queries import (
         q_epoch_plan,
+        q_ref_dedup,
+        q_ref_dedup_stream,
         q_repeat_upsample,
         q_strip_markup,
         q_truncate_tokens,
@@ -663,6 +665,11 @@ def main() -> None:
     bench("epoch_plan", lambda: force(q_epoch_plan(spark, sf_dir)))
     bench(
         "repeat_upsample", lambda: force(q_repeat_upsample(spark, sf_dir))
+    )
+    bench("ref_dedup", lambda: force(q_ref_dedup(spark, sf_dir)))
+    bench(
+        "ref_dedup_stream",
+        lambda: force(q_ref_dedup_stream(spark, sf_dir)),
     )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs

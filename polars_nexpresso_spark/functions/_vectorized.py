@@ -248,3 +248,31 @@ def pandas_nb_score(token_hashes, log_odds):
         return pd.Series(out, dtype="float64")
 
     return score
+
+
+def pandas_scalar_member(sorted_values):
+    """UDF factory: True when a row's SCALAR long column is in
+    ``sorted_values`` (sorted numpy int64, held in the closure). The
+    scalar sibling of :func:`pandas_member_overlap` — one searchsorted
+    over the whole Arrow batch, no per-row work at all.
+
+    CONTRACT: the input column must be NON-NULL (callers coalesce to a
+    filler first) — a null-bearing long column crosses Arrow→pandas as
+    float64, which silently corrupts 64-bit hash values above 2^53.
+    Used by the stream-safe reference-corpus dedup."""
+    import numpy as np
+
+    ref = np.asarray(sorted_values, dtype=np.int64)
+
+    @pandas_udf("boolean")
+    def member(vals: pd.Series) -> pd.Series:
+        if ref.size == 0:
+            return pd.Series([False] * len(vals))
+        v = vals.to_numpy()
+        if v.dtype != np.int64:  # defensive: see non-null contract
+            v = vals.fillna(0).astype(np.int64).to_numpy()
+        idx = np.searchsorted(ref, v)
+        idx[idx == ref.size] = ref.size - 1
+        return pd.Series(ref[idx] == v)
+
+    return member

@@ -1366,3 +1366,121 @@ def source_overlap(
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+def dedup_against_reference(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str,
+    *,
+    strategy: str = "join",
+) -> DataFrame:
+    """Incremental-ingest dedup: drop rows of ``df`` whose normalized
+    content already exists in a REFERENCE corpus — the "new crawl vs
+    what we already have" step that runs before any within-batch dedup
+    (the within-batch counterpart is :func:`exact_dedup`; the id-level
+    recrawl delta is ``corpus_diff``). Matching is content-level: the
+    same normalization as :func:`exact_dedup`'s fingerprint (lowercase,
+    whitespace-collapsed), so case/spacing variants of an existing doc
+    are recognized as already-present.
+
+    NULL-text rows always survive (no content to match — pinned by
+    keying the anti-join on a NULL fingerprint, which equals nothing).
+
+    Scale shapes (``strategy``):
+
+    - ``"join"`` (default): LEFT ANTI join on ``xxhash64`` of the
+      normalized text — the reference reduces to one distinct 8-byte
+      hash column (narrow partial-agg shuffle); the new batch shuffles
+      once keyed by the hash. Right at any reference size.
+    - ``"broadcast"``: the distinct reference hashes broadcast and the
+      anti-join is map-side — ZERO movement of the new batch. Right
+      when the reference fingerprint set fits executor memory (~8 bytes
+      x distinct docs; up to ~10^8 fingerprints). For streams use
+      :func:`dedup_against_reference_stream`, which adds an explicit
+      size guard and needs no join at all.
+
+    Returns surviving ``df`` rows, schema unchanged.
+    """
+    if strategy not in ("join", "broadcast"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    if text_col not in df.columns or text_col not in ref.columns:
+        raise ValueError(f"both frames need column {text_col!r}")
+    from polars_nexpresso_spark.functions.text import normalize_text
+
+    def fp(c):
+        # NULL text -> NULL key (anti-join keeps it); non-null text ->
+        # 8-byte content hash.
+        return F.when(
+            c.isNotNull(), F.xxhash64(normalize_text(c))
+        )
+
+    ref_fps = (
+        ref.select(fp(F.col(text_col)).alias("__fp"))
+        .filter(F.col("__fp").isNotNull())
+        .distinct()
+    )
+    if strategy == "broadcast":
+        ref_fps = F.broadcast(ref_fps)
+    return (
+        df.withColumn("__fp", fp(F.col(text_col)))
+        .join(ref_fps, on="__fp", how="left_anti")
+        .drop("__fp")
+    )
+
+
+def dedup_against_reference_stream(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str,
+    *,
+    max_ref_fingerprints: int = 50_000_000,
+) -> DataFrame:
+    """Stream-safe :func:`dedup_against_reference`: STATELESS, map-side.
+
+    The reference's distinct content hashes are collected ONCE into a
+    sorted dictionary (Arrow transfer, guarded by
+    ``max_ref_fingerprints`` ≈ 8 bytes each) and each incoming row is
+    probed by a vectorized binary search per Arrow batch — no join, no
+    shuffle, no state, identical on a batch frame and an unbounded
+    ``readStream``. The broadcast-dictionary pattern of
+    ``decontaminate_stream`` / ``nb_quality_score_stream`` applied to
+    whole-document fingerprints; same survivors as the batch paths.
+
+    ``df`` may be batch or streaming; ``ref`` must be batch (it is
+    collected). NULL-text rows always survive.
+    """
+    import numpy as np
+
+    from polars_nexpresso_spark.functions._vectorized import (
+        pandas_scalar_member,
+    )
+    from polars_nexpresso_spark.functions.text import normalize_text
+
+    if text_col not in df.columns or text_col not in ref.columns:
+        raise ValueError(f"both frames need column {text_col!r}")
+    pdf = (
+        ref.filter(F.col(text_col).isNotNull())
+        .select(F.xxhash64(normalize_text(F.col(text_col))).alias("__h"))
+        .distinct()
+        .toPandas()
+    )
+    if len(pdf) > max_ref_fingerprints:
+        raise ValueError(
+            f"reference has {len(pdf)} distinct fingerprints > "
+            f"max_ref_fingerprints={max_ref_fingerprints}; use the "
+            "batch dedup_against_reference() join path"
+        )
+    ref_sorted = np.sort(pdf["__h"].to_numpy(dtype=np.int64))
+    # Non-null contract of pandas_scalar_member: NULL text coalesces to
+    # a filler hash whose (astronomically unlikely) membership is
+    # irrelevant — the isNull() branch keeps the row regardless.
+    member = pandas_scalar_member(ref_sorted).asNondeterministic()
+    probe_key = F.coalesce(
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.xxhash64(normalize_text(F.col(text_col))),
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return df.filter(F.col(text_col).isNull() | ~member(probe_key))

@@ -3055,3 +3055,54 @@ PIPELINE_ORACLE_SQL["repeat_upsample"] = f"""
            unnest(generate_series(1, n_copies)) AS epoch
     FROM n WHERE n_copies >= 1
 """
+
+
+def q_ref_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup against a reference corpus: every third
+    doc plays the role of the already-ingested crawl, so exactly those
+    docs' CONTENT (plus any accidental cross-doc duplicate) is dropped
+    from the new batch — the anti-join carries 8-byte hashes, the
+    oracle replays the same semantics on normalized text."""
+    from polars_nexpresso_spark.functions.dedup import (
+        dedup_against_reference,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    out = dedup_against_reference(docs, ref, "text")
+    return out.select("doc_id", "source")
+
+
+PIPELINE_QUERIES["ref_dedup"] = q_ref_dedup
+
+
+def q_ref_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-safe probe path over the SAME inputs — identical
+    survivors, so it shares the batch oracle (the stream contract
+    itself is pinned by the availableNow drain test)."""
+    from polars_nexpresso_spark.functions.dedup import (
+        dedup_against_reference_stream,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    out = dedup_against_reference_stream(docs, ref, "text")
+    return out.select("doc_id", "source")
+
+
+PIPELINE_QUERIES["ref_dedup_stream"] = q_ref_dedup_stream
+
+
+PIPELINE_ORACLE_SQL["ref_dedup"] = f"""
+    WITH ref AS (
+      SELECT DISTINCT {_NORM} AS norm
+      FROM documents
+      WHERE doc_id % 3 = 0 AND text IS NOT NULL
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.text IS NULL
+       OR {_NORM.replace("text", "d.text")} NOT IN (SELECT norm FROM ref)
+"""
+
+PIPELINE_ORACLE_SQL["ref_dedup_stream"] = PIPELINE_ORACLE_SQL["ref_dedup"]

@@ -207,3 +207,134 @@ def test_epoch_plan_composes_with_temperature_weights(spark):
     rows = {r["source"]: r for r in plan.collect()}
     # the boosted small source plans MORE epochs than the big one
     assert rows["small"]["epochs"] > rows["big"]["epochs"]
+
+
+# --- reference-corpus dedup -------------------------------------------------
+
+
+from polars_nexpresso_spark.functions.dedup import (
+    dedup_against_reference,
+    dedup_against_reference_stream,
+)
+
+
+def _new_and_ref(spark):
+    new = spark.createDataFrame(
+        [
+            (1, "Fresh Document one"),
+            (2, "already   SEEN text"),   # spacing/case variant of ref
+            (3, "another fresh one"),
+            (4, None),
+            (5, "exact seen copy"),
+        ],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame(
+        [
+            (100, "already seen text"),
+            (101, "exact seen copy"),
+            (102, None),
+        ],
+        ["doc_id", "text"],
+    )
+    return new, ref
+
+
+def test_dedup_against_reference_content_level(spark):
+    new, ref = _new_and_ref(spark)
+    for strategy in ("join", "broadcast"):
+        kept = {
+            r["doc_id"]
+            for r in dedup_against_reference(
+                new, ref, "text", strategy=strategy
+            ).collect()
+        }
+        # 2 drops as a normalization variant, 5 as an exact copy;
+        # NULL text always survives (even with NULL text in the ref).
+        assert kept == {1, 3, 4}, strategy
+
+
+def test_dedup_against_reference_stream_matches_batch(spark):
+    new, ref = _new_and_ref(spark)
+    batch = {
+        r["doc_id"]
+        for r in dedup_against_reference(new, ref, "text").collect()
+    }
+    stream = {
+        r["doc_id"]
+        for r in dedup_against_reference_stream(new, ref, "text").collect()
+    }
+    assert stream == batch == {1, 3, 4}
+
+
+def test_dedup_against_reference_stream_on_actual_stream(spark):
+    import shutil
+    import tempfile
+
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+
+    tmp = tempfile.mkdtemp(prefix="pns_refdedup_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+        static = spark.read.parquet(f"{tmp}/in")
+        expected = {
+            r["doc_id"]
+            for r in dedup_against_reference_stream(static, ref, "text")
+            .select("doc_id")
+            .collect()
+        }
+        assert expected  # some survivors, some drops
+        stream = spark.readStream.schema(static.schema).parquet(f"{tmp}/in")
+        kept = dedup_against_reference_stream(stream, ref, "text")
+        assert kept.isStreaming
+        q = (
+            kept.select("doc_id")
+            .writeStream.format("memory")
+            .queryName("refdedup_stream_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]
+            for r in spark.table("refdedup_stream_out").collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_against_reference_guards(spark):
+    new, ref = _new_and_ref(spark)
+    with pytest.raises(ValueError, match="unknown strategy"):
+        dedup_against_reference(new, ref, "text", strategy="bloom")
+    with pytest.raises(ValueError, match="need column"):
+        dedup_against_reference(new.drop("text"), ref, "text")
+    with pytest.raises(ValueError, match="max_ref_fingerprints"):
+        dedup_against_reference_stream(
+            new, ref, "text", max_ref_fingerprints=1
+        )
+
+
+def test_dedup_against_reference_plan_shapes(spark):
+    new, ref = _new_and_ref(spark)
+    bplan = (
+        dedup_against_reference(new, ref, "text", strategy="broadcast")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in bplan and "LeftAnti" in bplan
+    assert "SortMergeJoin" not in bplan
+    # the stream probe is join-free and shuffle-free
+    splan = (
+        dedup_against_reference_stream(new, ref, "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in splan and "Exchange" not in splan

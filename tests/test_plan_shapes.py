@@ -482,6 +482,11 @@ def test_round7_session2_operator_shuffle_budgets(spark):
         "truncate_tokens": (0, 0),
         "epoch_plan": (1, 0),
         "repeat_upsample": (2, 0),
+        # ref distinct-fingerprint agg + the 8-byte-keyed anti join
+        "ref_dedup": (3, 0),
+        # join-free broadcast-dictionary probe: the only Python stage
+        # is the Arrow-batched membership search
+        "ref_dedup_stream": (0, 1),
     }
     benign = ("window-without-partitionBy",)
     for name, (max_exchanges, python_stages) in budgets.items():
@@ -492,6 +497,13 @@ def test_round7_session2_operator_shuffle_budgets(spark):
             if not (
                 name in ("epoch_plan", "repeat_upsample")
                 and w.startswith(benign)
+            )
+            and not (
+                # the membership probe is Arrow-batched by design (the
+                # stream path's whole point); never row-Python
+                name == "ref_dedup_stream"
+                and w.startswith("python-eval")
+                and "ArrowEvalPython" in w
             )
         ]
         assert hard_warnings == [], (name, hard_warnings)
