@@ -493,3 +493,71 @@ def compact_files(
             f"compaction row mismatch: wrote {n_out_rows}, read {n_in_rows}"
         )
     return int(files)
+
+
+def write_ordered(
+    df: DataFrame,
+    path: str,
+    order_col: str,
+    *,
+    tiebreak_col: str,
+    descending: bool = False,
+    n_files: int | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` in GLOBAL order of ``order_col`` without a global
+    sort: curriculum-ordered training corpora (easy→hard by a quality /
+    difficulty score) read back in order by simply consuming part files
+    in file-name order.
+
+    The at-scale mechanism is ``repartitionByRange`` + per-partition
+    sort: the range exchange samples the order key to pick ``n_files-1``
+    split points, every partition holds a disjoint key range in
+    partition-index order, and each sorts locally — NO single-task
+    global sort anywhere (the same reason ``take_token_budget`` splits
+    its running sum). Part-file names carry the partition index, so
+    file-name order IS global order. Range boundaries come from
+    sampling and may shift between runs; the ORDER guarantee is exact
+    regardless — ``tiebreak_col`` (a unique id) is required precisely
+    so equal scores have a deterministic total order.
+
+    ``n_files`` defaults to Catalyst's driver-side size estimate at
+    ~128 MB per file (the :func:`compact_files` rule). Returns the
+    number of files written, after a row-count integrity re-read.
+    """
+    for c in (order_col, tiebreak_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    if n_files is None:
+        from polars_nexpresso_spark.plans.stats import plan_size_bytes
+
+        try:
+            est = plan_size_bytes(df)
+        except Exception:  # noqa: BLE001 — Connect: one file per core
+            est = 0
+        n_files = max(1, est // (128 * 1024 * 1024) + (1 if est else 0))
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1: {n_files}")
+    keys = (
+        [F.col(order_col).desc(), F.col(tiebreak_col).desc()]
+        if descending
+        else [F.col(order_col).asc(), F.col(tiebreak_col).asc()]
+    )
+    (
+        df.repartitionByRange(int(n_files), *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode(mode)
+        .format(format)
+        .save(path)
+    )
+    spark = df.sparkSession
+    out = spark.read.format(format).load(path)
+    n_out, n_in = out.count(), df.count()
+    if n_out != n_in:
+        raise RuntimeError(
+            f"ordered write row mismatch: wrote {n_in}, read {n_out}"
+        )
+    return int(
+        out.select(F.input_file_name()).distinct().count()
+    )

@@ -229,3 +229,75 @@ def test_write_sharded_unbiased_and_null_safe(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="NULL 'doc_id'"):
         write_sharded(nulls, str(tmp_path / "nulls"), "doc_id", n_shards=2)
+
+
+def test_write_ordered_global_order_across_files(spark, tmp_path):
+    """File-name order IS global order: concatenating part files sorted
+    by name yields the exact (score, id) sort — the curriculum-read
+    contract — with no single-task global sort in the plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from polars_nexpresso_spark.functions import sampling
+    from polars_nexpresso_spark.sources.io import write_ordered
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(1000)],
+        "doc_id bigint, score double",
+    ).repartition(8)
+    dest = str(tmp_path / "curriculum")
+    n = write_ordered(df, dest, "score", tiebreak_col="doc_id", n_files=5)
+    assert n == 5
+    got = []
+    for f in sorted(glob.glob(f"{dest}/part-*")):
+        t = pq.read_table(f)
+        got.extend(
+            zip(t.column("score").to_pylist(), t.column("doc_id").to_pylist())
+        )
+    assert len(got) == 1000
+    assert got == sorted(got)
+
+    # descending flips the global order
+    dest2 = str(tmp_path / "curriculum_desc")
+    write_ordered(
+        df, dest2, "score", tiebreak_col="doc_id", descending=True, n_files=3
+    )
+    got2 = []
+    for f in sorted(glob.glob(f"{dest2}/part-*")):
+        t = pq.read_table(f)
+        got2.extend(
+            zip(t.column("score").to_pylist(), t.column("doc_id").to_pylist())
+        )
+    assert got2 == sorted(got2, key=lambda x: (-x[0], -x[1]))
+
+
+def test_write_ordered_plan_is_range_partitioned(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "doc_id bigint, score double"
+    )
+    shaped = df.repartitionByRange(
+        4, F.col("score").asc(), F.col("doc_id").asc()
+    ).sortWithinPartitions(F.col("score").asc(), F.col("doc_id").asc())
+    plan = shaped._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # local sorts only ("Sort [...], false, 0") — no global Sort
+    # ("Sort [...], true, 0") anywhere in the plan
+    assert "Sort [score" in plan and "], false" in plan
+    assert "], true" not in plan
+
+
+def test_write_ordered_validation(spark, tmp_path):
+    from polars_nexpresso_spark.sources.io import write_ordered
+
+    df = spark.createDataFrame(
+        [(1, 1.0)], "doc_id bigint, score double"
+    )
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        write_ordered(df, str(tmp_path / "x"), "quality", tiebreak_col="doc_id")
+    with pytest.raises(ValueError, match="n_files"):
+        write_ordered(
+            df, str(tmp_path / "x"), "score", tiebreak_col="doc_id", n_files=0
+        )
