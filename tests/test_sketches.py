@@ -58,3 +58,96 @@ def test_incremental_union_matches_one_shot(spark, corpus):
 def test_sketch_validates_lg_k(corpus):
     with pytest.raises(ValueError, match="lg_k"):
         sketch_distinct(corpus, ["source"], "url", lg_k=2)
+
+
+# --- count-min frequency sketches -------------------------------------------
+
+
+def test_cms_probe_brackets_exact_counts(spark):
+    """The driver probe replays Spark's bucket hashing: every estimate
+    must be >= the true count (CMS guarantee — violated immediately if
+    the hash replay diverges) and <= true + eps * total."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.sketches import (
+        cms_estimate,
+        sketch_frequencies,
+    )
+
+    rows = []
+    truth = {}
+    for i, (tok, n) in enumerate(
+        [("alpha", 500), ("beta", 120), ("gamma", 37), ("delta", 1)]
+    ):
+        truth[tok] = n
+        rows.extend((tok,) for _ in range(n))
+    # filler tail of singletons
+    rows.extend((f"tail{i}",) for i in range(400))
+    df = spark.createDataFrame(rows, "token string").withColumn(
+        "grp", F.lit("g")
+    )
+    sk = sketch_frequencies(
+        df, ["grp"], "token", eps=0.001, confidence=0.99
+    ).collect()[0]["cms"]
+    total = sum(truth.values()) + 400
+    est = cms_estimate(sk, list(truth) + ["never_seen"])
+    for tok, n in truth.items():
+        assert est[tok] >= n, (tok, est[tok], n)
+        assert est[tok] <= n + 0.001 * total + 1, (tok, est[tok], n)
+    assert est["never_seen"] <= 0.001 * total + 1
+
+
+def test_cms_merge_equals_one_shot_byte_exact(spark):
+    """Merging per-increment sketches inside Spark must reproduce the
+    one-shot sketch of the concatenated data byte for byte (same seed
+    => same hash functions => linear tables)."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.sketches import (
+        merge_frequency_sketches,
+        sketch_frequencies,
+    )
+
+    rows = [(f"t{i % 50}", "s1" if i % 2 == 0 else "s2") for i in range(2000)]
+    df = spark.createDataFrame(rows, "token string, increment string")
+    kw = dict(eps=0.01, confidence=0.9, seed=7)
+    per_inc = sketch_frequencies(
+        df.withColumn("grp", F.lit("g")),
+        ["grp", "increment"],
+        "token",
+        **kw,
+    ).drop("increment")
+    merged = merge_frequency_sketches(per_inc, ["grp"]).collect()[0]["cms"]
+    one_shot = sketch_frequencies(
+        df.withColumn("grp", F.lit("g")), ["grp"], "token", **kw
+    ).collect()[0]["cms"]
+    assert bytes(merged) == bytes(one_shot)
+
+
+def test_cms_merge_rejects_mixed_geometry(spark):
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.sketches import (
+        merge_frequency_sketches,
+        sketch_frequencies,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "token string").withColumn(
+        "grp", F.lit("g")
+    )
+    s1 = sketch_frequencies(df, ["grp"], "token", eps=0.01)
+    s2 = sketch_frequencies(df, ["grp"], "token", eps=0.02)
+    with pytest.raises(Exception, match="geometry|seed"):
+        merge_frequency_sketches(s1.union(s2), ["grp"]).collect()
+
+
+def test_cms_validation(spark):
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.sketches import sketch_frequencies
+
+    df = spark.createDataFrame([("a",)], "token string").withColumn(
+        "grp", F.lit("g")
+    )
+    with pytest.raises(ValueError, match="eps and confidence"):
+        sketch_frequencies(df, ["grp"], "token", eps=0.0)
