@@ -3106,3 +3106,77 @@ PIPELINE_ORACLE_SQL["ref_dedup"] = f"""
 """
 
 PIPELINE_ORACLE_SQL["ref_dedup_stream"] = PIPELINE_ORACLE_SQL["ref_dedup"]
+
+
+def q_clean_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 session-2 ingest front door as ONE composed plan:
+
+    1. markup stripping over a deterministic doc_id-salted HTML shell,
+    2. reference-corpus dedup of the CLEANED text (every third doc
+       plays the prior crawl — content matching happens post-cleaning,
+       the order a real pipeline needs),
+    3. token-boundary truncation at 32 tokens.
+
+    Each stage is oracle-checked alone elsewhere; this row checks the
+    composition hash-exactly (the dedup keys on cleaned text, the
+    truncation sees dedup survivors)."""
+    from polars_nexpresso_spark.functions.dedup import (
+        dedup_against_reference,
+    )
+    from polars_nexpresso_spark.functions.markup import strip_markup
+    from polars_nexpresso_spark.functions.text import truncate_tokens
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><!-- c "),
+            F.col("doc_id"),
+            F.lit(" --><p>"),
+            F.col("text"),
+            F.lit("</p><div>tail &lt;"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("&gt;</div></body></html>"),
+        ).alias("text"),
+    )
+    cleaned = strip_markup(salted, "text").drop("had_markup")
+    ref = cleaned.filter(F.col("doc_id") % 3 == 0)
+    fresh = dedup_against_reference(cleaned, ref, "text")
+    out = truncate_tokens(fresh, "text", 32)
+    return out.select("doc_id", "text", "n_tokens", "was_truncated")
+
+
+PIPELINE_QUERIES["clean_ingest"] = q_clean_ingest
+
+
+PIPELINE_ORACLE_SQL["clean_ingest"] = f"""
+    WITH s AS (
+      SELECT doc_id,
+             '<html><body><!-- c ' || doc_id || ' --><p>' || text
+               || '</p><div>tail &lt;' || (doc_id % 5)
+               || '&gt;</div></body></html>' AS text
+      FROM documents),
+    c AS (
+      SELECT doc_id, {_markup_sql_chain("text")} AS text FROM s),
+    ref AS (
+      SELECT DISTINCT {_NORM} AS norm
+      FROM c WHERE doc_id % 3 = 0 AND text IS NOT NULL),
+    fresh AS (
+      SELECT doc_id, text FROM c
+      WHERE text IS NULL OR {_NORM} NOT IN (SELECT norm FROM ref)),
+    t AS (
+      SELECT doc_id, text,
+             CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+                  THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(
+                    regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+             END AS toks
+      FROM fresh)
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(list_slice(toks, 1, 32), ' '), '')
+           END AS text,
+           COALESCE(len(toks), 0)::BIGINT AS n_tokens,
+           COALESCE(len(toks) > 32, FALSE) AS was_truncated
+    FROM t
+"""
