@@ -671,9 +671,13 @@ def main() -> None:
         "ref_dedup_stream",
         lambda: force(q_ref_dedup_stream(spark, sf_dir)),
     )
-    from polars_nexpresso_spark.pipeline_queries import q_clean_ingest
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_apply_mix,
+        q_clean_ingest,
+    )
 
     bench("clean_ingest", lambda: force(q_clean_ingest(spark, sf_dir)))
+    bench("apply_mix", lambda: force(q_apply_mix(spark, sf_dir)))
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a

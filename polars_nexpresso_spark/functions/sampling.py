@@ -801,3 +801,48 @@ def repeat_upsample(
     return joined.withColumn("epoch", F.explode(copies)).drop(
         "__n_copies", epochs_col
     )
+
+
+def apply_mix_weights(
+    df: DataFrame,
+    weights: DataFrame,
+    id_col: str,
+    *,
+    source_col: str = "source",
+    weight_col: str = "weight",
+    seed: int = 44,
+) -> DataFrame:
+    """Materialize downsample-only mixture weights: keep each source's
+    rows with probability ``weight`` — the executor for
+    :func:`source_mix_weights` / :func:`temperature_mix_weights`
+    (their upsampling counterpart is :func:`repeat_upsample`, same
+    broadcast-plan shape, different direction).
+
+    Membership is the md5-of-(seed, id) bucket against the source's
+    weight cut — deterministic across runs, partitionings, and engines,
+    and drawn from its own seed stream so it is independent of any
+    later :func:`hash_split`. The weights table attaches by BROADCAST
+    join (#sources rows); sources absent from it drop (the weights
+    table IS the keep-list). The weight is quantized to ppm — the same
+    resolution every sampler here uses.
+
+    Returns surviving rows, schema unchanged.
+    """
+    if id_col not in df.columns or source_col not in df.columns:
+        raise ValueError(
+            f"df must have columns {id_col!r} and {source_col!r}"
+        )
+    for c in (source_col, weight_col):
+        if c not in weights.columns:
+            raise ValueError(f"weights is missing column {c!r}")
+    cuts = weights.select(
+        source_col,
+        F.round(F.col(weight_col) * _DENOM).cast("bigint").alias("__cut"),
+    )
+    bucket = hash_bucket(F.col(id_col), seed)
+    return (
+        df.withColumn("__bucket", bucket)
+        .join(F.broadcast(cuts), on=source_col, how="inner")
+        .filter(F.col("__bucket") < F.col("__cut"))
+        .drop("__bucket", "__cut")
+    )

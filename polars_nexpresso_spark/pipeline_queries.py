@@ -3180,3 +3180,51 @@ PIPELINE_ORACLE_SQL["clean_ingest"] = f"""
            COALESCE(len(toks) > 32, FALSE) AS was_truncated
     FROM t
 """
+
+
+def q_apply_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight materialization: temperature weights (alpha=0.3)
+    -> per-source ppm cuts -> md5-bucket downsample. The near-uniform
+    synthetic sources give weights just under 1.0, so the filter keeps
+    most-but-not-all rows of most sources — both the cut arithmetic and
+    the keep/drop boundary carry real rows."""
+    from polars_nexpresso_spark.functions.sampling import (
+        apply_mix_weights,
+        temperature_mix_weights,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    w = temperature_mix_weights(docs, "text", "source", alpha=0.3)
+    out = apply_mix_weights(docs, w, "doc_id")
+    return out.select("doc_id", "source")
+
+
+PIPELINE_QUERIES["apply_mix"] = q_apply_mix
+
+
+PIPELINE_ORACLE_SQL["apply_mix"] = f"""
+    WITH per AS (
+      SELECT source, SUM(len({_TOKS}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    s AS (
+      SELECT *, n_tokens / SUM(n_tokens) OVER () AS share FROM per
+    ),
+    r AS (
+      SELECT *,
+             pow(share, 0.3) / SUM(pow(share, 0.3)) OVER () AS target
+      FROM s
+    ),
+    w AS (
+      SELECT source,
+             CAST(ROUND(ROUND((target / share)
+                              / MAX(target / share) OVER (), 6) * 1000000)
+                  AS BIGINT) AS cut
+      FROM r
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN w USING (source)
+    WHERE CAST(concat('0x',
+            substr(md5('44:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+          AS BIGINT) % 1000000 < w.cut
+"""

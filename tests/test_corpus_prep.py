@@ -338,3 +338,46 @@ def test_dedup_against_reference_plan_shapes(spark):
         .toString()
     )
     assert "Join" not in splan and "Exchange" not in splan
+
+
+# --- mixture-weight materializer --------------------------------------------
+
+
+from polars_nexpresso_spark.functions.sampling import apply_mix_weights
+
+
+def test_apply_mix_weights_downsamples_per_source(spark):
+    docs = _docs(spark, n=2000)  # 1000 per source
+    w = spark.createDataFrame(
+        [("big", 0.25), ("small", 1.0)], "source string, weight double"
+    )
+    out = apply_mix_weights(docs, w, "doc_id")
+    by = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by["small"] == 1000            # weight 1.0 keeps everything
+    assert 180 <= by["big"] <= 320        # ~25%, hash-deterministic
+    # layout-independent
+    again = apply_mix_weights(docs.repartition(13), w, "doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_apply_mix_weights_keep_list_and_validation(spark):
+    docs = _docs(spark)
+    w = spark.createDataFrame([("big", 0.5)], "source string, weight double")
+    assert (
+        apply_mix_weights(docs, w, "doc_id")
+        .filter(F.col("source") == "small")
+        .count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="missing column"):
+        apply_mix_weights(docs, w.drop("weight"), "doc_id")
+    plan = (
+        apply_mix_weights(docs, w, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
