@@ -679,6 +679,18 @@ def main() -> None:
     bench("clean_ingest", lambda: force(q_clean_ingest(spark, sf_dir)))
     bench("apply_mix", lambda: force(q_apply_mix(spark, sf_dir)))
 
+    def _bpe_pipeline():
+        from polars_nexpresso_spark.functions.bpe import (
+            bpe_encode,
+            train_bpe,
+        )
+
+        docs = spread(read_table(spark, sf_dir, "documents"))
+        merges = train_bpe(docs, "text", num_merges=64, min_count=2)
+        force(bpe_encode(docs, "text", merges))
+
+    bench("bpe_pipeline", _bpe_pipeline)
+
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a
     # high-recall point), each timed — one point is a number, two points
