@@ -276,3 +276,20 @@ def pandas_scalar_member(sorted_values):
         return pd.Series(ref[idx] == v)
 
     return member
+
+
+@pandas_udf("double")
+def pandas_compression_ratio(texts: pd.Series) -> pd.Series:
+    """deflate(utf-8 bytes) size / raw size per row (zlib level 6).
+    Arrow-batched — no JVM compression expression exists. NULL and
+    empty text → NULL (ratio undefined)."""
+    import zlib
+
+    out = []
+    for t in texts:
+        if t is None or len(t) == 0:
+            out.append(None)
+            continue
+        raw = t.encode("utf-8")
+        out.append(len(zlib.compress(raw, 6)) / len(raw))
+    return pd.Series(out, dtype="float64")

@@ -1072,3 +1072,28 @@ def truncate_tokens(
             ),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str, *, out_col: str = "compression_ratio"
+) -> DataFrame:
+    """Per-doc deflate compression ratio (compressed/raw UTF-8 bytes) —
+    the entropy-flavored quality signal the regex ratios can't see:
+    machine-generated/templated text compresses far below prose
+    (boilerplate, keyword stuffing, log spam), while binary-ish noise
+    sits near 1.0. Gate on BOTH tails next to :func:`quality_filter`'s
+    rule columns.
+
+    Arrow-batched ``pandas_udf`` (zlib has no JVM expression — the same
+    justified-Python class as unicode normalization); map-side, no
+    shuffle, stream-safe. NULL/empty text → NULL ratio.
+    """
+    from polars_nexpresso_spark.functions._vectorized import (
+        pandas_compression_ratio,
+    )
+
+    if text_col not in df.columns:
+        raise ValueError(f"column {text_col!r} not in DataFrame")
+    return df.withColumn(
+        out_col, pandas_compression_ratio(F.col(text_col))
+    )

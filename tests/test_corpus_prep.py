@@ -381,3 +381,33 @@ def test_apply_mix_weights_keep_list_and_validation(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# --- compression-ratio quality signal ---------------------------------------
+
+
+def test_compression_ratio_separates_repetition_from_prose(spark):
+    from polars_nexpresso_spark.functions.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 400),                      # templated
+            (2, "the quick brown fox jumps over the lazy dog and then "
+                "writes a rather varied sentence about compression"),
+            (3, None),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(df, "text").collect()
+    }
+    assert out[1] < 0.05                   # repetition collapses
+    assert 0.3 < out[2] < 1.2              # prose does not
+    assert out[3] is None and out[4] is None
+    plan = (
+        compression_ratio(df, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "ArrowEvalPython" in plan
