@@ -691,6 +691,10 @@ def main() -> None:
 
     bench("bpe_pipeline", _bpe_pipeline)
 
+    from polars_nexpresso_spark.pipeline_queries import q_pq_ann_topk
+
+    bench("pq_ann_topk", lambda: force(q_pq_ann_topk(spark, sf_dir)))
+
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a
     # high-recall point), each timed — one point is a number, two points

@@ -293,3 +293,32 @@ def pandas_compression_ratio(texts: pd.Series) -> pd.Series:
         raw = t.encode("utf-8")
         out.append(len(zlib.compress(raw, 6)) / len(raw))
     return pd.Series(out, dtype="float64")
+
+
+def pandas_pq_codes(codebooks):
+    """UDF factory: product-quantization codes — for each vector, the
+    nearest-codeword index per subspace (m-entry int array). The vector
+    is L2-normalized and sub-sliced in numpy; one vectorized distance
+    computation per (batch, subspace). Ties take the lowest index
+    (stable argsort), matching the expression/oracle tie-break."""
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    @pandas_udf("array<int>")
+    def codes(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_list()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        parts = []
+        off = 0
+        for cb in cbs:
+            sub = mat[:, off : off + cb.shape[1]]
+            d = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=-1)
+            parts.append(
+                np.argsort(d, axis=1, kind="stable")[:, 0].astype(np.int32)
+            )
+            off += cb.shape[1]
+        arr = np.stack(parts, axis=1)
+        return pd.Series(list(arr))
+
+    return codes

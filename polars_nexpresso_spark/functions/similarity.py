@@ -1075,3 +1075,228 @@ def mine_hard_negatives(
         )
     )
     return _two_phase_topk(scored, k)
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def _pq_split(dim: int, m: int) -> list[tuple[int, int]]:
+    """(offset, width) per subspace; dim must divide evenly."""
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [(i * sub, sub) for i in range(m)]
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 1024,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: per subspace, Lloyd's k-means over
+    the L2-NORMALIZED bounded deterministic sample (same md5 sample
+    ordering as :func:`_kmeans_centroids`; per-subspace seeds). Returns
+    ``m`` codebooks of ``n_codes`` codewords each — O(m·n_codes·dim/m)
+    floats on the driver, never O(corpus)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(_sample_key_expr(F.col("i"), seed), F.col("i"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    return _pq_train_sample(X, m=m, n_codes=n_codes, iters=iters, seed=seed)
+
+
+def _pq_train_sample(X, *, m: int, n_codes: int, iters: int, seed: int):
+    import numpy as np
+
+    norms = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    norms[norms == 0.0] = 1.0
+    X = X / norms
+    out = []
+    for mi, (off, sub) in enumerate(_pq_split(X.shape[1], m)):
+        out.append(
+            _lloyd(X[:, off : off + sub], n_codes, iters=iters, seed=seed + mi)
+        )
+    return out
+
+
+def pq_codebooks_local(
+    parquet_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 1024,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Spark-free twin of :func:`pq_codebooks` over a parquet file —
+    the oracle generator embeds the exact codebooks the Spark query
+    trains (the :func:`kmeans_centroids_local` pattern)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[id_col, vec_col])
+    ids = t.column(id_col).to_pylist()
+    vecs = t.column(vec_col).to_pylist()
+    order = sorted(
+        range(len(ids)),
+        key=lambda j: (_md5_sample_key(ids[j], seed), ids[j]),
+    )
+    X = np.array([vecs[j] for j in order[:sample_size]], dtype=np.float64)
+    return _pq_train_sample(X, m=m, n_codes=n_codes, iters=iters, seed=seed)
+
+
+def _pq_unit(vec_col):
+    n = _norm(vec_col)
+    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+    return F.transform(vec_col, lambda x: x.cast("double") / safe)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "pandas",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-codeword indices:
+    ``m`` small ints instead of ``dim`` floats (with the catalog's
+    dim-64 float corpus and m=8, a 32x smaller representation to
+    shuffle, store, or hold in memory at 100 TB). Assignment is
+    map-side; ``assign="pandas"`` is one Arrow stage for all subspaces,
+    ``"expr"`` the interpreted column-expression form (ties to the
+    lowest index either way)."""
+    m = len(codebooks)
+    dim = sum(len(cb[0]) for cb in codebooks) // m * m
+    if assign == "pandas":
+        from polars_nexpresso_spark.functions._vectorized import (
+            pandas_pq_codes,
+        )
+
+        code_expr = pandas_pq_codes(codebooks)(F.col(vec_col))
+    elif assign == "expr":
+        unit = _pq_unit(F.col(vec_col))
+        per_m = []
+        for mi, (off, sub) in enumerate(_pq_split(dim, m)):
+            subv = F.slice(unit, off + 1, sub)
+            ranked = F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            _sqdist(
+                                subv,
+                                F.array(*[F.lit(float(x)) for x in cw]),
+                            ).alias("d"),
+                            F.lit(ci).alias("i"),
+                        )
+                        for ci, cw in enumerate(codebooks[mi])
+                    ]
+                )
+            )
+            per_m.append(F.get(ranked, 0)["i"])
+        code_expr = F.array(*per_m)
+    else:
+        raise ValueError(f"assign must be 'pandas' or 'expr': {assign!r}")
+    return corpus.select(
+        F.col(id_col), code_expr.alias(out_col)
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    exclude_self: bool = True,
+    assign: str = "pandas",
+) -> DataFrame:
+    """Approximate top-k cosine via product quantization with
+    asymmetric distance computation (Jégou et al. 2011): the corpus is
+    PQ-encoded once (m ints per vector), each query precomputes one
+    inner-product lookup table per subspace against the codebooks, and
+    a candidate's score is the sum of m table lookups — no
+    per-candidate float vector ever moves or multiplies.
+
+    Scale shape: codebooks train on a bounded sample (driver-sized);
+    encoding is map-side; queries (with their LUTs) broadcast; scoring
+    is a per-row m-lookup expression and the top-k is the bounded
+    per-query window. Recall < 1 by construction (quantization error);
+    compose with the IVF cell filter for the 100 TB path exactly as
+    ``mine_hard_negatives(engine="ivf")`` composes candidates — PQ
+    compresses the SCORING, IVF bounds the CANDIDATES.
+
+    Returns ``(query_id, neighbor_id, score, rank)`` — ``score`` is the
+    ADC cosine approximation (rounded to 6), ranked desc with the id
+    tie-break.
+    """
+    codebooks = pq_codebooks(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        n_codes=n_codes,
+    )
+    encoded = pq_encode(
+        corpus, codebooks, id_col=id_col, vec_col=vec_col, assign=assign
+    ).select(
+        F.col(id_col).alias("neighbor_id"), F.col("codes").alias("__codes")
+    )
+    unit_q = _pq_unit(F.col(vec_col))
+    dim = len(codebooks) * len(codebooks[0][0])
+    luts = []
+    for mi, (off, sub) in enumerate(_pq_split(dim, m)):
+        subq = F.slice(unit_q, off + 1, sub)
+        luts.append(
+            F.array(
+                *[
+                    _dot(subq, F.array(*[F.lit(float(x)) for x in cw]))
+                    for cw in codebooks[mi]
+                ]
+            )
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.array(*luts).alias("__luts"),
+    )
+    joined = encoded.join(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    score = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__codes"),
+                F.col("__luts"),
+                lambda c, l: F.element_at(l, c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = joined.withColumn("score", score)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -3228,3 +3228,114 @@ PIPELINE_ORACLE_SQL["apply_mix"] = f"""
             substr(md5('44:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
           AS BIGINT) % 1000000 < w.cut
 """
+
+
+def q_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k (m=8 subspaces x 16 codes over the
+    dim-64 corpus, queries = vec_id < 10). assign="expr" keeps BOTH
+    engines' normalization/assignment arithmetic sequential, so the
+    deterministic codebooks (re-derived Spark-free in the oracle, the
+    IVF pattern) yield a hash-exact oracle for an approximate index."""
+    from polars_nexpresso_spark.functions.similarity import pq_ann_topk
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_ann_topk(
+        emb, queries, k=5, m=8, n_codes=16, assign="expr"
+    )
+
+
+PIPELINE_QUERIES["pq_ann_topk"] = q_pq_ann_topk
+
+
+def _pq_oracle():
+    """DuckDB replica of ``q_pq_ann_topk``: codebooks embed as VALUES;
+    normalization, per-subspace nearest-codeword assignment (ties to
+    the lowest index), query LUTs, and the m-ordered ADC sum replay in
+    SQL. None (rows-only) if the testdata is unreadable at import."""
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from polars_nexpresso_spark.functions.similarity import (
+            pq_codebooks_local,
+        )
+
+        cbs = pq_codebooks_local(
+            f"{sf_dir}/embeddings.parquet", m=8, n_codes=16
+        )
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return None
+    sub = len(cbs[0][0])
+    values = ",\n             ".join(
+        f"({mi}, {ci}, [{', '.join(repr(x) for x in cw)}]::DOUBLE[])"
+        for mi, cb in enumerate(cbs)
+        for ci, cw in enumerate(cb)
+    )
+    return f"""
+        WITH cb(mi, ci, v) AS (
+          VALUES {values}
+        ),
+        n AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_inner_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nn
+          FROM embeddings
+        ),
+        u AS (
+          SELECT vec_id,
+                 list_transform(e, x -> x /
+                   (CASE WHEN nn = 0 THEN 1.0 ELSE nn END)) AS unit
+          FROM n
+        ),
+        d AS (
+          SELECT u.vec_id, cb.mi, cb.ci,
+                 list_distance(
+                   list_slice(u.unit, cb.mi*{sub}+1, cb.mi*{sub}+{sub}),
+                   cb.v) AS dist
+          FROM u, cb
+        ),
+        a AS (
+          SELECT vec_id, mi, ci,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, mi ORDER BY dist ASC, ci ASC
+                 ) AS rn
+          FROM d
+        ),
+        codes AS (
+          SELECT vec_id, list(ci ORDER BY mi) AS codes
+          FROM a WHERE rn = 1 GROUP BY vec_id
+        ),
+        ql AS (
+          SELECT u.vec_id AS query_id, cb.mi, cb.ci,
+                 list_inner_product(
+                   list_slice(u.unit, cb.mi*{sub}+1, cb.mi*{sub}+{sub}),
+                   cb.v) AS ip
+          FROM u, cb WHERE u.vec_id < 10
+        ),
+        lut1 AS (
+          SELECT query_id, mi, list(ip ORDER BY ci) AS lut
+          FROM ql GROUP BY query_id, mi
+        ),
+        luts AS (
+          SELECT query_id, list(lut ORDER BY mi) AS luts
+          FROM lut1 GROUP BY query_id
+        ),
+        scored AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_sum(list_transform(range(0, {len(cbs)}),
+                   mi -> l.luts[mi+1][c.codes[mi+1]+1])), 6) AS score
+          FROM codes c, luts l
+          WHERE c.vec_id != l.query_id
+        )
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+          ) AS rank FROM scored
+        ) WHERE rank <= 5
+    """
+
+
+_pq_oracle_sql = _pq_oracle()
+if _pq_oracle_sql is not None:
+    PIPELINE_ORACLE_SQL["pq_ann_topk"] = _pq_oracle_sql

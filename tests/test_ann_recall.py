@@ -242,3 +242,102 @@ def test_source_mix_weights_hand_computed(spark):
     assert got["a"]["weight"] == pytest.approx(round(1 / 3, 6))
     assert got["b"]["weight"] == 1.0
     assert got["c"]["target_share"] == 0.0 and got["c"]["weight"] == 0.0
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def _clustered_corpus(spark, *, n_per: int, dim: int, n_clusters: int = 5):
+    """Small deterministic clustered corpus for the PQ tests (module
+    fixture shape, but parameterizable per test)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        noise = 0.05 * rng.normal(size=(n_per, dim))
+        for v in centers[ci] + noise:
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_pq_encode_shapes_and_engine_equivalence(spark):
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    corpus = _clustered_corpus(spark, n_per=40, dim=16)
+    cbs = pq_codebooks(corpus, m=4, n_codes=8)
+    assert len(cbs) == 4 and all(len(cb) == 8 for cb in cbs)
+    assert all(len(cw) == 4 for cb in cbs for cw in cb)
+    a = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(corpus, cbs, assign="pandas").collect()
+    }
+    b = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(corpus, cbs, assign="expr").collect()
+    }
+    assert a == b
+    assert all(
+        len(c) == 4 and all(0 <= x < 8 for x in c) for c in a.values()
+    )
+
+
+def test_pq_ann_cluster_precision_on_clustered_corpus(spark):
+    """What PQ preserves is COARSE structure: inside a tight cluster the
+    codes collapse to the same codewords (ADC ties resolve by id), so
+    the honest bar is cluster-level precision — every approximate
+    neighbor must come from the query's own cluster — not exact-id
+    top-5 recall (that is the quantization error the docstring
+    documents; compose with exact re-rank when ids matter)."""
+    from collections import Counter
+
+    from polars_nexpresso_spark.functions.similarity import pq_ann_topk
+
+    corpus = _clustered_corpus(spark, n_per=40, dim=16)
+    queries = corpus.filter((F.col("vec_id") % 40) < 2)
+    approx = pq_ann_topk(corpus, queries, k=5, m=4, n_codes=16)
+    rows = approx.collect()
+    for r in rows:
+        assert r["query_id"] // 40 == r["neighbor_id"] // 40, (
+            r["query_id"], r["neighbor_id"],
+        )
+    # per-query exactly k rows
+    per_q = Counter(r["query_id"] for r in rows)
+    assert all(v == 5 for v in per_q.values())
+    assert len(per_q) == queries.count()
+
+
+def test_pq_ann_deterministic_across_layouts(spark):
+    from polars_nexpresso_spark.functions.similarity import pq_ann_topk
+
+    corpus = _clustered_corpus(spark, n_per=30, dim=16)
+    queries = corpus.filter(F.col("vec_id") < 2)
+    a = sorted(
+        map(tuple, pq_ann_topk(corpus, queries, k=3, m=4).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            pq_ann_topk(corpus.repartition(9), queries, k=3, m=4).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pq_validation(spark):
+    from polars_nexpresso_spark.functions.similarity import pq_codebooks
+
+    corpus = _clustered_corpus(spark, n_per=10, dim=10)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebooks(corpus, m=4, n_codes=4)
