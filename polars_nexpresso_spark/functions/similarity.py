@@ -1164,6 +1164,36 @@ def _pq_unit(vec_col):
     return F.transform(vec_col, lambda x: x.cast("double") / safe)
 
 
+def _sql_double(x: float) -> str:
+    """Exact double literal as SQL text: string-cast round-trips through
+    Java's parseDouble on the shortest repr, so the parsed Literal is
+    bit-identical to the Python float."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_arr(cw) -> str:
+    return f"array({', '.join(_sql_double(x) for x in cw)})"
+
+
+def _sql_dot(vec_sql: str, cw) -> str:
+    """SQL text producing the same tree as ``_dot(vec, lit-array)``:
+    sequential left-to-right double fold, so values are bit-identical to
+    the Column form (and to the DuckDB oracle's replay)."""
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_arr(cw)}, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_sqdist(vec_sql: str, cw) -> str:
+    return (
+        f"aggregate(zip_with({vec_sql}, {_sql_arr(cw)}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -1188,32 +1218,29 @@ def pq_encode(
         )
 
         code_expr = pandas_pq_codes(codebooks)(F.col(vec_col))
-    elif assign == "expr":
-        unit = _pq_unit(F.col(vec_col))
-        per_m = []
-        for mi, (off, sub) in enumerate(_pq_split(dim, m)):
-            subv = F.slice(unit, off + 1, sub)
-            ranked = F.array_sort(
-                F.array(
-                    *[
-                        F.struct(
-                            _sqdist(
-                                subv,
-                                F.array(*[F.lit(float(x)) for x in cw]),
-                            ).alias("d"),
-                            F.lit(ci).alias("i"),
-                        )
-                        for ci, cw in enumerate(codebooks[mi])
-                    ]
-                )
-            )
-            per_m.append(F.get(ranked, 0)["i"])
-        code_expr = F.array(*per_m)
-    else:
+        return corpus.select(F.col(id_col), code_expr.alias(out_col))
+    if assign != "expr":
         raise ValueError(f"assign must be 'pandas' or 'expr': {assign!r}")
+    # Interpreted-expression form, built as ONE parsed SQL string: the
+    # Column-API equivalent registers 2 py4j lambdas per codeword
+    # (m*n_codes*2 round trips — seconds of driver latency before any
+    # data moves), while parsing one string server-side yields the same
+    # analyzed tree. The unit vector materializes in its own projection
+    # first so each row normalizes ONCE, not once per codeword
+    # (CollapseProject keeps the split — it refuses to duplicate
+    # non-cheap exprs referenced more than once).
+    per_m = []
+    for mi, (off, sub) in enumerate(_pq_split(dim, m)):
+        sub_sql = f"slice(__unit, {off + 1}, {sub})"
+        structs = ", ".join(
+            f"named_struct('d', {_sql_sqdist(sub_sql, cw)}, 'i', {ci})"
+            for ci, cw in enumerate(codebooks[mi])
+        )
+        per_m.append(f"array_sort(array({structs}))[0].i")
+    code_sql = f"array({', '.join(per_m)})"
     return corpus.select(
-        F.col(id_col), code_expr.alias(out_col)
-    )
+        F.col(id_col), _pq_unit(F.col(vec_col)).alias("__unit")
+    ).select(F.col(id_col), F.expr(code_sql).alias(out_col))
 
 
 def pq_ann_topk(
@@ -1259,23 +1286,21 @@ def pq_ann_topk(
     ).select(
         F.col(id_col).alias("neighbor_id"), F.col("codes").alias("__codes")
     )
-    unit_q = _pq_unit(F.col(vec_col))
     dim = len(codebooks) * len(codebooks[0][0])
+    # One parsed SQL string for the full m x n_codes LUT (see pq_encode:
+    # the Column form costs 2 py4j lambda registrations per codeword);
+    # the query unit vector materializes once per row in its own
+    # projection before the per-codeword dots reference it.
     luts = []
     for mi, (off, sub) in enumerate(_pq_split(dim, m)):
-        subq = F.slice(unit_q, off + 1, sub)
-        luts.append(
-            F.array(
-                *[
-                    _dot(subq, F.array(*[F.lit(float(x)) for x in cw]))
-                    for cw in codebooks[mi]
-                ]
-            )
-        )
+        sub_sql = f"slice(__unit, {off + 1}, {sub})"
+        dots = ", ".join(_sql_dot(sub_sql, cw) for cw in codebooks[mi])
+        luts.append(f"array({dots})")
+    lut_sql = f"array({', '.join(luts)})"
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.array(*luts).alias("__luts"),
-    )
+        _pq_unit(F.col(vec_col)).alias("__unit"),
+    ).select(F.col("query_id"), F.expr(lut_sql).alias("__luts"))
     joined = encoded.join(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
