@@ -705,6 +705,7 @@ def main() -> None:
         cosine_topk,
         ivf_ann_topk,
         lsh_ann_topk,
+        pq_ann_topk,
     )
 
     ANN_DIALS = {
@@ -715,6 +716,12 @@ def main() -> None:
         "ivf": {
             "default": {"n_centroids": 16, "n_probe": 6},
             "high": {"n_centroids": 16, "n_probe": 8},
+        },
+        # PQ trades exact-id recall for a 32x smaller scoring
+        # representation; the dial raises codebook resolution.
+        "pq": {
+            "default": {"m": 8, "n_codes": 16},
+            "high": {"m": 8, "n_codes": 64},
         },
     }
 
@@ -732,6 +739,8 @@ def main() -> None:
                         res = lsh_ann_topk(
                             corpus, queries, k=5, dim=dim, **params
                         )
+                    elif engine == "pq":
+                        res = pq_ann_topk(corpus, queries, k=5, **params)
                     else:
                         res = ivf_ann_topk(corpus, queries, k=5, **params)
                     return {
@@ -871,6 +880,10 @@ def main() -> None:
                 # round-7 session-2 operators
                 ("strip_markup", q_strip_markup),
                 ("repeat_upsample", q_repeat_upsample),
+                # round-7 session-3 operators
+                ("ref_dedup", q_ref_dedup),
+                ("clean_ingest", q_clean_ingest),
+                ("pq_ann_topk", q_pq_ann_topk),
             ):
                 try:
                     t_b = _big_time(
