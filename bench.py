@@ -691,9 +691,15 @@ def main() -> None:
 
     bench("bpe_pipeline", _bpe_pipeline)
 
-    from polars_nexpresso_spark.pipeline_queries import q_pq_ann_topk
+    from polars_nexpresso_spark.pipeline_queries import (
+        q_ivfpq_ann_topk,
+        q_pq_ann_topk,
+    )
 
     bench("pq_ann_topk", lambda: force(q_pq_ann_topk(spark, sf_dir)))
+    bench(
+        "ivfpq_ann_topk", lambda: force(q_ivfpq_ann_topk(spark, sf_dir))
+    )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a
@@ -704,6 +710,7 @@ def main() -> None:
     from polars_nexpresso_spark.functions.similarity import (
         cosine_topk,
         ivf_ann_topk,
+        ivfpq_ann_topk,
         lsh_ann_topk,
         pq_ann_topk,
     )
@@ -723,6 +730,16 @@ def main() -> None:
             "default": {"m": 8, "n_codes": 16},
             "high": {"m": 8, "n_codes": 64},
         },
+        # The composed index: IVF bounds candidates, PQ bounds bytes;
+        # the dial widens the probe and raises codebook resolution.
+        "ivfpq": {
+            "default": {
+                "n_centroids": 16, "n_probe": 6, "m": 8, "n_codes": 16,
+            },
+            "high": {
+                "n_centroids": 16, "n_probe": 8, "m": 8, "n_codes": 64,
+            },
+        },
     }
 
     def _recall_curve(corpus, queries, dim) -> dict[str, dict]:
@@ -741,6 +758,10 @@ def main() -> None:
                         )
                     elif engine == "pq":
                         res = pq_ann_topk(corpus, queries, k=5, **params)
+                    elif engine == "ivfpq":
+                        res = ivfpq_ann_topk(
+                            corpus, queries, k=5, **params
+                        )
                     else:
                         res = ivf_ann_topk(corpus, queries, k=5, **params)
                     return {
@@ -884,6 +905,7 @@ def main() -> None:
                 ("ref_dedup", q_ref_dedup),
                 ("clean_ingest", q_clean_ingest),
                 ("pq_ann_topk", q_pq_ann_topk),
+                ("ivfpq_ann_topk", q_ivfpq_ann_topk),
             ):
                 try:
                     t_b = _big_time(

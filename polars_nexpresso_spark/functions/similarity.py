@@ -1194,6 +1194,73 @@ def _sql_sqdist(vec_sql: str, cw) -> str:
     )
 
 
+def _pq_codes_sql(codebooks) -> str:
+    """SQL text assigning per-subspace nearest codewords (ties to the
+    lowest index) over a pre-materialized ``__unit`` column."""
+    m = len(codebooks)
+    dim = sum(len(cb[0]) for cb in codebooks) // m * m
+    per_m = []
+    for mi, (off, sub) in enumerate(_pq_split(dim, m)):
+        sub_sql = f"slice(__unit, {off + 1}, {sub})"
+        structs = ", ".join(
+            f"named_struct('d', {_sql_sqdist(sub_sql, cw)}, 'i', {ci})"
+            for ci, cw in enumerate(codebooks[mi])
+        )
+        per_m.append(f"array_sort(array({structs}))[0].i")
+    return f"array({', '.join(per_m)})"
+
+
+def _pq_luts_sql(codebooks) -> str:
+    """SQL text for the per-query m x n_codes inner-product lookup
+    tables over a pre-materialized ``__unit`` column."""
+    m = len(codebooks)
+    dim = sum(len(cb[0]) for cb in codebooks) // m * m
+    luts = []
+    for mi, (off, sub) in enumerate(_pq_split(dim, m)):
+        sub_sql = f"slice(__unit, {off + 1}, {sub})"
+        dots = ", ".join(_sql_dot(sub_sql, cw) for cw in codebooks[mi])
+        luts.append(f"array({dots})")
+    return f"array({', '.join(luts)})"
+
+
+def _cells_ranked_sql(cent_vecs) -> str:
+    """SQL text ranking every coarse-quantizer cell by squared distance
+    to the raw vector column ``__v`` (ties to the lowest index) —
+    the same ordering the IVF oracle replays via ``list_distance``."""
+    structs = ", ".join(
+        f"named_struct('d', {_sql_sqdist('__v', cv)}, 'i', {i})"
+        for i, cv in enumerate(cent_vecs)
+    )
+    return f"transform(array_sort(array({structs})), s -> s.i)"
+
+
+def _adc_score():
+    """ADC score: sum of one LUT read per subspace, sequential fold."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__codes"),
+                F.col("__luts"),
+                lambda c, l: F.element_at(l, c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _topk_window(scored, k: int, score_col: str):
+    w = Window.partitionBy("query_id").orderBy(
+        F.col(score_col).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", score_col, "rank")
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
@@ -1210,8 +1277,6 @@ def pq_encode(
     map-side; ``assign="pandas"`` is one Arrow stage for all subspaces,
     ``"expr"`` the interpreted column-expression form (ties to the
     lowest index either way)."""
-    m = len(codebooks)
-    dim = sum(len(cb[0]) for cb in codebooks) // m * m
     if assign == "pandas":
         from polars_nexpresso_spark.functions._vectorized import (
             pandas_pq_codes,
@@ -1229,18 +1294,9 @@ def pq_encode(
     # first so each row normalizes ONCE, not once per codeword
     # (CollapseProject keeps the split — it refuses to duplicate
     # non-cheap exprs referenced more than once).
-    per_m = []
-    for mi, (off, sub) in enumerate(_pq_split(dim, m)):
-        sub_sql = f"slice(__unit, {off + 1}, {sub})"
-        structs = ", ".join(
-            f"named_struct('d', {_sql_sqdist(sub_sql, cw)}, 'i', {ci})"
-            for ci, cw in enumerate(codebooks[mi])
-        )
-        per_m.append(f"array_sort(array({structs}))[0].i")
-    code_sql = f"array({', '.join(per_m)})"
     return corpus.select(
         F.col(id_col), _pq_unit(F.col(vec_col)).alias("__unit")
-    ).select(F.col(id_col), F.expr(code_sql).alias(out_col))
+    ).select(F.col(id_col), F.expr(_pq_codes_sql(codebooks)).alias(out_col))
 
 
 def pq_ann_topk(
@@ -1286,42 +1342,111 @@ def pq_ann_topk(
     ).select(
         F.col(id_col).alias("neighbor_id"), F.col("codes").alias("__codes")
     )
-    dim = len(codebooks) * len(codebooks[0][0])
     # One parsed SQL string for the full m x n_codes LUT (see pq_encode:
     # the Column form costs 2 py4j lambda registrations per codeword);
     # the query unit vector materializes once per row in its own
     # projection before the per-codeword dots reference it.
-    luts = []
-    for mi, (off, sub) in enumerate(_pq_split(dim, m)):
-        sub_sql = f"slice(__unit, {off + 1}, {sub})"
-        dots = ", ".join(_sql_dot(sub_sql, cw) for cw in codebooks[mi])
-        luts.append(f"array({dots})")
-    lut_sql = f"array({', '.join(luts)})"
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _pq_unit(F.col(vec_col)).alias("__unit"),
-    ).select(F.col("query_id"), F.expr(lut_sql).alias("__luts"))
+    ).select(F.col("query_id"), F.expr(_pq_luts_sql(codebooks)).alias("__luts"))
     joined = encoded.join(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
-    score = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("__codes"),
-                F.col("__luts"),
-                lambda c, l: F.element_at(l, c + 1),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+    scored = joined.withColumn("score", _adc_score())
+    return _topk_window(scored, k, "score")
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    exclude_self: bool = True,
+    assign: str = "expr",
+) -> DataFrame:
+    """IVF+PQ composed index (the FAISS IVFPQ shape, Jégou et al. 2011):
+    the IVF coarse quantizer bounds WHICH candidates each query touches
+    (``n_probe/n_centroids`` of the corpus instead of all of it), and PQ
+    bounds WHAT moves per candidate (m small ints + one ADC lookup sum
+    instead of a dim-float vector and a full dot product).
+
+    This is the 100 TB ANN path the standalone operators document:
+    :func:`pq_ann_topk` scores compactly but scans every vector per
+    query; :func:`ivf_ann_topk` prunes cells but shuffles full float
+    vectors into the candidate join. Composed, the equi-join on the
+    cell id carries only ``(id, cell, m codes)`` per corpus row — at
+    the catalog's dim-64 float corpus, a ~32x smaller build side —
+    and both trainings stay bounded driver-side samples. Recall is
+    bounded above by the IVF cell recall and below by PQ quantization
+    error; raise ``n_probe``/``n_codes`` to trade cost for recall
+    (measured points in ``BENCH_DETAILS.json:ann_recall_at_k``).
+
+    ``assign="expr"`` (default) keeps cell ranking and code assignment
+    as sequential-arithmetic parsed expressions — deterministic
+    training makes the whole index replayable in SQL, so the oracle is
+    hash-exact like the standalone PQ/IVF oracles; ``"pandas"`` swaps
+    both assignments for Arrow-batched numpy kernels.
+
+    Returns ``(query_id, neighbor_id, score, rank)`` — ``score`` is
+    the ADC cosine approximation (rounded to 6), desc, id tie-break.
+    """
+    cent_vecs = _kmeans_centroids(corpus, id_col, vec_col, n_centroids)
+    codebooks = pq_codebooks(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes
     )
-    scored = joined.withColumn("score", score)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
+    ranked_sql = _cells_ranked_sql(cent_vecs)
+    if assign == "pandas":
+        from polars_nexpresso_spark.functions._vectorized import (
+            pandas_pq_codes,
+        )
+
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.get(
+                _pandas_nearest_cells(cent_vecs, 1)(F.col(vec_col)), 0
+            ).alias("__cell"),
+            pandas_pq_codes(codebooks)(F.col(vec_col)).alias("__codes"),
+        )
+        probe = _pandas_nearest_cells(cent_vecs, n_probe)(F.col("__v"))
+    elif assign == "expr":
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__v"),
+            _pq_unit(F.col(vec_col)).alias("__unit"),
+        ).select(
+            "neighbor_id",
+            F.expr(f"{ranked_sql}[0]").alias("__cell"),
+            F.expr(_pq_codes_sql(codebooks)).alias("__codes"),
+        )
+        probe = F.expr(f"slice({ranked_sql}, 1, {n_probe})")
+    else:
+        raise ValueError(f"assign must be 'pandas' or 'expr': {assign!r}")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__v"),
+            _pq_unit(F.col(vec_col)).alias("__unit"),
+        )
+        .select(
+            "query_id",
+            probe.alias("__probe"),
+            F.expr(_pq_luts_sql(codebooks)).alias("__luts"),
+        )
+        .select(
+            "query_id",
+            F.explode(F.col("__probe")).alias("__cell"),
+            F.col("__luts"),
+        )
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    joined = c.join(F.broadcast(q), on="__cell")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn("score", _adc_score())
+    return _topk_window(scored, k, "score")

@@ -3339,3 +3339,147 @@ def _pq_oracle():
 _pq_oracle_sql = _pq_oracle()
 if _pq_oracle_sql is not None:
     PIPELINE_ORACLE_SQL["pq_ann_topk"] = _pq_oracle_sql
+
+
+def q_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed index (n_centroids=16, 6-cell probe; m=8 x 16
+    codes; queries = vec_id < 10): IVF bounds the candidates, PQ bounds
+    the bytes per candidate. assign="expr" keeps cell ranking and code
+    assignment sequential, so both deterministic trainings replay
+    Spark-free in the oracle and the composed index is hash-exact."""
+    from polars_nexpresso_spark.functions.similarity import ivfpq_ann_topk
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_ann_topk(
+        emb,
+        queries,
+        k=5,
+        n_centroids=16,
+        n_probe=6,
+        m=8,
+        n_codes=16,
+        assign="expr",
+    )
+
+
+PIPELINE_QUERIES["ivfpq_ann_topk"] = q_ivfpq_ann_topk
+
+
+def _ivfpq_oracle():
+    """DuckDB replica of ``q_ivfpq_ann_topk``: the IVF oracle's cell
+    CTEs (centroids as VALUES, nearest-cell assignment, 6-cell probe)
+    composed with the PQ oracle's code/LUT/ADC CTEs, joined on the cell
+    id. None (rows-only) if the testdata is unreadable at import."""
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from polars_nexpresso_spark.functions.similarity import (
+            kmeans_centroids_local,
+            pq_codebooks_local,
+        )
+
+        cents = kmeans_centroids_local(
+            f"{sf_dir}/embeddings.parquet", n_centroids=16
+        )
+        cbs = pq_codebooks_local(
+            f"{sf_dir}/embeddings.parquet", m=8, n_codes=16
+        )
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return None
+    cent_values = ",\n                 ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    sub = len(cbs[0][0])
+    cb_values = ",\n             ".join(
+        f"({mi}, {ci}, [{', '.join(repr(x) for x in cw)}]::DOUBLE[])"
+        for mi, cb in enumerate(cbs)
+        for ci, cw in enumerate(cb)
+    )
+    return f"""
+        WITH cents(i, v) AS (
+          VALUES {cent_values}
+        ),
+        cb(mi, ci, v) AS (
+          VALUES {cb_values}
+        ),
+        rankedc AS (
+          SELECT e.vec_id, c.i,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.v) ASC, c.i ASC
+                 ) AS rn
+          FROM embeddings e, cents c
+        ),
+        corpus_cell AS (SELECT vec_id, i AS cell FROM rankedc WHERE rn = 1),
+        query_cell AS (
+          SELECT vec_id, i AS cell FROM rankedc WHERE rn <= 6 AND vec_id < 10
+        ),
+        n AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 sqrt(list_inner_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nn
+          FROM embeddings
+        ),
+        u AS (
+          SELECT vec_id,
+                 list_transform(e, x -> x /
+                   (CASE WHEN nn = 0 THEN 1.0 ELSE nn END)) AS unit
+          FROM n
+        ),
+        d AS (
+          SELECT u.vec_id, cb.mi, cb.ci,
+                 list_distance(
+                   list_slice(u.unit, cb.mi*{sub}+1, cb.mi*{sub}+{sub}),
+                   cb.v) AS dist
+          FROM u, cb
+        ),
+        a AS (
+          SELECT vec_id, mi, ci,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, mi ORDER BY dist ASC, ci ASC
+                 ) AS rn
+          FROM d
+        ),
+        codes AS (
+          SELECT vec_id, list(ci ORDER BY mi) AS codes
+          FROM a WHERE rn = 1 GROUP BY vec_id
+        ),
+        ql AS (
+          SELECT u.vec_id AS query_id, cb.mi, cb.ci,
+                 list_inner_product(
+                   list_slice(u.unit, cb.mi*{sub}+1, cb.mi*{sub}+{sub}),
+                   cb.v) AS ip
+          FROM u, cb WHERE u.vec_id < 10
+        ),
+        lut1 AS (
+          SELECT query_id, mi, list(ip ORDER BY ci) AS lut
+          FROM ql GROUP BY query_id, mi
+        ),
+        luts AS (
+          SELECT query_id, list(lut ORDER BY mi) AS luts
+          FROM lut1 GROUP BY query_id
+        ),
+        scored AS (
+          SELECT l.query_id, c.vec_id AS neighbor_id,
+                 ROUND(list_sum(list_transform(range(0, {len(cbs)}),
+                   mi -> l.luts[mi+1][c.codes[mi+1]+1])), 6) AS score
+          FROM corpus_cell cc
+          JOIN query_cell qc ON cc.cell = qc.cell
+          JOIN codes c ON c.vec_id = cc.vec_id
+          JOIN luts l ON l.query_id = qc.vec_id
+          WHERE cc.vec_id != qc.vec_id
+        )
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+          ) AS rank FROM scored
+        ) WHERE rank <= 5
+    """
+
+
+_ivfpq_oracle_sql = _ivfpq_oracle()
+if _ivfpq_oracle_sql is not None:
+    PIPELINE_ORACLE_SQL["ivfpq_ann_topk"] = _ivfpq_oracle_sql

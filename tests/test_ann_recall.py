@@ -341,3 +341,80 @@ def test_pq_validation(spark):
     corpus = _clustered_corpus(spark, n_per=10, dim=10)
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebooks(corpus, m=4, n_codes=4)
+
+
+def test_ivfpq_cluster_precision_and_engine_equivalence(spark):
+    """The composed index keeps PQ's cluster-level precision (candidates
+    can only come from probed IVF cells, and ADC ties resolve by id
+    inside the query's own tight cluster) and the expr/pandas
+    assignment engines agree row-for-row."""
+    from collections import Counter
+
+    from polars_nexpresso_spark.functions.similarity import ivfpq_ann_topk
+
+    corpus = _clustered_corpus(spark, n_per=40, dim=16)
+    queries = corpus.filter((F.col("vec_id") % 40) < 2)
+    kwargs = dict(k=5, n_centroids=8, n_probe=3, m=4, n_codes=16)
+    rows_e = ivfpq_ann_topk(corpus, queries, assign="expr", **kwargs).collect()
+    for r in rows_e:
+        assert r["query_id"] // 40 == r["neighbor_id"] // 40, (
+            r["query_id"], r["neighbor_id"],
+        )
+    per_q = Counter(r["query_id"] for r in rows_e)
+    assert all(v == 5 for v in per_q.values())
+    assert len(per_q) == queries.count()
+
+    rows_p = ivfpq_ann_topk(
+        corpus, queries, assign="pandas", **kwargs
+    ).collect()
+    assert sorted(map(tuple, rows_e)) == sorted(map(tuple, rows_p))
+
+
+def test_ivfpq_candidates_bounded_by_probed_cells(spark):
+    """Every (query, neighbor) the composed index scores shares a probed
+    IVF cell — the candidate bound that makes the join touch
+    ~n_probe/n_centroids of the corpus instead of all of it."""
+    from polars_nexpresso_spark.functions.similarity import (
+        _kmeans_centroids,
+        _pandas_nearest_cells,
+        ivfpq_ann_topk,
+    )
+
+    corpus = _clustered_corpus(spark, n_per=30, dim=16)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    res = ivfpq_ann_topk(
+        corpus, queries, k=50, n_centroids=8, n_probe=2, m=4, n_codes=16,
+        exclude_self=False,
+    ).collect()
+    cents = _kmeans_centroids(corpus, "vec_id", "embedding", 8)
+    cell1 = _pandas_nearest_cells(cents, 1)(F.col("embedding"))
+    cell2 = _pandas_nearest_cells(cents, 2)(F.col("embedding"))
+    corpus_cell = {
+        r["vec_id"]: r["c"][0]
+        for r in corpus.select("vec_id", cell1.alias("c")).collect()
+    }
+    probe = {
+        r["vec_id"]: set(r["c"])
+        for r in queries.select("vec_id", cell2.alias("c")).collect()
+    }
+    assert res, "composed index returned no candidates"
+    for r in res:
+        assert corpus_cell[r["neighbor_id"]] in probe[r["query_id"]], (
+            r["query_id"], r["neighbor_id"],
+        )
+
+
+def test_ivfpq_deterministic_across_layouts(spark):
+    from polars_nexpresso_spark.functions.similarity import ivfpq_ann_topk
+
+    corpus = _clustered_corpus(spark, n_per=30, dim=16)
+    queries = corpus.filter(F.col("vec_id") < 2)
+    kwargs = dict(k=3, n_centroids=8, n_probe=3, m=4, n_codes=8)
+    a = sorted(map(tuple, ivfpq_ann_topk(corpus, queries, **kwargs).collect()))
+    b = sorted(
+        map(
+            tuple,
+            ivfpq_ann_topk(corpus.repartition(9), queries, **kwargs).collect(),
+        )
+    )
+    assert a == b

@@ -518,3 +518,54 @@ def test_round7_session2_operator_shuffle_budgets(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_round7_session3_operator_shuffle_budgets(spark):
+    """Round-7 session-3 operators. token_shift = 4 exchanges (two
+    vocab count aggs, their full-outer join, the final top-k); its
+    nested-loop join is the broadcast 1-ROW scalar frame (totals +
+    union vocab size) and its unpartitioned window ranks the
+    vocab-sized (not corpus-sized) score table — both bounded by
+    construction. clean_ingest/apply_mix = 1 exchange each.
+    pq_ann_topk's nested-loop join is the operator's CONTRACT: PQ
+    without a candidate bound scores every (query, vector) pair via
+    the broadcast query LUTs — the documented fix is the composed
+    index, whose cell equi-join must leave NO warnings at all."""
+    import __spark_entry__ as em
+
+    from polars_nexpresso_spark.plans.audit import scale_report
+
+    sf = "/root/testdata/sf0.001"
+    qs = em.queries()
+    budgets = {
+        "token_shift": (4, 0),
+        "apply_mix": (1, 0),
+        "clean_ingest": (1, 0),
+        "pq_ann_topk": (1, 0),
+        "ivfpq_ann_topk": (1, 0),
+    }
+    benign = {
+        "token_shift": ("nested-loop-join", "window-without-partitionBy"),
+        "apply_mix": ("window-without-partitionBy",),
+        "pq_ann_topk": ("nested-loop-join",),
+    }
+    for name, (max_exchanges, python_stages) in budgets.items():
+        rep = scale_report(qs[name](spark, sf))
+        hard = [
+            w
+            for w in rep["warnings"]
+            if not w.startswith(benign.get(name, ()))
+        ]
+        assert hard == [], (name, hard)
+        assert rep["exchanges"] <= max_exchanges, (name, rep["exchanges"])
+        assert rep["python_stages"] <= python_stages, (
+            name, rep["python_stages"],
+        )
+    # The composed index's candidate join is the broadcast-hash cell
+    # equi-join (never a cartesian or sort-merge shuffle of the corpus).
+    plan = (
+        qs["ivfpq_ann_topk"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
