@@ -693,6 +693,7 @@ def main() -> None:
 
     from polars_nexpresso_spark.pipeline_queries import (
         q_ivfpq_ann_topk,
+        q_ivfpq_rerank,
         q_pq_ann_topk,
     )
 
@@ -700,6 +701,7 @@ def main() -> None:
     bench(
         "ivfpq_ann_topk", lambda: force(q_ivfpq_ann_topk(spark, sf_dir))
     )
+    bench("ivfpq_rerank", lambda: force(q_ivfpq_rerank(spark, sf_dir)))
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a
@@ -906,6 +908,7 @@ def main() -> None:
                 ("clean_ingest", q_clean_ingest),
                 ("pq_ann_topk", q_pq_ann_topk),
                 ("ivfpq_ann_topk", q_ivfpq_ann_topk),
+                ("ivfpq_rerank", q_ivfpq_rerank),
             ):
                 try:
                     t_b = _big_time(

@@ -1450,3 +1450,57 @@ def ivfpq_ann_topk(
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.withColumn("score", _adc_score())
     return _topk_window(scored, k, "score")
+
+
+def exact_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of an ANN candidate table — the second
+    stage of the classic retrieve-then-rerank pattern: any approximate
+    engine over-fetches ``(query_id, neighbor_id)`` candidates cheaply
+    (LSH buckets, IVF cells, PQ codes), and this stage restores exact
+    scores and exact ordering AMONG those candidates. Recall stays
+    bounded by candidate generation; precision within the candidate set
+    becomes exact — which is what compressed indexes like
+    :func:`ivfpq_ann_topk` trade away and the re-rank buys back.
+
+    Scale shape: the candidate table is queries x overfetch rows —
+    small by construction — so it BROADCASTS into the corpus scan and
+    the corpus never shuffles (a broadcast-hash semi-fetch of candidate
+    vectors, not a sort-merge join); query vectors ride a second
+    broadcast; the final top-k is the bounded per-query window over
+    ≤ overfetch rows. Exactly two map-side joins, zero corpus
+    exchanges.
+
+    Returns ``(query_id, neighbor_id, cosine, rank)`` — the
+    :func:`cosine_topk` contract, with the same rounding and
+    deterministic (cosine desc, id asc) tie-break.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    cand = candidates.select("query_id", "neighbor_id").distinct()
+    fetched = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    ).join(F.broadcast(cand), on="neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    scored = fetched.join(F.broadcast(q), on="query_id").withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("__cv"), F.col("__qv"))
+            / (F.col("__cn") * F.col("__qn")),
+            6,
+        ),
+    )
+    return _topk_window(scored, k, "cosine")

@@ -3371,6 +3371,24 @@ def _ivfpq_oracle():
     CTEs (centroids as VALUES, nearest-cell assignment, 6-cell probe)
     composed with the PQ oracle's code/LUT/ADC CTEs, joined on the cell
     id. None (rows-only) if the testdata is unreadable at import."""
+    body = _ivfpq_with_body()
+    if body is None:
+        return None
+    return (
+        body
+        + """
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+          ) AS rank FROM scored
+        ) WHERE rank <= 5
+    """
+    )
+
+
+def _ivfpq_with_body():
+    """Shared WITH-clause body for the IVF+PQ oracles, ending at the
+    ADC-``scored`` CTE; None if the testdata is unreadable at import."""
     import os
 
     sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
@@ -3472,14 +3490,78 @@ def _ivfpq_oracle():
           JOIN luts l ON l.query_id = qc.vec_id
           WHERE cc.vec_id != qc.vec_id
         )
-        SELECT query_id, neighbor_id, score, rank FROM (
-          SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
-          ) AS rank FROM scored
-        ) WHERE rank <= 5
     """
 
 
 _ivfpq_oracle_sql = _ivfpq_oracle()
 if _ivfpq_oracle_sql is not None:
     PIPELINE_ORACLE_SQL["ivfpq_ann_topk"] = _ivfpq_oracle_sql
+
+
+def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank: the compressed IVF+PQ index over-fetches
+    30 candidates per query (compact shuffles), then exact cosine
+    re-ranks them to the final top-5 — the two-stage pattern that makes
+    a quantized index usable when exact ids matter. Both stages are
+    deterministic, so the whole cascade replays in SQL hash-exact."""
+    from polars_nexpresso_spark.functions.similarity import (
+        exact_rerank,
+        ivfpq_ann_topk,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    cand = ivfpq_ann_topk(
+        emb,
+        queries,
+        k=30,
+        n_centroids=16,
+        n_probe=6,
+        m=8,
+        n_codes=16,
+        assign="expr",
+    )
+    return exact_rerank(cand, emb, queries, k=5)
+
+
+PIPELINE_QUERIES["ivfpq_rerank"] = q_ivfpq_rerank
+
+
+def _ivfpq_rerank_oracle():
+    """DuckDB replica of ``q_ivfpq_rerank``: the shared IVF+PQ CTEs
+    produce the 30-candidate over-fetch, then exact cosine re-ranks —
+    the same final SELECT shape as the IVF oracle."""
+    body = _ivfpq_with_body()
+    if body is None:
+        return None
+    return (
+        body
+        + """
+        , cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+            ) AS rank FROM scored
+          ) WHERE rank <= 30
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT s.query_id, s.neighbor_id,
+                 ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[]), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                         q.embedding::DOUBLE[]), 6)
+                            DESC, s.neighbor_id ASC
+                 ) AS rank
+          FROM cand s
+          JOIN embeddings c ON c.vec_id = s.neighbor_id
+          JOIN embeddings q ON q.vec_id = s.query_id
+        ) WHERE rank <= 5
+    """
+    )
+
+
+_ivfpq_rerank_oracle_sql = _ivfpq_rerank_oracle()
+if _ivfpq_rerank_oracle_sql is not None:
+    PIPELINE_ORACLE_SQL["ivfpq_rerank"] = _ivfpq_rerank_oracle_sql

@@ -404,6 +404,72 @@ def test_ivfpq_candidates_bounded_by_probed_cells(spark):
         )
 
 
+def test_exact_rerank_restores_exact_order(spark):
+    """Feeding the exact top-10 back as a candidate table must
+    reproduce exact top-5 row-for-row — same rounding, same
+    (cosine desc, id asc) tie-break: the re-rank stage adds no
+    approximation of its own."""
+    from polars_nexpresso_spark.functions.similarity import (
+        cosine_topk,
+        exact_rerank,
+    )
+
+    corpus = _clustered_corpus(spark, n_per=30, dim=16)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    exact10 = cosine_topk(corpus, queries, k=10)
+    rr = exact_rerank(exact10, corpus, queries, k=5)
+    exact5 = cosine_topk(corpus, queries, k=5)
+    assert sorted(map(tuple, rr.collect())) == sorted(
+        map(tuple, exact5.collect())
+    )
+
+
+def test_exact_rerank_lifts_ivfpq_to_exact_ids(emb_and_exact):
+    """The two-stage cascade on the real sf corpus: IVF+PQ over-fetches
+    30 compressed candidates, exact re-rank restores true ordering
+    among them — recall@5 must beat the raw quantized top-5 and clear
+    the IVF floor (the candidate bound is the same cells)."""
+    from polars_nexpresso_spark.functions.similarity import (
+        exact_rerank,
+        ivfpq_ann_topk,
+    )
+
+    emb, queries, exact = emb_and_exact
+    cand = ivfpq_ann_topk(
+        emb, queries, k=30, n_centroids=16, n_probe=6, m=8, n_codes=16
+    )
+    rr = exact_rerank(cand, emb, queries, k=K)
+    raw = ivfpq_ann_topk(
+        emb, queries, k=K, n_centroids=16, n_probe=6, m=8, n_codes=16
+    )
+    r_rr = _recall_at_k(exact, rr)
+    r_raw = _recall_at_k(exact, raw)
+    assert r_rr >= r_raw, (r_rr, r_raw)
+    assert r_rr >= 0.60, f"reranked recall@{K} regressed: {r_rr:.3f}"
+
+
+def test_exact_rerank_plan_never_shuffles_the_corpus(spark):
+    """Both joins must be broadcast-hash (candidates and query vectors
+    are small by construction); a sort-merge join or cartesian product
+    here would shuffle the corpus and defeat the pattern."""
+    from polars_nexpresso_spark.functions.similarity import (
+        exact_rerank,
+        ivfpq_ann_topk,
+    )
+
+    corpus = _clustered_corpus(spark, n_per=30, dim=16)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    cand = ivfpq_ann_topk(
+        corpus, queries, k=10, n_centroids=8, n_probe=2, m=4, n_codes=8
+    )
+    plan = (
+        exact_rerank(cand, corpus, queries, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_ivfpq_deterministic_across_layouts(spark):
     from polars_nexpresso_spark.functions.similarity import ivfpq_ann_topk
 

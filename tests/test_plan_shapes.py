@@ -543,6 +543,10 @@ def test_round7_session3_operator_shuffle_budgets(spark):
         "clean_ingest": (1, 0),
         "pq_ann_topk": (1, 0),
         "ivfpq_ann_topk": (1, 0),
+        # candidate window + the rerank window/distinct, both on
+        # bounded (queries x overfetch) frames — the corpus itself
+        # never exchanges (broadcast pin in test_ann_recall.py)
+        "ivfpq_rerank": (2, 0),
     }
     benign = {
         "token_shift": ("nested-loop-join", "window-without-partitionBy"),
