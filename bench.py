@@ -1239,6 +1239,22 @@ def main() -> None:
             "verdict": "no code regression (paths unchanged r05->r06); "
             "isolated medians match r06 and sit between r05/r06 — the "
             "r05 shared-session readings were warm-session outliers",
+            # Round-7 flag: pack_split_join read 1.86s in the final r07
+            # shared session vs 1.41s in r06 (1.32x). Fresh-JVM isolation
+            # -> runs [1.408, 1.057, 0.895], median 1.057s — FASTER than
+            # both shared-session readings, so session-ordering noise
+            # again (the r07 session also recovered the three r06 flags:
+            # multimodal_video 0.67, contamination_report 0.90,
+            # corpus_report 0.53).
+            "r07": {
+                "pack_split_join": {
+                    "shared_r06": 1.406,
+                    "shared_r07": 1.856,
+                    "isolated_runs": [1.408, 1.057, 0.895],
+                    "isolated_median": 1.057,
+                    "verdict": "session-ordering noise, not code",
+                },
+            },
         },
         # pack_heap_capped r05 anomaly (6.93->21.62s): re-probed this
         # round 3x fresh -> 5.54/5.57/5.88s at 944-997 MB RSS, i.e.
