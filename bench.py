@@ -692,6 +692,7 @@ def main() -> None:
     bench("bpe_pipeline", _bpe_pipeline)
 
     from polars_nexpresso_spark.pipeline_queries import (
+        q_hard_negatives_ivfpq,
         q_ivfpq_ann_topk,
         q_ivfpq_rerank,
         q_pq_ann_topk,
@@ -702,6 +703,10 @@ def main() -> None:
         "ivfpq_ann_topk", lambda: force(q_ivfpq_ann_topk(spark, sf_dir))
     )
     bench("ivfpq_rerank", lambda: force(q_ivfpq_rerank(spark, sf_dir)))
+    bench(
+        "hard_negatives_ivfpq",
+        lambda: force(q_hard_negatives_ivfpq(spark, sf_dir)),
+    )
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a
@@ -909,6 +914,7 @@ def main() -> None:
                 ("pq_ann_topk", q_pq_ann_topk),
                 ("ivfpq_ann_topk", q_ivfpq_ann_topk),
                 ("ivfpq_rerank", q_ivfpq_rerank),
+                ("hard_negatives_ivfpq", q_hard_negatives_ivfpq),
             ):
                 try:
                     t_b = _big_time(

@@ -981,6 +981,8 @@ def mine_hard_negatives(
     n_centroids: int = 16,
     n_probe: int = 4,
     max_positives: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
 ) -> DataFrame:
     """Hard-negative mining for retrieval / embedding-model training:
     per query vector, the top-``k`` most-similar corpus vectors that are
@@ -1012,16 +1014,47 @@ def mine_hard_negatives(
     than k rows (raise ``max_positives`` to taste — candidates stay
     queries × (k + max_positives)).
 
+    ``engine="ivfpq"`` is the compressed 100 TB path: candidates come
+    from :func:`ivfpq_ann_topk` (cell-bounded like ``"ivf"``, but the
+    candidate join's build side carries ``(id, cell, m codes)`` instead
+    of float vectors), over-fetched to ``k + max_positives`` by ADC
+    score, positive-filtered, then EXACT-cosine re-ranked via
+    :func:`exact_rerank` (the retrieve-then-rerank cascade) — so the
+    output scores are true cosines with the same contract as the other
+    engines; only candidate membership is approximate.
+
     Returns ``(query_id, neighbor_id, cosine, rank)`` with the
     deterministic (cosine desc, neighbor_id asc) tie-break.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    if engine not in ("exact", "ivf"):
-        raise ValueError(f"engine must be 'exact' or 'ivf', got {engine!r}")
+    if engine not in ("exact", "ivf", "ivfpq"):
+        raise ValueError(
+            f"engine must be 'exact', 'ivf', or 'ivfpq', got {engine!r}"
+        )
     pos_sets = positives.groupBy(
         F.col(query_id_col).alias("query_id")
     ).agg(F.collect_set(F.col(doc_id_col)).alias("__pos"))
+    if engine == "ivfpq":
+        cand = ivfpq_ann_topk(
+            corpus,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=k + max_positives,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+            m=m,
+            n_codes=n_codes,
+        )
+        filtered = (
+            cand.join(F.broadcast(pos_sets), on="query_id", how="left")
+            .withColumn("__pos", F.coalesce("__pos", F.array()))
+            .filter(~F.array_contains(F.col("__pos"), F.col("neighbor_id")))
+        )
+        return exact_rerank(
+            filtered, corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+        )
     if engine == "ivf":
         cand = ivf_ann_topk(
             corpus,

@@ -3565,3 +3565,93 @@ def _ivfpq_rerank_oracle():
 _ivfpq_rerank_oracle_sql = _ivfpq_rerank_oracle()
 if _ivfpq_rerank_oracle_sql is not None:
     PIPELINE_ORACLE_SQL["ivfpq_rerank"] = _ivfpq_rerank_oracle_sql
+
+
+def q_hard_negatives_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining on the compressed path: IVF+PQ over-fetches
+    k+max_positives candidates by ADC score (the candidate join carries
+    codes, not vectors), same-label positives filter out map-side, and
+    exact cosine re-ranks the survivors — true-cosine output like the
+    other engines, approximate only in candidate membership."""
+    from polars_nexpresso_spark.functions.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    positives = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "label"),
+            on="label",
+        )
+        .select("query_id", "doc_id")
+    )
+    return mine_hard_negatives(
+        emb,
+        queries,
+        positives,
+        k=5,
+        engine="ivfpq",
+        n_centroids=16,
+        n_probe=6,
+        max_positives=64,
+        m=8,
+        n_codes=16,
+    )
+
+
+PIPELINE_QUERIES["hard_negatives_ivfpq"] = q_hard_negatives_ivfpq
+
+
+def _hard_negatives_ivfpq_oracle():
+    """DuckDB replica of ``q_hard_negatives_ivfpq``: the shared IVF+PQ
+    CTEs over-fetch 69 candidates by ADC score, the same-label positive
+    pairs anti-filter them, and exact cosine re-ranks the survivors."""
+    body = _ivfpq_with_body()
+    if body is None:
+        return None
+    return (
+        body
+        + """
+        , cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
+            ) AS rank FROM scored
+          ) WHERE rank <= 69
+        ),
+        pos AS (
+          SELECT q.vec_id AS query_id, d.vec_id AS doc_id
+          FROM embeddings q JOIN embeddings d ON d.label = q.label
+          WHERE q.vec_id < 10
+        ),
+        neg AS (
+          SELECT c.query_id, c.neighbor_id
+          FROM cand c LEFT JOIN pos p
+            ON p.query_id = c.query_id AND p.doc_id = c.neighbor_id
+          WHERE p.doc_id IS NULL
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT s.query_id, s.neighbor_id,
+                 ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[]), 6) AS cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY s.query_id
+                   ORDER BY ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                         q.embedding::DOUBLE[]), 6)
+                            DESC, s.neighbor_id ASC
+                 ) AS rank
+          FROM neg s
+          JOIN embeddings c ON c.vec_id = s.neighbor_id
+          JOIN embeddings q ON q.vec_id = s.query_id
+        ) WHERE rank <= 5
+    """
+    )
+
+
+_hard_negatives_ivfpq_oracle_sql = _hard_negatives_ivfpq_oracle()
+if _hard_negatives_ivfpq_oracle_sql is not None:
+    PIPELINE_ORACLE_SQL["hard_negatives_ivfpq"] = (
+        _hard_negatives_ivfpq_oracle_sql
+    )

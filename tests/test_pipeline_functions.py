@@ -2297,6 +2297,56 @@ def test_mine_hard_negatives_ivf_engine(spark):
         mine_hard_negatives(emb, queries, positives, engine="lsh")
 
 
+def test_mine_hard_negatives_ivfpq_engine(spark):
+    """The compressed engine's output is true-cosine scored (every
+    returned score equals the exact engine's score for that pair —
+    only candidate MEMBERSHIP is approximate), never contains a
+    positive or the query itself, and respects the k bound."""
+    from polars_nexpresso_spark.functions.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float((i * 13 + j * 7) % 11) - 5.0 for j in range(8)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter("vec_id < 3")
+    positives = spark.createDataFrame(
+        [(q, d) for q in range(3) for d in range(40) if d % 5 == q % 5],
+        "query_id long, doc_id long",
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in mine_hard_negatives(
+            emb, queries, positives, k=40, max_positives=40
+        ).collect()
+    }
+    pos = {(q, d) for q in range(3) for d in range(40) if d % 5 == q % 5}
+    rows = mine_hard_negatives(
+        emb,
+        queries,
+        positives,
+        k=4,
+        engine="ivfpq",
+        n_centroids=4,
+        n_probe=2,
+        max_positives=40,
+        m=4,
+        n_codes=8,
+    ).collect()
+    assert rows, "ivfpq engine returned nothing"
+    per_q = {}
+    for r in rows:
+        pair = (r["query_id"], r["neighbor_id"])
+        assert pair not in pos and r["query_id"] != r["neighbor_id"], pair
+        assert r["cosine"] == exact[pair], pair
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert all(v <= 4 for v in per_q.values())
+
+
 def test_audio_fingerprint_matches_closed_form(spark):
     """The REAL wave-decode fingerprint equals the closed-form replay
     (the oracle's arithmetic), an identical blob pairs at hamming 0,

@@ -547,6 +547,8 @@ def test_round7_session3_operator_shuffle_budgets(spark):
         # bounded (queries x overfetch) frames — the corpus itself
         # never exchanges (broadcast pin in test_ann_recall.py)
         "ivfpq_rerank": (2, 0),
+        # + the positive-set collect_set agg; still zero warnings
+        "hard_negatives_ivfpq": (3, 0),
     }
     benign = {
         "token_shift": ("nested-loop-join", "window-without-partitionBy"),
