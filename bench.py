@@ -716,6 +716,7 @@ def main() -> None:
     # synthetic corpus (the shape real embedding models produce).
     from polars_nexpresso_spark.functions.similarity import (
         cosine_topk,
+        exact_rerank,
         ivf_ann_topk,
         ivfpq_ann_topk,
         lsh_ann_topk,
@@ -747,6 +748,18 @@ def main() -> None:
                 "n_centroids": 16, "n_probe": 8, "m": 8, "n_codes": 64,
             },
         },
+        # The full cascade: compressed 30-candidate over-fetch + exact
+        # re-rank. Recall should recover to ~the IVF cell bound (the
+        # only approximation left is candidate membership) while the
+        # candidate join still moves codes, not vectors.
+        "ivfpq_rerank": {
+            "default": {
+                "n_centroids": 16, "n_probe": 6, "m": 8, "n_codes": 16,
+            },
+            "high": {
+                "n_centroids": 16, "n_probe": 8, "m": 8, "n_codes": 16,
+            },
+        },
     }
 
     def _recall_curve(corpus, queries, dim) -> dict[str, dict]:
@@ -769,6 +782,11 @@ def main() -> None:
                         res = ivfpq_ann_topk(
                             corpus, queries, k=5, **params
                         )
+                    elif engine == "ivfpq_rerank":
+                        cand = ivfpq_ann_topk(
+                            corpus, queries, k=30, **params
+                        )
+                        res = exact_rerank(cand, corpus, queries, k=5)
                     else:
                         res = ivf_ann_topk(corpus, queries, k=5, **params)
                     return {
