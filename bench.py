@@ -1278,6 +1278,17 @@ def main() -> None:
                     "isolated_median": 1.057,
                     "verdict": "session-ordering noise, not code",
                 },
+                # Four consecutive full sf0.1 runs at round close
+                # flagged a DIFFERENT set of untouched queries each
+                # time (pack_split_join; then any_child/enrich_stats/
+                # promote_sum; then cosine_topk_pandas/asof_attribution/
+                # label_centroids) with comparable-subset totals
+                # swinging 0.96x-1.24x vs r06 — the definitive
+                # run-to-run noise signature, same conclusion the
+                # isolated pack_split_join case proves directly.
+                "flag_churn_note": "flags rotate across runs on "
+                "untouched code; per-query claims need fresh-JVM "
+                "isolation before being believed",
             },
         },
         # pack_heap_capped r05 anomaly (6.93->21.62s): re-probed this
