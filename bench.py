@@ -707,6 +707,9 @@ def main() -> None:
         "hard_negatives_ivfpq",
         lambda: force(q_hard_negatives_ivfpq(spark, sf_dir)),
     )
+    from polars_nexpresso_spark.pipeline_queries import q_ann_recall
+
+    bench("ann_recall", lambda: force(q_ann_recall(spark, sf_dir)))
 
     # --- ANN quality/cost curve: recall@k of each approximate engine vs
     # the exact top-k at TWO dial settings (the query-catalog default and a

@@ -1537,3 +1537,46 @@ def exact_rerank(
         ),
     )
     return _topk_window(scored, k, "cosine")
+
+
+def ann_recall_table(
+    approx: DataFrame,
+    exact: DataFrame,
+) -> DataFrame:
+    """Distributed per-query recall of an approximate top-k table
+    against the exact one — the eval an ANN dial needs, as a DataFrame
+    op instead of a driver-side ``collect()`` (at 100 TB the eval
+    query set itself is a table; nothing here touches the driver).
+
+    Both inputs are ``(query_id, neighbor_id, ...)`` tables (any extra
+    columns ignored; duplicate pairs deduped). Recall is measured per
+    query against however many rows ``exact`` holds for it, so feeding
+    exact top-5 measures recall@5.
+
+    Scale shape: one distinct on the (already small) approx pairs, one
+    key-partitioned LEFT join on (query_id, neighbor_id), one hash agg
+    — every exchange carries eval-set rows, never the corpus.
+
+    Returns ``(query_id, n_exact, n_hit, recall)`` with recall rounded
+    to 6 (deterministic and oracle-checkable).
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = (
+        approx.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        e.join(a, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .withColumn(
+            "recall",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6),
+        )
+    )

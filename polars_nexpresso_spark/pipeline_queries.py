@@ -3655,3 +3655,54 @@ if _hard_negatives_ivfpq_oracle_sql is not None:
     PIPELINE_ORACLE_SQL["hard_negatives_ivfpq"] = (
         _hard_negatives_ivfpq_oracle_sql
     )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ANN eval: per-query recall@5 of the IVF+PQ rerank
+    cascade against exact cosine top-5, as a DataFrame op (no
+    driver-side collect — at 100 TB the eval set is a table). The two
+    stages it compares are themselves oracle-checked queries, so the
+    recall numbers are value-hash-verified end to end."""
+    from polars_nexpresso_spark.functions.similarity import (
+        ann_recall_table,
+        cosine_topk,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = q_ivfpq_rerank(spark, sf_dir)
+    return ann_recall_table(approx, exact)
+
+
+PIPELINE_QUERIES["ann_recall"] = q_ann_recall
+
+
+def _ann_recall_oracle():
+    """DuckDB replica of ``q_ann_recall``: the exact-cosine oracle and
+    the rerank-cascade oracle nest as subqueries, LEFT-joined on the
+    (query, neighbor) pair and aggregated per query."""
+    rerank_sql = _ivfpq_rerank_oracle()
+    if rerank_sql is None:
+        return None
+    exact_sql = PIPELINE_ORACLE_SQL["cosine_topk"]
+    return f"""
+        SELECT e.query_id,
+               COUNT(*)::BIGINT AS n_exact,
+               COALESCE(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                                 THEN 1 ELSE 0 END), 0)::BIGINT AS n_hit,
+               ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                              THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+                   AS recall
+        FROM ({exact_sql}) e
+        LEFT JOIN (
+          SELECT DISTINCT query_id, neighbor_id FROM ({rerank_sql})
+        ) a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
+
+
+_ann_recall_oracle_sql = _ann_recall_oracle()
+if _ann_recall_oracle_sql is not None:
+    PIPELINE_ORACLE_SQL["ann_recall"] = _ann_recall_oracle_sql

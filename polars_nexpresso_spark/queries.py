@@ -1159,16 +1159,16 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # windowed_pack/session_pack 4, asof_attribution/interval_views 3,
 # asof_attribution_sharded/fuzzy_name_pairs 2.
 #
-# Round-8 rotation TODO: the thirteen round-7 late-session operators
+# Round-8 rotation TODO: the fourteen round-7 late-session operators
 # registered AFTER the window (`token_shift`, `strip_markup`,
 # `truncate_tokens`, `epoch_plan`, `repeat_upsample`, `ref_dedup`,
 # `ref_dedup_stream`, `clean_ingest`, `apply_mix`, `pq_ann_topk`,
-# `ivfpq_ann_topk`, `ivfpq_rerank`, `hard_negatives_ivfpq` — each ALL
-# PASS via scripts/check_oracle.py at sf0.01, most at sf0.001 too) are
-# owed driver rows; rotate them INTO the window next round, rotating
-# out window entries that will then hold >=2 driver-green rounds (the
-# round-6 eight and the round-7 nine all earn their second green row
-# in CORRECTNESS_r07).
+# `ivfpq_ann_topk`, `ivfpq_rerank`, `hard_negatives_ivfpq`,
+# `ann_recall` — each ALL PASS via scripts/check_oracle.py at sf0.01
+# AND sf0.001) are owed driver rows; rotate them INTO the window next
+# round, rotating out window entries that will then hold >=2
+# driver-green rounds (the round-6 eight and the round-7 nine all earn
+# their second green row in CORRECTNESS_r07).
 _MULTIPLY_PROVEN_TAIL = [
     "enrich_stats",
     "agg_set",

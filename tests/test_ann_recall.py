@@ -470,6 +470,51 @@ def test_exact_rerank_plan_never_shuffles_the_corpus(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_ann_recall_table_counts_hits(spark):
+    """Hand-built tables: known hit counts, duplicate approx pairs
+    dedupe, queries with zero hits keep a row with recall 0."""
+    from polars_nexpresso_spark.functions.similarity import (
+        ann_recall_table,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        # q1: hits 10,11 (11 duplicated); q2: miss; q3: hit + noise
+        [(1, 10), (1, 11), (1, 11), (1, 99), (2, 99), (3, 30), (3, 31)],
+        "query_id long, neighbor_id long",
+    )
+    rows = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in ann_recall_table(approx, exact).collect()
+    }
+    assert rows == {
+        1: (3, 2, round(2 / 3, 6)),
+        2: (2, 0, 0.0),
+        3: (1, 1, 1.0),
+    }
+
+
+def test_ann_recall_table_matches_driver_side_recall(emb_and_exact):
+    """The distributed recall equals the collect()-based recall the
+    bench computes, on the real corpus against the LSH engine."""
+    from polars_nexpresso_spark.functions.similarity import (
+        ann_recall_table,
+        lsh_ann_topk,
+    )
+
+    emb, queries, exact = emb_and_exact
+    ann = lsh_ann_topk(emb, queries, k=K, num_planes=8, multiprobe=3)
+    driver_recall = _recall_at_k(exact, ann)
+    rows = ann_recall_table(ann, exact).collect()
+    dist_recall = sum(r["n_hit"] for r in rows) / sum(
+        r["n_exact"] for r in rows
+    )
+    assert abs(dist_recall - driver_recall) < 1e-9
+
+
 def test_ivfpq_deterministic_across_layouts(spark):
     from polars_nexpresso_spark.functions.similarity import ivfpq_ann_topk
 

@@ -549,11 +549,17 @@ def test_round7_session3_operator_shuffle_budgets(spark):
         "ivfpq_rerank": (2, 0),
         # + the positive-set collect_set agg; still zero warnings
         "hard_negatives_ivfpq": (3, 0),
+        # exact side = cosine_topk's two-phase top-k (several bounded
+        # exchanges) + the cascade's two windows + the recall join/agg
+        # on eval-set frames; the nested-loop is the exact scorer's
+        # broadcast query cross — its documented contract
+        "ann_recall": (7, 0),
     }
     benign = {
         "token_shift": ("nested-loop-join", "window-without-partitionBy"),
         "apply_mix": ("window-without-partitionBy",),
         "pq_ann_topk": ("nested-loop-join",),
+        "ann_recall": ("nested-loop-join",),
     }
     for name, (max_exchanges, python_stages) in budgets.items():
         rep = scale_report(qs[name](spark, sf))
