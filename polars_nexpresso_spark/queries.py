@@ -1159,17 +1159,41 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # windowed_pack/session_pack 4, asof_attribution/interval_views 3,
 # asof_attribution_sharded/fuzzy_name_pairs 2.
 #
-# Round-8 rotation TODO: the fourteen round-7 late-session operators
-# registered AFTER the window (`token_shift`, `strip_markup`,
+# Round-8 rotation (per VERDICT r07 item 1): the fourteen round-7
+# late-session operators (`token_shift`, `strip_markup`,
 # `truncate_tokens`, `epoch_plan`, `repeat_upsample`, `ref_dedup`,
 # `ref_dedup_stream`, `clean_ingest`, `apply_mix`, `pq_ann_topk`,
 # `ivfpq_ann_topk`, `ivfpq_rerank`, `hard_negatives_ivfpq`,
-# `ann_recall` — each ALL PASS via scripts/check_oracle.py at sf0.01
-# AND sf0.001) are owed driver rows; rotate them INTO the window next
-# round, rotating out window entries that will then hold >=2
-# driver-green rounds (the round-6 eight and the round-7 nine all earn
-# their second green row in CORRECTNESS_r07).
+# `ann_recall` — judge-verified ALL PASS at sf0.01 and sf0.001 in
+# round 7) move INTO the window to earn driver rows. Out: fourteen
+# entries with the deepest driver-green history among the eligible
+# (>=2 driver-green artifacts; counts from CORRECTNESS_r01-r07):
+# hash_split 5, stratified_sample 5, lsh_ann_topk 4,
+# quality_percentiles 4, vocab_topk 4, tfidf_keywords 4,
+# label_centroids 4, sequence_pack 4, cap_per_source 4,
+# chunk_documents 3, bm25_topk 3, redact_pii 3, quality_filter 3,
+# token_histogram 3. The pack family stays in-window as the headline;
+# the round-6 eight and round-7 nine each hold only ONE driver-green
+# row (their earlier verification was judge-side), so they stay in the
+# window to earn their second.
 _MULTIPLY_PROVEN_TAIL = [
+    # round-8 rotation
+    "hash_split",
+    "stratified_sample",
+    "lsh_ann_topk",
+    "quality_percentiles",
+    "vocab_topk",
+    "tfidf_keywords",
+    "label_centroids",
+    "sequence_pack",
+    "cap_per_source",
+    "chunk_documents",
+    "bm25_topk",
+    "redact_pii",
+    "quality_filter",
+    "token_histogram",
+    # earlier rotations
+
     "enrich_stats",
     "agg_set",
     "part_hierarchy",
