@@ -942,10 +942,14 @@ def remove_boilerplate_lines(
             pandas_member_mask,
         )
 
-        pdf = boiler.toPandas()
+        # limit(cap+1) BEFORE collecting: the guard must fire from a
+        # bounded transfer, not after a pathological corpus's full hash
+        # table has already landed on the driver (same shape as
+        # remove_fixed_boilerplate's guard).
+        pdf = boiler.limit(max_broadcast_lines + 1).toPandas()
         if len(pdf) > max_broadcast_lines:
             raise ValueError(
-                f"boilerplate set has {len(pdf)} lines > "
+                f"boilerplate set exceeds "
                 f"max_broadcast_lines={max_broadcast_lines}; use "
                 "strategy='join' for boiler sets this large"
             )

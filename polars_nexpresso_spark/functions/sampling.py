@@ -196,7 +196,11 @@ def source_mix_weights(
     )
     everything = Window.partitionBy()
     share = F.col("n_tokens") / F.sum("n_tokens").over(everything)
-    raw = F.col("target_share") / share
+    # Guard the zero-token-source case like temperature_mix_weights:
+    # under ANSI SQL target_share/0 throws while evaluating max_raw's
+    # window; with ANSI off it NULLs the weight. Empty sources get an
+    # explicit 0.0 instead.
+    raw = F.when(F.col("n_tokens") > 0, F.col("target_share") / share)
     max_raw = F.max(raw).over(everything)
     return per_source.select(
         source_col,
@@ -205,7 +209,10 @@ def source_mix_weights(
         F.round(share, 6).alias("token_share"),
         "target_share",
         F.round(
-            F.when(max_raw > 0, raw / max_raw).otherwise(F.lit(0.0)), 6
+            F.when(
+                (F.col("n_tokens") > 0) & (max_raw > 0), raw / max_raw
+            ).otherwise(F.lit(0.0)),
+            6,
         ).alias("weight"),
     )
 
@@ -254,7 +261,12 @@ def temperature_mix_weights(
     share = F.col("n_tokens") / F.sum("n_tokens").over(everything)
     powered = F.pow(share, F.lit(float(alpha)))
     target = powered / F.sum(powered).over(everything)
-    raw = target / share
+    # A zero-token source has share 0: under ANSI SQL target/share would
+    # THROW (division by zero) while evaluating max_raw's window, and with
+    # ANSI off it yields a NULL weight that apply_mix silently drops.
+    # Guard the ratio so empty sources get an explicit weight of 0.0
+    # (nothing to sample) and the rest of the table is unaffected.
+    raw = F.when(F.col("n_tokens") > 0, target / share)
     max_raw = F.max(raw).over(everything)
     return per_source.select(
         source_col,
@@ -262,7 +274,9 @@ def temperature_mix_weights(
         "n_tokens",
         F.round(share, 6).alias("token_share"),
         F.round(target, 6).alias("target_share"),
-        F.round(raw / max_raw, 6).alias("weight"),
+        F.when(F.col("n_tokens") <= 0, F.lit(0.0))
+        .otherwise(F.round(raw / max_raw, 6))
+        .alias("weight"),
     )
 
 

@@ -877,6 +877,20 @@ def semantic_dedup(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
     if n_centroids is None:
+        # The auto default needs a corpus count — a Spark ACTION at plan
+        # construction. Persist the narrow (id, vec) projection first so
+        # an expensive upstream plan computes once and the count, the
+        # centroid-training sample, and the assignment all read the cache;
+        # with persist_assignment=False the caller opted out of caching,
+        # so the count is a second upstream compute — pass n_centroids
+        # explicitly (or persist upstream) to keep construction action-free.
+        corpus = corpus.select(F.col(id_col), F.col(vec_col))
+        if persist_assignment:
+            from polars_nexpresso_spark.functions.dedup import (
+                _persist_blocking,
+            )
+
+            corpus = _persist_blocking(corpus)
         n_centroids = auto_centroid_count(corpus.count())
     if centroids == "kmeans":
         # Keep the training sample comfortably larger than k when the
@@ -1553,14 +1567,17 @@ def ann_recall_table(
     query against however many rows ``exact`` holds for it, so feeding
     exact top-5 measures recall@5.
 
-    Scale shape: one distinct on the (already small) approx pairs, one
-    key-partitioned LEFT join on (query_id, neighbor_id), one hash agg
-    — every exchange carries eval-set rows, never the corpus.
+    Scale shape: one distinct per side on the (already small) eval
+    pairs, one key-partitioned LEFT join on (query_id, neighbor_id),
+    one hash agg — every exchange carries eval-set rows, never the
+    corpus.
 
     Returns ``(query_id, n_exact, n_hit, recall)`` with recall rounded
     to 6 (deterministic and oracle-checkable).
     """
-    e = exact.select("query_id", "neighbor_id")
+    # Dedup BOTH sides: duplicate pairs in `exact` would inflate n_exact
+    # (understating recall), not just duplicate hits in `approx`.
+    e = exact.select("query_id", "neighbor_id").distinct()
     a = (
         approx.select("query_id", "neighbor_id")
         .distinct()

@@ -497,6 +497,24 @@ def test_ann_recall_table_counts_hits(spark):
     }
 
 
+def test_ann_recall_table_dedupes_exact_side_too(spark):
+    """Duplicate (query_id, neighbor_id) rows in EXACT must not inflate
+    n_exact and understate recall (round-7 advisory)."""
+    from polars_nexpresso_spark.functions.similarity import (
+        ann_recall_table,
+    )
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11)],  # pair (1,10) duplicated
+        "query_id long, neighbor_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10)], "query_id long, neighbor_id long"
+    )
+    [row] = ann_recall_table(approx, exact).collect()
+    assert (row["n_exact"], row["n_hit"], row["recall"]) == (2, 1, 0.5)
+
+
 def test_ann_recall_table_matches_driver_side_recall(emb_and_exact):
     """The distributed recall equals the collect()-based recall the
     bench computes, on the real corpus against the LSH engine."""

@@ -209,6 +209,33 @@ def test_epoch_plan_composes_with_temperature_weights(spark):
     assert rows["small"]["epochs"] > rows["big"]["epochs"]
 
 
+def test_temperature_mix_zero_token_source_gets_explicit_zero(spark):
+    """A source with no tokens must come out weight 0.0, not a NULL
+    that apply_mix would silently drop (round-7 advisory)."""
+    from polars_nexpresso_spark.functions.sampling import (
+        temperature_mix_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a", "real"),
+            (2, "b b", "real"),
+            (3, "", "empty"),
+            (4, "", "empty"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        r["source"]: r
+        for r in temperature_mix_weights(
+            docs, "text", "source", alpha=0.5
+        ).collect()
+    }
+    assert rows["empty"]["weight"] == 0.0
+    assert rows["empty"]["n_tokens"] == 0
+    assert rows["real"]["weight"] == 1.0  # only non-empty source -> max
+
+
 # --- reference-corpus dedup -------------------------------------------------
 
 
