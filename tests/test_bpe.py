@@ -5,6 +5,8 @@ map-side-only encode plan pin."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from polars_nexpresso_spark.functions.bpe import (
@@ -119,3 +121,54 @@ def test_bpe_encode_plan_is_map_side(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "Project" in plan
+
+
+def _naive_merge_loop(words, num_merges):
+    """The pre-round-8 recompute-everything formulation, kept as the
+    equivalence oracle for the incremental trainer."""
+    from polars_nexpresso_spark.functions.bpe import (
+        _merge_word,
+        _pair_stats,
+    )
+
+    words = list(words)
+    merges = []
+    for rank in range(num_merges):
+        stats = _pair_stats(words)
+        if not stats:
+            break
+        best_freq = max(stats.values())
+        if best_freq < 2:
+            break
+        best = min(p for p, c in stats.items() if c == best_freq)
+        merges.append((rank, best[0], best[1], best[0] + best[1], best_freq))
+        words = [(_merge_word(s, best), f) for s, f in words]
+    return merges
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=8),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_incremental_merge_loop_matches_naive(raw_words, num_merges):
+    """The incremental pair-count trainer must produce a byte-identical
+    merge table to the recompute-everything loop on arbitrary
+    vocabularies — the refactor is exact, not approximate."""
+    from polars_nexpresso_spark.functions.bpe import _END, _merge_loop
+
+    # dedupe words like the real frequency table does (keep max freq)
+    freq: dict = {}
+    for w, f in raw_words:
+        freq[w] = max(freq.get(w, 0), f)
+    words = [(tuple(w) + (_END,), f) for w, f in sorted(freq.items())]
+    got = _merge_loop([(s, f) for s, f in words], num_merges)
+    want = _naive_merge_loop(words, num_merges)
+    assert got == want
