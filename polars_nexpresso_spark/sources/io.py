@@ -505,6 +505,7 @@ def write_ordered(
     n_files: int | None = None,
     format: str = "parquet",
     mode: str = "overwrite",
+    verify: bool = False,
 ) -> int:
     """Write ``df`` in GLOBAL order of ``order_col`` without a global
     sort: curriculum-ordered training corpora (easy→hard by a quality /
@@ -524,7 +525,13 @@ def write_ordered(
 
     ``n_files`` defaults to Catalyst's driver-side size estimate at
     ~128 MB per file (the :func:`compact_files` rule). Returns the
-    number of files written, after a row-count integrity re-read.
+    range-partition count (== files written unless a sampled range
+    came out empty, which only happens when rows ≲ n_files — empty
+    partitions emit no file). ``verify=True`` additionally re-reads the
+    output for a row-count integrity check and a distinct-file-name
+    count and returns THAT count — three extra jobs that re-scan the
+    full output, so it is opt-in: at 100 TB the default write must
+    cost one job, not four.
     """
     for c in (order_col, tiebreak_col):
         if c not in df.columns:
@@ -551,6 +558,8 @@ def write_ordered(
         .format(format)
         .save(path)
     )
+    if not verify:
+        return int(n_files)
     spark = df.sparkSession
     out = spark.read.format(format).load(path)
     n_out, n_in = out.count(), df.count()

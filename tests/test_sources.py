@@ -272,6 +272,43 @@ def test_write_ordered_global_order_across_files(spark, tmp_path):
     assert got2 == sorted(got2, key=lambda x: (-x[0], -x[1]))
 
 
+def test_write_ordered_default_runs_no_post_write_jobs(spark, tmp_path):
+    """By default write_ordered must cost the write itself (range-key
+    sampling job + write job) and nothing more; verify=True opts into
+    the output re-read (row-count check + distinct-file-name scan),
+    which at 100 TB would re-scan everything written."""
+    from polars_nexpresso_spark.sources.io import write_ordered
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(200)],
+        "doc_id bigint, score double",
+    )
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("wo_default", "write_ordered default")
+    n = write_ordered(
+        df, str(tmp_path / "plain"), "score", tiebreak_col="doc_id",
+        n_files=3,
+    )
+    jobs_default = len(tracker.getJobIdsForGroup("wo_default"))
+
+    sc.setJobGroup("wo_verify", "write_ordered verify")
+    n_v = write_ordered(
+        df, str(tmp_path / "checked"), "score", tiebreak_col="doc_id",
+        n_files=3, verify=True,
+    )
+    jobs_verify = len(tracker.getJobIdsForGroup("wo_verify"))
+    sc.setJobGroup("wo_done", "")
+
+    assert n == 3 and n_v == 3
+    # range-key sampling + AQE-materialized exchange + write — but no
+    # post-write re-read jobs
+    assert jobs_default <= 3, f"default ran {jobs_default} jobs"
+    # verify re-reads: at least the two counts and the file-name scan
+    assert jobs_verify >= jobs_default + 3
+
+
 def test_write_ordered_plan_is_range_partitioned(spark):
     from pyspark.sql import functions as F
 
