@@ -6,15 +6,25 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Query set mirrors BASELINE.md's benchmarked operations (pack,
 pack_no_child_order, pack_streaming, pack_split_join, unpack, roundtrip) on
 the orders → lineitem hierarchy (~600k leaf rows at sf0.1), plus the
-cross-level operators. Results are forced with the ``noop`` datasource sink
-so the full plan (including list collection) executes without driver
-materialization skew.
+cross-level operators and the LLM-pipeline extension catalog. Results are
+forced with the ``noop`` datasource sink so the full plan (including list
+collection) executes without driver materialization skew.
+
+Isolation protocol (round 8): by DEFAULT each query group runs in its own
+fresh python+JVM child (1 warmup + median-of-3 inside the child), because
+rounds 5-7 proved shared-session per-query numbers swing ±25% with run
+ordering / JIT warmth — the committed seal and the driver's own run kept
+disagreeing on which queries "regressed". With one JVM per group, the
+sealed artifact and the driver artifact execute the identical protocol
+and converge on one number. Set SPARK_GRAFT_ISOLATED=0 to run everything
+in this process (the pre-r08 shared-session mode, faster for iteration).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -26,13 +36,7 @@ sys.path.insert(0, str(REPO))
 from pyspark.sql import functions as F  # noqa: E402
 
 from polars_nexpresso_spark import HierarchicalPacker  # noqa: E402
-from polars_nexpresso_spark.queries import (  # noqa: E402
-    OL_SPEC,
-    q_any_child,
-    q_enrich_stats,
-    q_multihop_count,
-    q_promote_sum,
-)
+from polars_nexpresso_spark.queries import OL_SPEC  # noqa: E402
 from polars_nexpresso_spark.session import get_spark  # noqa: E402
 from polars_nexpresso_spark.sources.io import (  # noqa: E402
     flat_orders_lineitem,
@@ -83,12 +87,17 @@ def _peak_rss_mb(pid: int) -> float | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# Fresh-process RSS probes (reference methodology: peak RSS in a fresh
+# process per op — a shared warm JVM's watermark retains cached input and
+# earlier allocations, hiding per-op memory bounding).
+# ---------------------------------------------------------------------------
+
+
 def _rss_probe(op: str, sf_dir: str) -> None:
     """Child mode: run ONE op in this fresh process and print the JVM's
     peak RSS. Mirrors the reference's methodology ("peak resident set size
-    ... in a fresh process", benchmarks/README.md) — the shared warm-JVM
-    watermark in the main loop cannot see per-op bounding because cached
-    input and earlier allocations dominate the high-water mark.
+    ... in a fresh process", benchmarks/README.md).
 
     The ``pack_heap_capped`` op is the pinned memory-bounding argument: the
     SAME one-shot pack under an 800 MB heap completes by SPILLING (Spark's
@@ -162,8 +171,6 @@ def _rss_probe(op: str, sf_dir: str) -> None:
 
 def _isolated_rss(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     """Spawn one fresh python+JVM per op; return (peak RSS, wall time)."""
-    import subprocess
-
     rss: dict[str, float] = {}
     secs: dict[str, float] = {}
     for op in (
@@ -199,21 +206,20 @@ def _isolated_rss(sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
     return rss, secs
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
-    spark = get_spark(app_name="pns-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+# ---------------------------------------------------------------------------
+# Bench groups. Each group runs in ONE fresh JVM (default) or back-to-back
+# in the parent session (SPARK_GRAFT_ISOLATED=0). Groups are subsystem-
+# shaped so cached inputs amortize within a group without leaking warmth
+# across subsystems.
+# ---------------------------------------------------------------------------
 
-    timings: dict[str, float] = {}
-    # Reference methodology (BASELINE.md): 1 warmup + median of N repeats —
-    # kills JIT/codegen-compile first-run skew and VM noise spikes.
+
+def _make_bench(spark, timings, peaks, errors):
+    """Build the per-query measurement closure: warmup runs, then
+    median-of-N, with a per-query JVM peak-RSS watermark reset."""
     warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
     repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "3"))
-
     jvm_pid = _find_jvm_pid()
-    peaks: dict[str, float] = {}
-    errors: dict[str, str] = {}
 
     def bench(name: str, fn) -> None:
         # Per-query failure isolation: one broken query must not zero the
@@ -244,6 +250,11 @@ def main() -> None:
             if peak is not None:
                 peaks[name] = peak
 
+    return bench
+
+
+def _group_pack(spark, sf_dir: str, bench) -> None:
+    """BASELINE.md parity ops: the pack/unpack strategy matrix."""
     packer = HierarchicalPacker(OL_SPEC)
     packer_unordered = HierarchicalPacker(OL_SPEC, preserve_child_order=False)
 
@@ -251,7 +262,6 @@ def main() -> None:
     flat.cache()
     flat.count()  # materialize input once so joins don't dominate pack timings
 
-    # --- BASELINE.md parity ops -------------------------------------------
     bench("pack", lambda: force(packer.pack(flat, "orders")))
     bench(
         "pack_no_child_order",
@@ -312,23 +322,9 @@ def main() -> None:
     # prunes the payload column before the leaf shuffle entirely and dedups
     # it map-side on the dim branch — the plain path carries it into the
     # group-agg per leaf row.
-    from polars_nexpresso_spark import HierarchySpec, LevelSpec
-
-    sl_spec = HierarchySpec.from_levels(
-        LevelSpec(name="supplier", id_fields=["s_suppkey"]),
-        LevelSpec(name="lineitem", id_fields=["l_orderkey", "l_linenumber"]),
-    )
-    sl_packer = HierarchicalPacker(sl_spec)
+    sl_packer = HierarchicalPacker(_supplier_lineitem_spec())
     li = read_table(spark, sf_dir, "lineitem")
-    parent_dom = li.select(
-        li["l_suppkey"].alias("supplier.s_suppkey"),
-        F.array_repeat(li["l_suppkey"].cast("double"), 256).alias(
-            "supplier.s_payload"
-        ),
-        li["l_orderkey"].alias("supplier.lineitem.l_orderkey"),
-        li["l_linenumber"].alias("supplier.lineitem.l_linenumber"),
-        li["l_quantity"].alias("supplier.lineitem.l_quantity"),
-    )
+    parent_dom = _parent_dominant_frame(li)
     parent_dom.cache()
     parent_dom.count()
     bench(
@@ -351,12 +347,9 @@ def main() -> None:
     parent_dom.unpersist()
 
     packed_path = os.path.join(tempfile.gettempdir(), "pns_bench_packed.parquet")
-    try:
-        packer.pack(flat, "orders").write.mode("overwrite").parquet(packed_path)
-        packed = spark.read.parquet(packed_path)
-        bench("unpack", lambda: force(packer.unpack(packed, "lineitem")))
-    except Exception as e:  # noqa: BLE001
-        errors["unpack"] = f"{type(e).__name__}: {e}"[:500]
+    packer.pack(flat, "orders").write.mode("overwrite").parquet(packed_path)
+    packed = spark.read.parquet(packed_path)
+    bench("unpack", lambda: force(packer.unpack(packed, "lineitem")))
     bench(
         "roundtrip",
         lambda: force(packer.unpack(packer.pack(flat, "orders"), "lineitem")),
@@ -367,9 +360,35 @@ def main() -> None:
     # chained pack shuffles on progressively coarser keys, the N-level
     # shape the scale notes describe. Unordered (no row-id) so the timing
     # isolates the join+agg chain.
+    deep_packer = HierarchicalPacker(
+        _nation_chain_spec(), preserve_child_order=False
+    )
+    deep_tables = {
+        name: read_table(spark, sf_dir, name)
+        for name in ("nation", "customer", "orders", "lineitem")
+    }
+    bench(
+        "pack_deep_4level",
+        lambda: force(
+            deep_packer.build_from_tables(deep_tables, join_type="inner")
+        ),
+    )
+    flat.unpersist()
+
+
+def _supplier_lineitem_spec():
     from polars_nexpresso_spark import HierarchySpec, LevelSpec
 
-    ncol_spec = HierarchySpec.from_levels(
+    return HierarchySpec.from_levels(
+        LevelSpec(name="supplier", id_fields=["s_suppkey"]),
+        LevelSpec(name="lineitem", id_fields=["l_orderkey", "l_linenumber"]),
+    )
+
+
+def _nation_chain_spec():
+    from polars_nexpresso_spark import HierarchySpec, LevelSpec
+
+    return HierarchySpec.from_levels(
         LevelSpec(name="nation", id_fields=["n_nationkey"]),
         LevelSpec(
             name="customer",
@@ -385,338 +404,140 @@ def main() -> None:
             parent_keys=["l_orderkey"],
         ),
     )
-    deep_packer = HierarchicalPacker(ncol_spec, preserve_child_order=False)
-    deep_tables = {
-        "nation": read_table(spark, sf_dir, "nation"),
-        "customer": read_table(spark, sf_dir, "customer"),
-        "orders": read_table(spark, sf_dir, "orders"),
-        "lineitem": read_table(spark, sf_dir, "lineitem"),
-    }
-    bench(
-        "pack_deep_4level",
-        lambda: force(
-            deep_packer.build_from_tables(deep_tables, join_type="inner")
+
+
+def _parent_dominant_frame(li, key_offset: int = 0, order_offset: int = 0):
+    return li.select(
+        (li["l_suppkey"] + F.lit(key_offset)).alias("supplier.s_suppkey"),
+        F.array_repeat(
+            (li["l_suppkey"] + F.lit(key_offset)).cast("double"), 256
+        ).alias("supplier.s_payload"),
+        (li["l_orderkey"] + F.lit(order_offset)).alias(
+            "supplier.lineitem.l_orderkey"
         ),
+        li["l_linenumber"].alias("supplier.lineitem.l_linenumber"),
+        li["l_quantity"].alias("supplier.lineitem.l_quantity"),
     )
 
-    # --- Cross-level operators --------------------------------------------
-    bench("promote_sum", lambda: force(q_promote_sum(spark, sf_dir)))
-    bench("enrich_stats", lambda: force(q_enrich_stats(spark, sf_dir)))
-    bench("multihop_count", lambda: force(q_multihop_count(spark, sf_dir)))
-    bench("any_child", lambda: force(q_any_child(spark, sf_dir)))
 
-    # --- Pipeline extensions ----------------------------------------------
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_cosine_topk,
-        q_embedding_dedup,
-        q_exact_dedup,
-        q_ivf_ann_topk,
-        q_language_id,
-        q_lsh_ann_topk,
-        q_minhash_lsh,
-        q_ngram_jaccard,
-        q_simhash_pairs,
-        q_text_stats,
-        q_token_fingerprint,
-    )
+def _bpe_pipeline(spark, sf_dir: str) -> None:
+    from polars_nexpresso_spark.functions.bpe import bpe_encode, train_bpe
 
-    from polars_nexpresso_spark.queries import q_session_pack, q_windowed_pack
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    merges = train_bpe(docs, "text", num_merges=64, min_count=2)
+    force(bpe_encode(docs, "text", merges))
 
-    bench("windowed_pack", lambda: force(q_windowed_pack(spark, sf_dir)))
-    bench("session_pack", lambda: force(q_session_pack(spark, sf_dir)))
-    bench("exact_dedup", lambda: force(q_exact_dedup(spark, sf_dir)))
-    bench("minhash_lsh", lambda: force(q_minhash_lsh(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_dedup_clusters
 
-    bench("dedup_clusters", lambda: force(q_dedup_clusters(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_decontaminate_stream
+def _registry_group(names: tuple[str, ...]):
+    """A group runner over the oracle-paired query registry."""
 
-    bench(
-        "decontaminate_stream",
-        lambda: force(q_decontaminate_stream(spark, sf_dir)),
-    )
-    bench("ngram_jaccard", lambda: force(q_ngram_jaccard(spark, sf_dir)))
-    bench("simhash_pairs", lambda: force(q_simhash_pairs(spark, sf_dir)))
-    bench("embedding_dedup", lambda: force(q_embedding_dedup(spark, sf_dir)))
-    bench("text_stats", lambda: force(q_text_stats(spark, sf_dir)))
-    bench("token_fingerprint", lambda: force(q_token_fingerprint(spark, sf_dir)))
-    bench("language_id", lambda: force(q_language_id(spark, sf_dir)))
-    bench("cosine_topk", lambda: force(q_cosine_topk(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_cosine_topk_pandas
+    def run(spark, sf_dir: str, bench) -> None:
+        from polars_nexpresso_spark.queries import QUERIES
 
-    bench(
-        "cosine_topk_pandas", lambda: force(q_cosine_topk_pandas(spark, sf_dir))
-    )
-    bench("lsh_ann_topk", lambda: force(q_lsh_ann_topk(spark, sf_dir)))
-    bench("ivf_ann_topk", lambda: force(q_ivf_ann_topk(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_label_centroids,
-        q_sequence_pack,
-        q_tfidf_keywords,
-        q_vocab_topk,
-    )
+        for name in names:
+            if name == "bpe_pipeline":
+                bench(name, lambda: _bpe_pipeline(spark, sf_dir))
+            else:
+                q = QUERIES[name]
+                bench(name, lambda q=q: force(q(spark, sf_dir)))
 
-    bench("sequence_pack", lambda: force(q_sequence_pack(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_cap_per_source
+    return run
 
-    bench("cap_per_source", lambda: force(q_cap_per_source(spark, sf_dir)))
-    bench("vocab_topk", lambda: force(q_vocab_topk(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_quality_percentiles
 
-    bench(
-        "quality_percentiles",
-        lambda: force(q_quality_percentiles(spark, sf_dir)),
-    )
-    bench("tfidf_keywords", lambda: force(q_tfidf_keywords(spark, sf_dir)))
-    bench("label_centroids", lambda: force(q_label_centroids(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_cosine_topk_int8,
-        q_lm_score,
-        q_source_mix,
-    )
+# Group membership is subsystem-shaped; every name except the pack-family
+# specials and bpe_pipeline is a registry (oracle-paired) query.
+GROUPS: dict[str, object] = {
+    "pack": _group_pack,
+    "crosslevel": _registry_group((
+        "promote_sum", "enrich_stats", "multihop_count", "any_child",
+        "windowed_pack", "session_pack", "top_events_salted",
+        "asof_attribution", "asof_attribution_sharded", "interval_views",
+        "fuzzy_name_pairs",
+    )),
+    "dedup_core": _registry_group((
+        "exact_dedup", "minhash_lsh", "dedup_clusters", "ngram_jaccard",
+        "simhash_pairs", "embedding_dedup", "dup_window_frac",
+        "intradoc_dedup", "source_overlap", "dedup_best_keep", "chunk_dedup",
+    )),
+    "dedup_corpus": _registry_group((
+        "decontaminate_stream", "contamination_report", "boilerplate_tokens",
+        "fixed_boilerplate", "exact_substring_dedup", "ref_dedup",
+        "ref_dedup_stream", "leakage_free_split", "semantic_dedup",
+        "image_near_dup", "audio_near_dup", "dedup_index",
+    )),
+    "text_quality": _registry_group((
+        "text_stats", "token_fingerprint", "language_id", "vocab_topk",
+        "quality_percentiles", "quality_filter", "quality_buckets",
+        "lm_score", "lm_score_stream", "nb_quality", "nb_quality_stream",
+    )),
+    "text_transform": _registry_group((
+        "chunk_documents", "bm25_topk", "tfidf_keywords", "redact_pii",
+        "corpus_report", "corpus_diff", "unicode_nfc", "strip_markup",
+        "truncate_tokens", "token_shift", "bpe_pipeline",
+    )),
+    "embeddings": _registry_group((
+        "cosine_topk", "cosine_topk_pandas", "cosine_topk_int8",
+        "lsh_ann_topk", "ivf_ann_topk", "label_centroids",
+        "project_embeddings", "multimodal_video",
+    )),
+    "ann_cascade": _registry_group((
+        "pq_ann_topk", "ivfpq_ann_topk", "ivfpq_rerank", "hard_negatives",
+        "hard_negatives_ann", "hard_negatives_ivfpq", "ann_recall",
+    )),
+    "sampling": _registry_group((
+        "sequence_pack", "cap_per_source", "source_mix", "dsir_weights",
+        "gumbel_topk", "token_budget", "temperature_mix", "epoch_plan",
+        "repeat_upsample", "apply_mix", "clean_ingest",
+    )),
+}
 
-    bench("lm_score", lambda: force(q_lm_score(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_lm_score_stream
 
-    bench(
-        "lm_score_stream", lambda: force(q_lm_score_stream(spark, sf_dir))
-    )
-    bench("source_mix", lambda: force(q_source_mix(spark, sf_dir)))
-    bench(
-        "cosine_topk_int8",
-        lambda: force(q_cosine_topk_int8(spark, sf_dir)),
-    )
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_bm25_topk,
-        q_chunk_documents,
-        q_quality_filter,
-        q_redact_pii,
-    )
+# ---------------------------------------------------------------------------
+# ANN quality/cost curve (its own group: the dial sweep trains codebooks
+# and centroids, which would warm/pressure unrelated queries).
+# ---------------------------------------------------------------------------
 
-    bench("chunk_documents", lambda: force(q_chunk_documents(spark, sf_dir)))
-    bench("bm25_topk", lambda: force(q_bm25_topk(spark, sf_dir)))
-    bench("redact_pii", lambda: force(q_redact_pii(spark, sf_dir)))
-    bench("quality_filter", lambda: force(q_quality_filter(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_chunk_dedup
+ANN_DIALS = {
+    "lsh": {
+        "default": {"num_planes": 8, "multiprobe": 4},
+        "high": {"num_planes": 8, "multiprobe": 5},
+    },
+    "ivf": {
+        "default": {"n_centroids": 16, "n_probe": 6},
+        "high": {"n_centroids": 16, "n_probe": 8},
+    },
+    # PQ trades exact-id recall for a 32x smaller scoring
+    # representation; the dial raises codebook resolution.
+    "pq": {
+        "default": {"m": 8, "n_codes": 16},
+        "high": {"m": 8, "n_codes": 64},
+    },
+    # The composed index: IVF bounds candidates, PQ bounds bytes;
+    # the dial widens the probe and raises codebook resolution.
+    "ivfpq": {
+        "default": {
+            "n_centroids": 16, "n_probe": 6, "m": 8, "n_codes": 16,
+        },
+        "high": {
+            "n_centroids": 16, "n_probe": 8, "m": 8, "n_codes": 64,
+        },
+    },
+    # The full cascade: compressed 30-candidate over-fetch + exact
+    # re-rank. Recall should recover to ~the IVF cell bound (the
+    # only approximation left is candidate membership) while the
+    # candidate join still moves codes, not vectors.
+    "ivfpq_rerank": {
+        "default": {
+            "n_centroids": 16, "n_probe": 6, "m": 8, "n_codes": 16,
+        },
+        "high": {
+            "n_centroids": 16, "n_probe": 8, "m": 8, "n_codes": 16,
+        },
+    },
+}
 
-    bench("chunk_dedup", lambda: force(q_chunk_dedup(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_dup_window_frac
 
-    bench(
-        "dup_window_frac", lambda: force(q_dup_window_frac(spark, sf_dir))
-    )
-    from polars_nexpresso_spark.queries import (
-        q_asof_attribution,
-        q_asof_attribution_sharded,
-        q_interval_views,
-    )
-
-    bench(
-        "asof_attribution", lambda: force(q_asof_attribution(spark, sf_dir))
-    )
-    bench(
-        "asof_attribution_sharded",
-        lambda: force(q_asof_attribution_sharded(spark, sf_dir)),
-    )
-    bench("interval_views", lambda: force(q_interval_views(spark, sf_dir)))
-    from polars_nexpresso_spark.queries import q_fuzzy_name_pairs
-
-    bench(
-        "fuzzy_name_pairs", lambda: force(q_fuzzy_name_pairs(spark, sf_dir))
-    )
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_contamination_report,
-    )
-    from polars_nexpresso_spark.queries import q_top_events_salted
-
-    bench(
-        "contamination_report",
-        lambda: force(q_contamination_report(spark, sf_dir)),
-    )
-    bench(
-        "top_events_salted",
-        lambda: force(q_top_events_salted(spark, sf_dir)),
-    )
-    from polars_nexpresso_spark.pipeline_queries import q_dsir_weights
-
-    bench("dsir_weights", lambda: force(q_dsir_weights(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_gumbel_topk
-
-    bench("gumbel_topk", lambda: force(q_gumbel_topk(spark, sf_dir)))
-    from polars_nexpresso_spark.pipeline_queries import q_multimodal_video
-
-    bench(
-        "multimodal_video", lambda: force(q_multimodal_video(spark, sf_dir))
-    )
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_corpus_report,
-        q_project_embeddings,
-        q_quality_buckets,
-    )
-
-    bench("corpus_report", lambda: force(q_corpus_report(spark, sf_dir)))
-    bench(
-        "project_embeddings",
-        lambda: force(q_project_embeddings(spark, sf_dir)),
-    )
-    bench(
-        "quality_buckets", lambda: force(q_quality_buckets(spark, sf_dir))
-    )
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_corpus_diff,
-        q_unicode_nfc,
-    )
-
-    bench("corpus_diff", lambda: force(q_corpus_diff(spark, sf_dir)))
-    bench("unicode_nfc", lambda: force(q_unicode_nfc(spark, sf_dir)))
-
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_boilerplate_tokens,
-        q_intradoc_dedup,
-        q_image_near_dup,
-        q_nb_quality,
-        q_nb_quality_stream,
-        q_semantic_dedup,
-        q_source_overlap,
-        q_token_budget,
-    )
-
-    bench(
-        "boilerplate_tokens",
-        lambda: force(q_boilerplate_tokens(spark, sf_dir)),
-    )
-    bench(
-        "semantic_dedup", lambda: force(q_semantic_dedup(spark, sf_dir))
-    )
-    bench(
-        "intradoc_dedup", lambda: force(q_intradoc_dedup(spark, sf_dir))
-    )
-    bench(
-        "source_overlap", lambda: force(q_source_overlap(spark, sf_dir))
-    )
-    bench(
-        "token_budget", lambda: force(q_token_budget(spark, sf_dir))
-    )
-    bench("nb_quality", lambda: force(q_nb_quality(spark, sf_dir)))
-    bench(
-        "nb_quality_stream",
-        lambda: force(q_nb_quality_stream(spark, sf_dir)),
-    )
-    bench(
-        "image_near_dup", lambda: force(q_image_near_dup(spark, sf_dir))
-    )
-
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_dedup_best_keep,
-        q_exact_substring_dedup,
-        q_fixed_boilerplate,
-        q_audio_near_dup,
-        q_hard_negatives,
-        q_hard_negatives_ann,
-        q_leakage_free_split,
-        q_temperature_mix,
-        q_token_shift,
-    )
-
-    bench(
-        "fixed_boilerplate",
-        lambda: force(q_fixed_boilerplate(spark, sf_dir)),
-    )
-    bench(
-        "dedup_best_keep",
-        lambda: force(q_dedup_best_keep(spark, sf_dir)),
-    )
-    bench(
-        "hard_negatives", lambda: force(q_hard_negatives(spark, sf_dir))
-    )
-    bench(
-        "exact_substring_dedup",
-        lambda: force(q_exact_substring_dedup(spark, sf_dir)),
-    )
-    bench(
-        "temperature_mix", lambda: force(q_temperature_mix(spark, sf_dir))
-    )
-    bench(
-        "leakage_free_split",
-        lambda: force(q_leakage_free_split(spark, sf_dir)),
-    )
-    bench(
-        "hard_negatives_ann",
-        lambda: force(q_hard_negatives_ann(spark, sf_dir)),
-    )
-    bench(
-        "audio_near_dup", lambda: force(q_audio_near_dup(spark, sf_dir))
-    )
-    bench("token_shift", lambda: force(q_token_shift(spark, sf_dir)))
-
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_epoch_plan,
-        q_ref_dedup,
-        q_ref_dedup_stream,
-        q_repeat_upsample,
-        q_strip_markup,
-        q_truncate_tokens,
-    )
-
-    bench("strip_markup", lambda: force(q_strip_markup(spark, sf_dir)))
-    bench(
-        "truncate_tokens", lambda: force(q_truncate_tokens(spark, sf_dir))
-    )
-    bench("epoch_plan", lambda: force(q_epoch_plan(spark, sf_dir)))
-    bench(
-        "repeat_upsample", lambda: force(q_repeat_upsample(spark, sf_dir))
-    )
-    bench("ref_dedup", lambda: force(q_ref_dedup(spark, sf_dir)))
-    bench(
-        "ref_dedup_stream",
-        lambda: force(q_ref_dedup_stream(spark, sf_dir)),
-    )
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_apply_mix,
-        q_clean_ingest,
-    )
-
-    bench("clean_ingest", lambda: force(q_clean_ingest(spark, sf_dir)))
-    bench("apply_mix", lambda: force(q_apply_mix(spark, sf_dir)))
-
-    def _bpe_pipeline():
-        from polars_nexpresso_spark.functions.bpe import (
-            bpe_encode,
-            train_bpe,
-        )
-
-        docs = spread(read_table(spark, sf_dir, "documents"))
-        merges = train_bpe(docs, "text", num_merges=64, min_count=2)
-        force(bpe_encode(docs, "text", merges))
-
-    bench("bpe_pipeline", _bpe_pipeline)
-
-    from polars_nexpresso_spark.pipeline_queries import (
-        q_hard_negatives_ivfpq,
-        q_ivfpq_ann_topk,
-        q_ivfpq_rerank,
-        q_pq_ann_topk,
-    )
-
-    bench("pq_ann_topk", lambda: force(q_pq_ann_topk(spark, sf_dir)))
-    bench(
-        "ivfpq_ann_topk", lambda: force(q_ivfpq_ann_topk(spark, sf_dir))
-    )
-    bench("ivfpq_rerank", lambda: force(q_ivfpq_rerank(spark, sf_dir)))
-    bench(
-        "hard_negatives_ivfpq",
-        lambda: force(q_hard_negatives_ivfpq(spark, sf_dir)),
-    )
-    from polars_nexpresso_spark.pipeline_queries import q_ann_recall
-
-    bench("ann_recall", lambda: force(q_ann_recall(spark, sf_dir)))
-
-    # --- ANN quality/cost curve: recall@k of each approximate engine vs
-    # the exact top-k at TWO dial settings (the query-catalog default and a
-    # high-recall point), each timed — one point is a number, two points
-    # are the recall/cost curve an operator can actually steer. Reported on
-    # both the near-uniform sf corpus (ANN's worst case) and a clustered
-    # synthetic corpus (the shape real embedding models produce).
+def _recall_curve(corpus, queries, dim) -> dict[str, dict]:
     from polars_nexpresso_spark.functions.similarity import (
         cosine_topk,
         exact_rerank,
@@ -726,91 +547,58 @@ def main() -> None:
         pq_ann_topk,
     )
 
-    ANN_DIALS = {
-        "lsh": {
-            "default": {"num_planes": 8, "multiprobe": 4},
-            "high": {"num_planes": 8, "multiprobe": 5},
-        },
-        "ivf": {
-            "default": {"n_centroids": 16, "n_probe": 6},
-            "high": {"n_centroids": 16, "n_probe": 8},
-        },
-        # PQ trades exact-id recall for a 32x smaller scoring
-        # representation; the dial raises codebook resolution.
-        "pq": {
-            "default": {"m": 8, "n_codes": 16},
-            "high": {"m": 8, "n_codes": 64},
-        },
-        # The composed index: IVF bounds candidates, PQ bounds bytes;
-        # the dial widens the probe and raises codebook resolution.
-        "ivfpq": {
-            "default": {
-                "n_centroids": 16, "n_probe": 6, "m": 8, "n_codes": 16,
-            },
-            "high": {
-                "n_centroids": 16, "n_probe": 8, "m": 8, "n_codes": 64,
-            },
-        },
-        # The full cascade: compressed 30-candidate over-fetch + exact
-        # re-rank. Recall should recover to ~the IVF cell bound (the
-        # only approximation left is candidate membership) while the
-        # candidate join still moves codes, not vectors.
-        "ivfpq_rerank": {
-            "default": {
-                "n_centroids": 16, "n_probe": 6, "m": 8, "n_codes": 16,
-            },
-            "high": {
-                "n_centroids": 16, "n_probe": 8, "m": 8, "n_codes": 16,
-            },
-        },
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
     }
-
-    def _recall_curve(corpus, queries, dim) -> dict[str, dict]:
-        exact = {
-            (r["query_id"], r["neighbor_id"])
-            for r in cosine_topk(corpus, queries, k=5).collect()
-        }
-        out: dict[str, dict] = {}
-        for engine, dials in ANN_DIALS.items():
-            out[engine] = {}
-            for dial, params in dials.items():
-                def _run():
-                    if engine == "lsh":
-                        res = lsh_ann_topk(
-                            corpus, queries, k=5, dim=dim, **params
-                        )
-                    elif engine == "pq":
-                        res = pq_ann_topk(corpus, queries, k=5, **params)
-                    elif engine == "ivfpq":
-                        res = ivfpq_ann_topk(
-                            corpus, queries, k=5, **params
-                        )
-                    elif engine == "ivfpq_rerank":
-                        cand = ivfpq_ann_topk(
-                            corpus, queries, k=30, **params
-                        )
-                        res = exact_rerank(cand, corpus, queries, k=5)
-                    else:
-                        res = ivf_ann_topk(corpus, queries, k=5, **params)
-                    return {
-                        (r["query_id"], r["neighbor_id"])
-                        for r in res.collect()
-                    }
-
-                # Warm once so the timed run measures QUERY cost: the first
-                # IVF call pays one-time centroid training (memoized per
-                # corpus) and codegen, which distorted the r4 dial curve
-                # (default 10.8s vs high 4.3s for identical centroids).
-                _run()
-                start = time.perf_counter()
-                approx = _run()
-                out[engine][dial] = {
-                    **params,
-                    "recall_at_5": round(len(approx & exact) / len(exact), 3),
-                    "sec": round(time.perf_counter() - start, 3),
+    out: dict[str, dict] = {}
+    for engine, dials in ANN_DIALS.items():
+        out[engine] = {}
+        for dial, params in dials.items():
+            def _run():
+                if engine == "lsh":
+                    res = lsh_ann_topk(
+                        corpus, queries, k=5, dim=dim, **params
+                    )
+                elif engine == "pq":
+                    res = pq_ann_topk(corpus, queries, k=5, **params)
+                elif engine == "ivfpq":
+                    res = ivfpq_ann_topk(
+                        corpus, queries, k=5, **params
+                    )
+                elif engine == "ivfpq_rerank":
+                    cand = ivfpq_ann_topk(
+                        corpus, queries, k=30, **params
+                    )
+                    res = exact_rerank(cand, corpus, queries, k=5)
+                else:
+                    res = ivf_ann_topk(corpus, queries, k=5, **params)
+                return {
+                    (r["query_id"], r["neighbor_id"])
+                    for r in res.collect()
                 }
-        return out
 
+            # Warm once so the timed run measures QUERY cost: the first
+            # IVF call pays one-time centroid training (memoized per
+            # corpus) and codegen, which distorted the r4 dial curve
+            # (default 10.8s vs high 4.3s for identical centroids).
+            _run()
+            start = time.perf_counter()
+            approx = _run()
+            out[engine][dial] = {
+                **params,
+                "recall_at_5": round(len(approx & exact) / len(exact), 3),
+                "sec": round(time.perf_counter() - start, 3),
+            }
+    return out
+
+
+def _ann_dial(spark, sf_dir: str, errors: dict) -> dict[str, dict]:
+    """Recall@k of each approximate engine vs the exact top-k at TWO dial
+    settings, each timed — one point is a number, two points are the
+    recall/cost curve an operator can actually steer. Reported on both the
+    near-uniform sf corpus (ANN's worst case) and a clustered synthetic
+    corpus (the shape real embedding models produce)."""
     ann_dial: dict[str, dict] = {}
     try:
         from polars_nexpresso_spark.pipeline_queries import _embedding_dim
@@ -845,313 +633,402 @@ def main() -> None:
         cdf.unpersist()
     except Exception as e:  # noqa: BLE001
         errors["ann_dial_clustered"] = f"{type(e).__name__}: {e}"[:500]
+    return ann_dial
 
-    # --- Scale probe: measured wall-time scaling exponents. The plan-shape
-    # tests argue "survives 100x" structurally; this measures it. Two
-    # designs: (a) ORGANIC 10x — the driver generates each SF
-    # independently, so sf0.01 → sf0.1 is a true 10x corpus (used for the
-    # dedup ops, where self-similar copies would change the workload shape
-    # — every replica is a near-dup of its siblings — not just its size);
-    # (b) REPLICATED 4x — key-offset union of the cached flat frame (clean
-    # for pack: key spaces stay disjoint, list sizes unchanged). Big-side
-    # times reuse the warm medians measured above; small-side runs get one
-    # warmup + one timed run in-session. exponent = log(t_big/t_small) /
-    # log(factor); ≤1.0 means at-worst-linear scaling at this size.
+
+# ---------------------------------------------------------------------------
+# Scale probe: measured wall-time scaling exponents. The plan-shape tests
+# argue "survives 100x" structurally; this measures it. Two designs:
+# (a) ORGANIC 10x — the driver generates each SF independently, so
+# sf0.01 → sf0.1 is a true 10x corpus (used for the dedup ops, where
+# self-similar copies would change the workload shape — every replica is a
+# near-dup of its siblings — not just its size); (b) REPLICATED 4x —
+# key-offset union of the cached flat frame (clean for pack: key spaces
+# stay disjoint, list sizes unchanged). Big-side times reuse the medians
+# measured in the query groups; small-side runs get one warmup + one timed
+# run. exponent = log(t_big/t_small) / log(factor); ≤1.0 means
+# at-worst-linear scaling at this size.
+# ---------------------------------------------------------------------------
+
+SCALE_PROBE_QUERIES = (
+    "minhash_lsh", "dedup_clusters", "dup_window_frac", "fuzzy_name_pairs",
+    # round-6 operators: organic exponents on the same dial
+    "boilerplate_tokens", "semantic_dedup", "intradoc_dedup",
+    "source_overlap", "token_budget",
+    # round-7 operators
+    "fixed_boilerplate", "dedup_best_keep", "hard_negatives",
+    "hard_negatives_ann", "exact_substring_dedup", "strip_markup",
+    "repeat_upsample", "ref_dedup", "clean_ingest", "pq_ann_topk",
+    "ivfpq_ann_topk", "ivfpq_rerank", "hard_negatives_ivfpq",
+    # round-8 operators
+    "dedup_index",
+)
+
+
+def _scale_probe(
+    spark, sf_dir: str, timings: dict, errors: dict
+) -> dict[str, dict]:
+    import math
+
+    from polars_nexpresso_spark.queries import QUERIES
+
     scale_probe: dict[str, dict] = {}
-    if os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0":
-        import math
 
-        def _probe_exp(t_small, t_big, factor):
-            if not t_small or not t_big or t_small <= 0:
-                return None
-            return round(math.log(t_big / t_small) / math.log(factor), 2)
+    def _probe_exp(t_small, t_big, factor):
+        if not t_small or not t_big or t_small <= 0:
+            return None
+        return round(math.log(t_big / t_small) / math.log(factor), 2)
 
-        def _once(fn, warm: bool = True) -> float:
-            if warm:
-                fn()
-            start = time.perf_counter()
+    def _once(fn, warm: bool = True) -> float:
+        if warm:
             fn()
-            return round(time.perf_counter() - start, 3)
+        start = time.perf_counter()
+        fn()
+        return round(time.perf_counter() - start, 3)
 
-        def _big_time(name: str, fn) -> float | None:
-            # The warm medians above are only warm when the main loop ran
-            # its warmup; under SPARK_GRAFT_WARMUP=0 (quick local runs)
-            # they include first-run codegen and would corrupt the
-            # exponent — re-measure warm in that case.
-            if warmup >= 1:
-                return timings.get(name)
-            try:
-                return _once(fn)
-            except Exception:  # noqa: BLE001
-                return None
+    def _big_time(name: str, fn) -> float | None:
+        # The group medians are fresh-JVM warm medians; reuse them as the
+        # big-side time. If a name is missing (group child failed),
+        # re-measure warm here.
+        t = timings.get(name)
+        if t is not None:
+            return t
+        try:
+            return _once(fn)
+        except Exception:  # noqa: BLE001
+            return None
 
-        t_big_pack = _big_time("pack", lambda: force(packer.pack(flat, "orders")))
-        smaller = {"sf0.1": "sf0.01", "sf0.01": "sf0.001"}.get(Path(sf_dir).name)
-        small_dir = str(Path(sf_dir).parent / smaller) if smaller else None
-        if small_dir and Path(small_dir).exists():
+    packer = HierarchicalPacker(OL_SPEC)
+    flat = flat_orders_lineitem(spark, sf_dir)
+    flat.cache()
+    flat.count()
+    # This process is a fresh JVM: warm pack codegen once so the
+    # replicated-4x single-shot below measures data, not compilation.
+    force(packer.pack(flat, "orders"))
+    t_big_pack = _big_time("pack", lambda: force(packer.pack(flat, "orders")))
+
+    smaller = {"sf0.1": "sf0.01", "sf0.01": "sf0.001"}.get(Path(sf_dir).name)
+    small_dir = str(Path(sf_dir).parent / smaller) if smaller else None
+    if small_dir and Path(small_dir).exists():
+        try:
+            flat_s = flat_orders_lineitem(spark, small_dir)
+            flat_s.cache()
+            flat_s.count()
+            t_s = _once(lambda: force(packer.pack(flat_s, "orders")))
+            flat_s.unpersist()
+            scale_probe["pack_organic_10x"] = {
+                "t_small": t_s,
+                "t_big": t_big_pack,
+                "exponent": _probe_exp(t_s, t_big_pack, 10),
+            }
+        except Exception as e:  # noqa: BLE001
+            errors["scale_pack_organic"] = f"{type(e).__name__}: {e}"[:300]
+        for probe_name in SCALE_PROBE_QUERIES:
+            q = QUERIES[probe_name]
             try:
-                flat_s = flat_orders_lineitem(spark, small_dir)
-                flat_s.cache()
-                flat_s.count()
-                t_s = _once(lambda: force(packer.pack(flat_s, "orders")))
-                flat_s.unpersist()
-                scale_probe["pack_organic_10x"] = {
+                t_b = _big_time(probe_name, lambda: force(q(spark, sf_dir)))
+                t_s = _once(lambda: force(q(spark, small_dir)))
+                scale_probe[f"{probe_name}_organic_10x"] = {
                     "t_small": t_s,
-                    "t_big": t_big_pack,
-                    "exponent": _probe_exp(t_s, t_big_pack, 10),
+                    "t_big": t_b,
+                    "exponent": _probe_exp(t_s, t_b, 10),
                 }
             except Exception as e:  # noqa: BLE001
-                errors["scale_pack_organic"] = f"{type(e).__name__}: {e}"[:300]
-            from polars_nexpresso_spark.pipeline_queries import (
-                q_dup_window_frac as _q_dwf,
-            )
-            from polars_nexpresso_spark.queries import (
-                q_fuzzy_name_pairs as _q_fnp,
-            )
-
-            for probe_name, q in (
-                ("minhash_lsh", q_minhash_lsh),
-                ("dedup_clusters", q_dedup_clusters),
-                ("dup_window_frac", _q_dwf),
-                ("fuzzy_name_pairs", _q_fnp),
-                # round-6 operators: organic exponents on the same dial
-                ("boilerplate_tokens", q_boilerplate_tokens),
-                ("semantic_dedup", q_semantic_dedup),
-                ("intradoc_dedup", q_intradoc_dedup),
-                ("source_overlap", q_source_overlap),
-                ("token_budget", q_token_budget),
-                # round-7 operators
-                ("fixed_boilerplate", q_fixed_boilerplate),
-                ("dedup_best_keep", q_dedup_best_keep),
-                ("hard_negatives", q_hard_negatives),
-                ("hard_negatives_ann", q_hard_negatives_ann),
-                ("exact_substring_dedup", q_exact_substring_dedup),
-                # round-7 session-2 operators
-                ("strip_markup", q_strip_markup),
-                ("repeat_upsample", q_repeat_upsample),
-                # round-7 session-3 operators
-                ("ref_dedup", q_ref_dedup),
-                ("clean_ingest", q_clean_ingest),
-                ("pq_ann_topk", q_pq_ann_topk),
-                ("ivfpq_ann_topk", q_ivfpq_ann_topk),
-                ("ivfpq_rerank", q_ivfpq_rerank),
-                ("hard_negatives_ivfpq", q_hard_negatives_ivfpq),
-            ):
-                try:
-                    t_b = _big_time(
-                        probe_name, lambda: force(q(spark, sf_dir))
-                    )
-                    t_s = _once(lambda: force(q(spark, small_dir)))
-                    scale_probe[f"{probe_name}_organic_10x"] = {
-                        "t_small": t_s,
-                        "t_big": t_b,
-                        "exponent": _probe_exp(t_s, t_b, 10),
-                    }
-                except Exception as e:  # noqa: BLE001
-                    errors[f"scale_{probe_name}"] = f"{type(e).__name__}: {e}"[:300]
-        try:
-            parts = [flat]
-            for i in range(1, 4):
-                parts.append(
-                    flat.withColumn(
-                        "orders.o_orderkey",
-                        F.col("`orders.o_orderkey`") + F.lit(i * 1_000_000_000),
-                    )
-                )
-            flat4 = parts[0]
-            for p in parts[1:]:
-                flat4 = flat4.unionByName(p)
-            flat4 = flat4.cache()
-            flat4.count()
-            # Single-shot (no warmup): the pack operators are JIT-warm from
-            # the main loop; a warmup here would double a ~4x-sized run.
-            t4 = _once(
-                lambda: force(packer.pack(flat4, "orders")), warm=False
-            )
-            flat4.unpersist()
-            scale_probe["pack_replicated_4x"] = {
-                "t_small": t_big_pack,
-                "t_big": t4,
-                "exponent": _probe_exp(t_big_pack, t4, 4),
-            }
-        except Exception as e:  # noqa: BLE001
-            errors["scale_pack_replicated"] = f"{type(e).__name__}: {e}"[:300]
-        # fuzzy_join's risk case (round-5 ask): k=2 on ~40-char strings,
-        # where the deletion neighborhood is O(len^2/2) per string. The
-        # catalog query measures the benign case (k=1, 19-char names);
-        # this probes the ceiling with real measured variant counts.
-        try:
-            from polars_nexpresso_spark.operators.fuzzyjoin import (
-                deletion_variants,
-                fuzzy_join,
-            )
-
-            docs40 = read_table(spark, sf_dir, "documents").select(
-                F.col("doc_id"), F.substring("text", 1, 40).alias("s")
-            )
-            fa = docs40.select(
-                F.col("doc_id").alias("id_a"), F.col("s").alias("s_a")
-            )
-            fb = docs40.select(
-                F.col("doc_id").alias("id_b"), F.col("s").alias("s_b")
-            )
-            n_str = fa.count()
-            n_var = fa.select(
-                F.explode(deletion_variants(F.col("s_a"), 2))
-            ).count()
-            t_k2 = _once(
-                lambda: force(
-                    fuzzy_join(
-                        fa, fb, left_on="s_a", right_on="s_b", max_distance=2
-                    ).filter(F.col("id_a") < F.col("id_b"))
+                errors[f"scale_{probe_name}"] = f"{type(e).__name__}: {e}"[:300]
+    try:
+        parts = [flat]
+        for i in range(1, 4):
+            parts.append(
+                flat.withColumn(
+                    "orders.o_orderkey",
+                    F.col("`orders.o_orderkey`") + F.lit(i * 1_000_000_000),
                 )
             )
-            scale_probe["fuzzy_k2_long_strings"] = {
-                "strings": n_str,
-                "string_len": 40,
-                "variants_per_string": round(n_var / max(n_str, 1), 1),
-                "variant_rows_per_side": n_var,
-                "sec": t_k2,
-                "ceiling": "variants/string ~ 1 + L + L(L-1)/2; keep "
-                "L <= ~64 at k=2 (truncate the key or pre-block on a "
-                "coarser key first) — shuffle volume is |distinct "
-                "strings| x that quadratic factor",
-            }
-        except Exception as e:  # noqa: BLE001
-            errors["scale_fuzzy_k2"] = f"{type(e).__name__}: {e}"[:300]
-
-        try:
-            # 4x parent-dominant split_join ratio. At 1x the split_join
-            # side sits on a ~0.9s absolute JVM floor the ratio cannot
-            # beat at sandbox scale; at 4x the floor amortizes, which is
-            # the honest comparison against the reference's 0.11x
-            # headline. Methodology matches the 1x pair exactly: the
-            # wide (payload-replicated) frame is cached, both paths are
-            # JIT-warm from the main loop, single-shot timing.
-            dom_parts = []
-            for i in range(4):
-                dom_parts.append(
-                    li.select(
-                        (li["l_suppkey"] + F.lit(i * 1_000_000)).alias(
-                            "supplier.s_suppkey"
-                        ),
-                        F.array_repeat(
-                            (li["l_suppkey"] + F.lit(i * 1_000_000)).cast(
-                                "double"
-                            ),
-                            256,
-                        ).alias("supplier.s_payload"),
-                        (li["l_orderkey"] + F.lit(i * 1_000_000_000)).alias(
-                            "supplier.lineitem.l_orderkey"
-                        ),
-                        li["l_linenumber"].alias(
-                            "supplier.lineitem.l_linenumber"
-                        ),
-                        li["l_quantity"].alias("supplier.lineitem.l_quantity"),
-                    )
-                )
-            dom4 = dom_parts[0]
-            for p in dom_parts[1:]:
-                dom4 = dom4.unionByName(p)
-            dom4 = dom4.cache()
-            dom4.count()
-            t_plain4 = _once(
-                lambda: force(
-                    sl_packer.pack(
-                        dom4, "lineitem", parent_strategy="aggregate"
-                    )
-                ),
-                warm=False,
-            )
-            t_sj4 = _once(
-                lambda: force(
-                    sl_packer.pack(
-                        dom4, "lineitem", parent_strategy="split_join"
-                    )
-                ),
-                warm=False,
-            )
-            dom4.unpersist()
-            scale_probe["split_join_parent_dominant_4x"] = {
-                "t_pack_4x": t_plain4,
-                "t_split_join_4x": t_sj4,
-                "ratio": round(t_sj4 / t_plain4, 3) if t_plain4 else None,
-            }
-        except Exception as e:  # noqa: BLE001
-            errors["scale_split_join_dominant"] = f"{type(e).__name__}: {e}"[:300]
-
-        try:
-            # The REFERENCE's own parent-dominant config
-            # (benchmarks/README.md:156): 64 children/parent, 16384-px
-            # payload + 16 attrs per parent; 100 parents at 1x, 400 at
-            # 4x. Payload elements are pseudo-random per index
-            # (incompressible, like real pixels) but a pure function of
-            # the parent id (group-uniform). On Spark BOTH strategies
-            # are fast here: the plain pack's PARTIAL aggregation takes
-            # first(payload) per key map-side, so the shuffle carries
-            # ~keys x partitions payloads — not x children — which is
-            # the very dedup split_join exists to do by hand in the
-            # reference's engine. See split_join_analysis in the
-            # details sidecar.
-            from polars_nexpresso_spark import HierarchySpec, LevelSpec
-
-            img_spec = HierarchySpec.from_levels(
-                LevelSpec(name="image", id_fields=["img_id"]),
-                LevelSpec(name="patch", id_fields=["patch_id"]),
-            )
-            img_packer = HierarchicalPacker(img_spec)
-
-            def _ref_shape(n_parents: int):
-                base = spark.range(n_parents * 64).select(
-                    (F.col("id") / 64).cast("long").alias("image.img_id"),
-                    F.col("id").alias("image.patch.patch_id"),
-                    (F.col("id") % 997).cast("double").alias(
-                        "image.patch.val"
-                    ),
-                )
-                payload = F.expr(
-                    "transform(sequence(1, 16384), i -> cast((`image.img_id`"
-                    " * 2654435761 + i * 40503) % 65536 AS float))"
-                )
-                out = base.withColumn("image.payload", payload)
-                for a in range(16):
-                    out = out.withColumn(
-                        f"image.attr{a}",
-                        (F.col("`image.img_id`") * a).cast("double"),
-                    )
-                return out
-
-            ref_probe: dict[str, dict] = {}
-            for n_parents, label in ((100, "1x"), (400, "4x")):
-                dom_ref = _ref_shape(n_parents).cache()
-                dom_ref.count()
-                t_plain = _once(
-                    lambda: force(
-                        img_packer.pack(
-                            dom_ref, "patch", parent_strategy="aggregate"
-                        )
-                    )
-                )
-                t_sj = _once(
-                    lambda: force(
-                        img_packer.pack(
-                            dom_ref, "patch", parent_strategy="split_join"
-                        )
-                    )
-                )
-                dom_ref.unpersist()
-                ref_probe[label] = {
-                    "t_pack": t_plain,
-                    "t_split_join": t_sj,
-                    "ratio": round(t_sj / t_plain, 3) if t_plain else None,
-                }
-            scale_probe["split_join_parent_dominant_ref_shape"] = ref_probe
-        except Exception as e:  # noqa: BLE001
-            errors["scale_split_join_ref_shape"] = (
-                f"{type(e).__name__}: {e}"[:300]
-            )
-
+        flat4 = parts[0]
+        for p in parts[1:]:
+            flat4 = flat4.unionByName(p)
+        flat4 = flat4.cache()
+        flat4.count()
+        # Single-shot (no warmup): pack codegen is warm from the explicit
+        # warm run above; a warmup here would double a ~4x-sized run.
+        t4 = _once(lambda: force(packer.pack(flat4, "orders")), warm=False)
+        flat4.unpersist()
+        scale_probe["pack_replicated_4x"] = {
+            "t_small": t_big_pack,
+            "t_big": t4,
+            "exponent": _probe_exp(t_big_pack, t4, 4),
+        }
+    except Exception as e:  # noqa: BLE001
+        errors["scale_pack_replicated"] = f"{type(e).__name__}: {e}"[:300]
     flat.unpersist()
+
+    # fuzzy_join's risk case (round-5 ask): k=2 on ~40-char strings,
+    # where the deletion neighborhood is O(len^2/2) per string. The
+    # catalog query measures the benign case (k=1, 19-char names);
+    # this probes the ceiling with real measured variant counts.
+    try:
+        from polars_nexpresso_spark.operators.fuzzyjoin import (
+            deletion_variants,
+            fuzzy_join,
+        )
+
+        docs40 = read_table(spark, sf_dir, "documents").select(
+            F.col("doc_id"), F.substring("text", 1, 40).alias("s")
+        )
+        fa = docs40.select(
+            F.col("doc_id").alias("id_a"), F.col("s").alias("s_a")
+        )
+        fb = docs40.select(
+            F.col("doc_id").alias("id_b"), F.col("s").alias("s_b")
+        )
+        n_str = fa.count()
+        n_var = fa.select(
+            F.explode(deletion_variants(F.col("s_a"), 2))
+        ).count()
+        t_k2 = _once(
+            lambda: force(
+                fuzzy_join(
+                    fa, fb, left_on="s_a", right_on="s_b", max_distance=2
+                ).filter(F.col("id_a") < F.col("id_b"))
+            )
+        )
+        scale_probe["fuzzy_k2_long_strings"] = {
+            "strings": n_str,
+            "string_len": 40,
+            "variants_per_string": round(n_var / max(n_str, 1), 1),
+            "variant_rows_per_side": n_var,
+            "sec": t_k2,
+            "ceiling": "variants/string ~ 1 + L + L(L-1)/2; keep "
+            "L <= ~64 at k=2 (truncate the key or pre-block on a "
+            "coarser key first) — shuffle volume is |distinct "
+            "strings| x that quadratic factor",
+        }
+    except Exception as e:  # noqa: BLE001
+        errors["scale_fuzzy_k2"] = f"{type(e).__name__}: {e}"[:300]
+
+    try:
+        # 4x parent-dominant split_join ratio. At 1x the split_join
+        # side sits on a ~0.9s absolute JVM floor the ratio cannot
+        # beat at sandbox scale; at 4x the floor amortizes, which is
+        # the honest comparison against the reference's 0.11x
+        # headline. Both strategies get one 1x warm run first (fresh
+        # JVM here), then single-shot 4x timing.
+        sl_packer = HierarchicalPacker(_supplier_lineitem_spec())
+        li = read_table(spark, sf_dir, "lineitem")
+        warm1x = _parent_dominant_frame(li).cache()
+        warm1x.count()
+        force(sl_packer.pack(warm1x, "lineitem", parent_strategy="aggregate"))
+        force(sl_packer.pack(warm1x, "lineitem", parent_strategy="split_join"))
+        warm1x.unpersist()
+        dom_parts = [
+            _parent_dominant_frame(
+                li, key_offset=i * 1_000_000, order_offset=i * 1_000_000_000
+            )
+            for i in range(4)
+        ]
+        dom4 = dom_parts[0]
+        for p in dom_parts[1:]:
+            dom4 = dom4.unionByName(p)
+        dom4 = dom4.cache()
+        dom4.count()
+        t_plain4 = _once(
+            lambda: force(
+                sl_packer.pack(dom4, "lineitem", parent_strategy="aggregate")
+            ),
+            warm=False,
+        )
+        t_sj4 = _once(
+            lambda: force(
+                sl_packer.pack(dom4, "lineitem", parent_strategy="split_join")
+            ),
+            warm=False,
+        )
+        dom4.unpersist()
+        scale_probe["split_join_parent_dominant_4x"] = {
+            "t_pack_4x": t_plain4,
+            "t_split_join_4x": t_sj4,
+            "ratio": round(t_sj4 / t_plain4, 3) if t_plain4 else None,
+        }
+    except Exception as e:  # noqa: BLE001
+        errors["scale_split_join_dominant"] = f"{type(e).__name__}: {e}"[:300]
+
+    try:
+        # The REFERENCE's own parent-dominant config
+        # (benchmarks/README.md:156): 64 children/parent, 16384-px
+        # payload + 16 attrs per parent; 100 parents at 1x, 400 at
+        # 4x. Payload elements are pseudo-random per index
+        # (incompressible, like real pixels) but a pure function of
+        # the parent id (group-uniform). On Spark BOTH strategies
+        # are fast here: the plain pack's PARTIAL aggregation takes
+        # first(payload) per key map-side, so the shuffle carries
+        # ~keys x partitions payloads — not x children — which is
+        # the very dedup split_join exists to do by hand in the
+        # reference's engine. See split_join_analysis in the
+        # details sidecar.
+        from polars_nexpresso_spark import HierarchySpec, LevelSpec
+
+        img_spec = HierarchySpec.from_levels(
+            LevelSpec(name="image", id_fields=["img_id"]),
+            LevelSpec(name="patch", id_fields=["patch_id"]),
+        )
+        img_packer = HierarchicalPacker(img_spec)
+
+        def _ref_shape(n_parents: int):
+            base = spark.range(n_parents * 64).select(
+                (F.col("id") / 64).cast("long").alias("image.img_id"),
+                F.col("id").alias("image.patch.patch_id"),
+                (F.col("id") % 997).cast("double").alias("image.patch.val"),
+            )
+            payload = F.expr(
+                "transform(sequence(1, 16384), i -> cast((`image.img_id`"
+                " * 2654435761 + i * 40503) % 65536 AS float))"
+            )
+            out = base.withColumn("image.payload", payload)
+            for a in range(16):
+                out = out.withColumn(
+                    f"image.attr{a}",
+                    (F.col("`image.img_id`") * a).cast("double"),
+                )
+            return out
+
+        ref_probe: dict[str, dict] = {}
+        for n_parents, label in ((100, "1x"), (400, "4x")):
+            dom_ref = _ref_shape(n_parents).cache()
+            dom_ref.count()
+            t_plain = _once(
+                lambda: force(
+                    img_packer.pack(
+                        dom_ref, "patch", parent_strategy="aggregate"
+                    )
+                )
+            )
+            t_sj = _once(
+                lambda: force(
+                    img_packer.pack(
+                        dom_ref, "patch", parent_strategy="split_join"
+                    )
+                )
+            )
+            dom_ref.unpersist()
+            ref_probe[label] = {
+                "t_pack": t_plain,
+                "t_split_join": t_sj,
+                "ratio": round(t_sj / t_plain, 3) if t_plain else None,
+            }
+        scale_probe["split_join_parent_dominant_ref_shape"] = ref_probe
+    except Exception as e:  # noqa: BLE001
+        errors["scale_split_join_ref_shape"] = f"{type(e).__name__}: {e}"[:300]
+    return scale_probe
+
+
+# ---------------------------------------------------------------------------
+# Child / parent orchestration
+# ---------------------------------------------------------------------------
+
+
+def _run_child_group(group: str, sf_dir: str, timings_path: str | None) -> None:
+    """Child mode: run ONE group in this fresh JVM, print a JSON line."""
+    spark = get_spark(app_name=f"pns-bench-{group}")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    peaks: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    extras: dict = {}
+    bench = _make_bench(spark, timings, peaks, errors)
+    if group == "ann_dial":
+        extras["ann_recall_at_k"] = _ann_dial(spark, sf_dir, errors)
+    elif group == "scale_probe":
+        merged: dict[str, float] = {}
+        if timings_path and Path(timings_path).exists():
+            merged = json.loads(Path(timings_path).read_text())
+        extras["scale_probe"] = _scale_probe(spark, sf_dir, merged, errors)
+    else:
+        GROUPS[group](spark, sf_dir, bench)
+    print(json.dumps({
+        "group": group,
+        "timings": timings,
+        "peaks": peaks,
+        "errors": errors,
+        "extras": extras,
+    }))
+
+
+def _spawn_group(
+    group: str, sf_dir: str, timings_path: str | None = None
+) -> dict:
+    cmd = [sys.executable, __file__, "--group", group]
+    if timings_path:
+        cmd += ["--timings", timings_path]
+    try:
+        proc = subprocess.run(
+            cmd,
+            capture_output=True,
+            text=True,
+            timeout=int(os.environ.get("SPARK_GRAFT_GROUP_TIMEOUT", "2400")),
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+    except subprocess.TimeoutExpired:
+        return {"group": group, "errors": {group: "group timeout"}}
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if rec.get("group") == group:
+            return rec
+    return {
+        "group": group,
+        "errors": {group: (proc.stderr or "no output").strip()[-400:]},
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+    isolated = os.environ.get("SPARK_GRAFT_ISOLATED", "1") != "0"
+
+    timings: dict[str, float] = {}
+    peaks: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    ann_dial: dict[str, dict] = {}
+    scale_probe: dict[str, dict] = {}
+    run_scale = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
+
+    if isolated:
+        # ONE fresh JVM per group: per-query numbers no longer depend on
+        # what ran before them in a shared session, so the committed seal
+        # and the driver's own run converge (r07 verdict item 2).
+        for group in GROUPS:
+            rec = _spawn_group(group, sf_dir)
+            timings.update(rec.get("timings", {}))
+            peaks.update(rec.get("peaks", {}))
+            errors.update(rec.get("errors", {}))
+        rec = _spawn_group("ann_dial", sf_dir)
+        ann_dial = rec.get("extras", {}).get("ann_recall_at_k", {})
+        errors.update(rec.get("errors", {}))
+        if run_scale:
+            with tempfile.NamedTemporaryFile(
+                "w", suffix=".json", delete=False
+            ) as tf:
+                json.dump(timings, tf)
+                timings_path = tf.name
+            rec = _spawn_group("scale_probe", sf_dir, timings_path)
+            scale_probe = rec.get("extras", {}).get("scale_probe", {})
+            errors.update(rec.get("errors", {}))
+            os.unlink(timings_path)
+    else:
+        spark = get_spark(app_name="pns-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        bench = _make_bench(spark, timings, peaks, errors)
+        for group, runner in GROUPS.items():
+            try:
+                runner(spark, sf_dir, bench)
+            except Exception as e:  # noqa: BLE001
+                errors[group] = f"{type(e).__name__}: {e}"[:500]
+        ann_dial = _ann_dial(spark, sf_dir, errors)
+        if run_scale:
+            scale_probe = _scale_probe(spark, sf_dir, timings, errors)
+
     # Headline total = the engine's fast paths. Deliberately-slower memory
     # modes (bounded bucket loop, capped-heap probe) are benched for their
     # ratio rows but excluded from the round-over-round total; their
@@ -1162,7 +1039,7 @@ def main() -> None:
     )
 
     # Fresh-process peak RSS for the memory-bounded mode (reference
-    # methodology); the warm-JVM watermarks above can't isolate it.
+    # methodology); warm-JVM watermarks can't isolate it.
     rss_isolated: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_RSS_ISOLATED", "1") != "0":
         try:
@@ -1225,6 +1102,7 @@ def main() -> None:
         "bounded_rss_ratio": bounded_rss.get(
             "ratio_4x", bounded_rss.get("ratio")
         ),
+        "isolated": isolated,
         "sf": sf,
     }
     details = {
@@ -1234,73 +1112,29 @@ def main() -> None:
         "scale_probe": scale_probe,
         "ann_recall_at_k": ann_dial,
         "bounded_rss": bounded_rss,
-        # Round-7 isolation experiment for the three r06-flagged
-        # regressions (scripts/isolate_query.py: fresh JVM per query,
-        # 1 warmup + median-of-3, sf0.1). Their code paths did not change
-        # r05->r06 (git diff 3a08d53..HEAD — additive edits only around
-        # them); the fresh-JVM medians land AT the r06 shared-session
-        # values and between the r05 and r06 readings
-        # (multimodal_video 0.953 vs r05 0.68 / r06 1.01;
-        # contamination_report 1.226 vs 0.93 / 1.34; corpus_report 0.736
-        # vs 0.55 / 0.74), i.e. the r05 shared-session numbers were the
-        # unusually-WARM outliers — run-ordering / JIT-warmth variance,
-        # the same pattern rounds 5 and 6 established. Not code.
-        # (Round-6 findings, retained: the pack ordered/unordered
-        # interleaved A/B measured 1.571 vs 1.526s — unordered <=
-        # ordered as it must be; pack/multihop_count/enrich_stats/
-        # session_pack isolated at 1.80/1.70/1.32/1.15s, all session
-        # noise; full numbers in the r06 round artifacts.)
-        "regression_isolation": {
-            "method": "fresh JVM per query (scripts/isolate_query.py), "
-            "1 warmup + median of 3, sf0.1",
-            "isolated_sec": {
-                "multimodal_video": 0.953,
-                "contamination_report": 1.226,
-                "corpus_report": 0.736,
-            },
-            "shared_session_sec": {
-                "multimodal_video": {"r05": 0.68, "r06": 1.01},
-                "contamination_report": {"r05": 0.93, "r06": 1.34},
-                "corpus_report": {"r05": 0.55, "r06": 0.74},
-            },
-            "verdict": "no code regression (paths unchanged r05->r06); "
-            "isolated medians match r06 and sit between r05/r06 — the "
-            "r05 shared-session readings were warm-session outliers",
-            # Round-7 flag: pack_split_join read 1.86s in the final r07
-            # shared session vs 1.41s in r06 (1.32x). Fresh-JVM isolation
-            # -> runs [1.408, 1.057, 0.895], median 1.057s — FASTER than
-            # both shared-session readings, so session-ordering noise
-            # again (the r07 session also recovered the three r06 flags:
-            # multimodal_video 0.67, contamination_report 0.90,
-            # corpus_report 0.53).
-            "r07": {
-                "pack_split_join": {
-                    "shared_r06": 1.406,
-                    "shared_r07": 1.856,
-                    "isolated_runs": [1.408, 1.057, 0.895],
-                    "isolated_median": 1.057,
-                    "verdict": "session-ordering noise, not code",
-                },
-                # Four consecutive full sf0.1 runs at round close
-                # flagged a DIFFERENT set of untouched queries each
-                # time (pack_split_join; then any_child/enrich_stats/
-                # promote_sum; then cosine_topk_pandas/asof_attribution/
-                # label_centroids) with comparable-subset totals
-                # swinging 0.96x-1.24x vs r06 — the definitive
-                # run-to-run noise signature, same conclusion the
-                # isolated pack_split_join case proves directly.
-                "flag_churn_note": "flags rotate across runs on "
-                "untouched code; per-query claims need fresh-JVM "
-                "isolation before being believed",
+        # Since round 8 the DEFAULT protocol is fresh-JVM-per-group
+        # (1 warmup + median-of-3 inside each child), closing the r07
+        # seal-vs-driver gap: rounds 5-7 kept flagging rotating sets of
+        # untouched queries because shared-session numbers swing ±25%
+        # with run ordering / JIT warmth (r07: four consecutive runs,
+        # comparable-subset totals 0.96x-1.24x, flag sets fully rotated;
+        # isolated pack_split_join median 1.057s vs shared readings
+        # 1.41-1.86s). Per-query fresh-JVM re-isolation
+        # (scripts/isolate_query.py) remains the protocol for any delta
+        # that still looks real across rounds.
+        "protocol": {
+            "mode": "isolated" if isolated else "shared-session",
+            "unit": "one fresh python+JVM per group; 1 warmup + "
+            "median-of-3 per query inside the group",
+            "groups": {
+                g: sorted(n for n in timings if _group_of(g, n))
+                for g in GROUPS
             },
         },
-        # pack_heap_capped r05 anomaly (6.93->21.62s): re-probed this
-        # round 3x fresh -> 5.54/5.57/5.88s at 944-997 MB RSS, i.e.
-        # BETTER than r04 and squarely in band. No config or code diff
-        # touches the probe (git log bench.py r4..r6: dial/notes only);
-        # the probe runs deliberately at the edge of its 800 MB cap, so
-        # a contended host tips it into GC churn — the r05 21.6s was one
-        # such transient, not a regression.
+        # pack_heap_capped r05 anomaly (6.93->21.62s): re-probed in r06 3x
+        # fresh -> 5.54/5.57/5.88s at 944-997 MB RSS. The probe runs
+        # deliberately at the edge of its 800 MB cap, so a contended host
+        # tips it into GC churn — the r05 21.6s was one such transient.
         "heap_capped_reprobe": {
             "runs_sec": [5.544, 5.567, 5.876],
             "peak_rss_mb": [944.5, 997.0, 978.2],
@@ -1353,7 +1187,7 @@ def main() -> None:
         "scale_probe",
         "ann_recall_at_k",
         "bounded_rss",
-        "regression_isolation",
+        "protocol",
         "heap_capped_reprobe",
         "split_join_analysis",
     ):
@@ -1361,11 +1195,42 @@ def main() -> None:
     print(json.dumps(headline))
 
 
+_GROUP_NAMES: dict[str, str] = {}
+
+
+def _group_of(group: str, name: str) -> bool:
+    if not _GROUP_NAMES:
+        for g, runner in GROUPS.items():
+            if hasattr(runner, "__closure__") and runner.__closure__:
+                for cell in runner.__closure__:
+                    if isinstance(cell.cell_contents, tuple):
+                        for n in cell.cell_contents:
+                            _GROUP_NAMES[n] = g
+        for n in (
+            "pack", "pack_no_child_order", "pack_streaming",
+            "pack_streaming_bounded", "pack_split_join", "pack_parent_heavy",
+            "pack_parent_heavy_aggregate", "pack_split_join_parent_heavy",
+            "pack_parent_dominant", "pack_split_join_parent_dominant",
+            "unpack", "roundtrip", "pack_deep_4level", "pack_heap_capped",
+        ):
+            _GROUP_NAMES[n] = "pack"
+    return _GROUP_NAMES.get(name) == group
+
+
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--rss-probe":
         _rss_probe(
             sys.argv[2],
             os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        )
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--group":
+        tp = None
+        if "--timings" in sys.argv:
+            tp = sys.argv[sys.argv.index("--timings") + 1]
+        _run_child_group(
+            sys.argv[2],
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            tp,
         )
     else:
         main()

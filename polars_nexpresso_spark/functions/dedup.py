@@ -1488,3 +1488,169 @@ def dedup_against_reference_stream(
         F.lit(0).cast("bigint"),
     )
     return df.filter(F.col(text_col).isNull() | ~member(probe_key))
+
+
+def _band_keys(num_hashes: int, bands: int):
+    """Band bucket keys from a minhash signature row: one xxhash64 per
+    band over (band index, the band's r signature components)."""
+    r = num_hashes // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"mh_{b * r + j}") for j in range(r)]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def build_dedup_index(
+    ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_name: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist a REUSABLE dedup index of a reference corpus, so repeated
+    incremental ingests stop re-shingling the reference every run (the
+    cost :func:`dedup_against_reference` pays on each call). Built once
+    at reference-publish time; every later batch anti-joins against the
+    stored tables with ZERO exchange on the index side.
+
+    Two hash-bucketed tables (:func:`~polars_nexpresso_spark.sources
+    .io.write_bucketed`; bucketed scans provide the join distribution
+    themselves):
+
+    - ``{table_name}_fp`` — ``(fp)``: distinct exact content
+      fingerprints (xxhash64 of normalized text), bucketed by ``fp``.
+      Drives the exact stage.
+    - ``{table_name}_lsh`` — ``(bkey, ref_id, sig)``: one row per
+      (reference doc × band) keyed by the band bucket hash, carrying
+      the doc's FULL minhash signature, bucketed by ``bkey``. Drives
+      the near-dup stage: candidates found by band equality, then
+      similarity estimated from signature agreement — no reference
+      text is stored or ever re-read.
+
+    Index size: ``bands`` longs + one ``num_hashes``-long array per
+    reference doc (~300 B/doc at the defaults) — orders of magnitude
+    under the text it replaces. ``num_buckets`` should scale with the
+    reference size (buckets are the join parallelism).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    from polars_nexpresso_spark.functions.text import normalize_text
+    from polars_nexpresso_spark.sources.io import write_bucketed
+
+    with_text = ref.filter(F.col(text_col).isNotNull())
+    fps = with_text.select(
+        F.xxhash64(normalize_text(F.col(text_col))).alias("fp")
+    ).distinct()
+    write_bucketed(
+        fps,
+        f"{table_name}_fp",
+        ["fp"],
+        num_buckets,
+        path=f"{path}_fp" if path else None,
+    )
+    sigs = minhash_signatures(
+        with_text, text_col, id_col, n=n, num_hashes=num_hashes
+    )
+    lsh = sigs.select(
+        F.col("__id").alias("ref_id"),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+        F.explode(_band_keys(num_hashes, bands)).alias("bkey"),
+    )
+    write_bucketed(
+        lsh,
+        f"{table_name}_lsh",
+        ["bkey"],
+        num_buckets,
+        path=f"{path}_lsh" if path else None,
+    )
+
+
+def dedup_against_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_name: str,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Incremental-ingest dedup of ``df`` against a persisted
+    :func:`build_dedup_index` — exact stage first (anti-join on the
+    stored content fingerprints), then a near-dup stage that drops any
+    row whose ESTIMATED Jaccard against some reference doc reaches
+    ``threshold``. Similarity is estimated as the fraction of agreeing
+    minhash components (an unbiased estimator of Jaccard;
+    ``num_hashes``/``bands``/``n`` must match the index build), so the
+    reference corpus is never re-shingled — the whole probe touches
+    only hashes.
+
+    Scale shape: the index tables are bucketed on their join keys, so
+    their scans arrive pre-distributed — zero exchange on the index
+    side (plan-pinned in test_plan_shapes.py); the batch shuffles once
+    per stage (by fingerprint, then by band key) plus one id-keyed
+    anti-join to apply the near-dup verdict. NULL-text rows always
+    survive, as in :func:`dedup_against_reference`.
+
+    Returns surviving ``df`` rows, schema unchanged.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    import math
+
+    from polars_nexpresso_spark.functions.text import normalize_text
+
+    spark = df.sparkSession
+    fp_tbl = spark.table(f"{table_name}_fp").withColumnRenamed("fp", "__fp")
+    lsh_tbl = spark.table(f"{table_name}_lsh")
+
+    after_exact = (
+        df.withColumn(
+            "__fp",
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.xxhash64(normalize_text(F.col(text_col))),
+            ),
+        )
+        .join(fp_tbl, on="__fp", how="left_anti")
+        .drop("__fp")
+    )
+
+    sigs = minhash_signatures(
+        after_exact, text_col, id_col, n=n, num_hashes=num_hashes
+    )
+    probe = sigs.select(
+        F.col("__id"),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias(
+            "__psig"
+        ),
+        F.explode(_band_keys(num_hashes, bands)).alias("bkey"),
+    )
+    min_agree = math.ceil(threshold * num_hashes - 1e-9)
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("__psig"), F.col("sig"), lambda a, b: a == b
+            ),
+            lambda x: x,
+        )
+    )
+    near_hits = (
+        probe.join(lsh_tbl, on="bkey")
+        .filter(agree >= F.lit(min_agree))
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return after_exact.join(near_hits, on=id_col, how="left_anti")

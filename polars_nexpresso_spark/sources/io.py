@@ -216,6 +216,25 @@ def write_bucketed(
     test_bucketed_join_no_shuffle and
     ::test_build_from_tables_bucketed_join_no_extra_exchange).
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
+    if not path:
+        # A managed table's location can survive a previous session whose
+        # (per-session) catalog is gone; saveAsTable then fails with
+        # LOCATION_ALREADY_EXISTS even in overwrite mode. Clear the
+        # orphan so rebuilds are idempotent across sessions.
+        try:
+            jvm = spark.sparkContext._jvm
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            loc = jvm.org.apache.hadoop.fs.Path(
+                spark.conf.get("spark.sql.warehouse.dir"),
+                table_name.lower(),
+            )
+            fs = loc.getFileSystem(hconf)
+            if fs.exists(loc):
+                fs.delete(loc, True)
+        except Exception:  # noqa: BLE001 — Connect: no JVM handle; let
+            pass  # saveAsTable surface any real conflict itself
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

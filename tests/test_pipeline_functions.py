@@ -2451,3 +2451,112 @@ def test_token_shift_topk_semantics(spark):
         token_shift_topk(old, new, "text", k=0)
     with _pytest.raises(ValueError, match="alpha"):
         token_shift_topk(old, new, "text", alpha=0)
+
+
+# --- persisted dedup index ---------------------------------------------------
+
+
+_LONG = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "migrating geese assemble near the frozen river bank and three "
+    "patient fishermen compare notes about the morning catch before "
+    "the village market opens its heavy wooden gates to travelers "
+    "arriving from distant provinces carrying spices cloth and news"
+)
+
+
+def test_dedup_index_roundtrip(spark, tmp_path):
+    """Build the index once, then dedup a new batch against it: exact
+    variants and near-duplicates of reference docs are dropped, fresh
+    and NULL-text rows survive, and within-batch duplicates are NOT
+    this operator's job (both copies survive if absent from the ref)."""
+    from polars_nexpresso_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, _LONG), (101, "completely different reference text here")],
+        ["doc_id", "text"],
+    )
+    near = _LONG.replace("seventeen", "nineteen")  # one token changed
+    batch = spark.createDataFrame(
+        [
+            (1, _LONG.upper()),          # exact after normalization
+            (2, near),                   # near-dup of ref 100
+            (3, "a genuinely fresh document about something else"),
+            (4, None),                   # NULL text always survives
+            (5, "twin batch doc"),       # within-batch dup pair:
+            (6, "twin batch doc"),       # both survive (not in ref)
+        ],
+        "doc_id long, text string",
+    )
+    build_dedup_index(
+        ref, "text", "doc_id", "pns_test_didx",
+        num_buckets=4, path=str(tmp_path / "didx"),
+    )
+    try:
+        out = dedup_against_index(batch, "text", "doc_id", "pns_test_didx")
+        assert sorted(r["doc_id"] for r in out.collect()) == [3, 4, 5, 6]
+        # schema passes through unchanged
+        assert out.columns == batch.columns
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pns_test_didx_fp")
+        spark.sql("DROP TABLE IF EXISTS pns_test_didx_lsh")
+
+
+def test_dedup_index_matches_reference_dedup_plus_lsh(spark, tmp_path):
+    """On data where minhash estimation is decisive (planted j≈1 and
+    j≈0 only), the index survivors equal dedup_against_reference's
+    exact stage minus the LSH-verified near-dups — the two paths agree
+    on every doc."""
+    from polars_nexpresso_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_against_reference,
+    )
+
+    docs = [(i, f"{_LONG} variant tail {i}") for i in range(6)]
+    ref = spark.createDataFrame(docs[:3], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        docs + [(99, "unrelated short text")], ["doc_id", "text"]
+    )
+    build_dedup_index(
+        ref, "text", "doc_id", "pns_test_didx2",
+        num_buckets=4, path=str(tmp_path / "didx2"),
+    )
+    try:
+        got = {
+            r["doc_id"]
+            for r in dedup_against_index(
+                batch, "text", "doc_id", "pns_test_didx2", threshold=0.95
+            ).collect()
+        }
+        exact_survivors = {
+            r["doc_id"]
+            for r in dedup_against_reference(batch, ref, "text").collect()
+        }
+        # every "variant tail i" doc is a near-dup of the ref trio at
+        # j≈0.98 — the index drops them all; the unrelated doc survives
+        assert got == {99}
+        assert got <= exact_survivors
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pns_test_didx2_fp")
+        spark.sql("DROP TABLE IF EXISTS pns_test_didx2_lsh")
+
+
+def test_dedup_index_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="divisible"):
+        build_dedup_index(df, "text", "doc_id", "t", num_hashes=10, bands=3)
+    with _pytest.raises(ValueError, match="divisible"):
+        dedup_against_index(df, "text", "doc_id", "t", num_hashes=10, bands=3)
+    with _pytest.raises(ValueError, match="threshold"):
+        dedup_against_index(df, "text", "doc_id", "t", threshold=0.0)

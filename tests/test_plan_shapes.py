@@ -581,3 +581,60 @@ def test_round7_session3_operator_shuffle_budgets(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_dedup_index_zero_exchange_on_index_side(spark, tmp_path):
+    """The persisted dedup index's bucketed tables join WITHOUT their
+    own exchange: the same dedup_against_index plan over plain parquet
+    tables needs exactly two more Exchanges (one per index table) than
+    over the bucketed index — the pre-bucketed side never shuffles."""
+    from polars_nexpresso_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    docs = read_table(spark, SF, "documents").select("doc_id", "text")
+    ref = docs.filter("doc_id % 3 = 0")
+    try:
+        build_dedup_index(
+            ref, "text", "doc_id", "pns_plan_didx",
+            num_buckets=4, path=str(tmp_path / "didx"),
+        )
+        # plain-parquet control: identical tables, no bucketing metadata
+        spark.table("pns_plan_didx_fp").write.parquet(
+            str(tmp_path / "fp_plain")
+        )
+        spark.table("pns_plan_didx_lsh").write.parquet(
+            str(tmp_path / "lsh_plain")
+        )
+        spark.read.parquet(str(tmp_path / "fp_plain")).write.saveAsTable(
+            "pns_plan_didx_plain_fp"
+        )
+        spark.read.parquet(str(tmp_path / "lsh_plain")).write.saveAsTable(
+            "pns_plan_didx_plain_lsh"
+        )
+        with _no_broadcast(spark):
+            p_bucketed = plan(
+                dedup_against_index(docs, "text", "doc_id", "pns_plan_didx")
+            )
+            p_plain = plan(
+                dedup_against_index(
+                    docs, "text", "doc_id", "pns_plan_didx_plain"
+                )
+            )
+        import re
+
+        n_bucketed = len(re.findall(r"\(\d+\) Exchange", p_bucketed))
+        n_plain = len(re.findall(r"\(\d+\) Exchange", p_plain))
+        # one exchange saved per index table (measured: 3 — the band-key
+        # join's output distribution also carries further)
+        assert n_plain - n_bucketed >= 2, (n_bucketed, n_plain)
+        assert "SelectedBucketsCount" in p_bucketed
+    finally:
+        for t in (
+            "pns_plan_didx_fp",
+            "pns_plan_didx_lsh",
+            "pns_plan_didx_plain_fp",
+            "pns_plan_didx_plain_lsh",
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
