@@ -322,3 +322,29 @@ def pandas_pq_codes(codebooks):
         return pd.Series(list(arr))
 
     return codes
+
+
+def pandas_bloom_member(bits):
+    """UDF factory: True when EVERY bit position in a row's
+    ``array<long>`` column is set in the packed Bloom bitmap (int64
+    words, held in the closure — num_bits/8 bytes per executor). One
+    vectorized gather per row's k positions; positions are computed
+    JVM-side so Python never hashes. NULL position arrays return False
+    (callers route the NULL-text keep-decision around the probe)."""
+    import numpy as np
+
+    words = np.asarray(bits, dtype=np.int64)
+
+    @pandas_udf("boolean")
+    def member(positions: pd.Series) -> pd.Series:
+        out = np.zeros(len(positions), dtype=bool)
+        for i, ps in enumerate(positions):
+            if ps is None:
+                continue
+            p = np.asarray(ps, dtype=np.int64)
+            out[i] = bool(
+                np.bitwise_and(words[p >> 6] >> (p & 63), 1).all()
+            )
+        return pd.Series(out)
+
+    return member
