@@ -471,9 +471,9 @@ GROUPS: dict[str, object] = {
         "lm_score", "lm_score_stream", "nb_quality", "nb_quality_stream",
     )),
     "text_transform": _registry_group((
-        "chunk_documents", "bm25_topk", "tfidf_keywords", "redact_pii",
-        "corpus_report", "corpus_diff", "unicode_nfc", "strip_markup",
-        "truncate_tokens", "token_shift", "bpe_pipeline",
+        "chunk_documents", "bm25_topk", "bm25_index", "tfidf_keywords",
+        "redact_pii", "corpus_report", "corpus_diff", "unicode_nfc",
+        "strip_markup", "truncate_tokens", "token_shift", "bpe_pipeline",
     )),
     "embeddings": _registry_group((
         "cosine_topk", "cosine_topk_pandas", "cosine_topk_int8",

@@ -107,3 +107,147 @@ def bm25_topk(
         .limit(k)
         .select(F.col("__id").alias(id_col), "score")
     )
+
+
+def build_text_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_name: str,
+    *,
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Persist a REUSABLE BM25 index: repeated queries stop re-reading
+    and re-tokenizing the corpus (the cost :func:`bm25_topk` pays per
+    call — fine for one-off inspection, wrong for a query workload).
+
+    Three tables, the classic inverted-index decomposition:
+
+    - ``{table_name}_postings`` — ``(term, <id_col>, tf, dl)``: one row
+      per (document, distinct term), with the document length
+      DENORMALIZED onto every posting (Lucene's norm-in-posting trick)
+      so query-time scoring needs no doc-length join. Hash-bucketed AND
+      sorted by ``term``: an ``IN (query terms)`` filter prunes the
+      scan to the buckets holding those terms
+      (``SelectedBucketsCount`` — plan-pinned), so query cost scales
+      with posting-list sizes, not corpus size.
+    - ``{table_name}_terms`` — ``(term, df)``: document frequencies,
+      same bucketing.
+    - ``{table_name}_stats`` — one row ``(n_docs, avgdl)``.
+
+    Index size ~ one long + two ints per (doc, distinct term) — the
+    tokenized corpus collapses to its postings once, at build time.
+    """
+    from polars_nexpresso_spark.sources.io import write_bucketed
+
+    if text_col not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"columns {text_col!r}/{id_col!r} must be in the DataFrame"
+        )
+    docs = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    doc_len = docs.select(id_col, F.size("__toks").alias("dl"))
+    postings = (
+        docs.select(id_col, F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .join(doc_len, on=id_col)
+        .select("term", id_col, "tf", "dl")
+    )
+    write_bucketed(
+        postings,
+        f"{table_name}_postings",
+        ["term"],
+        num_buckets,
+        sort_cols=["term"],
+        path=f"{path}_postings" if path else None,
+    )
+    spark = df.sparkSession
+    terms = (
+        spark.table(f"{table_name}_postings")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    write_bucketed(
+        terms,
+        f"{table_name}_terms",
+        ["term"],
+        num_buckets,
+        sort_cols=["term"],
+        path=f"{path}_terms" if path else None,
+    )
+    stats = doc_len.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    write_bucketed(
+        stats,
+        f"{table_name}_stats",
+        ["n_docs"],
+        1,
+        path=f"{path}_stats" if path else None,
+    )
+
+
+def bm25_against_index(
+    spark,
+    table_name: str,
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` scored from a persisted
+    :func:`build_text_index` — same Okapi BM25 formula and tie-break as
+    :func:`bm25_topk`, but the corpus is never touched: the postings
+    scan bucket-prunes to the query's terms, document frequencies and
+    corpus stats attach by broadcast, and the only shuffle carries the
+    matching postings into the per-document sum. Query cost is the
+    query terms' posting lists, independent of corpus size.
+    """
+    q_terms = sorted(set(query.lower().split()))
+    if not q_terms:
+        raise ValueError("query has no terms")
+    postings = spark.table(f"{table_name}_postings")
+    id_col = [c for c in postings.columns if c not in ("term", "tf", "dl")]
+    if len(id_col) != 1:
+        raise ValueError(
+            f"{table_name}_postings has unexpected schema: "
+            f"{postings.columns}"
+        )
+    (id_col,) = id_col
+    hits = postings.filter(F.col("term").isin(q_terms))
+    dfreq = spark.table(f"{table_name}_terms").filter(
+        F.col("term").isin(q_terms)
+    )
+    stats = spark.table(f"{table_name}_stats")
+    scored = (
+        hits.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

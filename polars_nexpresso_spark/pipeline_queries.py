@@ -3793,3 +3793,27 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_QUERIES["bloom_dedup"] = q_bloom_dedup
 PIPELINE_ORACLE_SQL["bloom_dedup"] = PIPELINE_ORACLE_SQL["ref_dedup"]
+
+
+def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from the persisted inverted index: build once (postings
+    bucketed+sorted by term with denormalized doc lengths, df table,
+    corpus stats), then score the same fixed query as bm25_topk — the
+    postings scan bucket-prunes to the query's terms and the corpus is
+    never re-tokenized. Same formula, same oracle."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_against_index,
+        build_text_index,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    build_text_index(
+        docs, "text", "doc_id", "pns_q_text_index", num_buckets=16
+    )
+    return bm25_against_index(
+        spark, "pns_q_text_index", "hash join spill window", k=20
+    )
+
+
+PIPELINE_QUERIES["bm25_index"] = q_bm25_index
+PIPELINE_ORACLE_SQL["bm25_index"] = PIPELINE_ORACLE_SQL["bm25_topk"]

@@ -611,3 +611,94 @@ def test_top_k_per_group(spark):
     assert "rank" not in no_rank.columns and no_rank.count() == 2
     with pytest.raises(ValueError, match="k must"):
         top_k_per_group(df, ["g"], ["v"], k=0)
+
+
+# --- persisted BM25 index ----------------------------------------------------
+
+
+def test_bm25_index_matches_direct_topk(spark, tmp_path):
+    """Scoring from the persisted index is row-identical to the direct
+    corpus-scan bm25_topk — same scores, order, and tie-break."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_against_index,
+        bm25_topk,
+        build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join beats sort merge join on small builds"),
+            (2, "window functions spill when frames grow"),
+            (3, "hash partitioning and hash aggregation"),
+            (4, "completely unrelated prose about gardens"),
+            (5, "join join join"),
+        ],
+        ["doc_id", "text"],
+    )
+    build_text_index(
+        docs, "text", "doc_id", "pns_test_tidx",
+        num_buckets=8, path=str(tmp_path / "tidx"),
+    )
+    try:
+        direct = bm25_topk(docs, "text", "doc_id", "hash join spill", k=5)
+        indexed = bm25_against_index(
+            spark, "pns_test_tidx", "hash join spill", k=5
+        )
+        assert [tuple(r) for r in indexed.collect()] == [
+            tuple(r) for r in direct.collect()
+        ]
+        assert indexed.columns == ["doc_id", "score"]
+    finally:
+        for t in ("pns_test_tidx_postings", "pns_test_tidx_terms",
+                  "pns_test_tidx_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bm25_index_scan_bucket_prunes_to_query_terms(spark, tmp_path):
+    """The postings scan must read only the buckets holding the query's
+    terms — query cost scales with posting lists, not corpus size."""
+    import re
+
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_against_index,
+        build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i} filler words and term{i % 3} here")
+         for i in range(100)],
+        ["doc_id", "text"],
+    )
+    build_text_index(
+        docs, "text", "doc_id", "pns_test_tidx2",
+        num_buckets=16, path=str(tmp_path / "tidx2"),
+    )
+    try:
+        plan = (
+            bm25_against_index(spark, "pns_test_tidx2", "term1 term2", k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, "postings scan is not bucket-pruned"
+        assert int(m.group(1)) < int(m.group(2))
+    finally:
+        for t in ("pns_test_tidx2_postings", "pns_test_tidx2_terms",
+                  "pns_test_tidx2_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bm25_index_validates(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_against_index,
+        build_text_index,
+    )
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="must be in the DataFrame"):
+        build_text_index(df, "body", "doc_id", "t")
+    with _pytest.raises(ValueError, match="no terms"):
+        bm25_against_index(spark, "t", "   ")
