@@ -464,6 +464,7 @@ GROUPS: dict[str, object] = {
         "fixed_boilerplate", "exact_substring_dedup", "ref_dedup",
         "ref_dedup_stream", "leakage_free_split", "semantic_dedup",
         "image_near_dup", "audio_near_dup", "dedup_index", "bloom_dedup",
+        "decontaminate_bloom",
     )),
     "text_quality": _registry_group((
         "text_stats", "token_fingerprint", "language_id", "vocab_topk",
@@ -694,7 +695,7 @@ SCALE_PROBE_QUERIES = (
     "repeat_upsample", "ref_dedup", "clean_ingest", "pq_ann_topk",
     "ivfpq_ann_topk", "ivfpq_rerank", "hard_negatives_ivfpq",
     # round-8 operators
-    "dedup_index", "bloom_dedup",
+    "dedup_index", "bloom_dedup", "decontaminate_bloom",
 )
 
 

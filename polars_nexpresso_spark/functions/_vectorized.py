@@ -348,3 +348,31 @@ def pandas_bloom_member(bits):
         return pd.Series(out)
 
     return member
+
+
+def pandas_bloom_any_member(bits, num_hashes: int):
+    """UDF factory: True when ANY of a row's shingles is (probably) in
+    the packed Bloom bitmap. The row column is the FLATTENED positions
+    array (``num_hashes`` consecutive longs per shingle, concatenated
+    JVM-side) — one reshape + two vectorized gathers per row, no
+    per-shingle Python. Empty/NULL position arrays return False."""
+    import numpy as np
+
+    words = np.asarray(bits, dtype=np.int64)
+    k = int(num_hashes)
+
+    @pandas_udf("boolean")
+    def member(flat: pd.Series) -> pd.Series:
+        out = np.zeros(len(flat), dtype=bool)
+        for i, ps in enumerate(flat):
+            if ps is None or len(ps) == 0:
+                continue
+            p = np.asarray(ps, dtype=np.int64).reshape(-1, k)
+            out[i] = bool(
+                np.bitwise_and(words[p >> 6] >> (p & 63), 1)
+                .all(axis=1)
+                .any()
+            )
+        return pd.Series(out)
+
+    return member

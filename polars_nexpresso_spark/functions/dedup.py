@@ -1592,27 +1592,52 @@ def build_bloom_filter(
     optimizer-internal join-pruning aggregate), hence this explicit,
     version-stable construction.
     """
-    import numpy as np
-
     from polars_nexpresso_spark.functions.text import normalize_text
 
     if text_col not in ref.columns:
         raise ValueError(f"column {text_col!r} not in DataFrame")
+    fp = F.xxhash64(normalize_text(F.col(text_col)))
+    hashes = ref.filter(F.col(text_col).isNotNull()).select(
+        fp.alias("__fph")
+    )
+    return bloom_from_hashes(
+        hashes,
+        "__fph",
+        bits_per_item=bits_per_item,
+        num_hashes=num_hashes,
+        num_bits=num_bits,
+    )
+
+
+def bloom_from_hashes(
+    hashes: DataFrame,
+    hash_col: str,
+    *,
+    bits_per_item: int = 10,
+    num_hashes: int = 7,
+    num_bits: int | None = None,
+) -> BloomDictionary:
+    """Build a :class:`BloomDictionary` from an arbitrary long hash
+    column — the shared kernel behind :func:`build_bloom_filter`
+    (whole-document fingerprints) and :func:`decontaminate_bloom`
+    (eval-set shingle hashes). See :func:`build_bloom_filter` for the
+    scale shape; ``n_items`` here counts DISTINCT hashes, the quantity
+    the FP formula needs."""
+    import numpy as np
+
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
+    distinct = hashes.select(F.col(hash_col).alias("__h")).distinct()
+    n_items = distinct.count()
     if num_bits is None:
-        n_items = ref.filter(F.col(text_col).isNotNull()).count()
         num_bits = max(1024, int(bits_per_item * max(n_items, 1)))
-    else:
-        n_items = -1  # filled below from the build
     # round up to whole 64-bit words
     num_bits = ((num_bits + 63) // 64) * 64
 
-    fp = F.xxhash64(normalize_text(F.col(text_col)))
-    pos = (
-        ref.filter(F.col(text_col).isNotNull())
-        .select(F.explode(_bloom_positions(fp, num_bits, num_hashes))
-                .alias("__p"))
+    pos = distinct.select(
+        F.explode(
+            _bloom_positions(F.col("__h"), num_bits, num_hashes)
+        ).alias("__p")
     )
     words = (
         # shiftleft's Python wrapper takes only a literal shift; the SQL
@@ -1630,8 +1655,6 @@ def build_bloom_filter(
         bits[pdf["__w"].to_numpy(dtype=np.int64)] = pdf["__bits"].to_numpy(
             dtype=np.int64
         )
-    if n_items < 0:
-        n_items = ref.filter(F.col(text_col).isNotNull()).count()
     return BloomDictionary(bits, num_bits, num_hashes, n_items)
 
 
@@ -1670,6 +1693,78 @@ def dedup_against_bloom(
     # exchanges, the same plan pin as the other broadcast dictionaries.
     member = probably_seen.asNondeterministic()
     return df.filter(F.col(text_col).isNull() | ~member(pos))
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame | None,
+    text_col: str,
+    *,
+    n: int = 13,
+    bits_per_item: int = 40,
+    num_hashes: int = 20,
+    bloom: BloomDictionary | None = None,
+) -> DataFrame:
+    """N-gram decontamination through a Bloom filter of the eval set's
+    shingles — the rung ABOVE :func:`decontaminate_stream` on the eval-
+    size ladder: the exact sorted dictionary costs 8 bytes per distinct
+    eval shingle (its ``max_eval_shingles`` cap defends the driver),
+    while the filter costs ``bits_per_item`` BITS, so the same executor
+    memory holds a ~10× larger benchmark suite. The price is a false-
+    positive rate: a clean doc is dropped when all ``num_hashes`` bits
+    of any of its shingles collide. A doc makes ~|tokens| probes, so
+    size the filter against docs × shingles-per-doc — the generous
+    default (40 bits/item, k=20 → p ≈ 8e-9) keeps the expected false
+    drops below 1 per ~10^8 doc-shingles. No false negatives: every
+    truly contaminated doc is always dropped.
+
+    Map-side, join-free, stateless: each train doc's shingle hashes and
+    their bit positions are computed JVM-side (one flattened
+    ``array<long>`` per doc crosses Arrow), the packed filter rides
+    the UDF closure, so the probe works identically on a batch frame
+    and an unbounded ``readStream``. Same shingle rule as
+    :func:`decontaminate` ``mode="ngram"``.
+
+    Pass a prebuilt ``bloom`` (from an earlier call's eval set via
+    :func:`bloom_from_hashes`, possibly :meth:`BloomDictionary.merged`
+    across suites, or :meth:`~BloomDictionary.from_bytes` off storage)
+    to skip the build and decontaminate many batches against one
+    filter; ``eval_df`` may then be None.
+    """
+    from polars_nexpresso_spark.functions._vectorized import (
+        pandas_bloom_any_member,
+    )
+
+    if text_col not in train.columns:
+        raise ValueError(f"column {text_col!r} not in DataFrame")
+    if bloom is None:
+        if eval_df is None:
+            raise ValueError("provide eval_df or a prebuilt bloom")
+        shingle_hashes = eval_df.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__sh")
+        ).select(F.xxhash64(F.col("__sh")).alias("__h"))
+        bloom = bloom_from_hashes(
+            shingle_hashes,
+            "__h",
+            bits_per_item=bits_per_item,
+            num_hashes=num_hashes,
+        )
+    contaminated = pandas_bloom_any_member(
+        bloom.bits, bloom.num_hashes
+    ).asNondeterministic()
+    doc_positions = F.flatten(
+        F.transform(
+            word_ngrams(F.col(text_col), n),
+            lambda s: _bloom_positions(
+                F.xxhash64(s), bloom.num_bits, bloom.num_hashes
+            ),
+        )
+    )
+    return (
+        train.withColumn("__doc_pos", doc_positions)
+        .filter(~contaminated(F.col("__doc_pos")))
+        .drop("__doc_pos")
+    )
 
 
 def _band_keys(num_hashes: int, bands: int):

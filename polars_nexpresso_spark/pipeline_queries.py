@@ -3817,3 +3817,26 @@ def q_bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIPELINE_QUERIES["bm25_index"] = q_bm25_index
 PIPELINE_ORACLE_SQL["bm25_index"] = PIPELINE_ORACLE_SQL["bm25_topk"]
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filtered decontamination on the same split as
+    ``decontaminate``: eval shingles collapse to a bit array instead of
+    an exact dictionary (~10x larger eval suites in the same executor
+    memory). At the generous default geometry (40 bits/shingle, k=20,
+    FP ~ 8e-9) the filter makes zero false drops on this corpus, so
+    the exact batch oracle replays it verbatim; the FP trade at tight
+    geometries is characterized in test_bloom.py."""
+    from polars_nexpresso_spark.functions.dedup import decontaminate_bloom
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    eval_df = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+    kept = decontaminate_bloom(train, eval_df, "text", n=13)
+    return kept.select("doc_id")
+
+
+PIPELINE_QUERIES["decontaminate_bloom"] = q_decontaminate_bloom
+PIPELINE_ORACLE_SQL["decontaminate_bloom"] = PIPELINE_ORACLE_SQL[
+    "decontaminate"
+]

@@ -116,3 +116,72 @@ def test_bloom_validation(spark):
     bloom = build_bloom_filter(df, "text")
     with pytest.raises(ValueError, match="not in DataFrame"):
         dedup_against_bloom(df, "body", bloom)
+
+
+# --- bloom decontamination ----------------------------------------------------
+
+
+_EVAL_DOC = (
+    "which benchmark question asks about the seventeen geese crossing "
+    "the frozen river before the market opens to distant travelers"
+)
+
+
+def _train(spark):
+    return spark.createDataFrame(
+        [
+            # contains a contaminated 13-gram span verbatim
+            (1, "prefix words " + _EVAL_DOC + " suffix words"),
+            (2, "a perfectly clean training document about cooking rice "
+                "with garlic and butter in a heavy pan over low heat"),
+            (3, None),
+            # shares a few tokens but no 13-gram window
+            (4, "seventeen geese in a field"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_decontaminate_bloom_matches_exact_stream_path(spark):
+    from polars_nexpresso_spark.functions.dedup import (
+        decontaminate_bloom,
+        decontaminate_stream,
+    )
+
+    eval_df = spark.createDataFrame([(100, _EVAL_DOC)], ["qid", "text"])
+    train = _train(spark)
+    got = sorted(
+        r["doc_id"]
+        for r in decontaminate_bloom(train, eval_df, "text").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in decontaminate_stream(train, eval_df, "text").collect()
+    )
+    assert got == want == [2, 3, 4]
+
+
+def test_decontaminate_bloom_prebuilt_filter_reused(spark):
+    from polars_nexpresso_spark.functions.dedup import (
+        bloom_from_hashes,
+        decontaminate_bloom,
+    )
+    from polars_nexpresso_spark.functions.text import word_ngrams
+    from pyspark.sql import functions as F
+
+    eval_df = spark.createDataFrame([(100, _EVAL_DOC)], ["qid", "text"])
+    hashes = eval_df.select(
+        F.explode(word_ngrams(F.col("text"), 13)).alias("__sh")
+    ).select(F.xxhash64("__sh").alias("__h"))
+    bloom = bloom_from_hashes(hashes, "__h", bits_per_item=40, num_hashes=20)
+    train = _train(spark)
+    out = decontaminate_bloom(train, None, "text", bloom=bloom)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3, 4]
+    # plan is map-side (join-free) with the filter in the closure
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="eval_df or a prebuilt"):
+        decontaminate_bloom(train, None, "text")
