@@ -1851,6 +1851,68 @@ def build_dedup_index(
     )
 
 
+def extend_dedup_index(
+    new_ref: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_name: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """APPEND a new reference batch into an existing
+    :func:`build_dedup_index` — the daily-ingest maintenance path:
+    after a batch passes :func:`dedup_against_index`, its survivors
+    join the reference without rebuilding (a rebuild re-reads and
+    re-shingles everything ingested so far; the append touches only
+    the new batch). ``insertInto`` honours the tables' bucketing
+    spec, so appended files land hash-bucketed like the originals and
+    every later probe keeps its zero-exchange property.
+
+    Fingerprints already present are anti-joined away first (one
+    bucketed join against the new batch's — typically tiny —
+    fingerprint set), keeping the fp table duplicate-free. The minhash
+    geometry must match the original build: validated against the
+    stored signature length, failing fast instead of silently probing
+    mismatched bands.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    from polars_nexpresso_spark.functions.text import normalize_text
+
+    spark = new_ref.sparkSession
+    lsh_tbl = spark.table(f"{table_name}_lsh")
+    first = lsh_tbl.select(F.size("sig").alias("__n")).first()
+    if first is not None and first["__n"] != num_hashes:
+        raise ValueError(
+            f"index {table_name!r} was built with num_hashes="
+            f"{first['__n']}, got {num_hashes}"
+        )
+
+    with_text = new_ref.filter(F.col(text_col).isNotNull())
+    new_fps = (
+        with_text.select(
+            F.xxhash64(normalize_text(F.col(text_col))).alias("fp")
+        )
+        .distinct()
+        .join(spark.table(f"{table_name}_fp"), on="fp", how="left_anti")
+    )
+    new_fps.write.mode("append").insertInto(f"{table_name}_fp")
+
+    sigs = minhash_signatures(
+        with_text, text_col, id_col, n=n, num_hashes=num_hashes
+    )
+    lsh = sigs.select(
+        F.col("__id").alias("ref_id"),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
+        F.explode(_band_keys(num_hashes, bands)).alias("bkey"),
+    )
+    # insertInto is positional: match the stored column order.
+    cols = spark.table(f"{table_name}_lsh").columns
+    lsh.select(*cols).write.mode("append").insertInto(f"{table_name}_lsh")
+
+
 def dedup_against_index(
     df: DataFrame,
     text_col: str,

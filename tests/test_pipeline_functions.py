@@ -2560,3 +2560,70 @@ def test_dedup_index_validates(spark):
         dedup_against_index(df, "text", "doc_id", "t", num_hashes=10, bands=3)
     with _pytest.raises(ValueError, match="threshold"):
         dedup_against_index(df, "text", "doc_id", "t", threshold=0.0)
+
+
+def test_extend_dedup_index_equals_rebuild(spark, tmp_path):
+    """Appending a second reference batch must give the same probe
+    verdicts as rebuilding the index over both batches, keep the fp
+    table duplicate-free, and preserve the bucketed layout."""
+    from polars_nexpresso_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        extend_dedup_index,
+    )
+
+    batch1 = spark.createDataFrame(
+        [(100, _LONG)], ["doc_id", "text"]
+    )
+    batch2 = spark.createDataFrame(
+        [(200, "completely different reference text here"),
+         (201, _LONG)],  # content already indexed -> no new fp row
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, _LONG.upper()),                               # dup of b1
+            (2, "completely  DIFFERENT reference text here"), # dup of b2
+            (3, _LONG.replace("seventeen", "nineteen")),      # near-dup b1
+            (4, "a fresh document about something else"),
+        ],
+        "doc_id long, text string",
+    )
+    build_dedup_index(
+        batch1, "text", "doc_id", "pns_test_didx_e",
+        num_buckets=4, path=str(tmp_path / "e1"),
+    )
+    build_dedup_index(
+        batch1.unionByName(batch2), "text", "doc_id", "pns_test_didx_r",
+        num_buckets=4, path=str(tmp_path / "r"),
+    )
+    try:
+        extend_dedup_index(batch2, "text", "doc_id", "pns_test_didx_e")
+        got = sorted(
+            r["doc_id"]
+            for r in dedup_against_index(
+                probe, "text", "doc_id", "pns_test_didx_e"
+            ).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in dedup_against_index(
+                probe, "text", "doc_id", "pns_test_didx_r"
+            ).collect()
+        )
+        assert got == want == [4]
+        # duplicate content added no second fp row
+        fp = spark.table("pns_test_didx_e_fp")
+        assert fp.count() == fp.distinct().count() == 2
+        # geometry mismatch fails fast
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="num_hashes"):
+            extend_dedup_index(
+                batch2, "text", "doc_id", "pns_test_didx_e",
+                num_hashes=16, bands=8,
+            )
+    finally:
+        for t in ("pns_test_didx_e_fp", "pns_test_didx_e_lsh",
+                  "pns_test_didx_r_fp", "pns_test_didx_r_lsh"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
