@@ -185,3 +185,66 @@ def test_decontaminate_bloom_prebuilt_filter_reused(spark):
 
     with _pytest.raises(ValueError, match="eval_df or a prebuilt"):
         decontaminate_bloom(train, None, "text")
+
+
+def test_bloom_ops_on_actual_stream(spark):
+    """Both Bloom probes run identically on an unbounded readStream —
+    the map-side/join-free claim, proven with an availableNow drain."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.dedup import (
+        bloom_from_hashes,
+        build_bloom_filter,
+        decontaminate_bloom,
+        dedup_against_bloom,
+    )
+    from polars_nexpresso_spark.functions.text import word_ngrams
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    bloom = build_bloom_filter(ref, "text", bits_per_item=24, num_hashes=10)
+    eval_hashes = (
+        ref.limit(25)
+        .select(F.explode(word_ngrams(F.col("text"), 13)).alias("__sh"))
+        .select(F.xxhash64("__sh").alias("__h"))
+    )
+    decon_bloom = bloom_from_hashes(
+        eval_hashes, "__h", bits_per_item=40, num_hashes=20
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pns_bloom_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+        static = spark.read.parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(static.schema).parquet(f"{tmp}/in")
+        for name, op in (
+            ("dedup", lambda d: dedup_against_bloom(d, "text", bloom)),
+            ("decon", lambda d: decontaminate_bloom(
+                d, None, "text", bloom=decon_bloom
+            )),
+        ):
+            expected = {
+                r["doc_id"] for r in op(static).select("doc_id").collect()
+            }
+            out = op(stream)
+            assert out.isStreaming
+            q = (
+                out.select("doc_id")
+                .writeStream.format("memory")
+                .queryName(f"bloom_stream_{name}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = {
+                r["doc_id"]
+                for r in spark.table(f"bloom_stream_{name}").collect()
+            }
+            assert got == expected and expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
