@@ -1176,6 +1176,13 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # the round-6 eight and round-7 nine each hold only ONE driver-green
 # row (their earlier verification was judge-side), so they stay in the
 # window to earn their second.
+# Round-9 rotation TODO: the four round-8 operators registered AFTER
+# the window (`dedup_index`, `bloom_dedup`, `bm25_index`,
+# `decontaminate_bloom` — each ALL PASS via scripts/check_oracle.py at
+# sf0.001 AND sf0.01 this round) are owed driver rows; rotate them INTO
+# the window next round, rotating out entries that will then hold >=2
+# driver-green rounds (the r06 eight and r07 nine/fourteen all earn
+# another green row in CORRECTNESS_r08).
 _MULTIPLY_PROVEN_TAIL = [
     # round-8 rotation
     "hash_split",
