@@ -1032,15 +1032,57 @@ def main() -> None:
         # ONE fresh JVM per group: per-query numbers no longer depend on
         # what ran before them in a shared session, so the committed seal
         # and the driver's own run converge (r07 verdict item 2).
+        #
+        # The run is TRUNCATION-SAFE: a cumulative partial headline line
+        # prints after every group (the driver keeps a tail of stdout and
+        # parses the LAST headline, so a kill mid-run still leaves a
+        # parseable artifact covering everything completed), and the
+        # optional probe stages are skipped past SPARK_GRAFT_BENCH_DEADLINE
+        # seconds so the final full headline still gets emitted under an
+        # outer timeout.
+        bench_start = time.monotonic()
+        deadline = float(
+            os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "3000")
+        )
+
+        def _emit_partial(stage: str) -> None:
+            slow = {"pack_streaming_bounded", "pack_heap_capped"}
+            print(json.dumps({
+                "metric": "pns_bench_total",
+                "partial": True,
+                "after_stage": stage,
+                "value": round(
+                    sum(v for k, v in timings.items() if k not in slow), 3
+                ),
+                "unit": "sec",
+                "queries": timings,
+                "errors": errors,
+                "sf": sf,
+            }), flush=True)
+
+        def _over_deadline(stage: str) -> bool:
+            if time.monotonic() - bench_start <= deadline:
+                return False
+            errors[f"skipped_{stage}"] = (
+                f"bench deadline {deadline:.0f}s exceeded at "
+                f"{time.monotonic() - bench_start:.0f}s"
+            )
+            return True
+
+        only = os.environ.get("SPARK_GRAFT_GROUPS")  # testing escape hatch
         for group in GROUPS:
+            if only and group not in only.split(","):
+                continue
             rec = _spawn_group(group, sf_dir)
             timings.update(rec.get("timings", {}))
             peaks.update(rec.get("peaks", {}))
             errors.update(rec.get("errors", {}))
-        rec = _spawn_group("ann_dial", sf_dir)
-        ann_dial = rec.get("extras", {}).get("ann_recall_at_k", {})
-        errors.update(rec.get("errors", {}))
-        if run_scale:
+            _emit_partial(group)
+        if not _over_deadline("ann_dial"):
+            rec = _spawn_group("ann_dial", sf_dir)
+            ann_dial = rec.get("extras", {}).get("ann_recall_at_k", {})
+            errors.update(rec.get("errors", {}))
+        if run_scale and not _over_deadline("scale_probe"):
             with tempfile.NamedTemporaryFile(
                 "w", suffix=".json", delete=False
             ) as tf:
@@ -1050,6 +1092,8 @@ def main() -> None:
             scale_probe = rec.get("extras", {}).get("scale_probe", {})
             errors.update(rec.get("errors", {}))
             os.unlink(timings_path)
+        if _over_deadline("rss_isolated"):
+            os.environ["SPARK_GRAFT_RSS_ISOLATED"] = "0"
     else:
         spark = get_spark(app_name="pns-bench")
         spark.sparkContext.setLogLevel("ERROR")
