@@ -134,7 +134,12 @@ def build_text_index(
       with posting-list sizes, not corpus size.
     - ``{table_name}_terms`` — ``(term, df)``: document frequencies,
       same bucketing.
-    - ``{table_name}_stats`` — one row ``(n_docs, avgdl)``.
+    - ``{table_name}_stats`` — ``(n_docs, sum_dl)``.
+
+    All three tables are APPEND-ONLY (the LSM idea): ``df`` and the
+    corpus stats are stored as partial rows that the query side SUMS,
+    so :func:`extend_text_index` ingests a new batch with pure
+    inserts — no read-modify-write of any table, ever.
 
     Index size ~ one long + two ints per (doc, distinct term) — the
     tokenized corpus collapses to its postings once, at build time.
@@ -179,7 +184,7 @@ def build_text_index(
         path=f"{path}_terms" if path else None,
     )
     stats = doc_len.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     write_bucketed(
         stats,
@@ -188,6 +193,47 @@ def build_text_index(
         1,
         path=f"{path}_stats" if path else None,
     )
+
+
+def extend_text_index(
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_name: str,
+) -> None:
+    """APPEND a batch of NEW documents into a persisted
+    :func:`build_text_index` — pure inserts into all three tables (the
+    postings rows, per-term df PARTIALS, and one corpus-stats partial
+    row), which ``insertInto`` lands bucketed like the originals; the
+    query side sums the partials, so scores after an append equal a
+    full rebuild's exactly. Contract: ``id_col`` values must be new —
+    re-ingesting an existing document would double its postings
+    (dedup the batch first, e.g. :func:`~polars_nexpresso_spark.
+    functions.dedup.dedup_against_index`)."""
+    if text_col not in new_docs.columns or id_col not in new_docs.columns:
+        raise ValueError(
+            f"columns {text_col!r}/{id_col!r} must be in the DataFrame"
+        )
+    spark = new_docs.sparkSession
+    stored = spark.table(f"{table_name}_postings").columns
+    docs = new_docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    doc_len = docs.select(id_col, F.size("__toks").alias("dl"))
+    postings = (
+        docs.select(id_col, F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+        .join(doc_len, on=id_col)
+        .select(*stored)
+    )
+    postings.write.mode("append").insertInto(f"{table_name}_postings")
+    terms = postings.groupBy("term").agg(F.count("*").alias("df"))
+    terms.write.mode("append").insertInto(f"{table_name}_terms")
+    stats = doc_len.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    stats.write.mode("append").insertInto(f"{table_name}_stats")
 
 
 def bm25_against_index(
@@ -219,10 +265,19 @@ def bm25_against_index(
         )
     (id_col,) = id_col
     hits = postings.filter(F.col("term").isin(q_terms))
-    dfreq = spark.table(f"{table_name}_terms").filter(
-        F.col("term").isin(q_terms)
+    # df and corpus stats are stored as APPEND-ONLY partial rows (one
+    # per build/extend batch) — sum them here; the filter still
+    # bucket-prunes the terms scan before the tiny aggregate.
+    dfreq = (
+        spark.table(f"{table_name}_terms")
+        .filter(F.col("term").isin(q_terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
     )
-    stats = spark.table(f"{table_name}_stats")
+    stats = spark.table(f"{table_name}_stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
     scored = (
         hits.join(F.broadcast(dfreq), on="term")
         .crossJoin(F.broadcast(stats))

@@ -702,3 +702,56 @@ def test_bm25_index_validates(spark):
         build_text_index(df, "body", "doc_id", "t")
     with _pytest.raises(ValueError, match="no terms"):
         bm25_against_index(spark, "t", "   ")
+
+
+def test_extend_text_index_equals_rebuild(spark, tmp_path):
+    """Appending a document batch must score identically to rebuilding
+    the index over the union — df partials and stats partials sum to
+    the rebuild's exact values."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_against_index,
+        build_text_index,
+        extend_text_index,
+    )
+
+    batch1 = spark.createDataFrame(
+        [
+            (1, "hash join beats sort merge join"),
+            (2, "window functions spill to disk"),
+        ],
+        ["doc_id", "text"],
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (3, "hash partitioning and hash aggregation spill"),
+            (4, "gardens and completely unrelated prose"),
+        ],
+        ["doc_id", "text"],
+    )
+    build_text_index(
+        batch1, "text", "doc_id", "pns_test_tidx_e",
+        num_buckets=8, path=str(tmp_path / "e"),
+    )
+    build_text_index(
+        batch1.unionByName(batch2), "text", "doc_id", "pns_test_tidx_r",
+        num_buckets=8, path=str(tmp_path / "r"),
+    )
+    try:
+        extend_text_index(batch2, "text", "doc_id", "pns_test_tidx_e")
+        got = [
+            tuple(r)
+            for r in bm25_against_index(
+                spark, "pns_test_tidx_e", "hash join spill", k=4
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in bm25_against_index(
+                spark, "pns_test_tidx_r", "hash join spill", k=4
+            ).collect()
+        ]
+        assert got == want and len(got) >= 3
+    finally:
+        for stem in ("pns_test_tidx_e", "pns_test_tidx_r"):
+            for suf in ("postings", "terms", "stats"):
+                spark.sql(f"DROP TABLE IF EXISTS {stem}_{suf}")
