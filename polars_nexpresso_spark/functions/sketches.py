@@ -278,3 +278,174 @@ def cms_estimate(blob: bytes, items: list) -> dict:
             min(table[i][b] for i, b in enumerate(buckets))
         )
     return out
+
+
+# --- histogram quantile sketches ---------------------------------------------
+#
+# The quantile counterpart of the HLL/CMS sections: "p50/p95/p99 of
+# quality score / doc length per (source, day)" as a mergeable sketch
+# table. A fixed-boundary histogram over a declared [lo, hi) range:
+# deterministic (merged == one-shot, field for field — no sampling
+# state, unlike t-digest/KLL), mergeable in PURE Spark expressions
+# (elementwise count-array addition — no Python anywhere), and with a
+# hard error bound: an in-range quantile estimate is within one bin
+# width of the truth. The declared range is the honest trade: right for
+# known-scale signals (scores in [0,1], lengths in [0, cap]); mass
+# outside the range is tracked exactly in n_below/n_above plus the true
+# min/max, so a mis-declared range is VISIBLE in the sketch rather than
+# silently clipped. Exact percentiles stay available in
+# `keep_top_fraction`/`quality_percentiles`; this is the incremental
+# path.
+
+
+def sketch_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    num_bins: int = 256,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Reduce to one row per ``keys`` group holding a histogram
+    quantile sketch of ``value_col``: a struct
+    ``(lo, hi, num_bins, n, n_below, n_above, vmin, vmax, counts)``.
+    Two partial-agg shuffles ((keys × bin) then keys); the sketch is
+    ``num_bins`` longs per group regardless of row count. NULL values
+    are not sketched. Keep the geometry fixed across increments you
+    intend to merge."""
+    if not lo < hi:
+        raise ValueError(f"need lo < hi: {lo}, {hi}")
+    if num_bins < 2:
+        raise ValueError(f"num_bins must be >= 2: {num_bins}")
+    v = F.col(value_col).cast("double")
+    width = (float(hi) - float(lo)) / num_bins
+    bin_expr = (
+        F.when(v < float(lo), F.lit(-1))
+        .when(v >= float(hi), F.lit(num_bins))
+        .otherwise(F.floor((v - float(lo)) / F.lit(width)).cast("int"))
+    )
+    per_bin = (
+        df.filter(v.isNotNull())
+        .select(*keys, bin_expr.alias("__b"), v.alias("__v"))
+        .groupBy(*keys, "__b")
+        .agg(
+            F.count("*").alias("__c"),
+            F.min("__v").alias("__mn"),
+            F.max("__v").alias("__mx"),
+        )
+    )
+    in_range = F.when(
+        (F.col("__b") >= 0) & (F.col("__b") < num_bins),
+        F.struct(F.col("__b"), F.col("__c")),
+    )
+    bin_map = F.map_from_entries(
+        F.filter(F.collect_list(in_range), lambda s: s.isNotNull())
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(num_bins - 1)),
+        lambda i: F.coalesce(
+            F.element_at(bin_map, i.cast("int")), F.lit(0).cast("long")
+        ),
+    )
+    return per_bin.groupBy(*keys).agg(
+        F.struct(
+            F.lit(float(lo)).alias("lo"),
+            F.lit(float(hi)).alias("hi"),
+            F.lit(num_bins).alias("num_bins"),
+            F.sum("__c").alias("n"),
+            F.coalesce(
+                F.sum(F.when(F.col("__b") == -1, F.col("__c"))),
+                F.lit(0),
+            ).cast("long").alias("n_below"),
+            F.coalesce(
+                F.sum(F.when(F.col("__b") == num_bins, F.col("__c"))),
+                F.lit(0),
+            ).cast("long").alias("n_above"),
+            F.min("__mn").alias("vmin"),
+            F.max("__mx").alias("vmax"),
+            counts.alias("counts"),
+        ).alias(sketch_col)
+    )
+
+
+def merge_quantile_sketches(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    sketch_col: str = "qsketch",
+) -> DataFrame:
+    """Union per-increment quantile-sketch rows to one sketch per
+    ``keys`` group — scalar fields re-aggregate, count arrays add
+    elementwise via ``aggregate``/``zip_with`` (pure JVM expressions,
+    no Python), so merged == one-shot field for field. Mixed-geometry
+    increments fail loudly (``raise_error``), the same contract as the
+    CMS/HLL mergers."""
+    s = sketch_col
+    cl = F.collect_list(F.col(f"{s}.counts"))
+    summed = F.aggregate(
+        cl,
+        F.transform(F.element_at(cl, 1), lambda _: F.lit(0).cast("long")),
+        lambda acc, arr: F.zip_with(acc, arr, lambda a, b: a + b),
+    )
+    geom = F.count_distinct(
+        F.struct(
+            F.col(f"{s}.lo"), F.col(f"{s}.hi"), F.col(f"{s}.num_bins")
+        )
+    )
+    return df.groupBy(*keys).agg(
+        F.struct(
+            F.when(
+                geom > 1,
+                F.raise_error(
+                    "cannot merge quantile sketches with different "
+                    "geometry"
+                ).cast("double"),
+            ).otherwise(F.first(f"{s}.lo")).alias("lo"),
+            F.first(f"{s}.hi").alias("hi"),
+            F.first(f"{s}.num_bins").alias("num_bins"),
+            F.sum(f"{s}.n").alias("n"),
+            F.sum(f"{s}.n_below").alias("n_below"),
+            F.sum(f"{s}.n_above").alias("n_above"),
+            F.min(f"{s}.vmin").alias("vmin"),
+            F.max(f"{s}.vmax").alias("vmax"),
+            summed.alias("counts"),
+        ).alias(s)
+    )
+
+
+def quantile_estimate(sketch, qs: list[float]) -> dict[float, float]:
+    """Quantile estimates from one sketch row (a Row or dict with the
+    sketch struct's fields) — linear interpolation inside the owning
+    bin, clamped to the observed [vmin, vmax]. For values inside the
+    declared range the estimate is within ONE BIN WIDTH of the exact
+    quantile; ranks falling into the out-of-range mass return the
+    observed vmin/vmax (the sketch's only information there)."""
+    lo, hi = float(sketch["lo"]), float(sketch["hi"])
+    counts = list(sketch["counts"])
+    num_bins = int(sketch["num_bins"])
+    n = int(sketch["n"])
+    n_below = int(sketch["n_below"])
+    vmin, vmax = float(sketch["vmin"]), float(sketch["vmax"])
+    width = (hi - lo) / num_bins
+    out: dict[float, float] = {}
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile must be in [0, 1]: {q}")
+        if n == 0:
+            out[q] = float("nan")
+            continue
+        rank = q * n
+        if rank <= n_below:
+            out[q] = vmin
+            continue
+        acc = float(n_below)
+        est = vmax
+        for i, c in enumerate(counts):
+            if acc + c >= rank and c > 0:
+                est = lo + (i + (rank - acc) / c) * width
+                break
+            acc += c
+        out[q] = min(max(est, vmin), vmax)
+    return out

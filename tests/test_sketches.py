@@ -151,3 +151,125 @@ def test_cms_validation(spark):
     )
     with pytest.raises(ValueError, match="eps and confidence"):
         sketch_frequencies(df, ["grp"], "token", eps=0.0)
+
+
+# --- histogram quantile sketches ----------------------------------------------
+
+
+def _qvals(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        ("a", rng.uniform(0, 1)) for _ in range(3000)
+    ] + [
+        ("b", rng.betavariate(2, 5)) for _ in range(2000)
+    ] + [
+        ("a", -0.5), ("a", 1.7), ("a", None),  # out-of-range + NULL
+    ]
+    return spark.createDataFrame(rows, "src string, score double")
+
+
+def test_quantile_sketch_merge_equals_one_shot(spark):
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.sketches import (
+        merge_quantile_sketches,
+        sketch_quantiles,
+    )
+
+    df = _qvals(spark).withColumn(
+        "half", (F.xxhash64("score") % 2 == 0).cast("int")
+    )
+    one_shot = {
+        r["src"]: r["qsketch"].asDict()
+        for r in sketch_quantiles(
+            df, ["src"], "score", lo=0.0, hi=1.0, num_bins=64
+        ).collect()
+    }
+    incs = sketch_quantiles(
+        df, ["src", "half"], "score", lo=0.0, hi=1.0, num_bins=64
+    )
+    merged = {
+        r["src"]: r["qsketch"].asDict()
+        for r in merge_quantile_sketches(incs, ["src"]).collect()
+    }
+    for src in ("a", "b"):
+        a, b = one_shot[src], merged[src]
+        for f in ("lo", "hi", "num_bins", "n", "n_below", "n_above",
+                  "vmin", "vmax"):
+            assert a[f] == b[f], (src, f, a[f], b[f])
+        assert list(a["counts"]) == list(b["counts"])
+
+
+def test_quantile_estimate_within_one_bin_width(spark):
+    from polars_nexpresso_spark.functions.sketches import (
+        quantile_estimate,
+        sketch_quantiles,
+    )
+
+    df = _qvals(spark).filter("score is not null and score >= 0 and score < 1")
+    exact = {
+        (r["src"], q): v
+        for r in df.groupBy("src")
+        .agg(*[
+            F.percentile("score", q).alias(f"q{int(q * 100)}")
+            for q in (0.1, 0.5, 0.9, 0.99)
+        ])
+        .collect()
+        for q, v in zip((0.1, 0.5, 0.9, 0.99),
+                        (r["q10"], r["q50"], r["q90"], r["q99"]))
+    }
+    num_bins = 128
+    width = 1.0 / num_bins
+    sk = {
+        r["src"]: r["qsketch"]
+        for r in sketch_quantiles(
+            df, ["src"], "score", lo=0.0, hi=1.0, num_bins=num_bins
+        ).collect()
+    }
+    for src in ("a", "b"):
+        est = quantile_estimate(sk[src], [0.1, 0.5, 0.9, 0.99])
+        for q, e in est.items():
+            assert abs(e - exact[(src, q)]) <= width + 1e-9, (
+                src, q, e, exact[(src, q)]
+            )
+
+
+def test_quantile_sketch_out_of_range_and_nulls_visible(spark):
+    from polars_nexpresso_spark.functions.sketches import (
+        quantile_estimate,
+        sketch_quantiles,
+    )
+
+    sk = {
+        r["src"]: r["qsketch"]
+        for r in sketch_quantiles(
+            _qvals(spark), ["src"], "score", lo=0.0, hi=1.0
+        ).collect()
+    }
+    a = sk["a"]
+    assert a["n_below"] == 1 and a["n_above"] == 1
+    assert a["vmin"] == -0.5 and a["vmax"] == 1.7
+    assert a["n"] == 3002  # NULL not sketched
+    # a rank inside the below-range mass returns the observed min
+    assert quantile_estimate(a, [0.0])[0.0] == -0.5
+
+
+def test_quantile_sketch_validates_and_merge_guards(spark):
+    import pytest as _pytest
+
+    from polars_nexpresso_spark.functions.sketches import (
+        merge_quantile_sketches,
+        sketch_quantiles,
+    )
+
+    df = _qvals(spark)
+    with _pytest.raises(ValueError, match="lo < hi"):
+        sketch_quantiles(df, ["src"], "score", lo=1.0, hi=0.0)
+    with _pytest.raises(ValueError, match="num_bins"):
+        sketch_quantiles(df, ["src"], "score", lo=0.0, hi=1.0, num_bins=1)
+    a = sketch_quantiles(df, ["src"], "score", lo=0.0, hi=1.0, num_bins=32)
+    b = sketch_quantiles(df, ["src"], "score", lo=0.0, hi=2.0, num_bins=32)
+    with _pytest.raises(Exception, match="different\\s+geometry"):
+        merge_quantile_sketches(a.unionByName(b), ["src"]).collect()
