@@ -250,6 +250,7 @@ def _make_bench(spark, timings, peaks, errors):
             if peak is not None:
                 peaks[name] = peak
 
+    bench.errors = errors  # group runners record non-query failures here
     return bench
 
 
@@ -347,9 +348,12 @@ def _group_pack(spark, sf_dir: str, bench) -> None:
     parent_dom.unpersist()
 
     packed_path = os.path.join(tempfile.gettempdir(), "pns_bench_packed.parquet")
-    packer.pack(flat, "orders").write.mode("overwrite").parquet(packed_path)
-    packed = spark.read.parquet(packed_path)
-    bench("unpack", lambda: force(packer.unpack(packed, "lineitem")))
+    try:
+        packer.pack(flat, "orders").write.mode("overwrite").parquet(packed_path)
+        packed = spark.read.parquet(packed_path)
+        bench("unpack", lambda: force(packer.unpack(packed, "lineitem")))
+    except Exception as e:  # noqa: BLE001 — a failed sink must not void
+        bench.errors["unpack"] = f"{type(e).__name__}: {e}"[:500]  # the group
     bench(
         "roundtrip",
         lambda: force(packer.unpack(packer.pack(flat, "orders"), "lineitem")),
@@ -720,11 +724,14 @@ def _scale_probe(
         fn()
         return round(time.perf_counter() - start, 3)
 
+    warmup = int(os.environ.get("SPARK_GRAFT_WARMUP", "1"))
+
     def _big_time(name: str, fn) -> float | None:
         # The group medians are fresh-JVM warm medians; reuse them as the
-        # big-side time. If a name is missing (group child failed),
-        # re-measure warm here.
-        t = timings.get(name)
+        # big-side time. Under SPARK_GRAFT_WARMUP=0 (quick local runs)
+        # those medians include first-run codegen and would corrupt the
+        # exponent — re-measure warm, as when a group child failed.
+        t = timings.get(name) if warmup >= 1 else None
         if t is not None:
             return t
         try:
@@ -969,15 +976,23 @@ def _run_child_group(group: str, sf_dir: str, timings_path: str | None) -> None:
     errors: dict[str, str] = {}
     extras: dict = {}
     bench = _make_bench(spark, timings, peaks, errors)
-    if group == "ann_dial":
-        extras["ann_recall_at_k"] = _ann_dial(spark, sf_dir, errors)
-    elif group == "scale_probe":
-        merged: dict[str, float] = {}
-        if timings_path and Path(timings_path).exists():
-            merged = json.loads(Path(timings_path).read_text())
-        extras["scale_probe"] = _scale_probe(spark, sf_dir, merged, errors)
-    else:
-        GROUPS[group](spark, sf_dir, bench)
+    # Group-level catch: a failure in a runner's SETUP (not inside a
+    # bench()-measured query) must still emit this child's JSON line —
+    # otherwise every already-measured median in the group is lost.
+    try:
+        if group == "ann_dial":
+            extras["ann_recall_at_k"] = _ann_dial(spark, sf_dir, errors)
+        elif group == "scale_probe":
+            merged: dict[str, float] = {}
+            if timings_path and Path(timings_path).exists():
+                merged = json.loads(Path(timings_path).read_text())
+            extras["scale_probe"] = _scale_probe(
+                spark, sf_dir, merged, errors
+            )
+        else:
+            GROUPS[group](spark, sf_dir, bench)
+    except Exception as e:  # noqa: BLE001
+        errors[f"group_{group}"] = f"{type(e).__name__}: {e}"[:500]
     print(json.dumps({
         "group": group,
         "timings": timings,

@@ -1627,7 +1627,12 @@ def bloom_from_hashes(
 
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1: {num_hashes}")
+    # Persist the distinct hash set: the sizing count and the bitmap
+    # build both read it, and without the cache the upstream plan —
+    # e.g. build_bloom_filter's normalize+hash over the whole reference
+    # corpus — would execute twice ("ONE distributed pass" for real).
     distinct = hashes.select(F.col(hash_col).alias("__h")).distinct()
+    distinct = distinct.persist()
     n_items = distinct.count()
     if num_bits is None:
         num_bits = max(1024, int(bits_per_item * max(n_items, 1)))
@@ -1650,6 +1655,7 @@ def bloom_from_hashes(
         .agg(F.bit_or("__bit").alias("__bits"))
     )
     pdf = words.toPandas()
+    distinct.unpersist()
     bits = np.zeros(num_bits // 64, dtype=np.int64)
     if len(pdf):
         bits[pdf["__w"].to_numpy(dtype=np.int64)] = pdf["__bits"].to_numpy(
@@ -1849,6 +1855,68 @@ def build_dedup_index(
         num_buckets,
         path=f"{path}_lsh" if path else None,
     )
+    # Geometry metadata: probes and appends read (n, num_hashes, bands)
+    # from here instead of trusting their callers — a mismatched probe
+    # would silently find zero candidates (band keys hash different
+    # signature components), the worst failure mode for a dedup gate.
+    meta = ref.sparkSession.createDataFrame(
+        [(int(n), int(num_hashes), int(bands))],
+        "n int, num_hashes int, bands int",
+    )
+    write_bucketed(
+        meta,
+        f"{table_name}_meta",
+        ["n"],
+        1,
+        path=f"{path}_meta" if path else None,
+    )
+
+
+def _resolve_index_geometry(
+    spark,
+    table_name: str,
+    n: int | None,
+    num_hashes: int | None,
+    bands: int | None,
+) -> tuple[int, int, int]:
+    """(n, num_hashes, bands) for a stored dedup index: read from the
+    ``_meta`` table and fail fast when an explicitly passed value
+    disagrees; for a pre-meta index, fall back to the caller's values
+    (old defaults) validated against the stored signature length."""
+    if (
+        num_hashes is not None
+        and bands is not None
+        and num_hashes % bands != 0
+    ):
+        raise ValueError("num_hashes must be divisible by bands")
+    try:
+        row = spark.table(f"{table_name}_meta").first()
+    except Exception:  # noqa: BLE001 — legacy index without metadata
+        row = None
+    given = (n, num_hashes, bands)
+    if row is not None:
+        stored = (int(row["n"]), int(row["num_hashes"]), int(row["bands"]))
+        for name, g, s in zip(("n", "num_hashes", "bands"), given, stored):
+            if g is not None and g != s:
+                raise ValueError(
+                    f"index {table_name!r} was built with {name}={s}, "
+                    f"got {name}={g}"
+                )
+        return stored
+    resolved = tuple(
+        g if g is not None else d for g, d in zip(given, (3, 32, 8))
+    )
+    first = spark.table(f"{table_name}_lsh").select(
+        F.size("sig").alias("__n")
+    ).first()
+    if first is not None and first["__n"] != resolved[1]:
+        raise ValueError(
+            f"index {table_name!r} was built with num_hashes="
+            f"{first['__n']}, got num_hashes={resolved[1]}"
+        )
+    if resolved[1] % resolved[2] != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    return resolved  # type: ignore[return-value]
 
 
 def extend_dedup_index(
@@ -1857,9 +1925,9 @@ def extend_dedup_index(
     id_col: str,
     table_name: str,
     *,
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
+    n: int | None = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
 ) -> None:
     """APPEND a new reference batch into an existing
     :func:`build_dedup_index` — the daily-ingest maintenance path:
@@ -1873,22 +1941,17 @@ def extend_dedup_index(
     Fingerprints already present are anti-joined away first (one
     bucketed join against the new batch's — typically tiny —
     fingerprint set), keeping the fp table duplicate-free. The minhash
-    geometry must match the original build: validated against the
-    stored signature length, failing fast instead of silently probing
-    mismatched bands.
+    geometry comes from the index's own ``_meta`` table (leave the
+    parameters unset); explicitly passed values that disagree with the
+    stored geometry fail fast instead of silently appending rows keyed
+    under a different banding scheme.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
     from polars_nexpresso_spark.functions.text import normalize_text
 
     spark = new_ref.sparkSession
-    lsh_tbl = spark.table(f"{table_name}_lsh")
-    first = lsh_tbl.select(F.size("sig").alias("__n")).first()
-    if first is not None and first["__n"] != num_hashes:
-        raise ValueError(
-            f"index {table_name!r} was built with num_hashes="
-            f"{first['__n']}, got {num_hashes}"
-        )
+    n, num_hashes, bands = _resolve_index_geometry(
+        spark, table_name, n, num_hashes, bands
+    )
 
     with_text = new_ref.filter(F.col(text_col).isNotNull())
     new_fps = (
@@ -1920,19 +1983,21 @@ def dedup_against_index(
     table_name: str,
     *,
     threshold: float = 0.8,
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
+    n: int | None = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup of ``df`` against a persisted
     :func:`build_dedup_index` — exact stage first (anti-join on the
     stored content fingerprints), then a near-dup stage that drops any
     row whose ESTIMATED Jaccard against some reference doc reaches
     ``threshold``. Similarity is estimated as the fraction of agreeing
-    minhash components (an unbiased estimator of Jaccard;
-    ``num_hashes``/``bands``/``n`` must match the index build), so the
+    minhash components (an unbiased estimator of Jaccard), so the
     reference corpus is never re-shingled — the whole probe touches
-    only hashes.
+    only hashes. The minhash geometry comes from the index's ``_meta``
+    table (leave the parameters unset); explicit values that disagree
+    fail fast — a silently mismatched probe would find zero candidates
+    and keep every near-duplicate.
 
     Scale shape: the index tables are bucketed on their join keys, so
     their scans arrive pre-distributed — zero exchange on the index
@@ -1943,8 +2008,6 @@ def dedup_against_index(
 
     Returns surviving ``df`` rows, schema unchanged.
     """
-    if num_hashes % bands != 0:
-        raise ValueError("num_hashes must be divisible by bands")
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
     import math
@@ -1952,6 +2015,9 @@ def dedup_against_index(
     from polars_nexpresso_spark.functions.text import normalize_text
 
     spark = df.sparkSession
+    n, num_hashes, bands = _resolve_index_geometry(
+        spark, table_name, n, num_hashes, bands
+    )
     fp_tbl = spark.table(f"{table_name}_fp").withColumnRenamed("fp", "__fp")
     lsh_tbl = spark.table(f"{table_name}_lsh")
 

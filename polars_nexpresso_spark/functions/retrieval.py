@@ -134,7 +134,10 @@ def build_text_index(
       with posting-list sizes, not corpus size.
     - ``{table_name}_terms`` — ``(term, df)``: document frequencies,
       same bucketing.
-    - ``{table_name}_stats`` — ``(n_docs, sum_dl)``.
+    - ``{table_name}_stats`` — ``(n_docs, n_text, sum_dl)``: row count,
+      docs with a token array (NULL text tokenizes to NULL — the
+      direct path's ``avg(dl)`` skips those while its idf ``N`` counts
+      them, and the index reproduces both exactly), and total length.
 
     All three tables are APPEND-ONLY (the LSM idea): ``df`` and the
     corpus stats are stored as partial rows that the query side SUMS,
@@ -153,46 +156,57 @@ def build_text_index(
     docs = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    doc_len = docs.select(id_col, F.size("__toks").alias("dl"))
-    postings = (
-        docs.select(id_col, F.explode("__toks").alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-        .join(doc_len, on=id_col)
-        .select("term", id_col, "tf", "dl")
-    )
-    write_bucketed(
-        postings,
-        f"{table_name}_postings",
-        ["term"],
-        num_buckets,
-        sort_cols=["term"],
-        path=f"{path}_postings" if path else None,
-    )
-    spark = df.sparkSession
-    terms = (
-        spark.table(f"{table_name}_postings")
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
-    write_bucketed(
-        terms,
-        f"{table_name}_terms",
-        ["term"],
-        num_buckets,
-        sort_cols=["term"],
-        path=f"{path}_terms" if path else None,
-    )
-    stats = doc_len.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    write_bucketed(
-        stats,
-        f"{table_name}_stats",
-        ["n_docs"],
-        1,
-        path=f"{path}_stats" if path else None,
-    )
+    # ONE tokenization pass feeds doc lengths and postings alike.
+    docs = docs.persist()
+    try:
+        doc_len = docs.select(id_col, F.size("__toks").alias("dl"))
+        postings = (
+            docs.select(id_col, F.explode("__toks").alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count("*").alias("tf"))
+            .join(doc_len, on=id_col)
+            .select("term", id_col, "tf", "dl")
+        )
+        write_bucketed(
+            postings,
+            f"{table_name}_postings",
+            ["term"],
+            num_buckets,
+            sort_cols=["term"],
+            path=f"{path}_postings" if path else None,
+        )
+        spark = df.sparkSession
+        terms = (
+            spark.table(f"{table_name}_postings")
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+        write_bucketed(
+            terms,
+            f"{table_name}_terms",
+            ["term"],
+            num_buckets,
+            sort_cols=["term"],
+            path=f"{path}_terms" if path else None,
+        )
+        # n_docs counts EVERY row (bm25_topk's idf N does); sum_dl/n_text
+        # cover only docs with a token array — tokens(NULL) is NULL, and
+        # avg(dl) in the direct path skips NULLs, so the index must
+        # reproduce that exact avgdl or NULL-text corpora diverge.
+        stats = doc_len.agg(
+            F.count("*").alias("n_docs"),
+            F.count("dl").alias("n_text"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        write_bucketed(
+            stats,
+            f"{table_name}_stats",
+            ["n_docs"],
+            1,
+            path=f"{path}_stats" if path else None,
+        )
+    finally:
+        docs.unpersist()
 
 
 def extend_text_index(
@@ -219,21 +233,30 @@ def extend_text_index(
     docs = new_docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    doc_len = docs.select(id_col, F.size("__toks").alias("dl"))
-    postings = (
-        docs.select(id_col, F.explode("__toks").alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-        .join(doc_len, on=id_col)
-        .select(*stored)
-    )
-    postings.write.mode("append").insertInto(f"{table_name}_postings")
-    terms = postings.groupBy("term").agg(F.count("*").alias("df"))
-    terms.write.mode("append").insertInto(f"{table_name}_terms")
-    stats = doc_len.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    stats.write.mode("append").insertInto(f"{table_name}_stats")
+    # ONE tokenization of the batch feeds all three appends (postings
+    # also back the terms partials — no lineage recompute).
+    docs = docs.persist()
+    try:
+        doc_len = docs.select(id_col, F.size("__toks").alias("dl"))
+        postings = (
+            docs.select(id_col, F.explode("__toks").alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count("*").alias("tf"))
+            .join(doc_len, on=id_col)
+            .select(*stored)
+        ).persist()
+        postings.write.mode("append").insertInto(f"{table_name}_postings")
+        terms = postings.groupBy("term").agg(F.count("*").alias("df"))
+        terms.write.mode("append").insertInto(f"{table_name}_terms")
+        postings.unpersist()
+        stats = doc_len.agg(
+            F.count("*").alias("n_docs"),
+            F.count("dl").alias("n_text"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        stats.write.mode("append").insertInto(f"{table_name}_stats")
+    finally:
+        docs.unpersist()
 
 
 def bm25_against_index(
@@ -274,9 +297,12 @@ def bm25_against_index(
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
     )
+    # avgdl over docs that HAVE a token array (n_text) — bm25_topk's
+    # avg(dl) skips NULL-text docs while its idf N counts all rows;
+    # the index must reproduce both or NULL-text corpora diverge.
     stats = spark.table(f"{table_name}_stats").agg(
         F.sum("n_docs").alias("n_docs"),
-        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+        (F.sum("sum_dl") / F.sum("n_text")).alias("avgdl"),
     )
     scored = (
         hits.join(F.broadcast(dfreq), on="term")

@@ -876,6 +876,7 @@ def semantic_dedup(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    _corpus_cache = None
     if n_centroids is None:
         # The auto default needs a corpus count — a Spark ACTION at plan
         # construction. Persist the narrow (id, vec) projection first so
@@ -891,6 +892,7 @@ def semantic_dedup(
             )
 
             corpus = _persist_blocking(corpus)
+            _corpus_cache = corpus
         n_centroids = auto_centroid_count(corpus.count())
     if centroids == "kmeans":
         # Keep the training sample comfortably larger than k when the
@@ -946,6 +948,13 @@ def semantic_dedup(
         from polars_nexpresso_spark.functions.dedup import _persist_blocking
 
         assigned = _persist_blocking(assigned)
+        if _corpus_cache is not None:
+            # The (id, vec) projection cache served the count, the
+            # centroid sample, and the assignment build; once the
+            # assignment itself is cached it is dead weight — release
+            # it rather than hold two copies of the vector corpus.
+            assigned.count()  # materialize before dropping the upstream
+            _corpus_cache.unpersist()
     a = assigned.select(
         F.col(id_col).alias("__ida"),
         F.col("__v").alias("__va"),

@@ -654,6 +654,43 @@ def test_bm25_index_matches_direct_topk(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_bm25_index_matches_direct_with_null_text(spark, tmp_path):
+    """NULL-text docs: bm25_topk's avg(dl) skips them while its idf N
+    counts them — the index must reproduce BOTH or scores diverge
+    (round-8 review finding, reproduced before the n_text fix)."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_against_index,
+        bm25_topk,
+        build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join spill window"),
+            (2, "hash hash join"),
+            (3, None),
+            (4, "window spill"),
+        ],
+        "doc_id long, text string",
+    )
+    build_text_index(
+        docs, "text", "doc_id", "pns_test_tidx_n",
+        num_buckets=4, path=str(tmp_path / "tidxn"),
+    )
+    try:
+        direct = bm25_topk(docs, "text", "doc_id", "hash join", k=4)
+        indexed = bm25_against_index(
+            spark, "pns_test_tidx_n", "hash join", k=4
+        )
+        assert [tuple(r) for r in indexed.collect()] == [
+            tuple(r) for r in direct.collect()
+        ]
+    finally:
+        for t in ("pns_test_tidx_n_postings", "pns_test_tidx_n_terms",
+                  "pns_test_tidx_n_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_bm25_index_scan_bucket_prunes_to_query_terms(spark, tmp_path):
     """The postings scan must read only the buckets holding the query's
     terms — query cost scales with posting lists, not corpus size."""

@@ -2501,8 +2501,9 @@ def test_dedup_index_roundtrip(spark, tmp_path):
         # schema passes through unchanged
         assert out.columns == batch.columns
     finally:
-        spark.sql("DROP TABLE IF EXISTS pns_test_didx_fp")
-        spark.sql("DROP TABLE IF EXISTS pns_test_didx_lsh")
+        for t in ("pns_test_didx_fp", "pns_test_didx_lsh",
+                  "pns_test_didx_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_dedup_index_matches_reference_dedup_plus_lsh(spark, tmp_path):
@@ -2541,8 +2542,9 @@ def test_dedup_index_matches_reference_dedup_plus_lsh(spark, tmp_path):
         assert got == {99}
         assert got <= exact_survivors
     finally:
-        spark.sql("DROP TABLE IF EXISTS pns_test_didx2_fp")
-        spark.sql("DROP TABLE IF EXISTS pns_test_didx2_lsh")
+        for t in ("pns_test_didx2_fp", "pns_test_didx2_lsh",
+                  "pns_test_didx2_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_dedup_index_validates(spark):
@@ -2625,5 +2627,6 @@ def test_extend_dedup_index_equals_rebuild(spark, tmp_path):
             )
     finally:
         for t in ("pns_test_didx_e_fp", "pns_test_didx_e_lsh",
-                  "pns_test_didx_r_fp", "pns_test_didx_r_lsh"):
+                  "pns_test_didx_e_meta", "pns_test_didx_r_fp",
+                  "pns_test_didx_r_lsh", "pns_test_didx_r_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")

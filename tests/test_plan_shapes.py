@@ -634,7 +634,9 @@ def test_dedup_index_zero_exchange_on_index_side(spark, tmp_path):
         for t in (
             "pns_plan_didx_fp",
             "pns_plan_didx_lsh",
+            "pns_plan_didx_meta",
             "pns_plan_didx_plain_fp",
             "pns_plan_didx_plain_lsh",
+            "pns_plan_didx_plain_meta",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
