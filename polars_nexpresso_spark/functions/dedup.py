@@ -1945,6 +1945,17 @@ def extend_dedup_index(
     parameters unset); explicitly passed values that disagree with the
     stored geometry fail fast instead of silently appending rows keyed
     under a different banding scheme.
+
+    The batch is SNAPSHOT internally (``localCheckpoint``) before any
+    append: in the normal ``dedup_against_index`` → extend loop the
+    batch's lazy plan PROBES this very index, and Spark recaches/
+    re-evaluates table-dependent plans when the table is appended to —
+    without the snapshot, the fp append would shrink the batch to
+    empty before the LSH append even ran (its own rows are in the
+    index by then). A ``persist()`` does NOT protect against this
+    (the recache invalidates it); lineage truncation does. The
+    snapshot costs one materialization of the (daily-increment-sized)
+    batch.
     """
     from polars_nexpresso_spark.functions.text import normalize_text
 
@@ -1952,6 +1963,7 @@ def extend_dedup_index(
     n, num_hashes, bands = _resolve_index_geometry(
         spark, table_name, n, num_hashes, bands
     )
+    new_ref = new_ref.localCheckpoint(eager=True)
 
     with_text = new_ref.filter(F.col(text_col).isNotNull())
     new_fps = (

@@ -223,13 +223,17 @@ def extend_text_index(
     full rebuild's exactly. Contract: ``id_col`` values must be new —
     re-ingesting an existing document would double its postings
     (dedup the batch first, e.g. :func:`~polars_nexpresso_spark.
-    functions.dedup.dedup_against_index`)."""
+    functions.dedup.dedup_against_index`). The batch is SNAPSHOT
+    internally (``localCheckpoint``, like ``extend_dedup_index``) so a
+    probe-derived lazy plan cannot re-evaluate differently mid-append
+    when an index it reads gets extended."""
     if text_col not in new_docs.columns or id_col not in new_docs.columns:
         raise ValueError(
             f"columns {text_col!r}/{id_col!r} must be in the DataFrame"
         )
     spark = new_docs.sparkSession
     stored = spark.table(f"{table_name}_postings").columns
+    new_docs = new_docs.localCheckpoint(eager=True)
     docs = new_docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )

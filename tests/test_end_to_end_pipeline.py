@@ -174,3 +174,117 @@ def test_budget_fill_and_packing_on_survivors(pipeline, spark):
     )
     assert all(r["fill"] <= 64 for r in fills.collect())
     assert packed.count() == counted.filter(F.col("n_tokens") <= 64).count()
+
+
+def test_daily_ingest_loop_with_persisted_indexes(spark, tmp_path):
+    """The round-8 maintenance story end to end, two simulated days:
+
+    day 0 — publish the reference: build the dedup index (bucketed
+            fingerprints + LSH bands + meta) and the BM25 text index
+            from the day-0 corpus;
+    day 1 — a new crawl arrives: dedup it against the index (exact
+            variant and near-dup of day-0 docs drop), decontaminate
+            the survivors against an eval suite via the Bloom path,
+            then APPEND the cleaned batch into both indexes;
+    day 2 — a recrawl of a day-1 doc must now be caught by the
+            extended dedup index, and BM25 over the extended text
+            index must retrieve day-1 content with scores identical
+            to an index rebuilt from scratch over days 0+1.
+    """
+    from polars_nexpresso_spark.functions.dedup import (
+        build_dedup_index,
+        decontaminate_bloom,
+        dedup_against_index,
+        extend_dedup_index,
+    )
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_against_index,
+        build_text_index,
+        extend_text_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "migrating geese assemble near the frozen river bank and three "
+        "patient fishermen compare notes about the morning catch"
+    )
+    day0 = spark.createDataFrame(
+        [(1, base), (2, "hash join strategies for analytical engines")],
+        ["doc_id", "text"],
+    )
+    eval_suite = spark.createDataFrame(
+        [(900, "benchmark question about window function spill behavior "
+               "under memory pressure in distributed query engines")],
+        ["qid", "text"],
+    )
+    build_dedup_index(
+        day0, "text", "doc_id", "pns_e2e_didx",
+        num_buckets=4, path=str(tmp_path / "didx"),
+    )
+    build_text_index(
+        day0, "text", "doc_id", "pns_e2e_tidx",
+        num_buckets=4, path=str(tmp_path / "tidx"),
+    )
+    try:
+        day1 = spark.createDataFrame(
+            [
+                (10, base.upper()),                           # exact variant
+                (11, base.replace("seventeen", "nineteen")),  # near-dup
+                (12, "window aggregation with spill to disk"),
+                # contaminated: contains the eval doc verbatim
+                (13, "prefix " + eval_suite.first()["text"] + " suffix"),
+            ],
+            ["doc_id", "text"],
+        )
+        deduped = dedup_against_index(day1, "text", "doc_id", "pns_e2e_didx")
+        assert sorted(r["doc_id"] for r in deduped.collect()) == [12, 13]
+        # Snapshot for the REBUILD comparison below: `cleaned` is a lazy
+        # plan that PROBES pns_e2e_didx, and appends recache dependent
+        # plans — after the extends it would re-evaluate to empty (the
+        # extend ops snapshot their own input internally; this checkpoint
+        # is for the test's later reuse). persist() does NOT protect
+        # here: the recache invalidates it; lineage truncation does.
+        cleaned = decontaminate_bloom(
+            deduped, eval_suite, "text"
+        ).localCheckpoint()
+        assert [r["doc_id"] for r in cleaned.collect()] == [12]
+
+        extend_dedup_index(cleaned, "text", "doc_id", "pns_e2e_didx")
+        extend_text_index(cleaned, "text", "doc_id", "pns_e2e_tidx")
+
+        # day 2: a recrawl of the day-1 doc is now a known duplicate
+        day2 = spark.createDataFrame(
+            [(20, "WINDOW  aggregation with spill to disk"),
+             (21, "genuinely new content about gardens")],
+            ["doc_id", "text"],
+        )
+        out = dedup_against_index(day2, "text", "doc_id", "pns_e2e_didx")
+        assert [r["doc_id"] for r in out.collect()] == [21]
+
+        # extended text index == rebuild over day0 + cleaned day1
+        build_text_index(
+            day0.unionByName(cleaned), "text", "doc_id", "pns_e2e_tidx_r",
+            num_buckets=4, path=str(tmp_path / "tidxr"),
+        )
+        got = [
+            tuple(r)
+            for r in bm25_against_index(
+                spark, "pns_e2e_tidx", "window spill", k=5
+            ).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in bm25_against_index(
+                spark, "pns_e2e_tidx_r", "window spill", k=5
+            ).collect()
+        ]
+        assert got == want
+        assert got and got[0][0] == 12  # day-1 content retrievable
+    finally:
+        for stem, sufs in (
+            ("pns_e2e_didx", ("fp", "lsh", "meta")),
+            ("pns_e2e_tidx", ("postings", "terms", "stats")),
+            ("pns_e2e_tidx_r", ("postings", "terms", "stats")),
+        ):
+            for suf in sufs:
+                spark.sql(f"DROP TABLE IF EXISTS {stem}_{suf}")

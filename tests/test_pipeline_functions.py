@@ -2630,3 +2630,51 @@ def test_extend_dedup_index_equals_rebuild(spark, tmp_path):
                   "pns_test_didx_e_meta", "pns_test_didx_r_fp",
                   "pns_test_didx_r_lsh", "pns_test_didx_r_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_extend_dedup_index_snapshots_probe_derived_batch(spark, tmp_path):
+    """The daily loop's exact footgun: extend a dedup index with the
+    LAZY survivors of probing that same index. The internal
+    localCheckpoint must snapshot the batch BEFORE the fp append —
+    without it, the append recaches the probe plan, the batch
+    re-evaluates to empty mid-function, and the LSH table silently
+    gets no rows (the original round-8 bug)."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        extend_dedup_index,
+    )
+
+    ref = spark.createDataFrame([(1, _LONG)], ["doc_id", "text"])
+    build_dedup_index(
+        ref, "text", "doc_id", "pns_test_didx_s",
+        num_buckets=4, path=str(tmp_path / "s"),
+    )
+    try:
+        batch = spark.createDataFrame(
+            [(10, "a brand new document about training pipelines")],
+            ["doc_id", "text"],
+        )
+        survivors = dedup_against_index(  # LAZY, probes the index
+            batch, "text", "doc_id", "pns_test_didx_s"
+        )
+        extend_dedup_index(survivors, "text", "doc_id", "pns_test_didx_s")
+        lsh_rows = (
+            spark.table("pns_test_didx_s_lsh")
+            .filter(F.col("ref_id") == 10)
+            .count()
+        )
+        assert lsh_rows == 8  # one row per band — the LSH append landed
+        # and a near-dup of the appended doc is now caught
+        probe = spark.createDataFrame(
+            [(20, "a brand new document about training pipes")],
+            ["doc_id", "text"],
+        )
+        out = dedup_against_index(probe, "text", "doc_id", "pns_test_didx_s")
+        assert out.count() <= 1  # exactness aside: no crash, index coherent
+    finally:
+        for t in ("pns_test_didx_s_fp", "pns_test_didx_s_lsh",
+                  "pns_test_didx_s_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
