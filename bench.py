@@ -699,7 +699,7 @@ SCALE_PROBE_QUERIES = (
     "repeat_upsample", "ref_dedup", "clean_ingest", "pq_ann_topk",
     "ivfpq_ann_topk", "ivfpq_rerank", "hard_negatives_ivfpq",
     # round-8 operators
-    "dedup_index", "bloom_dedup", "decontaminate_bloom",
+    "dedup_index", "bloom_dedup", "decontaminate_bloom", "bm25_index",
 )
 
 
