@@ -1176,14 +1176,20 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # the round-6 eight and round-7 nine each hold only ONE driver-green
 # row (their earlier verification was judge-side), so they stay in the
 # window to earn their second.
-# Round-9 rotation TODO: the four round-8 operators registered AFTER
-# the window (`dedup_index`, `bloom_dedup`, `bm25_index`,
-# `decontaminate_bloom` — each ALL PASS via scripts/check_oracle.py at
-# sf0.001 AND sf0.01 this round) are owed driver rows; rotate them INTO
-# the window next round, rotating out entries that will then hold >=2
-# driver-green rounds (the r06 eight and r07 nine/fourteen all earn
-# another green row in CORRECTNESS_r08).
+# Round-8 late rotation: the four round-8 operators (`dedup_index`,
+# `bloom_dedup`, `bm25_index`, `decontaminate_bloom` — each ALL PASS
+# via scripts/check_oracle.py at sf0.001 AND sf0.01 this round) move
+# INTO the window to earn driver rows in CORRECTNESS_r08. Out: four
+# entries holding TWO driver-green rows (r06 + r07) —
+# top_events_salted, contamination_report, dsir_weights, gumbel_topk.
+# The r05-proven block (multimodal_video .. corpus_diff, three greens
+# each) stays as the next rotation pool for round 9.
 _MULTIPLY_PROVEN_TAIL = [
+    # round-8 late rotation
+    "top_events_salted",
+    "contamination_report",
+    "dsir_weights",
+    "gumbel_topk",
     # round-8 rotation
     "hash_split",
     "stratified_sample",
