@@ -462,6 +462,7 @@ GROUPS: dict[str, object] = {
         "exact_dedup", "minhash_lsh", "dedup_clusters", "ngram_jaccard",
         "simhash_pairs", "embedding_dedup", "dup_window_frac",
         "intradoc_dedup", "source_overlap", "dedup_best_keep", "chunk_dedup",
+        "soft_dedup_weights", "dedup_pair_recall",
     )),
     "dedup_corpus": _registry_group((
         "decontaminate_stream", "contamination_report", "boilerplate_tokens",
@@ -474,6 +475,7 @@ GROUPS: dict[str, object] = {
         "text_stats", "token_fingerprint", "language_id", "vocab_topk",
         "quality_percentiles", "quality_filter", "quality_buckets",
         "lm_score", "lm_score_stream", "nb_quality", "nb_quality_stream",
+        "novelty_frac", "pmi_bigrams",
     )),
     "text_transform": _registry_group((
         "chunk_documents", "bm25_topk", "bm25_index", "tfidf_keywords",
@@ -483,7 +485,7 @@ GROUPS: dict[str, object] = {
     "embeddings": _registry_group((
         "cosine_topk", "cosine_topk_pandas", "cosine_topk_int8",
         "lsh_ann_topk", "ivf_ann_topk", "label_centroids",
-        "project_embeddings", "multimodal_video",
+        "project_embeddings", "multimodal_video", "embedding_outliers",
     )),
     "ann_cascade": _registry_group((
         "pq_ann_topk", "ivfpq_ann_topk", "ivfpq_rerank", "hard_negatives",
@@ -1263,12 +1265,15 @@ def main() -> None:
         },
     }
     # Full-fidelity sidecar, committed with the round evidence.
-    try:
-        (REPO / "BENCH_DETAILS.json").write_text(
-            json.dumps({**headline, **details}, indent=2) + "\n"
-        )
-    except OSError:
-        pass
+    # SPARK_GRAFT_WRITE_DETAILS=0 keeps iteration runs (group subsets,
+    # shared-session mode) from clobbering the sealed round artifact.
+    if os.environ.get("SPARK_GRAFT_WRITE_DETAILS", "1") != "0":
+        try:
+            (REPO / "BENCH_DETAILS.json").write_text(
+                json.dumps({**headline, **details}, indent=2) + "\n"
+            )
+        except OSError:
+            pass
     # One JSON object per line, details first, compact headline LAST: the
     # driver records a bounded tail of stdout, so whatever window it
     # captures always ENDS with the parseable summary line (round 3's

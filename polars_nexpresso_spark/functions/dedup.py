@@ -1307,6 +1307,51 @@ def keep_best_in_clusters(
     )
 
 
+def duplication_weights(
+    clusters: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Soft dedup: near-duplicates are down-WEIGHTED instead of dropped.
+
+    Hard dedup (:func:`dedup_clusters` + keep one) discards every extra
+    copy, but duplicate frequency is itself signal — content crawled
+    many times is often high-value, and some training recipes prefer to
+    keep all copies with sampling weight ``1 / cluster_size`` so each
+    near-dup cluster contributes the expected token mass of exactly one
+    copy (the SoftDeDup idea; also the reweighting used when dedup must
+    be non-destructive for provenance reasons). Downstream,
+    ``sample_weight`` plugs straight into the samplers — e.g. as the
+    DSIR/importance column or multiplied into mixture weights before
+    :func:`~polars_nexpresso_spark.functions.sampling.apply_mix_weights`.
+
+    Takes the ``(id, cluster_id)`` labeling from :func:`dedup_clusters`
+    (so any pair finder plugs in) and returns one row per input row:
+    ``(id_col, cluster_id, cluster_size, sample_weight)`` with
+    ``sample_weight = round(1 / cluster_size, 9)`` — the rounding is
+    part of the contract so weights are engine-reproducible.
+
+    Scale shape: one aggregation of the narrow labeling on
+    ``cluster_id`` (map-side partial count) and one id-sized equi-join
+    to re-attach sizes — both exchanges carry two longs per document,
+    never text. No window function: a per-cluster window would sort
+    within clusters for the same answer the hash aggregation gives.
+    """
+    if id_col not in clusters.columns or "cluster_id" not in clusters.columns:
+        raise ValueError(
+            "duplication_weights expects the (id, cluster_id) labeling "
+            f"from dedup_clusters; got columns {clusters.columns}"
+        )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return clusters.join(sizes, on="cluster_id").select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        F.col("cluster_size"),
+        F.round(F.lit(1.0) / F.col("cluster_size"), 9).alias("sample_weight"),
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     text_col: str,
@@ -2071,3 +2116,68 @@ def dedup_against_index(
         .distinct()
     )
     return after_exact.join(near_hits, on=id_col, how="left_anti")
+
+
+def dedup_pair_recall(
+    truth_pairs: DataFrame,
+    candidate_pairs: DataFrame,
+) -> DataFrame:
+    """Pair-level recall/precision of a CANDIDATE near-dup pair set
+    against a GROUND-TRUTH pair set — the dedup ladder's analog of
+    ``ann_recall_table``: before trusting a cheap pair finder (SimHash,
+    MinHash banding, embedding buckets) at 100 TB, measure it against
+    exact n-gram Jaccard on a slice the exact method can still afford.
+    A distributed DataFrame op, so the "slice" can itself be huge — no
+    driver collect anywhere.
+
+    Both inputs are ``(id_a, id_b, ...)`` pair tables from any finder;
+    pairs are canonicalized to ``(least, greatest)`` and deduplicated on
+    BOTH sides, so double-reported pairs cannot inflate either metric
+    (the pitfall the ann_recall docstring advisory was about).
+
+    Returns ONE row: ``(n_true, n_candidates, n_hits, pair_recall,
+    pair_precision)`` — recall = hits/true, precision = hits/candidates,
+    rounded to 9 decimals; an empty truth or candidate set yields NULL
+    for the corresponding ratio rather than a division error.
+
+    Scale shape: one pair-keyed full-outer equi-join of the two distinct
+    pair sets (exchanges carry two longs per pair) and one final 1-row
+    aggregation with map-side partials. Skewed ids do not skew the join:
+    the key is the PAIR, which is unique per side after the distinct.
+    """
+
+    def canon(df: DataFrame, flag: str) -> DataFrame:
+        if "id_a" not in df.columns or "id_b" not in df.columns:
+            raise ValueError(
+                f"pair tables need id_a/id_b columns; got {df.columns}"
+            )
+        return (
+            df.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    t = canon(truth_pairs, "__t")
+    c = canon(candidate_pairs, "__c")
+    j = t.join(c, on=["id_a", "id_b"], how="full_outer")
+    counts = j.agg(
+        F.sum("__t").alias("__nt"),
+        F.sum("__c").alias("__nc"),
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1)
+        ).alias("__nh"),
+    )
+    return counts.select(
+        F.coalesce("__nt", F.lit(0)).cast("bigint").alias("n_true"),
+        F.coalesce("__nc", F.lit(0)).cast("bigint").alias("n_candidates"),
+        F.coalesce("__nh", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.try_divide(F.coalesce("__nh", F.lit(0)), F.col("__nt")), 9
+        ).alias("pair_recall"),
+        F.round(
+            F.try_divide(F.coalesce("__nh", F.lit(0)), F.col("__nc")), 9
+        ).alias("pair_precision"),
+    )

@@ -1606,3 +1606,79 @@ def ann_recall_table(
             F.round(F.col("n_hit") / F.col("n_exact"), 6),
         )
     )
+
+
+def embedding_outliers(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Embedding-space outlier gate: flag vectors unusually FAR from
+    every cluster center — corrupt embeddings, out-of-domain content,
+    encoder failures (the all-zeros/NaN classics land here first). The
+    embedding-side analog of the text ``quality_filter``: run it before
+    ANN index builds and semantic dedup so junk vectors neither pollute
+    cells nor elect themselves near-dup representatives.
+
+    Trains the same bounded deterministic k-means as ``ivf_ann_topk``
+    (so the oracle re-derives the exact centroids Spark-free), assigns
+    every vector to its nearest centroid MAP-SIDE, and scores each by
+    the z-score of its euclidean distance to that centroid against the
+    corpus-wide distance distribution. Returns one row per vector:
+    ``(id_col, cell, centroid_dist, dist_z, is_outlier)`` with
+    ``centroid_dist``/``dist_z`` rounded to 6 decimals (the rounding is
+    the reproducibility contract) and
+    ``is_outlier = dist_z > z_threshold``.
+
+    Scale shape: centroid training is a ≤1024-row driver sample
+    (O(k·dim), never corpus-sized); assignment + distance is one
+    projection over the scan — ``n_centroids`` interpreted dots per
+    row, no shuffle, no Python; the two distribution scalars (mean,
+    population stddev) ride ONE broadcast 1-row aggregate back into the
+    scoring projection. The vectors themselves never shuffle — the only
+    exchange in the whole plan carries partial (sum, count, m2) floats.
+    """
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1: {n_centroids}")
+    if id_col not in corpus.columns or vec_col not in corpus.columns:
+        raise ValueError(
+            f"columns {id_col!r}/{vec_col!r} not both in {corpus.columns}"
+        )
+    cent_vecs = _kmeans_centroids(corpus, id_col, vec_col, n_centroids)
+    cent_lits = [F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs]
+    vec = F.col(vec_col)
+    ranked = F.array_sort(
+        F.array(
+            *[
+                F.struct(_sqdist(vec, cl).alias("d"), F.lit(i).alias("i"))
+                for i, cl in enumerate(cent_lits)
+            ]
+        )
+    )
+    best = F.get(ranked, 0)
+    assigned = corpus.select(
+        F.col(id_col),
+        best["i"].alias("cell"),
+        F.round(F.sqrt(best["d"]), 6).alias("centroid_dist"),
+    )
+    stats = assigned.agg(
+        F.avg("centroid_dist").alias("__m"),
+        F.stddev_pop("centroid_dist").alias("__sd"),
+    )
+    z = F.round(
+        F.try_divide(
+            F.col("centroid_dist") - F.col("__m"),
+            F.when(F.col("__sd") > 0, F.col("__sd")),
+        ),
+        6,
+    )
+    return assigned.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col),
+        "cell",
+        "centroid_dist",
+        z.alias("dist_z"),
+        (z > F.lit(float(z_threshold))).alias("is_outlier"),
+    )

@@ -1097,3 +1097,178 @@ def compression_ratio(
     return df.withColumn(
         out_col, pandas_compression_ratio(F.col(text_col))
     )
+
+
+def unique_ngram_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a document's distinct word
+    n-grams that occur in NO other document of the corpus — high for
+    original prose, near zero for templated/recombined/scraped-together
+    text whose every phrase exists elsewhere. The per-document
+    complement of :func:`~polars_nexpresso_spark.functions.dedup
+    .duplicated_window_fraction` (that one asks "how much of this doc is
+    duplicated", this one asks "how much is unique corpus-wide"), and a
+    ranking signal for novelty-first sampling.
+
+    Returns one row per input row: ``(id_col, n_grams, n_unique,
+    novelty_frac)`` where ``novelty_frac = round(n_unique / n_grams, 9)``
+    and documents with no tokens get ``n_grams = 0`` and NULL fraction.
+
+    Scale shape: the text is read once — the explode emits 64-bit
+    shingle hashes, so every exchange carries ``(id, hash)`` longs.
+    Document frequency is one hash aggregation over distinct shingles
+    (map-side combine); globally-unique shingles (df == 1) already KNOW
+    their owning document (``min(id) == the only id``), so novelty
+    counts come from a second hash agg on the owner id — no join back
+    through the shingle table. Per-doc totals attach by one id-keyed
+    left join (docs absent from the unique set coalesce to 0).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if text_col not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"columns {text_col!r}/{id_col!r} not both in {df.columns}"
+        )
+    # NULL text reaches word_ngrams as a NULL token array, which emits a
+    # single NULL shingle (size(NULL) is -1 under non-ANSI semantics) —
+    # filter it so NULL-text documents count zero grams. Empty text keeps
+    # its one ''-shingle (the word_ngrams short-doc convention).
+    exploded = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("__sh"),
+        )
+        .filter(F.col("__sh").isNotNull())
+        .select("__id", F.xxhash64(F.col("__sh")).alias("__h"))
+    )
+    # word_ngrams is per-doc distinct, so count(*) per hash == document
+    # frequency and min(__id) is the unique owner when that count is 1.
+    freq = exploded.groupBy("__h").agg(
+        F.count("*").alias("__df"), F.min("__id").alias("__owner")
+    )
+    uniq = (
+        freq.filter(F.col("__df") == 1)
+        .groupBy(F.col("__owner").alias("__id"))
+        .agg(F.count("*").alias("n_unique"))
+    )
+    per_doc = exploded.groupBy("__id").agg(F.count("*").alias("n_grams"))
+    joined = per_doc.join(uniq, on="__id", how="left")
+    counted = df.select(F.col(id_col)).join(
+        joined.withColumnRenamed("__id", id_col), on=id_col, how="left"
+    )
+    return counted.select(
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_unique", F.lit(0)).cast("bigint").alias("n_unique"),
+        F.round(
+            F.try_divide(
+                F.coalesce("n_unique", F.lit(0)), F.col("n_grams")
+            ),
+            9,
+        ).alias("novelty_frac"),
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    *,
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus collocations: the ``k`` adjacent token pairs with the
+    highest pointwise mutual information — phrases whose words co-occur
+    far more than their individual frequencies predict ("new york",
+    "machine learning"). The classic vocabulary-mining pass for building
+    phrase lists (tokenizer merges, stop-phrase screens, domain
+    glossaries) over a corpus too large to n-gram-count on one machine.
+
+    ``pmi = ln(c_ab · N_uni² / (N_bi · c_a · c_b))`` with unigram/bigram
+    counts over the whole corpus; ``min_count`` floors the bigram count
+    so one-off juxtapositions of two rare words (which maximize raw PMI)
+    are excluded. Rounded to 9 decimals; ties break on (w1, w2) asc.
+
+    Scale shape: one explode + hash agg per table — unigram counts and
+    adjacent-bigram counts, both with map-side combine, shuffles ~vocab
+    sized. The two totals ride one broadcast 1-row aggregate; the bigram
+    table joins unigram counts twice on the token (vocab-sized equi-
+    joins, AQE handles skew). Final top-k is a TakeOrdered over the
+    ``min_count`` survivors. Returns ``(w1, w2, pair_count, pmi, rank)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    uni = (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("__c"))
+    )
+    # Adjacent pairs WITH duplicates: zip tokens against themselves
+    # shifted by one (slice from position 2), then explode the structs.
+    pairs = df.select(
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bi = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    totals = uni.agg(F.sum("__c").alias("__n_uni")).crossJoin(
+        F.broadcast(
+            df.select(
+                F.greatest(F.size(toks) - 1, F.lit(0)).alias("__nb")
+            ).agg(F.sum("__nb").alias("__n_bi"))
+        )
+    )
+    scored = (
+        bi.join(
+            uni.select(F.col("token").alias("w1"), F.col("__c").alias("__ca")),
+            on="w1",
+        )
+        .join(
+            uni.select(F.col("token").alias("w2"), F.col("__c").alias("__cb")),
+            on="w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (
+                        F.col("pair_count").cast("double")
+                        * F.col("__n_uni").cast("double")
+                        * F.col("__n_uni").cast("double")
+                    )
+                    / (
+                        F.col("__n_bi").cast("double")
+                        * F.col("__ca").cast("double")
+                        * F.col("__cb").cast("double")
+                    )
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    # <= k survivors; the unpartitioned window is bounded by construction.
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

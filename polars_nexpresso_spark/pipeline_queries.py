@@ -3840,3 +3840,278 @@ PIPELINE_QUERIES["decontaminate_bloom"] = q_decontaminate_bloom
 PIPELINE_ORACLE_SQL["decontaminate_bloom"] = PIPELINE_ORACLE_SQL[
     "decontaminate"
 ]
+
+
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: the same MinHash+LSH connected components as
+    ``dedup_clusters``, but every copy SURVIVES with sampling weight
+    ``1 / cluster_size`` — each near-dup cluster contributes the
+    expected token mass of one copy (the SoftDeDup reweighting; the
+    non-destructive alternative to ``dedup_best_keep`` when provenance
+    requires keeping all rows). Weight arithmetic rounds to 9 decimals
+    so the oracle replays it exactly."""
+    from polars_nexpresso_spark.functions.dedup import duplication_weights
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    return duplication_weights(clusters, "doc_id")
+
+
+PIPELINE_QUERIES["soft_dedup_weights"] = q_soft_dedup_weights
+# soft_dedup_weights: the dedup_clusters recursive CTE + a per-cluster
+# COUNT window + the 1/size weight arithmetic (rounded to 9).
+PIPELINE_ORACLE_SQL["soft_dedup_weights"] = f"""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    jp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+      WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+            6) >= 0.8
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp
+    ),
+    r(n, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.n, e.b FROM r JOIN e ON e.a = r.m
+    ),
+    c AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM r GROUP BY n)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+           ROUND(1.0::DOUBLE
+                 / COUNT(*) OVER (PARTITION BY cluster_id), 9)
+               AS sample_weight
+    FROM c
+"""
+
+
+def q_novelty_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of each document's distinct
+    word 3-grams that occur in NO other document — the ranking signal
+    for novelty-first sampling and the per-doc complement of
+    ``dup_window_frac``. Text never leaves the scan; every exchange
+    carries (id, 64-bit shingle hash) longs."""
+    from polars_nexpresso_spark.functions.text import unique_ngram_fraction
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return unique_ngram_fraction(docs, "text", "doc_id", n=3)
+
+
+PIPELINE_QUERIES["novelty_frac"] = q_novelty_frac
+# novelty_frac: distinct 3-gram shingles per doc (the _SHINGLES
+# convention), document frequency per shingle, df==1 grams counted for
+# their single owner, LEFT joins keep zero-gram documents.
+PIPELINE_ORACLE_SQL["novelty_frac"] = f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    f AS (SELECT sh, COUNT(*) AS df, MIN(doc_id) AS owner
+          FROM g WHERE sh IS NOT NULL GROUP BY sh),
+    u AS (SELECT owner AS doc_id, COUNT(*) AS n_unique
+          FROM f WHERE df = 1 GROUP BY owner),
+    p AS (SELECT doc_id, COUNT(*) AS n_grams FROM g
+         WHERE sh IS NOT NULL GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+           COALESCE(u.n_unique, 0)::BIGINT AS n_unique,
+           ROUND(COALESCE(u.n_unique, 0)::DOUBLE / p.n_grams, 9)
+               AS novelty_frac
+    FROM documents d
+    LEFT JOIN p USING (doc_id)
+    LEFT JOIN u USING (doc_id)
+"""
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: top-20 adjacent token pairs by pointwise
+    mutual information with a min-count floor — the distributed phrase-
+    mining pass (tokenizer merge candidates, stop-phrase screens).
+    Vocab-sized shuffles only; totals ride a broadcast 1-row aggregate;
+    ln arithmetic rounds to 9 decimals for the oracle."""
+    from polars_nexpresso_spark.functions.text import pmi_collocations
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return pmi_collocations(docs, "text", k=20, min_count=5)
+
+
+PIPELINE_QUERIES["pmi_bigrams"] = q_pmi_bigrams
+# pmi_bigrams: unigram + adjacent-bigram counts, identical ln-product
+# arithmetic (pc·Nu·Nu / (Nb·ca·cb)), (pmi desc, w1, w2) tie-break.
+PIPELINE_ORACLE_SQL["pmi_bigrams"] = f"""
+    WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+    uc AS (
+      SELECT token, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS token FROM t)
+      GROUP BY token
+    ),
+    bc AS (
+      SELECT s['w1'] AS w1, s['w2'] AS w2, COUNT(*) AS pair_count
+      FROM (
+        SELECT unnest(list_transform(
+            range(1, greatest(len(toks) - 1, 0) + 1),
+            i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s
+        FROM t
+      )
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    ),
+    tot AS (
+      SELECT (SELECT SUM(c) FROM uc) AS n_uni,
+             (SELECT SUM(greatest(len(toks) - 1, 0)) FROM t) AS n_bi
+    ),
+    scored AS (
+      SELECT bc.w1, bc.w2, bc.pair_count,
+             ROUND(ln(
+                 (bc.pair_count::DOUBLE * tot.n_uni::DOUBLE
+                  * tot.n_uni::DOUBLE)
+                 / (tot.n_bi::DOUBLE * a.c::DOUBLE * b.c::DOUBLE)
+             ), 9) AS pmi
+      FROM bc
+      JOIN uc a ON a.token = bc.w1
+      JOIN uc b ON b.token = bc.w2
+      CROSS JOIN tot
+    )
+    SELECT w1, w2, pair_count, pmi,
+           ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC)::BIGINT
+               AS rank
+    FROM scored
+    ORDER BY pmi DESC, w1 ASC, w2 ASC
+    LIMIT 20
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality gate: distance-to-nearest-centroid
+    z-scores over the whole embeddings table — flags corrupt /
+    out-of-domain vectors before index builds and semantic dedup. Same
+    deterministic k-means as ``ivf_ann_topk``, so the oracle embeds the
+    exact centroids; assignment is map-side, the two distribution
+    scalars ride one broadcast aggregate, vectors never shuffle."""
+    from polars_nexpresso_spark.functions.similarity import (
+        embedding_outliers,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    return embedding_outliers(emb, n_centroids=16, z_threshold=2.0)
+
+
+PIPELINE_QUERIES["embedding_outliers"] = q_embedding_outliers
+
+
+def _embedding_outliers_oracle() -> str | None:
+    """Exact DuckDB replica of ``q_embedding_outliers``: the re-derived
+    centroid VALUES of ``_ivf_ann_oracle``, nearest-cell election by
+    (distance, index) row_number, euclidean distance rounded to 6, then
+    the same mean/stddev_pop z-score arithmetic. Returns None (rows-only
+    check) when the testdata is unreadable at import."""
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from polars_nexpresso_spark.functions.similarity import (
+            kmeans_centroids_local,
+        )
+
+        cents = kmeans_centroids_local(
+            f"{sf_dir}/embeddings.parquet", n_centroids=16
+        )
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return None
+    values = ",\n                 ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(i, v) AS (
+          VALUES {values}
+        ),
+        ranked AS (
+          SELECT e.vec_id, c.i,
+                 list_distance(e.embedding::DOUBLE[], c.v) AS d,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.v) ASC,
+                            c.i ASC
+                 ) AS rn
+          FROM embeddings e, cents c
+        ),
+        a AS (
+          SELECT vec_id, i AS cell, ROUND(d, 6) AS centroid_dist
+          FROM ranked WHERE rn = 1
+        ),
+        s AS (
+          SELECT AVG(centroid_dist) AS m, STDDEV_POP(centroid_dist) AS sd
+          FROM a
+        )
+        SELECT vec_id, cell, centroid_dist,
+               ROUND((centroid_dist - s.m)
+                     / (CASE WHEN s.sd > 0 THEN s.sd END), 6) AS dist_z,
+               ROUND((centroid_dist - s.m)
+                     / (CASE WHEN s.sd > 0 THEN s.sd END), 6) > 2.0
+                   AS is_outlier
+        FROM a, s
+    """
+
+
+_outliers_oracle = _embedding_outliers_oracle()
+if _outliers_oracle is not None:
+    PIPELINE_ORACLE_SQL["embedding_outliers"] = _outliers_oracle
+
+
+def q_dedup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-ladder eval: pair recall/precision of the cheap SimHash
+    candidate finder (hamming <= 3 over 60-bit fingerprints) against
+    exact n-gram Jaccard >= 0.8 ground truth — the measurement that
+    justifies (or vetoes) running the cheap rung at 100 TB. Both pair
+    sets replay exactly in SQL, so even this eval is hash-checkable."""
+    from polars_nexpresso_spark.functions.dedup import (
+        dedup_pair_recall,
+        simhash_pairs,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    truth = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, persist_shingles=True
+    )
+    cand = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    return dedup_pair_recall(truth, cand)
+
+
+PIPELINE_QUERIES["dedup_pair_recall"] = q_dedup_pair_recall
+# dedup_pair_recall: the exact-Jaccard and simhash oracles nest as
+# subqueries; the metric arithmetic replays the full-outer-join counts.
+PIPELINE_ORACLE_SQL["dedup_pair_recall"] = f"""
+    WITH truth AS (
+      SELECT id_a, id_b FROM ({_jaccard_pairs_oracle(0.8)})
+    ),
+    cand AS (
+      SELECT id_a, id_b FROM ({PIPELINE_ORACLE_SQL["simhash_pairs"]})
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+             (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*)
+              FROM truth t JOIN cand c
+                ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hits
+    )
+    SELECT n_true::BIGINT AS n_true,
+           n_candidates::BIGINT AS n_candidates,
+           n_hits::BIGINT AS n_hits,
+           ROUND(n_hits::DOUBLE
+                 / (CASE WHEN n_true > 0 THEN n_true END), 9)
+               AS pair_recall,
+           ROUND(n_hits::DOUBLE
+                 / (CASE WHEN n_candidates > 0 THEN n_candidates END), 9)
+               AS pair_precision
+    FROM m
+"""

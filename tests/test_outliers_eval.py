@@ -1,0 +1,122 @@
+"""Round-8 additions: embedding-space outlier gate and the dedup-ladder
+pair recall/precision eval."""
+
+from __future__ import annotations
+
+import pytest
+
+from polars_nexpresso_spark.functions.dedup import dedup_pair_recall
+from polars_nexpresso_spark.functions.similarity import embedding_outliers
+
+
+# ---------------------------------------------------------------- outliers
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_outliers_flags_the_far_vector(spark):
+    """20 identical vectors + 1 far vector, k=1: the centroid is the
+    sample mean, the far vector's distance z-score is high, the copies'
+    negative — only the far one is flagged."""
+    rows = [(i, [0.0, 0.0]) for i in range(20)] + [(99, [10.0, 0.0])]
+    out = {
+        r["vec_id"]: r
+        for r in embedding_outliers(
+            _corpus(spark, rows), n_centroids=1, z_threshold=2.0
+        ).collect()
+    }
+    assert len(out) == 21
+    assert out[99]["is_outlier"] is True
+    assert all(not out[i]["is_outlier"] for i in range(20))
+    assert out[99]["dist_z"] > 2.0 > out[0]["dist_z"]
+    assert all(r["cell"] == 0 for r in out.values())
+
+
+def test_embedding_outliers_zscore_invariants(spark):
+    """Mean of z-scores ~0 by construction; flag == (z > threshold);
+    every vector labeled with a valid cell."""
+    rows = [
+        (i, [float(i % 7), float((3 * i) % 5), float(i % 2)])
+        for i in range(60)
+    ]
+    got = embedding_outliers(
+        _corpus(spark, rows), n_centroids=4, z_threshold=1.5
+    ).collect()
+    assert len(got) == 60
+    zs = [r["dist_z"] for r in got]
+    assert abs(sum(zs) / len(zs)) < 1e-3
+    for r in got:
+        assert 0 <= r["cell"] < 4
+        assert r["is_outlier"] == (r["dist_z"] > 1.5)
+
+
+def test_embedding_outliers_identical_corpus_null_z(spark):
+    """All-equal distances have zero stddev: z is NULL (explicitly, not
+    a division error) and nothing is flagged true."""
+    rows = [(i, [1.0, 2.0]) for i in range(8)]
+    got = embedding_outliers(_corpus(spark, rows), n_centroids=1).collect()
+    assert all(r["dist_z"] is None for r in got)
+    assert all(not r["is_outlier"] for r in got)
+
+
+def test_embedding_outliers_validation_and_plan(spark):
+    rows = [(i, [float(i), 0.0]) for i in range(10)]
+    df = _corpus(spark, rows)
+    with pytest.raises(ValueError, match="n_centroids"):
+        embedding_outliers(df, n_centroids=0)
+    with pytest.raises(ValueError, match="not both"):
+        embedding_outliers(df, vec_col="missing")
+    out = embedding_outliers(df, n_centroids=2)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    # the stats scalars broadcast back; the vectors never ride a shuffle
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding#" not in line, (
+                f"vectors rode a shuffle: {line}"
+            )
+
+
+# ------------------------------------------------------------- pair recall
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_dedup_pair_recall_hand_counts(spark):
+    """Reversed and duplicated candidate pairs canonicalize + dedup, so
+    they cannot inflate precision; hits count pairs in both sets."""
+    truth = _pairs(spark, [(1, 2), (3, 4), (5, 6)])
+    cand = _pairs(spark, [(2, 1), (3, 4), (3, 4), (7, 8)])
+    row = dedup_pair_recall(truth, cand).collect()[0]
+    assert (row["n_true"], row["n_candidates"], row["n_hits"]) == (3, 3, 2)
+    assert row["pair_recall"] == 0.666666667
+    assert row["pair_precision"] == 0.666666667
+
+
+def test_dedup_pair_recall_empty_sides_are_null_not_error(spark):
+    truth = _pairs(spark, [(1, 2)])
+    empty = _pairs(spark, []).filter("id_a IS NOT NULL")
+    row = dedup_pair_recall(truth, empty).collect()[0]
+    assert (row["n_true"], row["n_candidates"], row["n_hits"]) == (1, 0, 0)
+    assert row["pair_recall"] == 0.0
+    assert row["pair_precision"] is None
+    row2 = dedup_pair_recall(empty, truth).collect()[0]
+    assert row2["pair_recall"] is None
+    assert row2["pair_precision"] == 0.0
+
+
+def test_dedup_pair_recall_perfect_candidates(spark):
+    truth = _pairs(spark, [(1, 2), (3, 4)])
+    row = dedup_pair_recall(truth, truth).collect()[0]
+    assert row["pair_recall"] == 1.0 and row["pair_precision"] == 1.0
+
+
+def test_dedup_pair_recall_validation(spark):
+    bad = spark.createDataFrame([(1,)], "x long")
+    good = _pairs(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="id_a/id_b"):
+        dedup_pair_recall(bad, good)

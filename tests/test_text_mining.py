@@ -1,0 +1,200 @@
+"""Round-8 text-mining additions: soft-dedup duplication weights,
+per-document novelty (corpus-unique n-gram fraction), and PMI
+collocation mining."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from polars_nexpresso_spark.functions.dedup import duplication_weights
+from polars_nexpresso_spark.functions.text import (
+    pmi_collocations,
+    unique_ngram_fraction,
+)
+
+
+# ---------------------------------------------------------------- weights
+
+
+def test_duplication_weights_arithmetic(spark):
+    """1/cluster_size per member, rounded to 9; singletons weigh 1.0."""
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],
+        "doc_id long, cluster_id long",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_size"], r["sample_weight"])
+        for r in duplication_weights(clusters, "doc_id").collect()
+    }
+    assert got == {
+        1: (3, 0.333333333),
+        2: (3, 0.333333333),
+        3: (3, 0.333333333),
+        4: (1, 1.0),
+    }
+
+
+def test_duplication_weights_mass_conservation(spark):
+    """The defining invariant: summed weight per cluster == 1.0, so the
+    corpus contributes one expected copy per near-dup cluster."""
+    clusters = spark.createDataFrame(
+        [(i, i % 3) for i in range(12)], "doc_id long, cluster_id long"
+    )
+    out = duplication_weights(clusters, "doc_id")
+    per_cluster = {
+        r["cluster_id"]: r["s"]
+        for r in out.groupBy("cluster_id").sum("sample_weight")
+        .withColumnRenamed("sum(sample_weight)", "s").collect()
+    }
+    for s in per_cluster.values():
+        assert abs(s - 1.0) < 1e-6
+
+
+def test_duplication_weights_validation_and_plan(spark):
+    bad = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="cluster_id"):
+        duplication_weights(bad, "doc_id")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, cluster_id long"
+    )
+    p = (
+        duplication_weights(clusters, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # hash aggregation + join, not a per-cluster window sort
+    assert "Window" not in p
+
+
+# ---------------------------------------------------------------- novelty
+
+
+def test_unique_ngram_fraction_hand_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),   # grams: "a b" (shared with 2), "b c" (unique)
+            (2, "a b x"),   # grams: "a b" (shared), "b x" (unique)
+            (3, "q r s"),   # both grams unique
+            (4, None),      # NULL text: 0 grams, NULL fraction
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_unique"], r["novelty_frac"])
+        for r in unique_ngram_fraction(docs, "text", "doc_id", n=2).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 2, 1.0)
+    assert got[4] == (0, 0, None)
+
+
+def test_unique_ngram_fraction_repeated_grams_count_once(spark):
+    """word_ngrams dedups within a doc, so a doc repeating its own gram
+    still counts it once — and a gram shared by two docs is non-unique
+    for both."""
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_unique"])
+        for r in unique_ngram_fraction(docs, "text", "doc_id", n=2).collect()
+    }
+    # doc 1 grams: {"x y", "y x"}; doc 2 grams: {"x y", "y z"}
+    assert got[1] == (2, 1)
+    assert got[2] == (2, 1)
+
+
+def test_unique_ngram_fraction_short_doc_convention(spark):
+    """Documents shorter than n tokens yield their full token sequence
+    as a single shingle (the word_ngrams convention), so they still
+    participate — with one gram."""
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_unique"], r["novelty_frac"])
+        for r in unique_ngram_fraction(docs, "text", "doc_id", n=3).collect()
+    }
+    assert got[1] == (1, 1, 1.0)
+    assert got[2] == (3, 3, 1.0)
+
+
+def test_unique_ngram_fraction_validation_and_plan(spark):
+    docs = spark.createDataFrame(
+        [(1, "payload text here")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="n must be"):
+        unique_ngram_fraction(docs, "text", "doc_id", n=0)
+    with pytest.raises(ValueError, match="not both"):
+        unique_ngram_fraction(docs, "missing", "doc_id")
+    out = unique_ngram_fraction(docs, "text", "doc_id")
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p
+    # the text payload never rides an exchange — hashes do
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, f"text rode an exchange: {line}"
+
+
+# ------------------------------------------------------------ collocations
+
+
+def test_pmi_collocations_hand_corpus(spark):
+    """PMI formula replayed by hand: ln(c_ab · Nu² / (Nb · ca · cb))."""
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york"),
+            (2, "new york is big"),
+            (3, "the the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(docs, "text", k=10, min_count=2).collect()
+    got = {(r["w1"], r["w2"]): (r["pair_count"], r["pmi"]) for r in rows}
+    # counts: unigrams — new:3 york:3 is:1 big:1 the:4 -> Nu=12
+    # bigrams (adjacent, with duplicates): doc1 3, doc2 3, doc3 3 -> Nb=9
+    # "new york" appears 3x; "the the" 3x; "york new" 1x (below floor)
+    assert got[("new", "york")][0] == 3
+    exp_ny = round(math.log(3 * 12.0 * 12.0 / (9.0 * 3 * 3)), 9)
+    assert got[("new", "york")][1] == pytest.approx(exp_ny, abs=1e-9)
+    exp_tt = round(math.log(3 * 12.0 * 12.0 / (9.0 * 4 * 4)), 9)
+    assert got[("the", "the")][1] == pytest.approx(exp_tt, abs=1e-9)
+    assert ("york", "new") not in got  # min_count floor
+    # ranking: higher pmi first
+    ranks = {(r["w1"], r["w2"]): r["rank"] for r in rows}
+    assert ranks[("new", "york")] < ranks[("the", "the")]
+
+
+def test_pmi_collocations_short_and_null_docs(spark):
+    """Single-token, empty, and NULL docs contribute no bigrams and do
+    not crash the zip/slice arithmetic."""
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, None), (4, "pair here pair here")],
+        "doc_id long, text string",
+    )
+    rows = pmi_collocations(docs, "text", k=5, min_count=2).collect()
+    got = {(r["w1"], r["w2"]) for r in rows}
+    # bigrams: (pair,here) x2, (here,pair) x1 — only the first clears
+    # the floor; the degenerate docs contribute nothing
+    assert got == {("pair", "here")}
+
+
+def test_pmi_collocations_validation(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        pmi_collocations(docs, "text", k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_collocations(docs, "text", min_count=0)
+
+
+def test_pmi_collocations_totals_are_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string"
+    )
+    out = pmi_collocations(docs, "text", k=5, min_count=2)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
