@@ -432,6 +432,17 @@ def _bpe_pipeline(spark, sf_dir: str) -> None:
     force(bpe_encode(docs, "text", merges))
 
 
+def _unigram_pipeline(spark, sf_dir: str) -> None:
+    from polars_nexpresso_spark.functions.unigram import (
+        train_unigram,
+        unigram_encode,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    vocab = train_unigram(docs, "text", vocab_size=256, min_count=2)
+    force(unigram_encode(docs, "text", vocab))
+
+
 def _registry_group(names: tuple[str, ...]):
     """A group runner over the oracle-paired query registry."""
 
@@ -441,6 +452,8 @@ def _registry_group(names: tuple[str, ...]):
         for name in names:
             if name == "bpe_pipeline":
                 bench(name, lambda: _bpe_pipeline(spark, sf_dir))
+            elif name == "unigram_pipeline":
+                bench(name, lambda: _unigram_pipeline(spark, sf_dir))
             else:
                 q = QUERIES[name]
                 bench(name, lambda q=q: force(q(spark, sf_dir)))
@@ -481,6 +494,7 @@ GROUPS: dict[str, object] = {
         "chunk_documents", "bm25_topk", "bm25_index", "tfidf_keywords",
         "redact_pii", "corpus_report", "corpus_diff", "unicode_nfc",
         "strip_markup", "truncate_tokens", "token_shift", "bpe_pipeline",
+        "unigram_pipeline",
     )),
     "embeddings": _registry_group((
         "cosine_topk", "cosine_topk_pandas", "cosine_topk_int8",
