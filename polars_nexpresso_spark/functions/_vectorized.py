@@ -49,6 +49,30 @@ def pandas_nearest_cells(centroids, n):
     return cells
 
 
+def pandas_nearest_cell_dist(centroids):
+    """UDF returning ``struct<cell:int, dist:double>`` — the nearest
+    centroid index AND the euclidean distance to it — in one vectorized
+    distance computation per Arrow batch. The outlier gate needs the
+    distance value itself, which the cells-only kernel discards; ties
+    resolve to the lowest index (stable argmin), matching the expression
+    form's (distance, index) struct sort."""
+    cent = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    @pandas_udf("struct<cell:int, dist:double>")
+    def cell_dist(v: pd.Series) -> pd.DataFrame:
+        mat = np.stack(v.to_list()).astype(np.float64)
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+        best = d.argmin(axis=1)  # argmin is first-occurrence on ties
+        return pd.DataFrame(
+            {
+                "cell": best.astype(np.int32),
+                "dist": np.sqrt(d[np.arange(len(best)), best]),
+            }
+        )
+
+    return cell_dist
+
+
 def pandas_member_overlap(sorted_values):
     """UDF factory: True when ANY element of a row's long-array column is
     in ``sorted_values`` (a sorted numpy int64 array held in the closure).

@@ -1615,6 +1615,7 @@ def embedding_outliers(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     z_threshold: float = 2.0,
+    assign: str = "pandas",
 ) -> DataFrame:
     """Embedding-space outlier gate: flag vectors unusually FAR from
     every cluster center — corrupt embeddings, out-of-domain content,
@@ -1635,11 +1636,15 @@ def embedding_outliers(
 
     Scale shape: centroid training is a ≤1024-row driver sample
     (O(k·dim), never corpus-sized); assignment + distance is one
-    projection over the scan — ``n_centroids`` interpreted dots per
-    row, no shuffle, no Python; the two distribution scalars (mean,
-    population stddev) ride ONE broadcast 1-row aggregate back into the
-    scoring projection. The vectors themselves never shuffle — the only
-    exchange in the whole plan carries partial (sum, count, m2) floats.
+    projection over the scan — ``assign="pandas"`` (default) computes
+    it as one vectorized distance matrix per Arrow batch,
+    ``assign="expr"`` as ``n_centroids`` interpreted array-lambda dots
+    per row (the same crossover as ``ivf_ann_topk``: pandas wins at the
+    16-centroid catalog dial); no shuffle either way. The two
+    distribution scalars (mean, population stddev) ride ONE broadcast
+    1-row aggregate back into the scoring projection. The vectors
+    themselves never shuffle — the only exchange in the whole plan
+    carries partial (sum, count, m2) floats.
     """
     if n_centroids < 1:
         raise ValueError(f"n_centroids must be >= 1: {n_centroids}")
@@ -1648,21 +1653,34 @@ def embedding_outliers(
             f"columns {id_col!r}/{vec_col!r} not both in {corpus.columns}"
         )
     cent_vecs = _kmeans_centroids(corpus, id_col, vec_col, n_centroids)
-    cent_lits = [F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs]
     vec = F.col(vec_col)
-    ranked = F.array_sort(
-        F.array(
-            *[
-                F.struct(_sqdist(vec, cl).alias("d"), F.lit(i).alias("i"))
-                for i, cl in enumerate(cent_lits)
-            ]
+    if assign == "pandas":
+        from polars_nexpresso_spark.functions._vectorized import (
+            pandas_nearest_cell_dist,
         )
-    )
-    best = F.get(ranked, 0)
+
+        best = pandas_nearest_cell_dist(cent_vecs)(vec)
+        cell_expr, dist_expr = best["cell"], best["dist"]
+    elif assign == "expr":
+        cent_lits = [
+            F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs
+        ]
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(_sqdist(vec, cl).alias("d"), F.lit(i).alias("i"))
+                    for i, cl in enumerate(cent_lits)
+                ]
+            )
+        )
+        best = F.get(ranked, 0)
+        cell_expr, dist_expr = best["i"], F.sqrt(best["d"])
+    else:
+        raise ValueError(f"assign must be 'pandas' or 'expr', got {assign!r}")
     assigned = corpus.select(
         F.col(id_col),
-        best["i"].alias("cell"),
-        F.round(F.sqrt(best["d"]), 6).alias("centroid_dist"),
+        cell_expr.alias("cell"),
+        F.round(dist_expr, 6).alias("centroid_dist"),
     )
     stats = assigned.agg(
         F.avg("centroid_dist").alias("__m"),

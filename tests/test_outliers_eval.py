@@ -120,3 +120,24 @@ def test_dedup_pair_recall_validation(spark):
     good = _pairs(spark, [(1, 2)])
     with pytest.raises(ValueError, match="id_a/id_b"):
         dedup_pair_recall(bad, good)
+
+
+def test_embedding_outliers_pandas_expr_equivalence(spark):
+    """The Arrow kernel and the expression form agree row-for-row —
+    cell election (ties to lowest index) and the rounded distances."""
+    rows = [
+        (i, [float((7 * i) % 11) / 3, float((5 * i) % 13) / 4, 0.25 * i % 2])
+        for i in range(80)
+    ]
+    df = _corpus(spark, rows)
+    a = {
+        r["vec_id"]: (r["cell"], r["centroid_dist"], r["dist_z"])
+        for r in embedding_outliers(df, n_centroids=5, assign="pandas").collect()
+    }
+    b = {
+        r["vec_id"]: (r["cell"], r["centroid_dist"], r["dist_z"])
+        for r in embedding_outliers(df, n_centroids=5, assign="expr").collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="assign"):
+        embedding_outliers(df, assign="bogus")
