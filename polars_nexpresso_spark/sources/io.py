@@ -589,3 +589,106 @@ def write_ordered(
     return int(
         out.select(F.input_file_name()).distinct().count()
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    *,
+    bits: int = 8,
+    n_files: int | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` clustered along a Z-ORDER (Morton) curve of two or
+    more columns — multi-dimensional data locality on disk, the
+    Delta-Lake ``OPTIMIZE ZORDER BY`` idea: a reader filtering on ANY of
+    the curve columns skips most part files on min/max statistics,
+    where a plain sort buys locality on its leading column only and a
+    filter on the second column reads everything
+    (:func:`write_ordered` is the single-column special case and keeps
+    the exact-order guarantee this writer deliberately trades away).
+
+    Mechanism: each column maps to a ``2^bits``-cell uniform grid
+    (``width_bucket`` over the column's min/max — two driver scalars
+    from ONE aggregation job; heavily skewed columns cluster into few
+    cells and lose pruning power, the same caveat Delta documents),
+    the per-column cell indices bit-interleave into one Morton key
+    (column ``j`` owns interleaved bit position ``i·ncols + j`` — a
+    pure JVM bit-arithmetic projection, built once, codegen-friendly),
+    and the write is ``repartitionByRange`` on that key + local sort —
+    the :func:`write_ordered` shape: range sampling picks split
+    points, every executor sorts only its partition, NO global sort.
+    NULL values in a curve column map to cell 0 (they cluster at the
+    curve origin rather than scattering).
+
+    ``n_files`` defaults to the ~128 MB Catalyst size estimate. The
+    Morton key is a write-layout artifact and is NOT persisted.
+    Returns the range-partition count.
+    """
+    if len(zorder_cols) < 2:
+        raise ValueError(
+            f"z-ordering needs >= 2 columns (use write_ordered for one): "
+            f"{zorder_cols}"
+        )
+    for c in zorder_cols:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    n_cols = len(zorder_cols)
+    if bits < 1 or bits * n_cols > 62:
+        raise ValueError(
+            f"bits * len(zorder_cols) must be in [1, 62]: {bits}*{n_cols}"
+        )
+    if n_files is None:
+        from polars_nexpresso_spark.plans.stats import plan_size_bytes
+
+        try:
+            est = plan_size_bytes(df)
+        except Exception:  # noqa: BLE001 — Connect: one file per core
+            est = 0
+        n_files = max(1, est // (128 * 1024 * 1024) + (1 if est else 0))
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1: {n_files}")
+
+    # One job fetches every column's (min, max); scalars embed as
+    # literals so the bucket projection is action-free from here on.
+    stats = df.agg(
+        *[F.min(c).alias(f"__lo_{j}") for j, c in enumerate(zorder_cols)],
+        *[F.max(c).alias(f"__hi_{j}") for j, c in enumerate(zorder_cols)],
+    ).collect()[0]
+    n_cells = 1 << bits
+    z = None
+    for j, c in enumerate(zorder_cols):
+        lo, hi = stats[f"__lo_{j}"], stats[f"__hi_{j}"]
+        if lo is None or hi is None or float(lo) == float(hi):
+            bucket = F.lit(0).cast("long")
+        else:
+            wb = F.width_bucket(
+                F.col(c).cast("double"),
+                F.lit(float(lo)),
+                F.lit(float(hi)),
+                F.lit(n_cells),
+            )
+            bucket = F.least(
+                F.greatest(
+                    F.coalesce(wb, F.lit(1)) - F.lit(1), F.lit(0)
+                ),
+                F.lit(n_cells - 1),
+            ).cast("long")
+        for i in range(bits):
+            term = F.shiftleft(
+                F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
+                i * n_cols + j,
+            )
+            z = term if z is None else z.bitwiseOR(term)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(int(n_files), F.col("__z").asc())
+        .sortWithinPartitions(F.col("__z").asc())
+        .drop("__z")
+        .write.mode(mode)
+        .format(format)
+        .save(path)
+    )
+    return int(n_files)
