@@ -508,7 +508,7 @@ GROUPS: dict[str, object] = {
     "sampling": _registry_group((
         "sequence_pack", "cap_per_source", "source_mix", "dsir_weights",
         "gumbel_topk", "token_budget", "temperature_mix", "epoch_plan",
-        "repeat_upsample", "apply_mix", "clean_ingest",
+        "repeat_upsample", "apply_mix", "clean_ingest", "soft_dedup_sample",
     )),
 }
 

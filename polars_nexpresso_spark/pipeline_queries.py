@@ -4115,3 +4115,78 @@ PIPELINE_ORACLE_SQL["dedup_pair_recall"] = f"""
                AS pair_precision
     FROM m
 """
+
+
+def q_soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The soft-dedup loop CLOSED: near-dup clusters → 1/cluster_size
+    weights → Gumbel-top-k sample with probability ∝ weight, so
+    duplicated content cannot over-sample no matter how many copies
+    survive (score = ln(weight), temperature 1 — selection probability
+    is the weight itself). Every stage is the verified machinery of
+    ``soft_dedup_weights`` + ``gumbel_topk``; the composition is what a
+    provenance-preserving pipeline actually runs."""
+    from polars_nexpresso_spark.functions.dedup import duplication_weights
+    from polars_nexpresso_spark.functions.sampling import gumbel_topk
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    weighted = duplication_weights(clusters, "doc_id").withColumn(
+        "score", F.log(F.col("sample_weight"))
+    )
+    out = gumbel_topk(weighted, "score", "doc_id", k=100, temperature=1.0)
+    return out.select(
+        "doc_id", "cluster_id", "cluster_size", "sample_weight", "gumbel_key"
+    )
+
+
+PIPELINE_QUERIES["soft_dedup_sample"] = q_soft_dedup_sample
+# soft_dedup_sample: the soft_dedup_weights CTE chain + the gumbel_topk
+# md5-noise arithmetic (ln(weight)/1 - ln(-ln(u)), rounded to 6).
+PIPELINE_ORACLE_SQL["soft_dedup_sample"] = f"""
+    WITH RECURSIVE shingled AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    jp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+      WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+            6) >= 0.8
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM jp
+      UNION ALL SELECT id_b, id_a FROM jp
+    ),
+    r(n, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.n, e.b FROM r JOIN e ON e.a = r.m
+    ),
+    c AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM r GROUP BY n),
+    w AS (
+      SELECT doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id)::BIGINT
+                 AS cluster_size,
+             ROUND(1.0::DOUBLE
+                   / COUNT(*) OVER (PARTITION BY cluster_id), 9)
+                 AS sample_weight
+      FROM c
+    ),
+    keyed AS (
+      SELECT doc_id, cluster_id, cluster_size, sample_weight,
+             ROUND(ln(sample_weight) / 1.0
+                   - ln(-ln((CAST('0x' || substr(
+                         md5('42:' || doc_id::VARCHAR), 1, 15)
+                       AS BIGINT) % 1000000 + 0.5) / 1000000.0)),
+                   6)::DOUBLE AS gumbel_key
+      FROM w
+    )
+    SELECT doc_id, cluster_id, cluster_size, sample_weight, gumbel_key
+    FROM keyed
+    ORDER BY gumbel_key DESC, doc_id ASC
+    LIMIT 100
+"""

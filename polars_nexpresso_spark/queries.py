@@ -1186,7 +1186,8 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # each) stays as the next rotation pool for round 9.
 # Round-9 rotation TODO: the five round-8 session-2 operators
 # registered after the window (`soft_dedup_weights`, `novelty_frac`,
-# `pmi_bigrams`, `embedding_outliers`, `dedup_pair_recall` — each ALL
+# `pmi_bigrams`, `embedding_outliers`, `dedup_pair_recall`,
+# `soft_dedup_sample` — each ALL
 # PASS via scripts/check_oracle.py at sf0.001 AND sf0.01 this round)
 # are owed driver rows next round; rotate them in against the
 # r05-proven pool above.

@@ -198,3 +198,34 @@ def test_pmi_collocations_totals_are_broadcast(spark):
     out = pmi_collocations(docs, "text", k=5, min_count=2)
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_soft_dedup_sample_composition(spark):
+    """The registry composition: weights feed Gumbel selection — the key
+    replays the md5 arithmetic on ln(weight), and weight stays
+    1/cluster_size through the chain."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.sampling import gumbel_topk
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, cluster_id long"
+    )
+    weighted = duplication_weights(clusters, "doc_id").withColumn(
+        "score", F.log("sample_weight")
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gumbel_topk(
+            weighted, "score", "doc_id", k=3, temperature=1.0
+        ).collect()
+    }
+    assert got[1]["sample_weight"] == 0.5 and got[3]["sample_weight"] == 1.0
+    # replay one gumbel key by hand: u from md5('42:<id>') mod 1e6
+    h = int(hashlib.md5(b"42:3").hexdigest()[:15], 16) % 1_000_000
+    u = (h + 0.5) / 1_000_000.0
+    exp = round(math.log(1.0) / 1.0 - math.log(-math.log(u)), 6)
+    assert got[3]["gumbel_key"] == pytest.approx(exp, abs=1e-9)
