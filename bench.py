@@ -716,6 +716,9 @@ SCALE_PROBE_QUERIES = (
     "ivfpq_ann_topk", "ivfpq_rerank", "hard_negatives_ivfpq",
     # round-8 operators
     "dedup_index", "bloom_dedup", "decontaminate_bloom", "bm25_index",
+    # round-8 session-2 operators
+    "soft_dedup_weights", "novelty_frac", "pmi_bigrams",
+    "embedding_outliers", "dedup_pair_recall", "soft_dedup_sample",
 )
 
 
