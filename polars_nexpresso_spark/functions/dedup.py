@@ -2181,3 +2181,92 @@ def dedup_pair_recall(
             F.try_divide(F.coalesce("__nh", F.lit(0)), F.col("__nc")), 9
         ).alias("pair_precision"),
     )
+
+
+def train_overlap_fractions(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+) -> DataFrame:
+    """Per-TRAIN-document contamination severity: what fraction of each
+    training document's distinct word ``n``-grams appear anywhere in the
+    evaluation set. The train-side mirror of :func:`contamination_report`
+    (which scores eval docs), and the measurement behind
+    :func:`decontaminate_by_fraction`'s thresholded rule.
+
+    Returns one row per train row: ``(id_col, n_shingles, n_hits,
+    overlap_frac)`` with ``overlap_frac = round(n_hits/n_shingles, 9)``;
+    documents with no shingles (NULL/too-short text) get 0/0/NULL.
+
+    Scale shape: the eval side reduces to its distinct shingle-hash set
+    once; the train side's distinct ``(id, hash)`` pairs count hits via
+    one hash-keyed LEFT SEMI join (AQE broadcasts small eval sets) and
+    totals via one id-keyed aggregation — every exchange carries longs,
+    text never leaves its scan.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.explode(word_ngrams(F.col(text_col), n)).alias("__sh"),
+            )
+            .filter(F.col("__sh").isNotNull())
+            .select("__id", F.xxhash64(F.col("__sh")).alias("__shingle"))
+        )
+
+    eval_shingles = shingle_hashes(eval_df).select("__shingle").distinct()
+    tr = shingle_hashes(train)
+    totals = tr.groupBy("__id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        tr.join(eval_shingles, on="__shingle", how="left_semi")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_doc = totals.join(hits, on="__id", how="left")
+    return train.select(F.col(id_col)).join(
+        per_doc.withColumnRenamed("__id", id_col), on=id_col, how="left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.try_divide(F.coalesce("n_hits", F.lit(0)), F.col("n_shingles")),
+            9,
+        ).alias("overlap_frac"),
+    )
+
+
+def decontaminate_by_fraction(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+    max_frac: float = 0.1,
+) -> DataFrame:
+    """Fraction-thresholded decontamination: drop training documents
+    whose share of distinct word ``n``-grams found in the eval set is
+    ``>= max_frac`` — the doc-level overlap rule (PaLM/Llama-style)
+    that tolerates incidental single-phrase collisions where
+    :func:`decontaminate`'s any-hit rule (its ``max_frac → 0`` limit)
+    would delete a long document over one quoted sentence. Documents
+    with no shingles always survive (nothing measurable to overlap).
+
+    Same exchanges as :func:`train_overlap_fractions` plus one id-keyed
+    LEFT SEMI join to keep survivors; returns surviving train rows,
+    schema unchanged.
+    """
+    if not 0.0 < max_frac <= 1.0:
+        raise ValueError(f"max_frac must be in (0, 1]: {max_frac}")
+    fr = train_overlap_fractions(train, eval_df, text_col, id_col, n=n)
+    keep = fr.filter(
+        F.col("overlap_frac").isNull() | (F.col("overlap_frac") < max_frac)
+    ).select(F.col(id_col))
+    return train.join(keep, on=id_col, how="left_semi")

@@ -4190,3 +4190,61 @@ PIPELINE_ORACLE_SQL["soft_dedup_sample"] = f"""
     ORDER BY gumbel_key DESC, doc_id ASC
     LIMIT 100
 """
+
+
+def q_decontaminate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level overlap-fraction decontamination on the standard
+    train/eval split (docs < 25 play the benchmark): every train doc
+    scored by the share of its distinct 13-grams found in eval, kept
+    flag at the 10% threshold — the tolerant PaLM/Llama-style rule whose
+    max_frac→0 limit is ``decontaminate``'s any-hit rule."""
+    from polars_nexpresso_spark.functions.dedup import (
+        train_overlap_fractions,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    eval_df = docs.filter(F.col("doc_id") < 25)
+    train = docs.filter(F.col("doc_id") >= 25)
+    fr = train_overlap_fractions(train, eval_df, "text", "doc_id", n=13)
+    return fr.select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        "overlap_frac",
+        (
+            F.col("overlap_frac").isNull() | (F.col("overlap_frac") < 0.1)
+        ).alias("kept"),
+    )
+
+
+PIPELINE_QUERIES["decontaminate_fraction"] = q_decontaminate_fraction
+# decontaminate_fraction: the decontaminate oracle's 13-gram shingle CTE,
+# per-train-doc hit/total counts, identical fraction + threshold math.
+PIPELINE_ORACLE_SQL["decontaminate_fraction"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(toks)-12, 1)+1),
+          i -> array_to_string(list_slice(toks, i, i+12), ' ')))) AS s
+      FROM t
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 25),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id >= 25),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+    hit AS (
+      SELECT tr.doc_id, COUNT(*) AS n_hits
+      FROM tr JOIN ev ON tr.s = ev.s
+      GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(tot.n_shingles, 0)::BIGINT AS n_shingles,
+           COALESCE(hit.n_hits, 0)::BIGINT AS n_hits,
+           ROUND(COALESCE(hit.n_hits, 0)::DOUBLE / tot.n_shingles, 9)
+               AS overlap_frac,
+           (tot.n_shingles IS NULL
+            OR ROUND(COALESCE(hit.n_hits, 0)::DOUBLE / tot.n_shingles, 9)
+               < 0.1) AS kept
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 25) d
+    LEFT JOIN tot USING (doc_id)
+    LEFT JOIN hit USING (doc_id)
+"""

@@ -229,3 +229,83 @@ def test_soft_dedup_sample_composition(spark):
     u = (h + 0.5) / 1_000_000.0
     exp = round(math.log(1.0) / 1.0 - math.log(-math.log(u)), 6)
     assert got[3]["gumbel_key"] == pytest.approx(exp, abs=1e-9)
+
+
+# ----------------------------------------------------- fraction decontam
+
+
+def test_train_overlap_fractions_hand_corpus(spark):
+    from polars_nexpresso_spark.functions.dedup import (
+        train_overlap_fractions,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # grams: 2 of 3 hit (n=2... see n)
+            (2, "zeta eta theta"),          # no overlap
+            (3, None),                      # no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_hits"], r["overlap_frac"])
+        for r in train_overlap_fractions(
+            train, eval_df, "text", "doc_id", n=2
+        ).collect()
+    }
+    # eval 2-grams: {alpha beta, beta gamma}
+    # doc1 2-grams: {alpha beta, beta gamma, gamma delta} -> 2/3
+    assert got[1] == (3, 2, 0.666666667)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (0, 0, None)
+
+
+def test_decontaminate_by_fraction_threshold_and_any_hit_limit(spark):
+    from polars_nexpresso_spark.functions.dedup import (
+        decontaminate,
+        decontaminate_by_fraction,
+    )
+
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),           # frac 2/3
+            (2, "alpha beta x y z w q r s t u v"),   # frac 1/11 ~ 0.09
+            (3, "clean text with nothing shared"),
+            (4, None),                               # always survives
+        ],
+        "doc_id long, text string",
+    )
+    # tolerant threshold keeps the doc with one incidental collision
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_by_fraction(
+            train, eval_df, "text", "doc_id", n=2, max_frac=0.5
+        ).collect()
+    }
+    assert kept == {2, 3, 4}
+    # tiny threshold converges to the any-hit rule
+    strict = {
+        r["doc_id"]
+        for r in decontaminate_by_fraction(
+            train, eval_df, "text", "doc_id", n=2, max_frac=1e-9
+        ).collect()
+    }
+    anyhit = {
+        r["doc_id"]
+        for r in decontaminate(
+            train, eval_df, "text", "doc_id", mode="ngram", n=2
+        ).collect()
+    }
+    # NULL-text doc: measurably-nothing survives the fraction rule by
+    # contract; the any-hit path also keeps it (no shingles, no hit)
+    assert strict == anyhit == {3, 4}
+    with pytest.raises(ValueError, match="max_frac"):
+        decontaminate_by_fraction(
+            train, eval_df, "text", "doc_id", max_frac=0.0
+        )
