@@ -1700,3 +1700,79 @@ def embedding_outliers(
         z.alias("dist_z"),
         (z > F.lit(float(z_threshold))).alias("is_outlier"),
     )
+
+
+def cluster_purity(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_centroids: int = 16,
+    assign: str = "pandas",
+) -> DataFrame:
+    """Per-cell purity of the k-means clustering against a label column
+    — the standard external clustering eval, here as the quality dial
+    for every operator built on the coarse quantizer (``ivf_ann_topk``
+    cells, ``semantic_dedup`` buckets, ``embedding_outliers``): low
+    purity at the catalog ``n_centroids`` says the cells mix semantic
+    classes and probing more cells (or training more centroids) will
+    pay; uniformly high purity says the quantizer already separates
+    the data. Trains the same bounded deterministic k-means, so the
+    oracle embeds the exact centroids.
+
+    Returns one row per non-empty cell: ``(cell, n, majority_label,
+    n_majority, purity)`` with ``purity = round(n_majority / n, 9)``;
+    majority ties break to the smallest label.
+
+    Scale shape: assignment is the map-side projection shared with
+    ``embedding_outliers`` (Arrow kernel or expression per ``assign``);
+    then ONE hash aggregation on (cell, label) — at most
+    ``n_centroids × n_labels`` rows — and a second tiny aggregation per
+    cell with a ``min_by`` majority election (map-side partials, no
+    window). Vectors never shuffle; the exchanges carry count rows.
+    """
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1: {n_centroids}")
+    for c in (id_col, vec_col, label_col):
+        if c not in corpus.columns:
+            raise ValueError(f"column {c!r} not in {corpus.columns}")
+    cent_vecs = _kmeans_centroids(corpus, id_col, vec_col, n_centroids)
+    vec = F.col(vec_col)
+    if assign == "pandas":
+        from polars_nexpresso_spark.functions._vectorized import (
+            pandas_nearest_cell_dist,
+        )
+
+        cell_expr = pandas_nearest_cell_dist(cent_vecs)(vec)["cell"]
+    elif assign == "expr":
+        cent_lits = [
+            F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs
+        ]
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(_sqdist(vec, cl).alias("d"), F.lit(i).alias("i"))
+                    for i, cl in enumerate(cent_lits)
+                ]
+            )
+        )
+        cell_expr = F.get(ranked, 0)["i"]
+    else:
+        raise ValueError(f"assign must be 'pandas' or 'expr', got {assign!r}")
+    by_label = (
+        corpus.select(cell_expr.alias("cell"), F.col(label_col))
+        .groupBy("cell", label_col)
+        .agg(F.count("*").alias("__cnt"))
+    )
+    election_key = F.struct(
+        (-F.col("__cnt")).alias("__negc"), F.col(label_col).alias("__l")
+    )
+    return by_label.groupBy("cell").agg(
+        F.sum("__cnt").cast("bigint").alias("n"),
+        F.min_by(F.col(label_col), election_key).alias("majority_label"),
+        F.max("__cnt").cast("bigint").alias("n_majority"),
+        F.round(
+            F.max("__cnt") / F.sum("__cnt"), 9
+        ).alias("purity"),
+    )

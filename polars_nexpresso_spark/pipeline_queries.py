@@ -4248,3 +4248,79 @@ PIPELINE_ORACLE_SQL["decontaminate_fraction"] = f"""
     LEFT JOIN tot USING (doc_id)
     LEFT JOIN hit USING (doc_id)
 """
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering eval over the embeddings table: per k-means
+    cell, size + majority label + purity — the quality dial for every
+    coarse-quantizer operator (IVF probes, SemDeDup buckets, the
+    outlier gate). Same deterministic centroids as ``ivf_ann_topk``;
+    vectors never shuffle, the exchanges carry (cell, label) counts."""
+    from polars_nexpresso_spark.functions.similarity import cluster_purity
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    return cluster_purity(emb, n_centroids=16)
+
+
+PIPELINE_QUERIES["cluster_purity"] = q_cluster_purity
+
+
+def _cluster_purity_oracle() -> str | None:
+    """DuckDB replica of ``q_cluster_purity``: re-derived centroid
+    VALUES, nearest-cell election, (cell, label) counts, and the
+    majority election by (count desc, label asc) row_number."""
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from polars_nexpresso_spark.functions.similarity import (
+            kmeans_centroids_local,
+        )
+
+        cents = kmeans_centroids_local(
+            f"{sf_dir}/embeddings.parquet", n_centroids=16
+        )
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return None
+    values = ",\n                 ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(i, v) AS (
+          VALUES {values}
+        ),
+        ranked AS (
+          SELECT e.vec_id, e.label, c.i,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.v) ASC,
+                            c.i ASC
+                 ) AS rn
+          FROM embeddings e, cents c
+        ),
+        a AS (SELECT vec_id, label, i AS cell FROM ranked WHERE rn = 1),
+        cl AS (
+          SELECT cell, label, COUNT(*) AS cnt FROM a GROUP BY cell, label
+        ),
+        m AS (
+          SELECT cell, label, cnt,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cell ORDER BY cnt DESC, label ASC
+                 ) AS rn
+          FROM cl
+        )
+        SELECT cl.cell,
+               SUM(cl.cnt)::BIGINT AS n,
+               MAX(CASE WHEN m.rn = 1 THEN m.label END) AS majority_label,
+               MAX(cl.cnt)::BIGINT AS n_majority,
+               ROUND(MAX(cl.cnt)::DOUBLE / SUM(cl.cnt), 9) AS purity
+        FROM cl JOIN m ON m.cell = cl.cell AND m.label = cl.label
+                      AND m.cnt = cl.cnt
+        GROUP BY cl.cell
+    """
+
+
+_purity_oracle = _cluster_purity_oracle()
+if _purity_oracle is not None:
+    PIPELINE_ORACLE_SQL["cluster_purity"] = _purity_oracle

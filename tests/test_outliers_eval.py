@@ -141,3 +141,59 @@ def test_embedding_outliers_pandas_expr_equivalence(spark):
     assert a == b
     with pytest.raises(ValueError, match="assign"):
         embedding_outliers(df, assign="bogus")
+
+
+# ----------------------------------------------------------- cluster purity
+
+
+def test_cluster_purity_hand_labels(spark):
+    """Two well-separated blobs, labels mostly aligned: purity reflects
+    the minority contamination; majority ties break to the smaller
+    label."""
+    from polars_nexpresso_spark.functions.similarity import cluster_purity
+
+    rows = (
+        [(i, [0.0 + 0.01 * i, 0.0], 1) for i in range(8)]
+        + [(8, [0.02, 0.0], 2)]                      # minority in blob A
+        + [(10 + i, [50.0, 50.0 + 0.01 * i], 2) for i in range(9)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r["majority_label"]: r
+        for r in cluster_purity(df, n_centroids=2).collect()
+    }
+    a, b = got[1], got[2]
+    assert a["n"] == 9 and a["n_majority"] == 8
+    assert a["purity"] == pytest.approx(round(8 / 9, 9), abs=1e-9)
+    assert b["n"] == 9 and b["purity"] == 1.0
+
+
+def test_cluster_purity_tie_breaks_to_smaller_label(spark):
+    from polars_nexpresso_spark.functions.similarity import cluster_purity
+
+    rows = [(i, [1.0, 1.0], 5 - (i % 2) * 2) for i in range(8)]  # labels 3,5
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = cluster_purity(df, n_centroids=1).collect()
+    assert len(got) == 1
+    assert got[0]["majority_label"] == 3 and got[0]["purity"] == 0.5
+
+
+def test_cluster_purity_engines_agree_and_validate(spark):
+    from polars_nexpresso_spark.functions.similarity import cluster_purity
+
+    rows = [
+        (i, [float(i % 5), float((3 * i) % 7)], i % 3) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    a = sorted(map(tuple, cluster_purity(df, n_centroids=4).collect()))
+    b = sorted(map(tuple, cluster_purity(
+        df, n_centroids=4, assign="expr").collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="not in"):
+        cluster_purity(df, label_col="missing")
