@@ -475,7 +475,7 @@ GROUPS: dict[str, object] = {
         "exact_dedup", "minhash_lsh", "dedup_clusters", "ngram_jaccard",
         "simhash_pairs", "embedding_dedup", "dup_window_frac",
         "intradoc_dedup", "source_overlap", "dedup_best_keep", "chunk_dedup",
-        "soft_dedup_weights", "dedup_pair_recall",
+        "soft_dedup_weights", "dedup_pair_recall", "containment_pairs",
     )),
     "dedup_corpus": _registry_group((
         "decontaminate_stream", "contamination_report", "boilerplate_tokens",

@@ -2270,3 +2270,85 @@ def decontaminate_by_fraction(
         F.col("overlap_frac").isNull() | (F.col("overlap_frac") < max_frac)
     ).select(F.col(id_col))
     return train.join(keep, on=id_col, how="left_semi")
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Ordered document pairs where the SMALLER document's n-gram set is
+    mostly contained in the other: ``|A∩B| / |A| >= threshold`` with A
+    the smaller shingle set — the asymmetric overlap that catches
+    quote-inclusion, page-within-crawl, and excerpt duplication, which
+    symmetric Jaccard structurally MISSES: a 50-shingle doc fully inside
+    a 5000-shingle doc has containment 1.0 but Jaccard ~0.01, invisible
+    at any usable Jaccard threshold. The standard pairing in dedup
+    ladders (Broder's containment; the "subset dedup" pass run after
+    near-dup clustering).
+
+    Returns ``(inner_id, outer_id, containment)`` — ``inner_id`` is the
+    (weakly) smaller document, the one a keep-one policy would usually
+    drop; size ties orient by id so every pair appears exactly once.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` (one explode
+    to 64-bit hashes, shingle-keyed pair join bounded by
+    ``max_shingle_df``, two size joins) — only the final arithmetic
+    differs, dividing by ``min(|A|, |B|)`` instead of the union.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__sh"),
+    ).select("__id", F.xxhash64(F.col("__sh")).alias("__shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            exploded.groupBy("__shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__shingle")
+        )
+        exploded = exploded.join(hot, on="__shingle", how="left_anti")
+    sizes = exploded.groupBy("__id").agg(F.count("*").alias("__n_shingles"))
+    left = exploded.select(
+        F.col("__id").alias("id_a"), F.col("__shingle").alias("__s")
+    )
+    right = exploded.select(
+        F.col("__id").alias("id_b"), F.col("__shingle").alias("__s")
+    )
+    pairs = (
+        left.join(right, on="__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__shared"))
+    )
+    with_sizes = pairs.join(
+        sizes.withColumnsRenamed({"__id": "id_a", "__n_shingles": "__na"}),
+        on="id_a",
+    ).join(
+        sizes.withColumnsRenamed({"__id": "id_b", "__n_shingles": "__nb"}),
+        on="id_b",
+    )
+    # Orient: inner = smaller shingle set (ties -> smaller id, which is
+    # id_a by the pair filter above).
+    a_is_inner = F.col("__na") <= F.col("__nb")
+    cont = F.round(
+        F.col("__shared") / F.least(F.col("__na"), F.col("__nb")), 6
+    )
+    return (
+        with_sizes.select(
+            F.when(a_is_inner, F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("inner_id"),
+            F.when(a_is_inner, F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("outer_id"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -4324,3 +4324,35 @@ def _cluster_purity_oracle() -> str | None:
 _purity_oracle = _cluster_purity_oracle()
 if _purity_oracle is not None:
     PIPELINE_ORACLE_SQL["cluster_purity"] = _purity_oracle
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-overlap (containment) pairs at 0.8 over 3-gram
+    shingles — the subset-duplication complement to ``ngram_jaccard``:
+    a short doc quoted whole inside a long one scores containment 1.0
+    where Jaccard stays near zero. Same exchanges as the Jaccard pass;
+    only the final arithmetic differs."""
+    from polars_nexpresso_spark.functions.dedup import containment_pairs
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return containment_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+
+
+PIPELINE_QUERIES["containment_pairs"] = q_containment_pairs
+# containment_pairs: the jaccard oracle's shingle CTE with min-size
+# division and smaller-set (ties -> smaller id) orientation.
+PIPELINE_ORACLE_SQL["containment_pairs"] = f"""
+    WITH shingled AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT CASE WHEN len(a.sh) <= len(b.sh) THEN a.doc_id
+                ELSE b.doc_id END AS inner_id,
+           CASE WHEN len(a.sh) <= len(b.sh) THEN b.doc_id
+                ELSE a.doc_id END AS outer_id,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / least(len(a.sh), len(b.sh)), 6) AS containment
+    FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+    WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / least(len(a.sh), len(b.sh)), 6) >= 0.8
+"""

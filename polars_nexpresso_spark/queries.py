@@ -1187,8 +1187,8 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # Round-9 rotation TODO: the five round-8 session-2 operators
 # registered after the window (`soft_dedup_weights`, `novelty_frac`,
 # `pmi_bigrams`, `embedding_outliers`, `dedup_pair_recall`,
-# `soft_dedup_sample`, `decontaminate_fraction`, `cluster_purity` —
-# each ALL
+# `soft_dedup_sample`, `decontaminate_fraction`, `cluster_purity`,
+# `containment_pairs` — each ALL
 # PASS via scripts/check_oracle.py at sf0.001 AND sf0.01 this round)
 # are owed driver rows next round; rotate them in against the
 # r05-proven pool above.

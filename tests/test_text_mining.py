@@ -309,3 +309,51 @@ def test_decontaminate_by_fraction_threshold_and_any_hit_limit(spark):
         decontaminate_by_fraction(
             train, eval_df, "text", "doc_id", max_frac=0.0
         )
+
+
+# -------------------------------------------------------------- containment
+
+
+def test_containment_pairs_catches_what_jaccard_misses(spark):
+    """The defining case: a short doc quoted whole inside a long one —
+    containment 1.0, Jaccard far below any usable threshold."""
+    from polars_nexpresso_spark.functions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"tok{i} tok{i+1} filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler),
+         (3, "unrelated text entirely different words")],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(docs, "text", "doc_id", n=3, threshold=0.9)
+    got = {(r["inner_id"], r["outer_id"]): r["containment"]
+           for r in cont.collect()}
+    assert got.get((1, 2)) == 1.0
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    assert jac.count() == 0  # symmetric Jaccard is blind to inclusion
+
+
+def test_containment_pairs_orientation_and_ties(spark):
+    """inner_id is the smaller shingle set; equal sizes orient by id."""
+    from polars_nexpresso_spark.functions.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(5, "a b c d"), (9, "a b c d")],  # identical -> tie -> (5, 9)
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, "text", "doc_id", n=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["inner_id"], r["outer_id"], r["containment"]) == (5, 9, 1.0)
+
+
+def test_containment_pairs_threshold_validation(spark):
+    from polars_nexpresso_spark.functions.dedup import containment_pairs
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        containment_pairs(docs, "text", "doc_id", threshold=0.0)
