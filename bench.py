@@ -491,7 +491,8 @@ GROUPS: dict[str, object] = {
         "novelty_frac", "pmi_bigrams",
     )),
     "text_transform": _registry_group((
-        "chunk_documents", "bm25_topk", "bm25_index", "tfidf_keywords",
+        "chunk_documents", "bm25_topk", "bm25_index", "bm25_route",
+        "tfidf_keywords",
         "redact_pii", "corpus_report", "corpus_diff", "unicode_nfc",
         "strip_markup", "truncate_tokens", "token_shift", "bpe_pipeline",
         "unigram_pipeline",

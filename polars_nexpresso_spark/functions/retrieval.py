@@ -336,3 +336,109 @@ def bm25_against_index(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bm25_route_stream(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_name: str,
+    queries: list[tuple[str, str]],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_score: float | None = None,
+) -> DataFrame:
+    """Standing-query ROUTING: score incoming documents (batch or
+    ``readStream`` — the plan is a stateless projection) against a
+    fixed query set under the BM25 model of a persisted
+    :func:`build_text_index` — the alerting/triage shape: queries are
+    calibrated once against a reference collection, then every new
+    document is scored map-side as it arrives. Collection statistics
+    (``N``, ``avgdl``, per-term ``df``) come from the INDEX SNAPSHOT —
+    the frozen model — while ``tf``/``dl`` come from the incoming
+    document, the standard incremental-retrieval split (a new doc must
+    not change the model mid-stream).
+
+    The driver transfer is bounded by the QUERY vocabulary: the terms
+    table is bucket-pruned to the union of query terms (partials
+    summed), plus one stats row — never the corpus. Scoring is a pure
+    expression per (query, term): ``tf`` via an array filter on the
+    tokenized doc, the same Lucene idf / length normalization as
+    :func:`bm25_topk`, rounded to 6.
+
+    Returns ``(id_col, query_id, score)`` for documents scoring > 0
+    (no shared term → no route; NULL text never routes), filtered to
+    ``min_score`` when given.
+    """
+    if text_col not in docs.columns or id_col not in docs.columns:
+        raise ValueError(
+            f"columns {text_col!r}/{id_col!r} must be in the DataFrame"
+        )
+    if not queries:
+        raise ValueError("queries must be a non-empty list of (id, text)")
+    parsed: list[tuple[str, list[str]]] = []
+    for qid, qtext in queries:
+        terms = sorted(set(str(qtext).lower().split()))
+        if not terms:
+            raise ValueError(f"query {qid!r} has no terms")
+        parsed.append((str(qid), terms))
+    all_terms = sorted({t for _, ts in parsed for t in ts})
+
+    spark = docs.sparkSession
+    # Bucket-pruned df lookup (partials summed — the append-only
+    # contract) + the summed stats row: both driver transfers are
+    # query-vocabulary-sized.
+    dfreq = {
+        r["term"]: int(r["df"])
+        for r in spark.table(f"{table_name}_terms")
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    }
+    st = (
+        spark.table(f"{table_name}_stats")
+        .agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("n_text").alias("nt"),
+            F.sum("sum_dl").alias("s"),
+        )
+        .collect()[0]
+    )
+    n_docs, avgdl = int(st["n"]), float(st["s"]) / max(int(st["nt"]), 1)
+
+    toks = tokens(F.col(text_col))
+    dl = F.size(toks).cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    import math
+
+    def idf(term: str) -> float:
+        df_t = dfreq.get(term, 0)
+        return math.log(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+
+    def _tf(term: str):
+        lit = F.lit(term)
+        # single-positional-arg lambda: PySpark arity-sniffs higher-order
+        # function lambdas, so the term binds via closure, not a default
+        return F.size(F.filter(toks, lambda x: x == lit)).cast("double")
+
+    routed = []
+    for qid, terms in parsed:
+        score = None
+        for t in terms:
+            tf = _tf(t)
+            s = F.lit(idf(t)) * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+            score = s if score is None else score + s
+        routed.append(
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.round(score, 6).alias("score"),
+            )
+        )
+    out = docs.select(
+        F.col(id_col),
+        F.explode(F.array(*routed)).alias("__r"),
+    ).select(id_col, "__r.query_id", "__r.score")
+    floor = 0.0 if min_score is None else float(min_score)
+    return out.filter(F.col("score") > floor)

@@ -4356,3 +4356,79 @@ PIPELINE_ORACLE_SQL["containment_pairs"] = f"""
     WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
                 / least(len(a.sh), len(b.sh)), 6) >= 0.8
 """
+
+
+def q_bm25_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing-query routing: the documents table replayed as an
+    incoming batch, scored map-side against two fixed queries under the
+    persisted index's frozen collection model — the alerting/triage
+    shape, identical under readStream (stateless projection). Every
+    (doc, query) pair sharing a term routes with its full BM25 score."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_route_stream,
+        build_text_index,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    build_text_index(
+        docs, "text", "doc_id", "pns_q_route_index", num_buckets=16
+    )
+    return bm25_route_stream(
+        docs,
+        "text",
+        "doc_id",
+        "pns_q_route_index",
+        [("q_exec", "hash join spill"), ("q_stream", "window watermark")],
+    )
+
+
+PIPELINE_QUERIES["bm25_route"] = q_bm25_route
+# bm25_route: per-query full BM25 score tables (same arithmetic as the
+# bm25_topk oracle, no top-k cut — routing keeps every score > 0),
+# UNION ALL over the two standing queries.
+_ROUTE_Q = (
+    ("q_exec", ("hash", "join", "spill")),
+    ("q_stream", ("watermark", "window")),
+)
+
+
+def _route_oracle_block(qid: str, terms: tuple[str, ...]) -> str:
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    SELECT h.doc_id AS doc_id, '{qid}' AS query_id,
+           ROUND(SUM(
+               ln(1 + (s.N - f.df + 0.5) / (f.df + 0.5))
+               * (h.tf * 2.2)
+               / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+           ), 6) AS score
+    FROM (
+      SELECT doc_id, t, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+      WHERE t IN ({tlist})
+      GROUP BY doc_id, t
+    ) h
+    JOIN dl l USING (doc_id)
+    JOIN (
+      SELECT t, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, t
+            FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+            WHERE t IN ({tlist}))
+      GROUP BY t
+    ) f USING (t), stats s
+    GROUP BY h.doc_id
+    HAVING ROUND(SUM(
+               ln(1 + (s.N - f.df + 0.5) / (f.df + 0.5))
+               * (h.tf * 2.2)
+               / (h.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+           ), 6) > 0
+    """
+
+
+PIPELINE_ORACLE_SQL["bm25_route"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM dl)
+    {_route_oracle_block(*_ROUTE_Q[0])}
+    UNION ALL
+    {_route_oracle_block(*_ROUTE_Q[1])}
+"""

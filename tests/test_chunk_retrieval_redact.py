@@ -792,3 +792,125 @@ def test_extend_text_index_equals_rebuild(spark, tmp_path):
         for stem in ("pns_test_tidx_e", "pns_test_tidx_r"):
             for suf in ("postings", "terms", "stats"):
                 spark.sql(f"DROP TABLE IF EXISTS {stem}_{suf}")
+
+
+def test_bm25_route_matches_direct_scores(spark, tmp_path):
+    """Routing a batch against its own index reproduces bm25_topk's
+    scores exactly (same collection model), for every scored doc."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_route_stream,
+        bm25_topk,
+        build_text_index,
+    )
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    build_text_index(
+        docs, "text", "doc_id", "pns_t_route_eq", num_buckets=4,
+        path=str(tmp_path / "idx"),
+    )
+    routed = {
+        r["doc_id"]: r["score"]
+        for r in bm25_route_stream(
+            docs, "text", "doc_id", "pns_t_route_eq",
+            [("q", "hash join spill window")],
+        ).collect()
+    }
+    direct = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(
+            docs, "text", "doc_id", "hash join spill window", k=10**6
+        ).collect()
+        if r["score"] > 0
+    }
+    assert routed == direct
+
+
+def test_bm25_route_stream_drain_equals_batch(spark, tmp_path):
+    """availableNow drain of a real readStream routes the identical
+    (doc, query, score) rows — the stateless-projection contract."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_route_stream,
+        build_text_index,
+    )
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    build_text_index(
+        docs, "text", "doc_id", "pns_t_route_stream", num_buckets=4,
+        path=str(tmp_path / "idx"),
+    )
+    queries = [("a", "hash join"), ("b", "window watermark")]
+    tmp = tempfile.mkdtemp(prefix="pns_route_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+        static = spark.read.parquet(f"{tmp}/in")
+        expected = {
+            (r["doc_id"], r["query_id"], r["score"])
+            for r in bm25_route_stream(
+                static, "text", "doc_id", "pns_t_route_stream", queries
+            ).collect()
+        }
+        assert expected
+        stream = spark.readStream.schema(static.schema).parquet(f"{tmp}/in")
+        routed = bm25_route_stream(
+            stream, "text", "doc_id", "pns_t_route_stream", queries
+        )
+        assert routed.isStreaming
+        q = (
+            routed.writeStream.format("memory")
+            .queryName("bm25_route_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["doc_id"], r["query_id"], r["score"])
+            for r in spark.table("bm25_route_out").collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_route_contracts_and_plan(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_route_stream,
+        build_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hash join planning"), (2, None), (3, "nothing shared")],
+        "doc_id long, text string",
+    )
+    build_text_index(
+        docs, "text", "doc_id", "pns_t_route_contracts", num_buckets=2,
+        path=str(tmp_path / "idx"),
+    )
+    out = bm25_route_stream(
+        docs, "text", "doc_id", "pns_t_route_contracts",
+        [("q", "hash join")],
+    )
+    rows = out.collect()
+    # NULL text never routes; a doc sharing no term never routes
+    assert {r["doc_id"] for r in rows} == {1}
+    # stateless map-side plan: no shuffle anywhere
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_route_stream(
+            docs, "text", "doc_id", "pns_t_route_contracts", []
+        )
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_route_stream(
+            docs, "text", "doc_id", "pns_t_route_contracts", [("q", "  ")]
+        )
