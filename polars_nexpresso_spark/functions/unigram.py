@@ -144,6 +144,15 @@ def train_unigram(
     pieces down to ``max(vocab_size, round(size * shrink_factor))`` —
     the standard SentencePiece shrink schedule — until ``vocab_size``
     pieces remain.
+
+    Driver-cost envelope (same dial as :func:`.bpe.train_bpe`): each EM
+    iteration is O(Σ word-length × ``max_piece_len``) over the DISTINCT
+    word table — at the ``max_words`` = 1M cap with ~10-char words and
+    the default schedule (~8 shrink rounds × 2 iterations) that is
+    ~10^9 simple dict/loop operations, i.e. minutes of driver CPU; the
+    standard dial is ``min_count`` (Heaps' law: raising it shrinks the
+    word table far faster than it moves the learned vocabulary). The
+    substring-seeding pass is the same envelope, run once.
     """
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1: {vocab_size}")
