@@ -640,3 +640,112 @@ def test_dedup_index_zero_exchange_on_index_side(spark, tmp_path):
             "pns_plan_didx_plain_meta",
         ):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+# --------------------------------------------------------------------------
+# Round-8 session-2 operators: shuffle budgets pinned.
+# --------------------------------------------------------------------------
+
+
+def test_novelty_frac_shuffle_budget_and_pruning(spark):
+    """unique_ngram_fraction: the documents scan is pruned to (doc_id,
+    text); no Exchange carries the text column; the whole plan fits in
+    a fixed exchange budget (distinct, df-agg, unique-owner agg, totals
+    agg, two id joins) regardless of corpus size."""
+    from polars_nexpresso_spark.functions.text import unique_ngram_fraction
+
+    docs = read_table(spark, SF, "documents")
+    p = plan(unique_ngram_fraction(docs, "text", "doc_id"))
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in p
+    assert "BatchEvalPython" not in p
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
+    assert p.count("Arguments: hashpartitioning") <= 7
+
+
+def test_soft_dedup_weights_adds_bounded_exchanges(spark):
+    """duplication_weights adds at most two narrow cluster-keyed
+    exchanges (size agg + join) on top of its input labeling."""
+    from polars_nexpresso_spark.functions.dedup import duplication_weights
+
+    clusters = read_table(spark, SF, "documents").selectExpr(
+        "doc_id", "doc_id % 50 AS cluster_id"
+    )
+    base = plan(clusters).count("Arguments: hashpartitioning")
+    p = plan(duplication_weights(clusters, "doc_id"))
+    assert "Window" not in p
+    assert p.count("Arguments: hashpartitioning") <= base + 3
+
+
+def test_pmi_collocations_totals_broadcast_and_pruned(spark):
+    """pmi_collocations: totals ride broadcast exchanges (never a
+    shuffle of the bigram table against a 1-row frame), the scan is
+    pruned to the text column, and vocab joins stay hash joins."""
+    from polars_nexpresso_spark.functions.text import pmi_collocations
+
+    docs = read_table(spark, SF, "documents")
+    p = plan(pmi_collocations(docs, "text", k=20, min_count=5))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    for unused in ("doc_id", "lang", "source", "n_chars"):
+        assert f"{unused}#" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_dedup_pair_recall_exchanges_carry_pairs_only(spark):
+    """dedup_pair_recall: every hash exchange carries the two pair ids
+    (plus flags) — no text, no payload; the final count is one 1-row
+    aggregation."""
+    from polars_nexpresso_spark.functions.dedup import dedup_pair_recall
+
+    pairs_a = read_table(spark, SF, "documents").selectExpr(
+        "doc_id AS id_a", "doc_id + 1 AS id_b"
+    )
+    pairs_b = read_table(spark, SF, "documents").selectExpr(
+        "doc_id AS id_a", "doc_id + 2 AS id_b"
+    )
+    p = plan(dedup_pair_recall(pairs_a, pairs_b))
+    for line in p.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
+    assert "BatchEvalPython" not in p
+
+
+def test_embedding_outliers_single_narrow_exchange(spark):
+    """embedding_outliers: ONE hash exchange in the whole plan — the
+    1-row stats aggregation's partials — plus the broadcast back; the
+    vector column never rides any exchange."""
+    from polars_nexpresso_spark.functions.similarity import (
+        embedding_outliers,
+    )
+
+    emb = read_table(spark, SF, "embeddings")
+    p = plan(embedding_outliers(emb, n_centroids=4))
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding#" not in line
+    # stats agg is a single-partition exchange, not hash partitioning
+    assert p.count("Arguments: hashpartitioning") == 0
+
+
+def test_bm25_route_is_shuffle_free(spark, tmp_path):
+    """bm25_route_stream plans as a stateless projection: zero
+    exchanges of any kind over the incoming documents."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_route_stream,
+        build_text_index,
+    )
+
+    docs = read_table(spark, SF, "documents")
+    build_text_index(
+        docs, "text", "doc_id", "pns_plan_route", num_buckets=2,
+        path=str(tmp_path / "idx"),
+    )
+    p = plan(bm25_route_stream(
+        docs, "text", "doc_id", "pns_plan_route", [("q", "hash join")]
+    ))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
