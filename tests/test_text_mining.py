@@ -357,3 +357,43 @@ def test_containment_pairs_threshold_validation(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="threshold"):
         containment_pairs(docs, "text", "doc_id", threshold=0.0)
+
+
+def test_containment_dominates_jaccard_metamorphic(spark):
+    """containment = |∩|/min ≥ |∩|/union = jaccard for every pair, so at
+    any shared threshold the Jaccard pair set is a SUBSET of the
+    containment pair set — checked on a corpus mixing copies, subsets,
+    overlaps, and disjoint docs."""
+    from polars_nexpresso_spark.functions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                          # exact copy
+            (3, base + " extra tail tokens"),   # superset
+            (4, "w1 w2 w3 w4"),                 # subset
+            (5, "w5 w6 w7 w8 other words"),     # partial overlap
+            (6, "entirely different content here"),
+        ],
+        "doc_id long, text string",
+    )
+    for thr in (0.5, 0.8, 1.0):
+        jac = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                docs, "text", "doc_id", n=2, threshold=thr
+            ).collect()
+        }
+        cont = {
+            tuple(sorted((r["inner_id"], r["outer_id"])))
+            for r in containment_pairs(
+                docs, "text", "doc_id", n=2, threshold=thr
+            ).collect()
+        }
+        assert jac <= cont, f"threshold {thr}: {jac - cont} missing"
+    # and the subset relation is strict here: doc4 ⊂ doc1 at 1.0
+    assert (1, 4) in cont and (1, 4) not in jac
