@@ -442,3 +442,65 @@ def bm25_route_stream(
     ).select(id_col, "__r.query_id", "__r.score")
     floor = 0.0 if min_score is None else float(min_score)
     return out.filter(F.col("score") > floor)
+
+
+def compact_text_index(
+    spark,
+    table_name: str,
+    *,
+    num_buckets: int = 32,
+    path: str | None = None,
+) -> dict:
+    """LSM compaction for a :func:`build_text_index` index: fold the
+    append-only PARTIAL rows that :func:`extend_text_index` accumulates
+    (one df row per term per ingest batch, one stats row per batch)
+    back to one row per term and one stats row. Scores are identical
+    before and after by construction — the query side SUMS partials, so
+    compaction only moves that sum from query time to maintenance time;
+    run it when the daily-ingest loop has stacked enough batches that
+    the terms-table scan (still bucket-pruned) starts costing.
+
+    Postings need no compaction: each posting row is final, never a
+    partial. The rewrite preserves the bucketing spec, so the
+    bucket-pruned query scans keep their zero-exchange property.
+
+    The aggregated tables are snapshotted with ``localCheckpoint``
+    BEFORE the old tables drop — the same lazy-read footgun
+    :func:`extend_dedup_index` pins: overwriting a table a pending plan
+    still reads would silently corrupt it. Returns
+    ``{"term_rows_before", "term_rows_after", "stats_rows_before"}``.
+    """
+    from polars_nexpresso_spark.sources.io import write_bucketed
+
+    terms = spark.table(f"{table_name}_terms")
+    stats = spark.table(f"{table_name}_stats")
+    n_terms_before = terms.count()
+    n_stats_before = stats.count()
+    folded_terms = (
+        terms.groupBy("term").agg(F.sum("df").alias("df"))
+    ).localCheckpoint(eager=True)
+    folded_stats = stats.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_text").alias("n_text"),
+        F.sum("sum_dl").alias("sum_dl"),
+    ).localCheckpoint(eager=True)
+    write_bucketed(
+        folded_terms,
+        f"{table_name}_terms",
+        ["term"],
+        num_buckets,
+        sort_cols=["term"],
+        path=f"{path}_terms" if path else None,
+    )
+    write_bucketed(
+        folded_stats,
+        f"{table_name}_stats",
+        ["n_docs"],
+        1,
+        path=f"{path}_stats" if path else None,
+    )
+    return {
+        "term_rows_before": int(n_terms_before),
+        "term_rows_after": int(folded_terms.count()),
+        "stats_rows_before": int(n_stats_before),
+    }

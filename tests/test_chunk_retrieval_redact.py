@@ -914,3 +914,54 @@ def test_bm25_route_contracts_and_plan(spark, tmp_path):
         bm25_route_stream(
             docs, "text", "doc_id", "pns_t_route_contracts", [("q", "  ")]
         )
+
+
+def test_compact_text_index_folds_partials_scores_unchanged(spark, tmp_path):
+    """After two extends the terms/stats tables hold partial rows per
+    batch; compaction folds them to one row per term and one stats row
+    while every BM25 score stays identical — the LSM contract."""
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.retrieval import (
+        bm25_against_index,
+        build_text_index,
+        compact_text_index,
+        extend_text_index,
+    )
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    day0 = docs.filter(F.col("doc_id") % 3 == 0)
+    day1 = docs.filter(F.col("doc_id") % 3 == 1)
+    day2 = docs.filter(F.col("doc_id") % 3 == 2)
+    build_text_index(
+        day0, "text", "doc_id", "pns_t_compact", num_buckets=4,
+        path=str(tmp_path / "idx"),
+    )
+    extend_text_index(
+        day1, "text", "doc_id", "pns_t_compact",
+    )
+    extend_text_index(
+        day2, "text", "doc_id", "pns_t_compact",
+    )
+    query = "hash join spill window"
+    before = sorted(
+        map(tuple, bm25_against_index(
+            spark, "pns_t_compact", query, k=50).collect())
+    )
+    report = compact_text_index(
+        spark, "pns_t_compact", num_buckets=4,
+        path=str(tmp_path / "idx_c"),
+    )
+    after = sorted(
+        map(tuple, bm25_against_index(
+            spark, "pns_t_compact", query, k=50).collect())
+    )
+    assert after == before
+    # partials folded: strictly fewer term rows, exactly one per term,
+    # one stats row
+    assert report["term_rows_after"] < report["term_rows_before"]
+    terms = spark.table("pns_t_compact_terms")
+    assert terms.groupBy("term").count().filter("count > 1").count() == 0
+    assert spark.table("pns_t_compact_stats").count() == 1
+    assert report["stats_rows_before"] == 3
