@@ -597,6 +597,7 @@ def write_zordered(
     zorder_cols: list[str],
     *,
     bits: int = 8,
+    bucketing: str = "uniform",
     n_files: int | None = None,
     format: str = "parquet",
     mode: str = "overwrite",
@@ -610,10 +611,15 @@ def write_zordered(
     (:func:`write_ordered` is the single-column special case and keeps
     the exact-order guarantee this writer deliberately trades away).
 
-    Mechanism: each column maps to a ``2^bits``-cell uniform grid
-    (``width_bucket`` over the column's min/max — two driver scalars
-    from ONE aggregation job; heavily skewed columns cluster into few
-    cells and lose pruning power, the same caveat Delta documents),
+    Mechanism: each column maps to a ``2^bits``-cell grid —
+    ``bucketing="uniform"`` (default) via ``width_bucket`` over the
+    column's min/max (two driver scalars from ONE aggregation job;
+    heavily skewed columns cluster into few cells and lose pruning
+    power, the same caveat Delta documents), or
+    ``bucketing="quantile"`` via ``approxQuantile`` split points (one
+    extra pass, ~2^bits doubles per column on the driver — equal-mass
+    cells that keep pruning power under skew; this is what Delta's
+    range-id interleaving does) —
     the per-column cell indices bit-interleave into one Morton key
     (column ``j`` owns interleaved bit position ``i·ncols + j`` — a
     pure JVM bit-arithmetic projection, built once, codegen-friendly),
@@ -640,6 +646,10 @@ def write_zordered(
         raise ValueError(
             f"bits * len(zorder_cols) must be in [1, 62]: {bits}*{n_cols}"
         )
+    if bucketing not in ("uniform", "quantile"):
+        raise ValueError(
+            f"bucketing must be 'uniform' or 'quantile': {bucketing!r}"
+        )
     if n_files is None:
         from polars_nexpresso_spark.plans.stats import plan_size_bytes
 
@@ -651,31 +661,60 @@ def write_zordered(
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1: {n_files}")
 
-    # One job fetches every column's (min, max); scalars embed as
-    # literals so the bucket projection is action-free from here on.
-    stats = df.agg(
-        *[F.min(c).alias(f"__lo_{j}") for j, c in enumerate(zorder_cols)],
-        *[F.max(c).alias(f"__hi_{j}") for j, c in enumerate(zorder_cols)],
-    ).collect()[0]
     n_cells = 1 << bits
-    z = None
-    for j, c in enumerate(zorder_cols):
-        lo, hi = stats[f"__lo_{j}"], stats[f"__hi_{j}"]
-        if lo is None or hi is None or float(lo) == float(hi):
-            bucket = F.lit(0).cast("long")
-        else:
+    buckets: list = []
+    if bucketing == "quantile":
+        # One approxQuantile pass (bounded error, driver gets ~2^bits
+        # doubles per column); equal-mass cells survive skew. Duplicate
+        # split points (heavy ties) are collapsed — the curve simply
+        # uses fewer distinct cells on that axis.
+        probs = [i / n_cells for i in range(1, n_cells)]
+        qs = df.stat.approxQuantile(
+            [c for c in zorder_cols], probs, 0.001
+        )
+        for j, c in enumerate(zorder_cols):
+            splits = sorted(set(qs[j])) if qs[j] else []
+            if not splits:
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            v = F.col(c).cast("double")
+            # bucket = number of split points <= value; NULLs -> 0
+            b_expr = None
+            for sp in splits:
+                term = F.when(v >= F.lit(float(sp)), 1).otherwise(0)
+                b_expr = term if b_expr is None else b_expr + term
+            buckets.append(
+                F.coalesce(b_expr, F.lit(0)).cast("long")
+            )
+    else:
+        # One job fetches every column's (min, max); scalars embed as
+        # literals so the bucket projection is action-free from here on.
+        stats = df.agg(
+            *[F.min(c).alias(f"__lo_{j}") for j, c in enumerate(zorder_cols)],
+            *[F.max(c).alias(f"__hi_{j}") for j, c in enumerate(zorder_cols)],
+        ).collect()[0]
+        for j, c in enumerate(zorder_cols):
+            lo, hi = stats[f"__lo_{j}"], stats[f"__hi_{j}"]
+            if lo is None or hi is None or float(lo) == float(hi):
+                buckets.append(F.lit(0).cast("long"))
+                continue
             wb = F.width_bucket(
                 F.col(c).cast("double"),
                 F.lit(float(lo)),
                 F.lit(float(hi)),
                 F.lit(n_cells),
             )
-            bucket = F.least(
-                F.greatest(
-                    F.coalesce(wb, F.lit(1)) - F.lit(1), F.lit(0)
-                ),
-                F.lit(n_cells - 1),
-            ).cast("long")
+            buckets.append(
+                F.least(
+                    F.greatest(
+                        F.coalesce(wb, F.lit(1)) - F.lit(1), F.lit(0)
+                    ),
+                    F.lit(n_cells - 1),
+                ).cast("long")
+            )
+    z = None
+    for j, c in enumerate(zorder_cols):
+        bucket = buckets[j]
         for i in range(bits):
             term = F.shiftleft(
                 F.shiftright(bucket, i).bitwiseAND(F.lit(1)),
