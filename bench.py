@@ -476,6 +476,7 @@ GROUPS: dict[str, object] = {
         "simhash_pairs", "embedding_dedup", "dup_window_frac",
         "intradoc_dedup", "source_overlap", "dedup_best_keep", "chunk_dedup",
         "soft_dedup_weights", "dedup_pair_recall", "containment_pairs",
+        "containment_keepset",
     )),
     "dedup_corpus": _registry_group((
         "decontaminate_stream", "contamination_report", "boilerplate_tokens",

@@ -4432,3 +4432,38 @@ PIPELINE_ORACLE_SQL["bm25_route"] = f"""
     UNION ALL
     {_route_oracle_block(*_ROUTE_Q[1])}
 """
+
+
+def q_containment_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment pass's dedup DECISION: drop every document that
+    is ≥0.8-contained in some other document (the inner side of any
+    containment pair — subset/excerpt copies), keep the rest. One
+    id-keyed anti join over the pair table; the complement of
+    ``containment_pairs``' detection."""
+    from polars_nexpresso_spark.functions.dedup import containment_pairs
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    pairs = containment_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+    inner = pairs.select(F.col("inner_id").alias("doc_id")).distinct()
+    return docs.join(inner, on="doc_id", how="left_anti").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+PIPELINE_QUERIES["containment_keepset"] = q_containment_keepset
+# containment_keepset: the containment oracle's pair select as a NOT IN.
+PIPELINE_ORACLE_SQL["containment_keepset"] = f"""
+    WITH shingled AS (
+      SELECT doc_id, {_SHINGLES} AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    inner_ids AS (
+      SELECT DISTINCT CASE WHEN len(a.sh) <= len(b.sh) THEN a.doc_id
+                  ELSE b.doc_id END AS doc_id
+      FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+      WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / least(len(a.sh), len(b.sh)), 6) >= 0.8
+    )
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM inner_ids)
+"""

@@ -1188,7 +1188,7 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # registered after the window (`soft_dedup_weights`, `novelty_frac`,
 # `pmi_bigrams`, `embedding_outliers`, `dedup_pair_recall`,
 # `soft_dedup_sample`, `decontaminate_fraction`, `cluster_purity`,
-# `containment_pairs`, `bm25_route` — each ALL
+# `containment_pairs`, `bm25_route`, `containment_keepset` — each ALL
 # PASS via scripts/check_oracle.py at sf0.001 AND sf0.01 this round)
 # are owed driver rows next round; rotate them in against the
 # r05-proven pool above.
