@@ -408,7 +408,13 @@ def bm25_route_stream(
     )
     n_docs, avgdl = int(st["n"]), float(st["s"]) / max(int(st["nt"]), 1)
 
-    toks = tokens(F.col(text_col))
+    # NULL text must never route regardless of ANSI mode: under non-ANSI
+    # defaults (Spark 3.5) size(NULL) = -1, so an un-coalesced NULL token
+    # array would give tf = dl = -1 and a garbage positive score.
+    # Coalescing to an empty array makes tf = dl = 0 → score 0 → filtered.
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
     dl = F.size(toks).cast("double")
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
     import math
@@ -444,11 +450,24 @@ def bm25_route_stream(
     return out.filter(F.col("score") > floor)
 
 
+def _catalog_num_buckets(spark, table: str) -> int | None:
+    """Read a table's bucket count from the catalog (``DESCRIBE
+    FORMATTED`` → the ``Num Buckets`` row), or None if the table is
+    unbucketed / the row is absent."""
+    try:
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+            if str(r[0]).strip().lower().startswith("num buckets"):
+                return int(str(r[1]).strip())
+    except Exception:
+        return None
+    return None
+
+
 def compact_text_index(
     spark,
     table_name: str,
     *,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     path: str | None = None,
 ) -> dict:
     """LSM compaction for a :func:`build_text_index` index: fold the
@@ -461,8 +480,12 @@ def compact_text_index(
     the terms-table scan (still bucket-pruned) starts costing.
 
     Postings need no compaction: each posting row is final, never a
-    partial. The rewrite preserves the bucketing spec, so the
-    bucket-pruned query scans keep their zero-exchange property.
+    partial. The rewrite preserves the bucketing spec — ``num_buckets``
+    defaults to the BUILD-TIME bucket count read from the catalog
+    (``DESCRIBE FORMATTED``), so compacting an index built with any
+    bucket count keeps the terms table's bucketing and the bucket-pruned
+    query scans keep their zero-exchange property; pass it explicitly
+    only to deliberately re-bucket.
 
     The aggregated tables are snapshotted with ``localCheckpoint``
     BEFORE the old tables drop — the same lazy-read footgun
@@ -472,6 +495,13 @@ def compact_text_index(
     """
     from polars_nexpresso_spark.sources.io import write_bucketed
 
+    if num_buckets is None:
+        num_buckets = _catalog_num_buckets(spark, f"{table_name}_terms")
+        if num_buckets is None:
+            raise ValueError(
+                f"{table_name}_terms has no bucket spec in the catalog; "
+                "pass num_buckets explicitly"
+            )
     terms = spark.table(f"{table_name}_terms")
     stats = spark.table(f"{table_name}_stats")
     n_terms_before = terms.count()

@@ -1184,15 +1184,34 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # top_events_salted, contamination_report, dsir_weights, gumbel_topk.
 # The r05-proven block (multimodal_video .. corpus_diff, three greens
 # each) stays as the next rotation pool for round 9.
-# Round-9 rotation TODO: the five round-8 session-2 operators
-# registered after the window (`soft_dedup_weights`, `novelty_frac`,
-# `pmi_bigrams`, `embedding_outliers`, `dedup_pair_recall`,
-# `soft_dedup_sample`, `decontaminate_fraction`, `cluster_purity`,
-# `containment_pairs`, `bm25_route`, `containment_keepset` — each ALL
-# PASS via scripts/check_oracle.py at sf0.001 AND sf0.01 this round)
-# are owed driver rows next round; rotate them in against the
-# r05-proven pool above.
+# Round-9 rotation (per VERDICT r08 item 1): the eleven round-8
+# session-2 operators registered after the window
+# (`soft_dedup_weights`, `novelty_frac`, `pmi_bigrams`,
+# `embedding_outliers`, `dedup_pair_recall`, `soft_dedup_sample`,
+# `decontaminate_fraction`, `cluster_purity`, `containment_pairs`,
+# `bm25_route`, `containment_keepset` — each ALL PASS via
+# scripts/check_oracle.py at sf0.001 AND sf0.01 in round 8, re-verified
+# by the round-8 judge) move INTO the window to earn driver rows in
+# CORRECTNESS_r09. Out: the ten r05-proven entries holding FOUR
+# driver-green rows each (`multimodal_video` .. `corpus_diff`) plus
+# `boilerplate_tokens` (two driver greens, r07 + r08, the oldest of the
+# two-green round-6 family). The remaining two-green entries
+# (semantic_dedup .. audio_near_dup) stay as the round-10 rotation
+# pool; the round-8 four (dedup_index .. decontaminate_bloom) hold only
+# ONE driver row each and stay in the window to earn their second.
 _MULTIPLY_PROVEN_TAIL = [
+    # round-9 rotation
+    "multimodal_video",
+    "dup_window_frac",
+    "chunk_dedup",
+    "corpus_report",
+    "corpus_rollup",
+    "quality_topfrac",
+    "project_embeddings",
+    "quality_buckets",
+    "unicode_nfc",
+    "corpus_diff",
+    "boilerplate_tokens",
     # round-8 late rotation
     "top_events_salted",
     "contamination_report",

@@ -650,6 +650,14 @@ def write_zordered(
         raise ValueError(
             f"bucketing must be 'uniform' or 'quantile': {bucketing!r}"
         )
+    if bucketing == "quantile" and bits > 12:
+        # the approxQuantile pass computes 2^bits - 1 split points per
+        # column; past ~4096 cells the driver-side quantile sketch and
+        # the split-array literal dominate with no pruning benefit
+        raise ValueError(
+            f"quantile bucketing supports bits <= 12 (got {bits}); "
+            "use bucketing='uniform' for finer grids"
+        )
     if n_files is None:
         from polars_nexpresso_spark.plans.stats import plan_size_bytes
 
@@ -678,13 +686,16 @@ def write_zordered(
                 buckets.append(F.lit(0).cast("long"))
                 continue
             v = F.col(c).cast("double")
-            # bucket = number of split points <= value; NULLs -> 0
-            b_expr = None
-            for sp in splits:
-                term = F.when(v >= F.lit(float(sp)), 1).otherwise(0)
-                b_expr = term if b_expr is None else b_expr + term
+            # bucket = number of split points <= value, as ONE
+            # size(filter(splits_array)) expression rather than a chain
+            # of 2^bits - 1 when-terms (which hangs the driver building
+            # Column objects at high bits). A NULL value fails every
+            # comparison, so the filter drops all elements and the
+            # bucket is 0 — NULLs cluster at the curve origin.
+            splits_arr = F.array(*[F.lit(float(sp)) for sp in splits])
+            b_expr = F.size(F.filter(splits_arr, lambda sp: v >= sp))
             buckets.append(
-                F.coalesce(b_expr, F.lit(0)).cast("long")
+                F.greatest(b_expr, F.lit(0)).cast("long")
             )
     else:
         # One job fetches every column's (min, max); scalars embed as
