@@ -484,6 +484,7 @@ GROUPS: dict[str, object] = {
         "ref_dedup_stream", "leakage_free_split", "semantic_dedup",
         "image_near_dup", "audio_near_dup", "dedup_index", "bloom_dedup",
         "decontaminate_bloom", "decontaminate_fraction",
+        "dedup_index_stream",
     )),
     "text_quality": _registry_group((
         "text_stats", "token_fingerprint", "language_id", "vocab_topk",

@@ -302,6 +302,51 @@ def pandas_scalar_member(sorted_values):
     return member
 
 
+def pandas_band_near_dup(band_keys, starts, sig_matrix, min_agree):
+    """UDF factory for the stream-safe near-dup probe against a
+    persisted dedup-index SNAPSHOT (:func:`~polars_nexpresso_spark
+    .functions.dedup.dedup_against_index_stream`): the index's LSH
+    band table, CSR-packed in the closure — ``band_keys`` sorted unique
+    keys, ``starts[i]`` the first row of key ``i``'s candidate block in
+    ``sig_matrix`` (rows sorted by key). Per row: searchsorted each of
+    the document's band keys; any hit's candidate signatures compare
+    component-wise against the document's signature, and the row is a
+    near-dup when some candidate agrees on ``>= min_agree`` minhash
+    components — exactly the batch probe's estimated-Jaccard decision.
+
+    NULL band-key/signature rows (NULL text upstream) return False —
+    such rows always survive dedup."""
+    keys = np.asarray(band_keys, dtype=np.int64)
+    sigs = np.asarray(sig_matrix, dtype=np.int64)
+    if sigs.ndim != 2:
+        sigs = sigs.reshape(0, 1)
+    st = np.asarray(starts, dtype=np.int64)
+    ends = np.append(st[1:], sigs.shape[0]) if st.size else st
+
+    @pandas_udf("boolean")
+    def near(bkeys: pd.Series, psigs: pd.Series) -> pd.Series:
+        out = np.zeros(len(bkeys), dtype=bool)
+        if keys.size:
+            for i, (bk, ps) in enumerate(zip(bkeys, psigs)):
+                if bk is None or ps is None:
+                    continue
+                bka = np.asarray(bk, dtype=np.int64)
+                idx = np.searchsorted(keys, bka)
+                idx[idx == keys.size] = keys.size - 1
+                hits = idx[keys[idx] == bka]
+                if hits.size == 0:
+                    continue
+                psa = np.asarray(ps, dtype=np.int64)
+                for j in np.unique(hits):
+                    cands = sigs[st[j] : ends[j]]
+                    if (cands == psa).sum(axis=1).max() >= min_agree:
+                        out[i] = True
+                        break
+        return pd.Series(out)
+
+    return near
+
+
 @pandas_udf("double")
 def pandas_compression_ratio(texts: pd.Series) -> pd.Series:
     """deflate(utf-8 bytes) size / raw size per row (zlib level 6).

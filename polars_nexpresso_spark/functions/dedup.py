@@ -175,6 +175,10 @@ def ngram_jaccard_pairs(
 
 
 _MINHASH_PRIME = 4294967291  # largest 32-bit prime
+# shingle polynomial base/modulus, shared by the grouped-min path
+# (minhash_signatures) and the stateless per-row path
+# (dedup_against_index_stream) so their signatures agree by construction
+_SHINGLE_B, _SHINGLE_M = 1000003, 2147483647
 
 
 def _affine_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -223,7 +227,7 @@ def minhash_signatures(
     # 32-bit token hashes and a mod-(2^31-1) polynomial keep every operand
     # comfortably inside signed-64 under ANSI overflow checking:
     # acc < 2^31, acc*B < 2^51, + th < 2^51 + 2^32.
-    _B, _M = 1000003, 2147483647
+    _B, _M = _SHINGLE_B, _SHINGLE_M
     tok_hashes = df.select(
         F.col(id_col).alias("__id"),
         F.transform(
@@ -2033,6 +2037,81 @@ def extend_dedup_index(
     lsh.select(*cols).write.mode("append").insertInto(f"{table_name}_lsh")
 
 
+def compact_dedup_index(
+    spark,
+    table_name: str,
+    *,
+    num_buckets: int | None = None,
+    path: str | None = None,
+) -> dict:
+    """LSM compaction for a :func:`build_dedup_index` index: rewrite the
+    small files that :func:`extend_dedup_index` accumulates (each daily
+    append lands at least one file PER BUCKET per table, so a year of
+    ingests turns every bucket-pruned probe scan into hundreds of file
+    opens) back to one compact file set per table. Unlike
+    :func:`~polars_nexpresso_spark.functions.retrieval
+    .compact_text_index` there are no partial rows to fold — fp rows
+    are kept distinct by the append's anti-join and LSH rows are final
+    — so this is a pure file-layout rewrite; the fp table still gets a
+    defensive ``distinct()`` so a crashed half-append can never leave
+    duplicates behind. Probe DECISIONS are identical before and after
+    by construction (same rows, same bucketing).
+
+    ``num_buckets`` defaults to the BUILD-TIME bucket count read from
+    the catalog, so the rewrite preserves the bucketing spec and
+    :func:`dedup_against_index` probes keep their zero-exchange
+    property (plan-pinned in test_plan_shapes.py); pass it explicitly
+    only to deliberately re-bucket (e.g. when the reference has grown
+    past the original bucket parallelism).
+
+    Both tables are snapshotted with ``localCheckpoint`` BEFORE the old
+    tables drop — overwriting a table a pending plan still reads would
+    corrupt it (the :func:`extend_dedup_index` footgun). The snapshot
+    materializes hash rows only (~300 B/doc), never reference text.
+    Returns ``{"files_before", "files_after", "fp_rows", "lsh_rows"}``.
+    """
+    from polars_nexpresso_spark.sources.io import (
+        catalog_num_buckets,
+        write_bucketed,
+    )
+
+    if num_buckets is None:
+        num_buckets = catalog_num_buckets(spark, f"{table_name}_fp")
+        if num_buckets is None:
+            raise ValueError(
+                f"{table_name}_fp has no bucket spec in the catalog; "
+                "pass num_buckets explicitly"
+            )
+    fp = spark.table(f"{table_name}_fp")
+    lsh = spark.table(f"{table_name}_lsh")
+    files_before = len(fp.inputFiles()) + len(lsh.inputFiles())
+    folded_fp = fp.distinct().localCheckpoint(eager=True)
+    folded_lsh = lsh.localCheckpoint(eager=True)
+    write_bucketed(
+        folded_fp,
+        f"{table_name}_fp",
+        ["fp"],
+        num_buckets,
+        path=f"{path}_fp" if path else None,
+    )
+    write_bucketed(
+        folded_lsh,
+        f"{table_name}_lsh",
+        ["bkey"],
+        num_buckets,
+        path=f"{path}_lsh" if path else None,
+    )
+    files_after = len(
+        spark.table(f"{table_name}_fp").inputFiles()
+    ) + len(spark.table(f"{table_name}_lsh").inputFiles())
+    return {
+        "files_before": int(files_before),
+        "files_after": int(files_after),
+        "fp_rows": int(folded_fp.count()),
+        "lsh_rows": int(folded_lsh.count()),
+    }
+
+
 def dedup_against_index(
     df: DataFrame,
     text_col: str,
@@ -2116,6 +2195,211 @@ def dedup_against_index(
         .distinct()
     )
     return after_exact.join(near_hits, on=id_col, how="left_anti")
+
+
+def _stateless_sig_frame(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Append ``__pns_sig`` (array<long> minhash signature) and
+    ``__pns_bk`` (array<long> LSH band keys) to ``df`` as PURE
+    PROJECTIONS — the same token-hash / shingle-polynomial / affine
+    arithmetic as :func:`minhash_signatures` (parity test-pinned), with
+    the explode + grouped-min replaced by one ``aggregate`` running-min
+    over the shingle array, so it is stateless and stream-safe. Each
+    stage lands in its own projection: the token-hash and shingle
+    arrays are referenced ``n``/``num_hashes`` times downstream, and
+    CollapseProject keeps multiply-referenced non-cheap aliases in
+    separate projects, so they evaluate once per row."""
+    r = num_hashes // bands
+    th = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)),
+    )
+    staged = df.withColumn("__pns_th", th)
+
+    def window_hash(i):
+        acc = F.get(F.col("__pns_th"), i) % F.lit(_SHINGLE_M)
+        for j in range(1, n):
+            acc = (
+                acc * F.lit(_SHINGLE_B) + F.get(F.col("__pns_th"), i + j)
+            ) % F.lit(_SHINGLE_M)
+        return acc
+
+    full_fold = F.aggregate(
+        F.col("__pns_th"),
+        F.lit(0).cast("long"),
+        lambda a, x: (a * F.lit(_SHINGLE_B) + x) % F.lit(_SHINGLE_M),
+    )
+    shingles = F.when(
+        F.size(F.col("__pns_th")) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(F.col("__pns_th")) - n),
+            window_hash,
+        ),
+    ).otherwise(F.array(full_fold))
+    staged = staged.withColumn("__pns_sh", shingles)
+
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"),
+                F.lit(b).cast("long").alias("b"),
+            )
+            for a, b in _affine_params(num_hashes, seed)
+        ]
+    )
+    sig = F.aggregate(
+        F.col("__pns_sh"),
+        F.array(
+            *[F.lit(_MINHASH_PRIME).cast("long") for _ in range(num_hashes)]
+        ),
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda cur, p: F.least(
+                cur, (h * p["a"] + p["b"]) % F.lit(_MINHASH_PRIME)
+            ),
+        ),
+    )
+    staged = staged.withColumn("__pns_sig", sig)
+    bkeys_expr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.get(F.col("__pns_sig"), b * r + j) for j in range(r)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return staged.withColumn("__pns_bk", bkeys_expr)
+
+
+def dedup_against_index_stream(
+    df: DataFrame,
+    text_col: str,
+    table_name: str,
+    *,
+    threshold: float = 0.8,
+    max_index_rows: int = 2_000_000,
+) -> DataFrame:
+    """Stream-safe :func:`dedup_against_index`: STATELESS, map-side,
+    join-free — the near-dup rung the ingest-stream ladder was missing
+    (:func:`dedup_against_reference_stream` and the Bloom rung cover
+    exact fingerprints only). Same survivors as the batch probe on the
+    same index by construction: per-row decisions against a FIXED index
+    are independent, so the batch's two anti-joins collapse to a
+    conjunction of two map-side filters.
+
+    The index is collected ONCE into broadcast closures (guarded by
+    ``max_index_rows`` ≈ 8·(num_hashes+1) bytes per LSH row): the fp
+    set probes via vectorized binary search
+    (:func:`~polars_nexpresso_spark.functions._vectorized
+    .pandas_scalar_member`), the LSH band table CSR-packs into a
+    sorted-key + signature-matrix pair probed by
+    :func:`~polars_nexpresso_spark.functions._vectorized
+    .pandas_band_near_dup`. Indexes past the cap fail fast — run the
+    batch probe per micro-batch via ``foreachBatch`` instead (the index
+    side stays zero-exchange there).
+
+    The document signature is computed as a PURE PROJECTION — the same
+    token-hash / shingle-polynomial / affine-permutation arithmetic as
+    :func:`minhash_signatures`, but with the explode + grouped-min
+    replaced by one ``aggregate`` running-min over the shingle array
+    (identical values: ``array_min`` over the same multiset), so it
+    needs no shuffle and runs on an unbounded ``readStream``. Each
+    stage lands in its own projection so the token-hash and signature
+    arrays materialize once per row instead of re-evaluating per
+    reference (CollapseProject keeps multiply-referenced non-cheap
+    aliases separate).
+
+    ``df`` may be batch or streaming. NULL-text rows always survive
+    (their signature degenerates to the all-modulus init vector, which
+    agrees with no stored signature; the explicit NULL guard makes the
+    contract ANSI-independent). Returns surviving rows, schema
+    unchanged.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    if text_col not in df.columns:
+        raise ValueError(f"column {text_col!r} must be in the DataFrame")
+    import math
+
+    import numpy as np
+
+    from polars_nexpresso_spark.functions._vectorized import (
+        pandas_band_near_dup,
+        pandas_scalar_member,
+    )
+    from polars_nexpresso_spark.functions.text import normalize_text
+
+    spark = df.sparkSession
+    n, num_hashes, bands = _resolve_index_geometry(
+        spark, table_name, None, None, None
+    )
+
+    lsh_count = spark.table(f"{table_name}_lsh").count()
+    if lsh_count > max_index_rows:
+        raise ValueError(
+            f"index {table_name!r} holds {lsh_count} LSH rows > "
+            f"max_index_rows={max_index_rows}; probe it with the batch "
+            "dedup_against_index() inside foreachBatch instead"
+        )
+    fp_pdf = spark.table(f"{table_name}_fp").toPandas()
+    fp_sorted = np.sort(fp_pdf["fp"].to_numpy(dtype=np.int64))
+    lsh_pdf = spark.table(f"{table_name}_lsh").toPandas()
+    if len(lsh_pdf):
+        bkeys = lsh_pdf["bkey"].to_numpy(dtype=np.int64)
+        order = np.argsort(bkeys, kind="stable")
+        sig_matrix = np.stack(
+            [np.asarray(s, dtype=np.int64) for s in lsh_pdf["sig"]]
+        )[order]
+        keys_unique, starts = np.unique(bkeys[order], return_index=True)
+    else:
+        sig_matrix = np.zeros((0, num_hashes), dtype=np.int64)
+        keys_unique = starts = np.zeros(0, dtype=np.int64)
+    min_agree = math.ceil(threshold * num_hashes - 1e-9)
+
+    member = pandas_scalar_member(fp_sorted).asNondeterministic()
+    near = pandas_band_near_dup(
+        keys_unique, starts, sig_matrix, min_agree
+    ).asNondeterministic()
+
+    # ---- exact stage: map-side fingerprint membership -----------------
+    # Non-null contract of pandas_scalar_member: NULL text coalesces to
+    # a filler; the isNull() branch keeps the row regardless.
+    probe_fp = F.coalesce(
+        F.when(
+            F.col(text_col).isNotNull(),
+            F.xxhash64(normalize_text(F.col(text_col))),
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    after_exact = df.filter(F.col(text_col).isNull() | ~member(probe_fp))
+
+    # ---- near stage: stateless signature + band keys -------------------
+    staged = _stateless_sig_frame(
+        after_exact, text_col, n=n, num_hashes=num_hashes, bands=bands
+    )
+    # The verdict lands in its own projected column first (ArrowEval
+    # node), THEN a plain boolean filter: putting the UDF call directly
+    # in the filter condition lets the optimizer inline the whole
+    # signature HOF tree into the UDF's arguments, and UDF extraction
+    # fails on that shape ("Cannot evaluate expression: near(...)").
+    flagged = staged.withColumn(
+        "__pns_near", near(F.col("__pns_bk"), F.col("__pns_sig"))
+    )
+    survivors = flagged.filter(
+        F.col(text_col).isNull() | ~F.col("__pns_near")
+    )
+    return survivors.drop(
+        "__pns_th", "__pns_sh", "__pns_sig", "__pns_bk", "__pns_near"
+    )
 
 
 def dedup_pair_recall(

@@ -450,19 +450,6 @@ def bm25_route_stream(
     return out.filter(F.col("score") > floor)
 
 
-def _catalog_num_buckets(spark, table: str) -> int | None:
-    """Read a table's bucket count from the catalog (``DESCRIBE
-    FORMATTED`` → the ``Num Buckets`` row), or None if the table is
-    unbucketed / the row is absent."""
-    try:
-        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
-            if str(r[0]).strip().lower().startswith("num buckets"):
-                return int(str(r[1]).strip())
-    except Exception:
-        return None
-    return None
-
-
 def compact_text_index(
     spark,
     table_name: str,
@@ -493,10 +480,13 @@ def compact_text_index(
     still reads would silently corrupt it. Returns
     ``{"term_rows_before", "term_rows_after", "stats_rows_before"}``.
     """
-    from polars_nexpresso_spark.sources.io import write_bucketed
+    from polars_nexpresso_spark.sources.io import (
+        catalog_num_buckets,
+        write_bucketed,
+    )
 
     if num_buckets is None:
-        num_buckets = _catalog_num_buckets(spark, f"{table_name}_terms")
+        num_buckets = catalog_num_buckets(spark, f"{table_name}_terms")
         if num_buckets is None:
             raise ValueError(
                 f"{table_name}_terms has no bucket spec in the catalog; "

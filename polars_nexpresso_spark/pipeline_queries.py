@@ -4467,3 +4467,38 @@ PIPELINE_ORACLE_SQL["containment_keepset"] = f"""
     SELECT doc_id, source, n_chars FROM documents
     WHERE doc_id NOT IN (SELECT doc_id FROM inner_ids)
 """
+
+
+def q_dedup_index_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-safe persisted-index dedup: the SAME index and decisions
+    as ``dedup_index``, probed by the STATELESS map-side path
+    (capped broadcast fingerprint set + CSR-packed LSH band dictionary,
+    pure-projection per-row minhash signature — no joins, no shuffle,
+    no state) that an ingest readStream would run. Registered on a
+    batch frame — the plan is identical under readStream
+    (batch == stream parity pinned in test_pipeline_functions.py);
+    the dedup_index oracle replays the decisions exactly because
+    per-row verdicts against a fixed index are independent of the
+    probe's execution mode."""
+    from polars_nexpresso_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_against_index_stream,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    build_dedup_index(
+        ref, "text", "doc_id", "pns_q_didx_stream", num_buckets=8
+    )
+    out = dedup_against_index_stream(
+        docs, "text", "pns_q_didx_stream", threshold=0.8
+    )
+    return out.select("doc_id", "source")
+
+
+PIPELINE_QUERIES["dedup_index_stream"] = q_dedup_index_stream
+# dedup_index_stream: identical decisions to dedup_index (same index,
+# same threshold), so the oracle is the dedup_index oracle verbatim.
+PIPELINE_ORACLE_SQL["dedup_index_stream"] = PIPELINE_ORACLE_SQL[
+    "dedup_index"
+]

@@ -194,6 +194,21 @@ def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def catalog_num_buckets(spark, table: str) -> int | None:
+    """Read a table's bucket count from the catalog (``DESCRIBE
+    FORMATTED`` → the ``Num Buckets`` row), or None if the table is
+    unbucketed / the row is absent. Index compactors use this so a
+    maintenance rewrite preserves the BUILD-TIME bucketing spec instead
+    of silently re-bucketing to a default."""
+    try:
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+            if str(r[0]).strip().lower().startswith("num buckets"):
+                return int(str(r[1]).strip())
+    except Exception:  # noqa: BLE001 — missing table/row: not bucketed
+        return None
+    return None
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

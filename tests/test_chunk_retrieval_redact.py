@@ -903,6 +903,19 @@ def test_bm25_route_contracts_and_plan(spark, tmp_path):
     rows = out.collect()
     # NULL text never routes; a doc sharing no term never routes
     assert {r["doc_id"] for r in rows} == {1}
+    # ...and the same holds under NON-ANSI semantics (Spark 3.5
+    # defaults), where size(NULL) = -1 would otherwise give tf = dl =
+    # -1 and a garbage positive score for the NULL-text doc
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        non_ansi_rows = bm25_route_stream(
+            docs, "text", "doc_id", "pns_t_route_contracts",
+            [("q", "hash join")],
+        ).collect()
+        assert {r["doc_id"] for r in non_ansi_rows} == {1}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
     # stateless map-side plan: no shuffle anywhere
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p
@@ -949,9 +962,10 @@ def test_compact_text_index_folds_partials_scores_unchanged(spark, tmp_path):
         map(tuple, bm25_against_index(
             spark, "pns_t_compact", query, k=50).collect())
     )
+    # num_buckets deliberately NOT passed: compaction must preserve the
+    # build-time bucket count (4) read from the catalog, not a default
     report = compact_text_index(
-        spark, "pns_t_compact", num_buckets=4,
-        path=str(tmp_path / "idx_c"),
+        spark, "pns_t_compact", path=str(tmp_path / "idx_c"),
     )
     after = sorted(
         map(tuple, bm25_against_index(
@@ -965,3 +979,7 @@ def test_compact_text_index_folds_partials_scores_unchanged(spark, tmp_path):
     assert terms.groupBy("term").count().filter("count > 1").count() == 0
     assert spark.table("pns_t_compact_stats").count() == 1
     assert report["stats_rows_before"] == 3
+    # bucketing spec read from the catalog and preserved
+    from polars_nexpresso_spark.sources.io import catalog_num_buckets
+
+    assert catalog_num_buckets(spark, "pns_t_compact_terms") == 4

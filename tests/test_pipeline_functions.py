@@ -2678,3 +2678,214 @@ def test_extend_dedup_index_snapshots_probe_derived_batch(spark, tmp_path):
         for t in ("pns_test_didx_s_fp", "pns_test_didx_s_lsh",
                   "pns_test_didx_s_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_dedup_index_same_verdicts_fewer_files(spark, tmp_path):
+    """After two extends the fp/lsh tables hold one small file per
+    bucket per append; compaction rewrites the layout while every probe
+    verdict stays identical, the bucket count is preserved from the
+    catalog (no num_buckets passed), and the file count strictly
+    drops — the LSM contract, dedup-index edition."""
+    from polars_nexpresso_spark.functions.dedup import (
+        build_dedup_index,
+        compact_dedup_index,
+        dedup_against_index,
+        extend_dedup_index,
+    )
+    from polars_nexpresso_spark.sources.io import catalog_num_buckets
+
+    batch1 = spark.createDataFrame([(100, _LONG)], ["doc_id", "text"])
+    batch2 = spark.createDataFrame(
+        [(200, "completely different reference text here")],
+        ["doc_id", "text"],
+    )
+    batch3 = spark.createDataFrame(
+        [(300, "a third day of reference material arrives")],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, _LONG.upper()),                                # dup b1
+            (2, "completely  DIFFERENT reference text here"),  # dup b2
+            (3, "a third day of reference material arrives"),  # dup b3
+            (4, "a fresh document about something else"),
+        ],
+        "doc_id long, text string",
+    )
+    build_dedup_index(
+        batch1, "text", "doc_id", "pns_test_didx_c",
+        num_buckets=4, path=str(tmp_path / "c"),
+    )
+    try:
+        extend_dedup_index(batch2, "text", "doc_id", "pns_test_didx_c")
+        extend_dedup_index(batch3, "text", "doc_id", "pns_test_didx_c")
+        before = sorted(
+            r["doc_id"]
+            for r in dedup_against_index(
+                probe, "text", "doc_id", "pns_test_didx_c"
+            ).collect()
+        )
+        report = compact_dedup_index(
+            spark, "pns_test_didx_c", path=str(tmp_path / "c_compact")
+        )
+        after = sorted(
+            r["doc_id"]
+            for r in dedup_against_index(
+                probe, "text", "doc_id", "pns_test_didx_c"
+            ).collect()
+        )
+        assert after == before == [4]
+        assert report["files_after"] < report["files_before"]
+        assert report["fp_rows"] == 3
+        # build-time bucketing spec preserved without passing it
+        assert catalog_num_buckets(spark, "pns_test_didx_c_fp") == 4
+        assert catalog_num_buckets(spark, "pns_test_didx_c_lsh") == 4
+        # fp table stays duplicate-free
+        fp = spark.table("pns_test_didx_c_fp")
+        assert fp.count() == fp.distinct().count() == 3
+    finally:
+        for t in ("pns_test_didx_c_fp", "pns_test_didx_c_lsh",
+                  "pns_test_didx_c_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stateless_signature_matches_grouped_min(spark):
+    """The stream probe's pure-projection minhash signature must equal
+    minhash_signatures' explode + grouped-min values component-wise on
+    real documents (incl. empty/short texts) — the parity that makes
+    batch and stream probe decisions identical by construction."""
+    from polars_nexpresso_spark.functions.dedup import (
+        _stateless_sig_frame,
+        minhash_signatures,
+    )
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = (
+        read_table(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    want = {
+        r["__id"]: [r[f"mh_{i}"] for i in range(16)]
+        for r in minhash_signatures(
+            docs, "text", "doc_id", n=3, num_hashes=16
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: list(r["__pns_sig"])
+        for r in _stateless_sig_frame(
+            docs, "text", n=3, num_hashes=16, bands=4
+        )
+        .select("doc_id", "__pns_sig")
+        .collect()
+    }
+    assert got == want
+    # and the projection really is stateless: no Exchange anywhere
+    staged = _stateless_sig_frame(docs, "text", n=3, num_hashes=16, bands=4)
+    plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_dedup_index_stream_matches_batch_probe(spark, tmp_path):
+    """The stream probe keeps exactly the batch probe's survivors —
+    exact dup dropped, near dup dropped, fresh + NULL-text kept — both
+    as a batch frame and on a real readStream (availableNow drain)."""
+    import shutil
+    import tempfile
+
+    from polars_nexpresso_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_against_index_stream,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, _LONG), (200, "completely different reference text here")],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [
+            (1, _LONG.upper()),                                # exact dup
+            (2, _LONG.replace("seventeen", "nineteen")),       # near dup
+            (3, "a fresh document about something else"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    build_dedup_index(
+        ref, "text", "doc_id", "pns_test_didx_st",
+        num_buckets=4, path=str(tmp_path / "st"),
+    )
+    tmp = tempfile.mkdtemp(prefix="pns_didx_stream_")
+    try:
+        expected = sorted(
+            r["doc_id"]
+            for r in dedup_against_index(
+                probe, "text", "doc_id", "pns_test_didx_st"
+            ).collect()
+        )
+        got_batch = sorted(
+            r["doc_id"]
+            for r in dedup_against_index_stream(
+                probe, "text", "pns_test_didx_st"
+            ).collect()
+        )
+        assert got_batch == expected == [3, 4, 5]
+        # schema unchanged, helper columns dropped
+        out = dedup_against_index_stream(probe, "text", "pns_test_didx_st")
+        assert out.columns == probe.columns
+        # join-free, shuffle-free: the whole probe is map-side
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
+        probe.repartition(2).write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(probe.schema).parquet(f"{tmp}/in")
+        kept = dedup_against_index_stream(stream, "text", "pns_test_didx_st")
+        assert kept.isStreaming
+        q = (
+            kept.select("doc_id")
+            .writeStream.format("memory")
+            .queryName("didx_stream_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got_stream = sorted(
+            r["doc_id"] for r in spark.table("didx_stream_out").collect()
+        )
+        assert got_stream == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        for t in ("pns_test_didx_st_fp", "pns_test_didx_st_lsh",
+                  "pns_test_didx_st_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dedup_index_stream_size_guard_and_validation(spark, tmp_path):
+    from polars_nexpresso_spark.functions.dedup import (
+        build_dedup_index,
+        dedup_against_index_stream,
+    )
+
+    ref = spark.createDataFrame([(1, _LONG)], ["doc_id", "text"])
+    build_dedup_index(
+        ref, "text", "doc_id", "pns_test_didx_g",
+        num_buckets=2, path=str(tmp_path / "g"),
+    )
+    try:
+        with pytest.raises(ValueError, match="max_index_rows"):
+            dedup_against_index_stream(
+                ref, "text", "pns_test_didx_g", max_index_rows=3
+            )
+        with pytest.raises(ValueError, match="threshold"):
+            dedup_against_index_stream(
+                ref, "text", "pns_test_didx_g", threshold=0.0
+            )
+        with pytest.raises(ValueError, match="column"):
+            dedup_against_index_stream(ref, "body", "pns_test_didx_g")
+    finally:
+        for t in ("pns_test_didx_g_fp", "pns_test_didx_g_lsh",
+                  "pns_test_didx_g_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

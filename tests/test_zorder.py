@@ -152,3 +152,8 @@ def test_zorder_bucketing_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="bucketing"):
         write_zordered(df, str(tmp_path / "zb"), ["x", "y"],
                        bucketing="bogus")
+    # quantile mode caps bits: the split-point pass is 2^bits - 1
+    # doubles per column, useless past ~4096 cells
+    with pytest.raises(ValueError, match="bits <= 12"):
+        write_zordered(df, str(tmp_path / "zq"), ["x", "y"],
+                       bits=13, bucketing="quantile")
