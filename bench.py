@@ -443,6 +443,27 @@ def _unigram_pipeline(spark, sf_dir: str) -> None:
     force(unigram_encode(docs, "text", vocab))
 
 
+def _tokenizer_train_envelope(spark, sf_dir: str) -> None:
+    """Driver-loop envelope probe at a FIXED synthetic word-table size
+    (50k pseudo-words, 3-12 hex chars), independent of the sf corpus's
+    organic vocabulary (61 words at sf0.1 — too small to exercise the
+    loops): regressions in the BPE merge heap or the unigram EM/shrink
+    schedule show up here round over round. Measured cap-scale numbers
+    live in docs/tokenizer_envelope.md."""
+    from polars_nexpresso_spark.functions.bpe import train_bpe
+    from polars_nexpresso_spark.functions.unigram import train_unigram
+
+    words = spark.range(50_000).select(
+        F.substring(
+            F.md5(F.col("id").cast("string")),
+            1,
+            (3 + F.col("id") % 10).cast("int"),
+        ).alias("text")
+    ).localCheckpoint(eager=True)
+    force(train_bpe(words, "text", num_merges=500, min_count=1))
+    force(train_unigram(words, "text", vocab_size=1024, min_count=1))
+
+
 def _registry_group(names: tuple[str, ...]):
     """A group runner over the oracle-paired query registry."""
 
@@ -454,6 +475,10 @@ def _registry_group(names: tuple[str, ...]):
                 bench(name, lambda: _bpe_pipeline(spark, sf_dir))
             elif name == "unigram_pipeline":
                 bench(name, lambda: _unigram_pipeline(spark, sf_dir))
+            elif name == "tokenizer_train_envelope":
+                bench(
+                    name, lambda: _tokenizer_train_envelope(spark, sf_dir)
+                )
             else:
                 q = QUERIES[name]
                 bench(name, lambda q=q: force(q(spark, sf_dir)))
@@ -497,7 +522,7 @@ GROUPS: dict[str, object] = {
         "tfidf_keywords",
         "redact_pii", "corpus_report", "corpus_diff", "unicode_nfc",
         "strip_markup", "truncate_tokens", "token_shift", "bpe_pipeline",
-        "unigram_pipeline",
+        "unigram_pipeline", "tokenizer_train_envelope",
     )),
     "embeddings": _registry_group((
         "cosine_topk", "cosine_topk_pandas", "cosine_topk_int8",
@@ -1136,13 +1161,16 @@ def main() -> None:
         spark = get_spark(app_name="pns-bench")
         spark.sparkContext.setLogLevel("ERROR")
         bench = _make_bench(spark, timings, peaks, errors)
+        only = os.environ.get("SPARK_GRAFT_GROUPS")  # testing escape hatch
         for group, runner in GROUPS.items():
+            if only and group not in only.split(","):
+                continue
             try:
                 runner(spark, sf_dir, bench)
             except Exception as e:  # noqa: BLE001
                 errors[group] = f"{type(e).__name__}: {e}"[:500]
-        ann_dial = _ann_dial(spark, sf_dir, errors)
-        if run_scale:
+        ann_dial = {} if only else _ann_dial(spark, sf_dir, errors)
+        if run_scale and not only:
             scale_probe = _scale_probe(spark, sf_dir, timings, errors)
 
     # Headline total = the engine's fast paths. Deliberately-slower memory
