@@ -586,7 +586,7 @@ GROUPS: dict[str, object] = {
         "text_stats", "token_fingerprint", "language_id", "vocab_topk",
         "quality_percentiles", "quality_filter", "quality_buckets",
         "lm_score", "lm_score_stream", "nb_quality", "nb_quality_stream",
-        "novelty_frac", "pmi_bigrams",
+        "novelty_frac", "pmi_bigrams", "oov_rate", "lexical_diversity",
     )),
     "text_transform": _registry_group((
         "chunk_documents", "bm25_topk", "bm25_index", "bm25_route",
@@ -599,6 +599,7 @@ GROUPS: dict[str, object] = {
         "cosine_topk", "cosine_topk_pandas", "cosine_topk_int8",
         "lsh_ann_topk", "ivf_ann_topk", "label_centroids",
         "project_embeddings", "multimodal_video", "embedding_outliers",
+        "knn_label", "diversity_sample",
         "cluster_purity",
     )),
     "ann_cascade": _registry_group((
@@ -609,6 +610,7 @@ GROUPS: dict[str, object] = {
         "sequence_pack", "cap_per_source", "source_mix", "dsir_weights",
         "gumbel_topk", "token_budget", "temperature_mix", "epoch_plan",
         "repeat_upsample", "apply_mix", "clean_ingest", "soft_dedup_sample",
+        "curriculum_shards",
     )),
 }
 

@@ -860,3 +860,64 @@ def apply_mix_weights(
         .filter(F.col("__bucket") < F.col("__cut"))
         .drop("__bucket", "__cut")
     )
+
+
+def curriculum_shards(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    *,
+    n_stages: int = 3,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Curriculum sharding: assign every row a training ``stage`` (by
+    global score quantiles — e.g. short-to-long length curriculum, or
+    easy-to-hard under an LM score), a ``shard`` (by id hash, so each
+    stage splits into ``n_shards`` equal loader files), and a ``pos``
+    (deterministic read order within the (stage, shard)) — the
+    materializable plan a curriculum training loop consumes stage by
+    stage, shard-parallel, identically on every rerun.
+
+    Stage thresholds come from :func:`score_buckets` (ONE exact
+    percentile aggregation, broadcast back, map-side CASE labeling —
+    rows with NULL scores get a NULL stage and sort into their own
+    partition rather than silently dropping). Shard and position use
+    two INDEPENDENT members of the md5 ``(seed, id)`` hash family
+    (``seed`` for the shard, ``seed + 1`` for the in-shard order), so
+    position within a shard is uncorrelated with shard election; both
+    are layout- and engine-independent, replayable in plain SQL.
+
+    Scale shape: one threshold aggregation + one window shuffle
+    partitioned by ``(stage, shard)`` — ``n_stages × n_shards`` window
+    partitions, so size ``n_shards`` to the cluster (hundreds+ at
+    100 TB keeps every reducer busy and every output file loader-sized).
+
+    Returns the input columns plus ``(stage, shard, pos)``.
+    """
+    from pyspark.sql.window import Window
+
+    if n_stages < 2:
+        raise ValueError(f"n_stages must be >= 2: {n_stages}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    if score_col not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"columns {score_col!r}/{id_col!r} not both in {df.columns}"
+        )
+    fracs = tuple(i / n_stages for i in range(1, n_stages))
+    labels = tuple(f"stage{i}" for i in range(n_stages))
+    staged = score_buckets(
+        df, score_col, fracs=fracs, labels=labels
+    ).withColumnRenamed("bucket", "stage")
+    shard = (hash_bucket(F.col(id_col), seed) % F.lit(int(n_shards))).cast(
+        "int"
+    )
+    order_hash = hash_bucket(F.col(id_col), seed + 1)
+    w = Window.partitionBy("stage", "shard").orderBy(
+        order_hash.asc(), F.col(id_col).asc()
+    )
+    return (
+        staged.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+    )

@@ -1776,3 +1776,143 @@ def cluster_purity(
             F.max("__cnt") / F.sum("__cnt"), 9
         ).alias("purity"),
     )
+
+
+def knn_label(
+    labeled: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """kNN majority-vote label propagation: predict each query vector's
+    label from its ``k`` nearest LABELED neighbors by cosine — the
+    cheap curation classifier (domain tagging, quality-tier transfer,
+    topic routing) that needs no trained model, only a labeled seed
+    set and the embedding column the pipeline already carries.
+
+    Neighbors come from :func:`cosine_topk` (exact, deterministic
+    ``(cosine desc, neighbor_id asc)`` tie-break, cosine rounded to 6),
+    so the prediction inherits its scale shape: the QUERY set is the
+    broadcast side and the labeled corpus never shuffles — the only
+    exchanges carry ≤ k rows per (query, partition), then the
+    neighbor-id-keyed label join moves k·|queries| three-column rows.
+    The vote is one partial-agg count per (query, label); the winner is
+    elected by ``(votes desc, label asc)`` — a total order, so the
+    prediction is unique and replayable in SQL. For query sets past the
+    broadcast budget, run the same vote over an ANN candidate set
+    (:func:`ivf_ann_topk` / :func:`ivfpq_rerank`) instead of the exact
+    top-k.
+
+    Returns ``(id_col, label_col, n_votes, vote_frac)`` — one row per
+    query; ``vote_frac`` = winner votes / neighbors found (< 1 when the
+    vote splits, < k neighbors only when the labeled corpus is smaller
+    than k), rounded to 9.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if label_col not in labeled.columns:
+        raise ValueError(f"column {label_col!r} not in labeled frame")
+    nn = cosine_topk(
+        labeled, queries, id_col=id_col, vec_col=vec_col, k=k,
+        exclude_self=True,
+    )
+    votes = (
+        nn.join(
+            labeled.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("__lbl"),
+            ),
+            on="neighbor_id",
+        )
+        .groupBy("query_id", "__lbl")
+        .agg(F.count("*").alias("__n"))
+    )
+    election_key = F.struct(
+        (-F.col("__n")).alias("__negn"), F.col("__lbl").alias("__l")
+    )
+    return (
+        votes.groupBy("query_id")
+        .agg(
+            F.min_by(F.col("__lbl"), election_key).alias(label_col),
+            F.max("__n").cast("bigint").alias("n_votes"),
+            F.round(F.max("__n") / F.sum("__n"), 9).alias("vote_frac"),
+        )
+        .withColumnRenamed("query_id", id_col)
+    )
+
+
+def diversity_sample(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    per_cell: int = 100,
+    seed: int = 42,
+    skew_salt: int | None = None,
+    assign: str = "pandas",
+) -> DataFrame:
+    """Coverage-preserving subsample in embedding space: cap every
+    k-means cell at ``per_cell`` rows, so downsampling removes mass
+    from DENSE regions first and rare content survives — the diversity
+    counterweight to frequency-driven sampling (a uniform sample of a
+    web corpus is mostly its head; this keeps the tail).
+
+    Same deterministic k-means as ``ivf_ann_topk``/``embedding_outliers``
+    (bounded driver-side training, so an oracle can re-derive the exact
+    centroids), nearest-cell assignment MAP-SIDE (one vectorized Arrow
+    distance matrix per batch with ``assign="pandas"``, interpreted
+    array-lambda dots with ``"expr"``), then
+    :func:`~polars_nexpresso_spark.functions.sampling.cap_per_group`
+    on the cell id — survivors are picked by the md5 id-hash total
+    order, deterministic across runs, partitionings, and engines.
+
+    Scale shape: assignment adds no exchange; the cap is one window
+    shuffle keyed by cell. Cells = window partitions, so size
+    ``n_centroids`` to the cluster (hundreds+ at 100 TB); for a
+    pathologically hot cell pass ``skew_salt`` (the two-phase identical
+    -result cap documented on ``cap_per_group``).
+
+    Returns surviving rows with a ``cell`` column appended.
+    """
+    from polars_nexpresso_spark.functions.sampling import cap_per_group
+
+    if per_cell < 1:
+        raise ValueError(f"per_cell must be >= 1: {per_cell}")
+    if n_centroids < 1:
+        raise ValueError(f"n_centroids must be >= 1: {n_centroids}")
+    if id_col not in corpus.columns or vec_col not in corpus.columns:
+        raise ValueError(
+            f"columns {id_col!r}/{vec_col!r} not both in {corpus.columns}"
+        )
+    cent_vecs = _kmeans_centroids(corpus, id_col, vec_col, n_centroids)
+    vec = F.col(vec_col)
+    if assign == "pandas":
+        from polars_nexpresso_spark.functions._vectorized import (
+            pandas_nearest_cell_dist,
+        )
+
+        cell_expr = pandas_nearest_cell_dist(cent_vecs)(vec)["cell"]
+    elif assign == "expr":
+        cent_lits = [
+            F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs
+        ]
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(_sqdist(vec, cl).alias("d"), F.lit(i).alias("i"))
+                    for i, cl in enumerate(cent_lits)
+                ]
+            )
+        )
+        cell_expr = F.get(ranked, 0)["i"]
+    else:
+        raise ValueError(f"assign must be 'pandas' or 'expr', got {assign!r}")
+    assigned = corpus.withColumn("cell", cell_expr)
+    return cap_per_group(
+        assigned, "cell", id_col, max_n=per_cell, seed=seed,
+        skew_salt=skew_salt,
+    )

@@ -1272,3 +1272,120 @@ def pmi_collocations(
     # <= k survivors; the unpartitioned window is bounded by construction.
     w = Window.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def oov_rate(
+    df,
+    text_col: str,
+    group_col: str,
+    *,
+    vocab_size: int = 1000,
+):
+    """Tokenizer-coverage report: the fraction of token OCCURRENCES per
+    group that fall outside the corpus's top-``vocab_size`` unigram
+    vocabulary — the dial that says whether a planned vocabulary covers
+    every source (a source with high OOV rate will fragment into
+    characters under BPE/unigram encoding and eat the token budget).
+
+    Vocabulary = the ``vocab_size`` most frequent whitespace tokens
+    corpus-wide, ties broken alphabetically — one partial-agg token
+    count, then a bounded ``TakeOrdered`` (never a global sort). The
+    per-group measurement joins token counts (not token rows) against
+    the broadcast vocabulary: the exchange carries one row per DISTINCT
+    (group, token), Zipf-small next to the corpus, and the vocabulary
+    side is ``vocab_size`` rows by construction. NULL/empty texts
+    contribute no tokens.
+
+    Returns ``(group_col, n_tokens, n_oov, oov_rate)`` with ``oov_rate``
+    rounded to 9 (NULL when the group has no tokens).
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1: {vocab_size}")
+    if text_col not in df.columns or group_col not in df.columns:
+        raise ValueError(
+            f"columns {text_col!r}/{group_col!r} not both in {df.columns}"
+        )
+    tok_rows = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    counts = tok_rows.groupBy(group_col, "__tok").agg(
+        F.count("*").alias("__n")
+    )
+    vocab = (
+        counts.groupBy("__tok")
+        .agg(F.sum("__n").alias("__freq"))
+        .orderBy(F.col("__freq").desc(), F.col("__tok").asc())
+        .limit(vocab_size)
+        .select("__tok", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        counts.join(F.broadcast(vocab), on="__tok", how="left")
+        .groupBy(group_col)
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), F.col("__n")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.col("n_oov")
+                / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+                9,
+            ),
+        )
+    )
+
+
+def lexical_diversity(
+    df,
+    text_col: str,
+    id_col: str,
+):
+    """Per-document lexical-diversity signals: type-token ratio
+    (distinct / total tokens) and hapax ratio (tokens occurring exactly
+    once / total) — the classic cheap complements to the repetition
+    gate: template/boilerplate text scores LOW TTR, keyword-stuffed or
+    machine-generated lists score anomalously HIGH hapax. Both are pure
+    per-row array arithmetic over the shared whitespace tokenizer — no
+    explode, no shuffle, stream-safe.
+
+    Returns ``(id_col, n_tokens, n_types, ttr, hapax_ratio)`` rounded
+    to 9; NULL text and empty token lists yield NULL ratios (n_tokens
+    0), never a division error.
+    """
+    if text_col not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"columns {text_col!r}/{id_col!r} not both in {df.columns}"
+        )
+    toks = tokens(F.col(text_col))
+    n_tok = F.coalesce(F.size(toks), F.lit(0))
+    n_typ = F.coalesce(F.size(F.array_distinct(toks)), F.lit(0))
+    # hapax count: tokens whose occurrence count in the doc is exactly 1
+    # — one aggregate over the distinct tokens, counting those with a
+    # single match in the full list (array arithmetic, no explode).
+    hapax = F.aggregate(
+        F.array_distinct(toks),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + F.when(
+            F.size(F.filter(toks, lambda x: x == t)) == 1, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    denom = F.when(F.col("n_tokens") > 0, F.col("n_tokens"))
+    return (
+        df.select(
+            F.col(id_col),
+            n_tok.cast("bigint").alias("n_tokens"),
+            n_typ.cast("bigint").alias("n_types"),
+            F.coalesce(hapax, F.lit(0)).cast("bigint").alias("__hapax"),
+        )
+        .withColumn("ttr", F.round(F.col("n_types") / denom, 9))
+        .withColumn("hapax_ratio", F.round(F.col("__hapax") / denom, 9))
+        .drop("__hapax")
+    )

@@ -4502,3 +4502,267 @@ PIPELINE_QUERIES["dedup_index_stream"] = q_dedup_index_stream
 PIPELINE_ORACLE_SQL["dedup_index_stream"] = PIPELINE_ORACLE_SQL[
     "dedup_index"
 ]
+
+
+# --- round-9 operators: registered AFTER the driver's 50-slot window ---------
+# (verified via scripts/check_oracle.py at sf0.001 AND sf0.01 this round;
+# rotate into the window next round per the established protocol.)
+
+
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label propagation: every fifth embedding plays
+    the unlabeled ingest batch, the rest the labeled seed set; each
+    query takes the label winning its 5 nearest labeled neighbors by
+    cosine (ties: votes desc, label asc — a total order the oracle
+    replays). Inherits cosine_topk's scale shape: the labeled corpus
+    never shuffles."""
+    from polars_nexpresso_spark.functions.similarity import knn_label
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    labeled = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    return knn_label(labeled, queries, k=5)
+
+
+PIPELINE_QUERIES["knn_label"] = q_knn_label
+# knn_label: the cosine_topk oracle's ranked cross join restricted to the
+# labeled/query split, then vote counting with the same (votes desc,
+# label asc) election.
+PIPELINE_ORACLE_SQL["knn_label"] = """
+    WITH nn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                     c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                          DESC, c.vec_id ASC
+               ) AS rank
+        FROM (SELECT * FROM embeddings WHERE vec_id % 5 != 0) c
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 5 = 0) q
+        WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 5
+    ),
+    votes AS (
+      SELECT n.query_id, l.label, COUNT(*) AS nv
+      FROM nn n JOIN embeddings l ON l.vec_id = n.neighbor_id
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT query_id, SUM(nv) AS t FROM votes GROUP BY 1),
+    win AS (
+      SELECT query_id, label, nv,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY nv DESC, label ASC
+             ) AS rn
+      FROM votes
+    )
+    SELECT w.query_id AS vec_id, w.label AS label,
+           w.nv::BIGINT AS n_votes,
+           ROUND(w.nv::DOUBLE / t.t, 9) AS vote_frac
+    FROM win w JOIN tot t USING (query_id) WHERE w.rn = 1
+"""
+
+
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-preserving subsample: cap every k-means cell of the
+    embedding space at 40 vectors, survivors elected by the md5 id-hash
+    total order — dense regions shed mass first, rare content survives.
+    Same deterministic centroids as ivf_ann_topk, so the oracle embeds
+    them as VALUES; assignment map-side, one cell-keyed window."""
+    from polars_nexpresso_spark.functions.similarity import (
+        diversity_sample,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    out = diversity_sample(emb, n_centroids=16, per_cell=40)
+    return out.select("vec_id", "label", "cell")
+
+
+PIPELINE_QUERIES["diversity_sample"] = q_diversity_sample
+
+
+def _diversity_sample_oracle() -> str | None:
+    """Exact replica: the embedding_outliers oracle's centroid VALUES +
+    nearest-cell election, then cap_per_source's md5 row_number capped
+    at 40 per cell. Returns None (rows-only) without readable testdata."""
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from polars_nexpresso_spark.functions.similarity import (
+            kmeans_centroids_local,
+        )
+
+        cents = kmeans_centroids_local(
+            f"{sf_dir}/embeddings.parquet", n_centroids=16
+        )
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return None
+    values = ",\n                 ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(i, v) AS (
+          VALUES {values}
+        ),
+        ranked AS (
+          SELECT e.vec_id, e.label, c.i,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.v) ASC,
+                            c.i ASC
+                 ) AS rn
+          FROM embeddings e, cents c
+        ),
+        a AS (SELECT vec_id, label, i AS cell FROM ranked WHERE rn = 1),
+        capped AS (
+          SELECT vec_id, label, cell,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY cell
+                   ORDER BY (CAST(concat('0x', substr(
+                       md5('42:' || CAST(vec_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 1000000) ASC, vec_id ASC
+                 ) AS rk
+          FROM a
+        )
+        SELECT vec_id, label, cell FROM capped WHERE rk <= 40
+    """
+
+
+_div_oracle = _diversity_sample_oracle()
+if _div_oracle is not None:
+    PIPELINE_ORACLE_SQL["diversity_sample"] = _div_oracle
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage report: per-source fraction of token
+    occurrences outside the corpus top-40 unigram vocabulary — the
+    pre-tokenizer-training check that a planned vocabulary covers every
+    source. Exchanges carry (source, token) count rows, never tokens."""
+    from polars_nexpresso_spark.functions.text import oov_rate
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return oov_rate(docs, "text", "source", vocab_size=40)
+
+
+PIPELINE_QUERIES["oov_rate"] = q_oov_rate
+# oov_rate: token unnest with the Spark tokenizer's empty-text rule
+# (tokens('') = [], while DuckDB string_split('') = ['']), the
+# vocabulary as a (freq desc, token asc) row_number prefix, per-source
+# occurrence sums.
+PIPELINE_ORACLE_SQL["oov_rate"] = f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOKS}) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok2 AS (SELECT source, tok FROM tok WHERE length(tok) > 0),
+    counts AS (
+      SELECT source, tok, COUNT(*) AS n FROM tok2 GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (
+                 ORDER BY SUM(n) DESC, tok ASC) AS r
+        FROM counts GROUP BY tok
+      ) WHERE r <= 40
+    ),
+    agg AS (
+      SELECT source, SUM(n) AS n_tokens,
+             SUM(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                      THEN n ELSE 0 END) AS n_oov
+      FROM counts GROUP BY source
+    )
+    SELECT source, n_tokens::BIGINT AS n_tokens, n_oov::BIGINT AS n_oov,
+           ROUND(n_oov::DOUBLE
+                 / (CASE WHEN n_tokens > 0 THEN n_tokens END), 9)
+               AS oov_rate
+    FROM agg
+"""
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token and hapax ratios — the cheap lexical
+    complements to the repetition gate (templates score low TTR,
+    keyword stuffing scores anomalously high hapax). Pure per-row array
+    arithmetic, no explode, no shuffle, stream-safe."""
+    from polars_nexpresso_spark.functions.text import lexical_diversity
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return lexical_diversity(docs, "text", "doc_id")
+
+
+PIPELINE_QUERIES["lexical_diversity"] = q_lexical_diversity
+# lexical_diversity: list arithmetic with the Spark tokenizer's
+# empty/NULL rules (NULL text and '' both yield zero tokens and NULL
+# ratios); hapax = distinct tokens with exactly one occurrence.
+PIPELINE_ORACLE_SQL["lexical_diversity"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN NULL
+                  WHEN length({_NORM}) = 0 THEN []::VARCHAR[]
+                  ELSE {_TOKS} END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           COALESCE(len(toks), 0)::BIGINT AS n_tokens,
+           COALESCE(len(list_distinct(toks)), 0)::BIGINT AS n_types,
+           ROUND(len(list_distinct(toks))::DOUBLE
+                 / (CASE WHEN len(toks) > 0 THEN len(toks) END), 9)
+               AS ttr,
+           ROUND(len(list_filter(list_distinct(toks),
+                     u -> len(list_filter(toks, x -> x = u)) = 1))::DOUBLE
+                 / (CASE WHEN len(toks) > 0 THEN len(toks) END), 9)
+               AS hapax_ratio
+    FROM t
+"""
+
+
+def q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum sharding: stage by global n_chars terciles
+    (short-to-long), 4 loader shards per stage by id hash, and a
+    deterministic in-shard position from an independent hash — the
+    materializable plan a curriculum training loop replays identically
+    every run. One percentile aggregation + one (stage, shard) window."""
+    from polars_nexpresso_spark.functions.sampling import (
+        curriculum_shards,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    out = curriculum_shards(
+        docs, "n_chars", "doc_id", n_stages=3, n_shards=4
+    )
+    return out.select("doc_id", "stage", "shard", "pos")
+
+
+PIPELINE_QUERIES["curriculum_shards"] = q_curriculum_shards
+# curriculum_shards: exact interpolated terciles (quantile_cont ==
+# F.percentile) rounded to 6 as score_buckets does, the md5 family for
+# shard (seed 42) and in-shard order (seed 43), row_number per
+# (stage, shard).
+PIPELINE_ORACLE_SQL["curriculum_shards"] = """
+    WITH thr AS (
+      SELECT ROUND(quantile_cont(n_chars::DOUBLE, 1.0/3), 6) AS t0,
+             ROUND(quantile_cont(n_chars::DOUBLE, 2.0/3), 6) AS t1
+      FROM documents WHERE n_chars IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN n_chars IS NULL THEN NULL
+                  WHEN n_chars::DOUBLE <= t.t0 THEN 'stage0'
+                  WHEN n_chars::DOUBLE <= t.t1 THEN 'stage1'
+                  ELSE 'stage2' END AS stage,
+             (CAST(concat('0x', substr(
+                  md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000) % 4 AS shard,
+             CAST(concat('0x', substr(
+                  md5('43:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 1000000 AS oh
+      FROM documents, thr t
+    )
+    SELECT doc_id, stage, shard::INTEGER AS shard,
+           (ROW_NUMBER() OVER (
+              PARTITION BY stage, shard ORDER BY oh ASC, doc_id ASC
+            ))::BIGINT AS pos
+    FROM b
+"""

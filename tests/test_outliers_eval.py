@@ -197,3 +197,105 @@ def test_cluster_purity_engines_agree_and_validate(spark):
     assert a == b
     with pytest.raises(ValueError, match="not in"):
         cluster_purity(df, label_col="missing")
+
+
+# ------------------------------------------------------- round-9: knn_label
+
+
+def test_knn_label_majority_vote_and_ties(spark):
+    """Three tight clusters with known labels; a query inside each
+    cluster takes that cluster's label. Vote ties break label-asc."""
+    from polars_nexpresso_spark.functions.similarity import knn_label
+
+    labeled_rows = (
+        [(i, [1.0, 0.0], 0) for i in range(3)]
+        + [(10 + i, [0.0, 1.0], 1) for i in range(3)]
+        + [(20 + i, [-1.0, 0.0], 2) for i in range(3)]
+    )
+    labeled = spark.createDataFrame(
+        labeled_rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.9, 0.1]), (101, [0.1, 0.9]), (102, [-0.9, -0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["label"], r["n_votes"], r["vote_frac"])
+        for r in knn_label(labeled, queries, k=3).collect()
+    }
+    assert out[100] == (0, 3, pytest.approx(1.0))
+    assert out[101] == (1, 3, pytest.approx(1.0))
+    assert out[102] == (2, 3, pytest.approx(1.0))
+    # k=2 straddling two clusters equally -> tie -> smaller label wins
+    mid = spark.createDataFrame(
+        [(200, [0.7071, 0.7071])], "vec_id long, embedding array<float>"
+    )
+    two = spark.createDataFrame(
+        [(1, [1.0, 0.0], 5), (2, [0.0, 1.0], 3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    row = knn_label(two, mid, k=2).collect()[0]
+    assert row["label"] == 3 and row["n_votes"] == 1
+    assert row["vote_frac"] == pytest.approx(0.5)
+    with pytest.raises(ValueError, match="k must"):
+        knn_label(two, mid, k=0)
+    with pytest.raises(ValueError, match="label"):
+        knn_label(mid, mid, k=1)
+
+
+def test_knn_label_corpus_never_shuffles(spark):
+    """cosine_topk's scale contract survives the label join: no
+    Exchange upstream of the labeled corpus scan (queries broadcast;
+    the only exchanges carry per-partition top-k and vote partials)."""
+    from polars_nexpresso_spark.functions.similarity import knn_label
+
+    labeled = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0], i % 3) for i in range(50)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    plan = (
+        knn_label(labeled, queries, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan  # the query side
+    assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- round-9: diversity_sample
+
+
+def test_diversity_sample_caps_dense_cells_keeps_rare(spark):
+    """A dense cluster of 50 and a rare cluster of 3, k=2, per_cell=5:
+    the dense cell shrinks to 5, the rare cell survives whole, and
+    WHICH dense rows survive is the md5-hash order (deterministic
+    across partitionings)."""
+    from polars_nexpresso_spark.functions.similarity import (
+        diversity_sample,
+    )
+
+    rows = [(i, [10.0, 10.0]) for i in range(50)] + [
+        (100 + i, [-10.0, -10.0]) for i in range(3)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = diversity_sample(
+        emb, n_centroids=2, per_cell=5
+    ).collect()
+    by_cell: dict[int, set] = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], set()).add(r["vec_id"])
+    sizes = sorted(len(v) for v in by_cell.values())
+    assert sizes == [3, 5]
+    rare = next(v for v in by_cell.values() if len(v) == 3)
+    assert rare == {100, 101, 102}
+    # determinism: a different partitioning keeps the same survivors
+    out2 = diversity_sample(
+        emb.repartition(7), n_centroids=2, per_cell=5
+    ).collect()
+    assert {r["vec_id"] for r in out2} == {r["vec_id"] for r in out}
+    with pytest.raises(ValueError, match="per_cell"):
+        diversity_sample(emb, n_centroids=2, per_cell=0)

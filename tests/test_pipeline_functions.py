@@ -2889,3 +2889,54 @@ def test_dedup_index_stream_size_guard_and_validation(spark, tmp_path):
         for t in ("pns_test_didx_g_fp", "pns_test_didx_g_lsh",
                   "pns_test_didx_g_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_curriculum_shards_contract(spark):
+    """Stages are score terciles, shards split each stage by id hash,
+    positions are a deterministic 1..n sequence per (stage, shard) that
+    survives repartitioning; NULL scores get a NULL stage, never drop."""
+    from polars_nexpresso_spark.functions.sampling import (
+        curriculum_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(90)] + [(900, None)],
+        "doc_id long, score int",
+    )
+    out = curriculum_shards(
+        df, "score", "doc_id", n_stages=3, n_shards=2
+    ).collect()
+    assert len(out) == 91
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[900]["stage"] is None
+    stages = {r["stage"] for r in out if r["stage"] is not None}
+    assert stages == {"stage0", "stage1", "stage2"}
+    # stage boundaries respect the score order: every stage0 score <=
+    # every stage1 score <= every stage2 score
+    s0 = [r["score"] for r in out if r["stage"] == "stage0"]
+    s1 = [r["score"] for r in out if r["stage"] == "stage1"]
+    s2 = [r["score"] for r in out if r["stage"] == "stage2"]
+    assert max(s0) <= min(s1) and max(s1) <= min(s2)
+    # positions are 1..n per (stage, shard)
+    groups: dict[tuple, list] = {}
+    for r in out:
+        groups.setdefault((r["stage"], r["shard"]), []).append(r["pos"])
+    for pos_list in groups.values():
+        assert sorted(pos_list) == list(range(1, len(pos_list) + 1))
+    assert {r["shard"] for r in out} == {0, 1}
+    # determinism across partitionings
+    out2 = curriculum_shards(
+        spark.createDataFrame(
+            [(i, (i * 37) % 100) for i in range(90)] + [(900, None)],
+            "doc_id long, score int",
+        ).repartition(13),
+        "score", "doc_id", n_stages=3, n_shards=2,
+    ).collect()
+    assert {(r["doc_id"], r["stage"], r["shard"], r["pos"]) for r in out2} \
+        == {(r["doc_id"], r["stage"], r["shard"], r["pos"]) for r in out}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_stages"):
+        curriculum_shards(df, "score", "doc_id", n_stages=1)
+    with _pytest.raises(ValueError, match="n_shards"):
+        curriculum_shards(df, "score", "doc_id", n_shards=0)

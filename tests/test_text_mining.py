@@ -397,3 +397,81 @@ def test_containment_dominates_jaccard_metamorphic(spark):
         assert jac <= cont, f"threshold {thr}: {jac - cont} missing"
     # and the subset relation is strict here: doc4 ⊂ doc1 at 1.0
     assert (1, 4) in cont and (1, 4) not in jac
+
+
+# ---------------------------------------------------------------------------
+# round-9: oov_rate + lexical_diversity
+# ---------------------------------------------------------------------------
+
+
+def test_oov_rate_semantics_and_nulls(spark):
+    from polars_nexpresso_spark.functions.text import oov_rate
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "a a a b"),      # 4 tokens; vocab(2) = {a, b}? see below
+            (2, "a", "a rare1"),
+            (3, "b", "a b rare2 rare2 rare2"),
+            (4, "b", None),
+            (5, "b", ""),
+        ],
+        "doc_id long, source string, text string",
+    )
+    # corpus freqs: a=5, rare2=3, b=2, rare1=1 -> vocab_size=2 keeps {a, rare2}
+    out = {
+        r["source"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in oov_rate(df, "text", "source", vocab_size=2).collect()
+    }
+    assert out["a"] == (6, 2, pytest.approx(2 / 6))   # b, rare1 are OOV
+    assert out["b"] == (5, 1, pytest.approx(1 / 5))   # b is OOV
+    # validation
+    with pytest.raises(ValueError, match="vocab_size"):
+        oov_rate(df, "text", "source", vocab_size=0)
+    with pytest.raises(ValueError, match="columns"):
+        oov_rate(df, "body", "source", vocab_size=2)
+
+
+def test_oov_rate_vocab_tie_break_alphabetical(spark):
+    from polars_nexpresso_spark.functions.text import oov_rate
+
+    df = spark.createDataFrame(
+        [(1, "s", "x y")], "doc_id long, source string, text string"
+    )
+    # x and y tie at freq 1; vocab_size=1 must keep 'x' (alphabetical)
+    row = oov_rate(df, "text", "source", vocab_size=1).collect()[0]
+    assert (row["n_tokens"], row["n_oov"]) == (2, 1)
+
+
+def test_lexical_diversity_semantics(spark):
+    from polars_nexpresso_spark.functions.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a c"),      # 4 tokens, 3 types, hapax {b, c}
+            (2, "x x x"),        # 3 tokens, 1 type, no hapax
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_types"], r["ttr"], r["hapax_ratio"]
+        )
+        for r in lexical_diversity(df, "text", "doc_id").collect()
+    }
+    assert out[1] == (4, 3, pytest.approx(0.75), pytest.approx(0.5))
+    assert out[2] == (3, 1, pytest.approx(1 / 3), pytest.approx(0.0))
+    assert out[3] == (0, 0, None, None)
+    assert out[4] == (0, 0, None, None)
+
+
+def test_lexical_diversity_is_map_side(spark):
+    from polars_nexpresso_spark.functions.text import lexical_diversity
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = (
+        lexical_diversity(df, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
