@@ -821,6 +821,9 @@ SCALE_PROBE_QUERIES = (
     # round-8 session-2 operators
     "soft_dedup_weights", "novelty_frac", "pmi_bigrams",
     "embedding_outliers", "dedup_pair_recall", "soft_dedup_sample",
+    # round-9 operators
+    "dedup_index_stream", "knn_label", "diversity_sample", "oov_rate",
+    "lexical_diversity", "curriculum_shards",
 )
 
 

@@ -1293,7 +1293,10 @@ def oov_rate(
     per-group measurement joins token counts (not token rows) against
     the broadcast vocabulary: the exchange carries one row per DISTINCT
     (group, token), Zipf-small next to the corpus, and the vocabulary
-    side is ``vocab_size`` rows by construction. NULL/empty texts
+    side is ``vocab_size`` rows by construction. The count table feeds
+    BOTH the vocabulary and the measurement, so it is persisted
+    (MEMORY_AND_DISK, Zipf-small) — without the cache the corpus-scale
+    tokenize+count pipeline evaluates twice. NULL/empty texts
     contribute no tokens.
 
     Returns ``(group_col, n_tokens, n_oov, oov_rate)`` with ``oov_rate``
@@ -1308,9 +1311,11 @@ def oov_rate(
     tok_rows = df.select(
         F.col(group_col), F.explode(tokens(F.col(text_col))).alias("__tok")
     )
+    from pyspark import StorageLevel
+
     counts = tok_rows.groupBy(group_col, "__tok").agg(
         F.count("*").alias("__n")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     vocab = (
         counts.groupBy("__tok")
         .agg(F.sum("__n").alias("__freq"))

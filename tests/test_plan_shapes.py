@@ -749,3 +749,57 @@ def test_bm25_route_is_shuffle_free(spark, tmp_path):
     ))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_round9_operator_shuffle_budgets(spark):
+    """Round-9 operators. lexical_diversity is a pure map-side array
+    chain — ZERO exchanges, zero Python. dedup_index_stream is the
+    stream probe's whole point: ZERO exchanges, two Arrow stages (the
+    fp membership search and the band-dictionary probe). knn_label = 2
+    exchanges (per-partition top-k partials + vote agg); its
+    nested-loop join is cosine_topk's CONTRACT — the broadcast query
+    cross join every exact scorer pays. diversity_sample = 1 exchange
+    (the cell-keyed cap window) + the Arrow cell-assignment stage.
+    oov_rate = 4 PLAN-TEXT exchanges over a persisted Zipf-small count
+    table — the counts agg appears under BOTH InMemoryTableScan
+    branches in the plan string but executes once (the persist is
+    exactly what makes the corpus tokenize ONCE); physical exchanges:
+    counts agg, vocabulary agg, final per-group agg.
+    curriculum_shards = 1 exchange (the (stage,
+    shard) window); its nested-loop join is the broadcast 1-ROW
+    threshold frame, bounded by construction like token_shift's."""
+    import __spark_entry__ as em
+
+    from polars_nexpresso_spark.plans.audit import scale_report
+
+    sf = "/root/testdata/sf0.001"
+    qs = em.queries()
+    budgets = {
+        "lexical_diversity": (0, 0),
+        "dedup_index_stream": (0, 2),
+        "knn_label": (2, 0),
+        "diversity_sample": (1, 1),
+        "oov_rate": (4, 0),
+        "curriculum_shards": (1, 0),
+    }
+    broadcast_by_contract = ("knn_label", "curriculum_shards")
+    for name, (max_exchanges, python_stages) in budgets.items():
+        rep = scale_report(qs[name](spark, sf))
+        hard_warnings = [
+            w
+            for w in rep["warnings"]
+            if not (
+                name in broadcast_by_contract
+                and w.startswith("nested-loop-join")
+            )
+            and not (
+                name in ("diversity_sample", "dedup_index_stream")
+                and w.startswith("python-eval")
+                and "ArrowEvalPython" in w
+            )
+        ]
+        assert hard_warnings == [], (name, hard_warnings)
+        assert rep["exchanges"] <= max_exchanges, (name, rep["exchanges"])
+        assert rep["python_stages"] <= python_stages, (
+            name, rep["python_stages"],
+        )
