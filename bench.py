@@ -587,6 +587,7 @@ GROUPS: dict[str, object] = {
         "quality_percentiles", "quality_filter", "quality_buckets",
         "lm_score", "lm_score_stream", "nb_quality", "nb_quality_stream",
         "novelty_frac", "pmi_bigrams", "oov_rate", "lexical_diversity",
+        "oov_annotate",
     )),
     "text_transform": _registry_group((
         "chunk_documents", "bm25_topk", "bm25_index", "bm25_route",

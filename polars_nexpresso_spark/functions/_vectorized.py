@@ -274,6 +274,46 @@ def pandas_nb_score(token_hashes, log_odds):
     return score
 
 
+def pandas_member_count(sorted_values):
+    """UDF factory: how many elements of a row's long-array column are
+    in ``sorted_values`` (sorted numpy int64 in the closure) — the
+    COUNTING sibling of :func:`pandas_member_overlap`, same one
+    searchsorted per Arrow batch with a per-row sum instead of any().
+    NULL arrays → NULL (the caller decides the empty-document rule).
+    Used by the stream-safe OOV annotator."""
+    import numpy as np
+
+    ref = np.asarray(sorted_values, dtype=np.int64)
+
+    @pandas_udf("long")
+    def in_count(arrs: pd.Series) -> pd.Series:
+        out: list = [None] * len(arrs)
+        rows = [
+            (i, np.asarray(hs, dtype=np.int64))
+            for i, hs in enumerate(arrs)
+            if hs is not None
+        ]
+        nonempty = [(i, a) for i, a in rows if a.size > 0]
+        for i, _ in rows:
+            out[i] = 0
+        if nonempty and ref.size:
+            # one searchsorted over the flattened arrays, per-row sums
+            # via reduceat — the member_overlap shape, counting edition
+            lens = np.array([a.size for _, a in nonempty])
+            flat = np.concatenate([a for _, a in nonempty])
+            idx = np.searchsorted(ref, flat)
+            idx[idx == ref.size] = ref.size - 1
+            hits = (ref[idx] == flat).astype(np.int64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(hits, starts)
+            for (i, _), s in zip(nonempty, sums):
+                out[i] = int(s)
+        return pd.Series(out, dtype="object")
+
+    return in_count
+
+
 def pandas_scalar_member(sorted_values):
     """UDF factory: True when a row's SCALAR long column is in
     ``sorted_values`` (sorted numpy int64, held in the closure). The

@@ -1394,3 +1394,82 @@ def lexical_diversity(
         .withColumn("hapax_ratio", F.round(F.col("__hapax") / denom, 9))
         .drop("__hapax")
     )
+
+
+def oov_annotate_stream(
+    df,
+    text_col: str,
+    vocab_ref,
+    *,
+    vocab_size: int = 1000,
+):
+    """Stream-safe per-document OOV annotation: tag every incoming
+    document with its token count and how many of those tokens fall
+    outside a FROZEN vocabulary — the per-row half of :func:`oov_rate`
+    an ingest gate runs on an unbounded ``readStream`` (route
+    high-OOV docs to review, or weight them down before they fragment
+    under the tokenizer).
+
+    The vocabulary is the top-``vocab_size`` unigram vocabulary of
+    ``vocab_ref`` (a BATCH frame — the reference corpus; same
+    ``(freq desc, token asc)`` rule as :func:`oov_rate`), collected
+    ONCE into a sorted token-hash dictionary — the driver transfer is
+    ``vocab_size`` longs by construction, the frozen-model split of
+    ``nb_quality_score_stream``/``lm_score_stream``. Each row hashes
+    its tokens JVM-side and counts membership in one Arrow-batched
+    binary search (:func:`~polars_nexpresso_spark.functions._vectorized
+    .pandas_member_count`) — no join, no shuffle, no state; identical
+    on a batch frame and a stream. Aggregating the per-doc counts by
+    group reproduces :func:`oov_rate` exactly (test-pinned).
+
+    NULL text → 0 tokens, NULL rate (the row still flows). Returns the
+    input columns plus ``(n_tokens, n_oov, oov_rate)`` (rate rounded
+    to 9).
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1: {vocab_size}")
+    if text_col not in df.columns or text_col not in vocab_ref.columns:
+        raise ValueError(f"both frames need column {text_col!r}")
+    import numpy as np
+
+    from polars_nexpresso_spark.functions._vectorized import (
+        pandas_member_count,
+    )
+
+    vocab_rows = (
+        vocab_ref.select(
+            F.explode(tokens(F.col(text_col))).alias("__tok")
+        )
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__freq"))
+        .orderBy(F.col("__freq").desc(), F.col("__tok").asc())
+        .limit(vocab_size)
+        .select(F.xxhash64("__tok").alias("__h"))
+        .collect()
+    )
+    vocab_sorted = np.sort(
+        np.array([r["__h"] for r in vocab_rows], dtype=np.int64)
+    )
+    in_count = pandas_member_count(vocab_sorted).asNondeterministic()
+    toks = tokens(F.col(text_col))
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n_tok = F.coalesce(F.size(toks), F.lit(0)).cast("bigint")
+    annotated = df.withColumn(
+        "n_tokens", n_tok
+    ).withColumn(
+        "__in", F.coalesce(in_count(tok_hashes), F.lit(0)).cast("bigint")
+    )
+    return (
+        annotated.withColumn(
+            "n_oov", (F.col("n_tokens") - F.col("__in")).cast("bigint")
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.col("n_oov")
+                / F.when(F.col("n_tokens") > 0, F.col("n_tokens")),
+                9,
+            ),
+        )
+        .drop("__in")
+    )

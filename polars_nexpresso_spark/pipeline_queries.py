@@ -4766,3 +4766,49 @@ PIPELINE_ORACLE_SQL["curriculum_shards"] = """
             ))::BIGINT AS pos
     FROM b
 """
+
+
+def q_oov_annotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-safe per-document OOV annotation against the frozen
+    corpus top-40 vocabulary — the per-row half of oov_rate an ingest
+    gate runs on a readStream (no join, no shuffle, no state;
+    batch == stream pinned in tests). Registered on a batch frame with
+    the corpus itself as the vocabulary reference, so the oracle is the
+    oov_rate vocabulary CTE applied per document."""
+    from polars_nexpresso_spark.functions.text import oov_annotate_stream
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    out = oov_annotate_stream(docs, "text", docs, vocab_size=40)
+    return out.select("doc_id", "n_tokens", "n_oov", "oov_rate")
+
+
+PIPELINE_QUERIES["oov_annotate"] = q_oov_annotate
+# oov_annotate: the oov_rate vocabulary prefix, then per-document token
+# membership counts with the Spark tokenizer's NULL/empty rules.
+PIPELINE_ORACLE_SQL["oov_annotate"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tok2 AS (SELECT doc_id, tok FROM tok WHERE length(tok) > 0),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, ROW_NUMBER() OVER (
+                 ORDER BY COUNT(*) DESC, tok ASC) AS r
+        FROM tok2 GROUP BY tok
+      ) WHERE r <= 40
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                      THEN 1 ELSE 0 END) AS n_oov
+      FROM tok2 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+           COALESCE(p.n_oov, 0)::BIGINT AS n_oov,
+           ROUND(p.n_oov::DOUBLE
+                 / (CASE WHEN p.n_tokens > 0 THEN p.n_tokens END), 9)
+               AS oov_rate
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""

@@ -475,3 +475,78 @@ def test_lexical_diversity_is_map_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_oov_annotate_stream_matches_batch_and_aggregates_to_oov_rate(spark):
+    """Per-doc annotations aggregate exactly to oov_rate's per-group
+    report (same frozen vocabulary), and a real availableNow drain
+    yields the same rows as the batch frame."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.text import (
+        oov_annotate_stream,
+        oov_rate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", "a a a b"),
+            (2, "a", "a rare1"),
+            (3, "b", "a b rare2 rare2 rare2"),
+            (4, "b", None),
+            (5, "b", ""),
+        ],
+        "doc_id long, source string, text string",
+    )
+    ann = oov_annotate_stream(df, "text", df, vocab_size=2)
+    rows = {r["doc_id"]: r for r in ann.collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_oov"] == 1  # b OOV
+    assert rows[4]["n_tokens"] == 0 and rows[4]["oov_rate"] is None
+    assert rows[5]["n_tokens"] == 0 and rows[5]["oov_rate"] is None
+    # aggregate == oov_rate (groups with tokens)
+    agg = {
+        r["source"]: (r["n_tokens"], r["n_oov"])
+        for r in ann.filter("n_tokens > 0")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").alias("n_tokens"), F.sum("n_oov").alias("n_oov")
+        )
+        .collect()
+    }
+    want = {
+        r["source"]: (r["n_tokens"], r["n_oov"])
+        for r in oov_rate(df, "text", "source", vocab_size=2).collect()
+    }
+    assert agg == want
+    # real stream drain == batch
+    tmp = tempfile.mkdtemp(prefix="pns_oov_stream_")
+    try:
+        df.repartition(2).write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(df.schema).parquet(f"{tmp}/in")
+        out = oov_annotate_stream(stream, "text", df, vocab_size=2)
+        assert out.isStreaming
+        q = (
+            out.select("doc_id", "n_tokens", "n_oov", "oov_rate")
+            .writeStream.format("memory")
+            .queryName("oov_stream_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["doc_id"], r["n_tokens"], r["n_oov"], r["oov_rate"])
+            for r in spark.table("oov_stream_out").collect()
+        }
+        expect = {
+            (r["doc_id"], r["n_tokens"], r["n_oov"], r["oov_rate"])
+            for r in ann.collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with pytest.raises(ValueError, match="vocab_size"):
+        oov_annotate_stream(df, "text", df, vocab_size=0)
