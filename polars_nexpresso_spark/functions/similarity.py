@@ -1916,3 +1916,84 @@ def diversity_sample(
         assigned, "cell", id_col, max_n=per_cell, seed=seed,
         skew_salt=skew_salt,
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_vec,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    lam: float = 0.5,
+    max_candidates: int = 10_000,
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank of a BOUNDED candidate set:
+    greedily pick the candidate maximizing
+    ``lam * cos(query, d) - (1 - lam) * max_{s in selected} cos(d, s)``
+    — the classic diversification step between retrieval and
+    consumption (RAG context assembly, near-dup-heavy search results):
+    pure top-k hands back five copies of the same passage; MMR trades
+    a little relevance for coverage. ``lam=1`` reduces to relevance
+    order; lower values spread harder.
+
+    MMR is inherently SEQUENTIAL (each pick conditions on the previous
+    ones), so it runs on the driver over the candidate set — which an
+    upstream :func:`cosine_topk` / :func:`ivfpq_rerank` has already
+    bounded to k-ish rows; ``max_candidates`` fail-fasts if someone
+    points it at a corpus. This is the standard split: the CLUSTER
+    bounds candidates, the driver orders the shortlist (O(k·N) dots on
+    a few thousand rows — microseconds next to one shuffle). Ties break
+    by id asc; scores round to 6, so reruns and engines agree.
+
+    Returns ``(id_col, mmr_score, rank)`` — ``rank`` 1-based selection
+    order, ``mmr_score`` the criterion value at selection time (the
+    first pick's score is ``lam * cos(query, d)``; diversity penalty 0).
+    """
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+    rows = candidates.select(F.col(id_col), F.col(vec_col)).collect()
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"mmr_rerank orders the candidate set on the driver; got "
+            f"{len(rows)} rows > max_candidates={max_candidates}. Bound "
+            "the candidates with cosine_topk / the ANN engines first."
+        )
+    if not rows:
+        raise ValueError("candidates is empty")
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    rel = unit @ (qv / (qn if qn > 0 else 1.0))
+
+    n = len(ids)
+    selected: list[int] = []
+    out: list[tuple[int, float, int]] = []
+    max_sim = np.full(n, -np.inf)
+    remaining = np.ones(n, dtype=bool)
+    for rank in range(1, min(k, n) + 1):
+        penalty = np.where(np.isfinite(max_sim), max_sim, 0.0)
+        score = lam * rel - (1.0 - lam) * penalty
+        score = np.round(score, 6)
+        # argmax with id-asc tie-break among remaining
+        best, best_key = None, None
+        for i in np.flatnonzero(remaining):
+            key = (-score[i], ids[i])
+            if best_key is None or key < best_key:
+                best, best_key = int(i), key
+        selected.append(best)
+        remaining[best] = False
+        out.append((int(ids[best]), float(score[best]), rank))
+        max_sim = np.maximum(max_sim, unit @ unit[best])
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        out, f"{id_col} long, mmr_score double, rank int"
+    )

@@ -299,3 +299,68 @@ def test_diversity_sample_caps_dense_cells_keeps_rare(spark):
     assert {r["vec_id"] for r in out2} == {r["vec_id"] for r in out}
     with pytest.raises(ValueError, match="per_cell"):
         diversity_sample(emb, n_centroids=2, per_cell=0)
+
+
+# ---------------------------------------------------------- round-9: MMR
+
+
+def test_mmr_rerank_diversifies_near_duplicate_results(spark):
+    """Two near-identical highly-relevant vectors + one distinct
+    moderately-relevant vector: pure relevance keeps both copies first;
+    MMR at lam=0.5 picks one copy, then the DISTINCT vector — the
+    defining behavior."""
+    from polars_nexpresso_spark.functions.similarity import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),       # relevant
+            (2, [0.999, 0.001]),   # near-copy of 1, hair more relevant
+            (3, [0.0, 1.0]),       # orthogonal, moderately relevant
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    order = [
+        r["vec_id"]
+        for r in mmr_rerank(cands, [0.8, 0.6], k=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert order[0] == 2          # top relevance first
+    assert order[1] == 3          # diversity beats the near-copy of 2
+    assert order[2] == 1
+    # lam=1 reduces to pure relevance order
+    rel_order = [
+        r["vec_id"]
+        for r in mmr_rerank(cands, [0.8, 0.6], k=3, lam=1.0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert rel_order == [2, 1, 3]
+
+
+def test_mmr_rerank_contracts(spark):
+    from polars_nexpresso_spark.functions.similarity import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    # first pick's score is lam * cos(query, d); ranks are 1..k
+    out = mmr_rerank(cands, [0.0, 1.0], k=2, lam=0.7).orderBy("rank").collect()
+    assert [r["rank"] for r in out] == [1, 2]
+    assert out[0]["mmr_score"] == pytest.approx(0.7, abs=1e-6)
+    # k > n truncates to n
+    assert mmr_rerank(cands, [0.0, 1.0], k=99).count() == 5
+    # determinism across partitionings
+    a = [(r["vec_id"], r["rank"]) for r in
+         mmr_rerank(cands, [0.3, 0.7], k=5).orderBy("rank").collect()]
+    b = [(r["vec_id"], r["rank"]) for r in
+         mmr_rerank(cands.repartition(4), [0.3, 0.7], k=5)
+         .orderBy("rank").collect()]
+    assert a == b
+    with pytest.raises(ValueError, match="max_candidates"):
+        mmr_rerank(cands, [0.0, 1.0], k=2, max_candidates=3)
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank(cands, [0.0, 1.0], k=2, lam=1.5)
+    with pytest.raises(ValueError, match="k must"):
+        mmr_rerank(cands, [0.0, 1.0], k=0)
