@@ -1997,3 +1997,72 @@ def mmr_rerank(
     return spark.createDataFrame(
         out, f"{id_col} long, mmr_score double, rank int"
     )
+
+
+def embedding_drift(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int,
+    max_expr_dims: int = 1024,
+) -> DataFrame:
+    """Distribution-drift report between two corpus slices in embedding
+    space: per label, the cosine between the slices' centroids and the
+    euclidean centroid shift — the cheap "did the new crawl move under
+    us" check run between ingests (a label whose centroid rotated or
+    travelled signals content drift, encoder change, or a poisoned
+    source) before retraining quantizers or refreshing ANN indexes.
+
+    Both sides reduce through :func:`label_centroids` (ONE hash
+    aggregation each; the shuffle carries ``n_labels × (dim + 1)``
+    doubles, never vectors, map-side partials; centroids round to 6 —
+    the cross-engine contract), then the comparison is a join + one
+    aggregation over ``n_labels × dim`` centroid ROWS — bounded by the
+    label vocabulary, not the corpus. Labels present in only one slice
+    are dropped (drift is undefined there); per-slice row counts ride
+    two count aggs.
+
+    Returns ``(label, n_a, n_b, centroid_cosine, centroid_shift)`` —
+    cosine rounded to 6 (NULL when either centroid is the zero
+    vector), shift (L2) rounded to 6.
+    """
+    ca = label_centroids(
+        a, vec_col=vec_col, label_col=label_col, dim=dim,
+        max_expr_dims=max_expr_dims,
+    )
+    cb = label_centroids(
+        b, vec_col=vec_col, label_col=label_col, dim=dim,
+        max_expr_dims=max_expr_dims,
+    ).withColumnRenamed("centroid", "__cb")
+    joined = ca.join(cb, on=["label", "dim"])
+    stats = joined.groupBy("label").agg(
+        F.sum(F.col("centroid") * F.col("__cb")).alias("__dot"),
+        F.sum(F.col("centroid") * F.col("centroid")).alias("__na2"),
+        F.sum(F.col("__cb") * F.col("__cb")).alias("__nb2"),
+        F.sum(
+            (F.col("centroid") - F.col("__cb"))
+            * (F.col("centroid") - F.col("__cb"))
+        ).alias("__d2"),
+    )
+    counts_a = a.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_a")
+    )
+    counts_b = b.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_b")
+    )
+    denom = F.sqrt(F.col("__na2")) * F.sqrt(F.col("__nb2"))
+    return (
+        stats.join(counts_a, on="label")
+        .join(counts_b, on="label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("__dot") / F.when(denom > 0, denom), 6
+            ).alias("centroid_cosine"),
+            F.round(F.sqrt(F.col("__d2")), 6).alias("centroid_shift"),
+        )
+    )

@@ -4812,3 +4812,58 @@ PIPELINE_ORACLE_SQL["oov_annotate"] = f"""
                AS oov_rate
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the even- and odd-id halves of
+    the embeddings table — the between-ingests distribution check. Both
+    sides reduce through label_centroids' single hash aggregation; the
+    comparison runs over n_labels x dim centroid ROWS, never vectors."""
+    from polars_nexpresso_spark.functions.similarity import (
+        embedding_drift,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        dim=_embedding_dim(sf_dir),
+    )
+
+
+PIPELINE_QUERIES["embedding_drift"] = q_embedding_drift
+# embedding_drift: two label_centroids oracles (round-6 centroids) joined
+# per (label, dim), the same dot/norm/shift sums rounded at the end.
+PIPELINE_ORACLE_SQL["embedding_drift"] = f"""
+    WITH ca AS (
+      SELECT label, i::BIGINT AS dim,
+             ROUND(SUM(embedding[i + 1]::DOUBLE) / COUNT(*), 6) AS c
+      FROM embeddings, range(0, {_ORACLE_DIM}) r(i)
+      WHERE vec_id % 2 = 0 GROUP BY label, i
+    ),
+    cb AS (
+      SELECT label, i::BIGINT AS dim,
+             ROUND(SUM(embedding[i + 1]::DOUBLE) / COUNT(*), 6) AS c
+      FROM embeddings, range(0, {_ORACLE_DIM}) r(i)
+      WHERE vec_id % 2 = 1 GROUP BY label, i
+    ),
+    stats AS (
+      SELECT ca.label,
+             SUM(ca.c * cb.c) AS dot,
+             SUM(ca.c * ca.c) AS na2,
+             SUM(cb.c * cb.c) AS nb2,
+             SUM((ca.c - cb.c) * (ca.c - cb.c)) AS d2
+      FROM ca JOIN cb ON ca.label = cb.label AND ca.dim = cb.dim
+      GROUP BY ca.label
+    ),
+    na AS (SELECT label, COUNT(*) AS n_a FROM embeddings
+           WHERE vec_id % 2 = 0 GROUP BY label),
+    nb AS (SELECT label, COUNT(*) AS n_b FROM embeddings
+           WHERE vec_id % 2 = 1 GROUP BY label)
+    SELECT s.label, na.n_a, nb.n_b,
+           ROUND(s.dot / (CASE WHEN sqrt(s.na2) * sqrt(s.nb2) > 0
+                               THEN sqrt(s.na2) * sqrt(s.nb2) END), 6)
+               AS centroid_cosine,
+           ROUND(sqrt(s.d2), 6) AS centroid_shift
+    FROM stats s JOIN na USING (label) JOIN nb USING (label)
+"""

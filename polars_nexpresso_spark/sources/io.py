@@ -757,3 +757,48 @@ def write_zordered(
         .save(path)
     )
     return int(n_files)
+
+
+def write_curriculum(
+    df: DataFrame,
+    path: str,
+    *,
+    stage_col: str = "stage",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> int:
+    """Materialize a :func:`~polars_nexpresso_spark.functions.sampling
+    .curriculum_shards` plan as loader-ready files: one hive partition
+    directory per ``(stage, shard)`` whose rows are stored in ``pos``
+    order, so a sequential reader replays the curriculum order with NO
+    sort at training time — the read side is the hot path repeated
+    every epoch; paying the ordering once at write time is the whole
+    point of materializing the plan.
+
+    Shape: one ``repartition`` keyed on ``(stage, shard)`` co-locates
+    each pair in a task (task count = distinct pair count, so every
+    reducer owns whole shards), a per-task ``sortWithinPartitions`` on
+    ``(stage, shard, pos)`` orders each output file — NO global sort —
+    and ``partitionBy`` routes rows into their directories. Row order
+    within a parquet file is the written order, which parquet preserves
+    on scan.
+
+    Returns the ``(stage, shard)`` pair count (= write tasks).
+    """
+    for c in (stage_col, shard_col, pos_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    n_pairs = df.select(stage_col, shard_col).distinct().count()
+    if n_pairs < 1:
+        raise ValueError("input has no (stage, shard) pairs")
+    (
+        df.repartition(int(n_pairs), F.col(stage_col), F.col(shard_col))
+        .sortWithinPartitions(stage_col, shard_col, pos_col)
+        .write.mode(mode)
+        .format(format)
+        .partitionBy(stage_col, shard_col)
+        .save(path)
+    )
+    return int(n_pairs)

@@ -364,3 +364,43 @@ def test_mmr_rerank_contracts(spark):
         mmr_rerank(cands, [0.0, 1.0], k=2, lam=1.5)
     with pytest.raises(ValueError, match="k must"):
         mmr_rerank(cands, [0.0, 1.0], k=0)
+
+
+# ----------------------------------------------------- round-9: drift
+
+
+def test_embedding_drift_detects_a_moved_label(spark):
+    """Label 0 is identical in both slices (cosine 1, shift 0); label 1
+    rotates 90 degrees between slices (cosine 0, shift > 0); a label
+    present in only one slice is dropped."""
+    from polars_nexpresso_spark.functions.similarity import (
+        embedding_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [1.0, 0.0], 0),
+         (3, [1.0, 0.0], 1), (4, [0.0, 2.0], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    b = spark.createDataFrame(
+        [(11, [1.0, 0.0], 0),
+         (13, [0.0, 1.0], 1), (14, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in embedding_drift(a, b, dim=2).collect()}
+    assert set(out) == {0, 1}  # label 7 only in a -> dropped
+    assert out[0]["n_a"] == 2 and out[0]["n_b"] == 1
+    assert out[0]["centroid_cosine"] == pytest.approx(1.0)
+    assert out[0]["centroid_shift"] == pytest.approx(0.0)
+    assert out[1]["centroid_cosine"] == pytest.approx(0.0)
+    assert out[1]["centroid_shift"] == pytest.approx(2 ** 0.5, rel=1e-5)
+    # zero-vector centroid -> NULL cosine, shift still defined
+    za = spark.createDataFrame(
+        [(1, [0.0, 0.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    zb = spark.createDataFrame(
+        [(2, [3.0, 4.0], 0)], "vec_id long, embedding array<float>, label int"
+    )
+    row = embedding_drift(za, zb, dim=2).collect()[0]
+    assert row["centroid_cosine"] is None
+    assert row["centroid_shift"] == pytest.approx(5.0)

@@ -338,3 +338,35 @@ def test_write_ordered_validation(spark, tmp_path):
         write_ordered(
             df, str(tmp_path / "x"), "score", tiebreak_col="doc_id", n_files=0
         )
+
+
+def test_write_curriculum_files_replay_pos_order(spark, tmp_path):
+    """Each (stage, shard) hive directory reads back in pos order with
+    no sort — the property the training loader relies on — and the
+    directory set matches the plan's pairs exactly."""
+    from polars_nexpresso_spark.functions.sampling import curriculum_shards
+    from polars_nexpresso_spark.sources.io import write_curriculum
+
+    df = spark.createDataFrame(
+        [(i, (i * 41) % 97) for i in range(200)],
+        "doc_id long, score int",
+    )
+    plan = curriculum_shards(df, "score", "doc_id", n_stages=3, n_shards=2)
+    p = str(tmp_path / "curr")
+    n = write_curriculum(plan, p)
+    assert n == 6
+    out = spark.read.parquet(p)
+    assert out.count() == 200
+    import itertools
+
+    for stage, shard in itertools.product(
+        ("stage0", "stage1", "stage2"), (0, 1)
+    ):
+        rows = spark.read.parquet(
+            f"{p}/stage={stage}/shard={shard}"
+        ).collect()
+        pos_as_read = [r["pos"] for r in rows]
+        assert pos_as_read == sorted(pos_as_read)
+        assert pos_as_read[0] == 1
+    with pytest.raises(ValueError, match="column"):
+        write_curriculum(df, p)
