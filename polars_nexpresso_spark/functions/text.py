@@ -1369,30 +1369,45 @@ def lexical_diversity(
             f"columns {text_col!r}/{id_col!r} not both in {df.columns}"
         )
     toks = tokens(F.col(text_col))
-    n_tok = F.coalesce(F.size(toks), F.lit(0))
-    n_typ = F.coalesce(F.size(F.array_distinct(toks)), F.lit(0))
-    # hapax count: tokens whose occurrence count in the doc is exactly 1
-    # — one aggregate over the distinct tokens, counting those with a
-    # single match in the full list (array arithmetic, no explode).
-    hapax = F.aggregate(
-        F.array_distinct(toks),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc
-        + F.when(
-            F.size(F.filter(toks, lambda x: x == t)) == 1, F.lit(1)
-        ).otherwise(F.lit(0)),
+    staged = df.select(
+        F.col(id_col),
+        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size(F.array_distinct(toks)), F.lit(0))
+        .cast("bigint")
+        .alias("n_types"),
+        F.array_sort(toks).alias("__srt"),
     )
+    # hapax count on the SORTED token array: a token occurs exactly once
+    # iff it differs from both sorted neighbors — one array_sort + one
+    # index pass, O(n log n) per row, where the naive count-each-
+    # distinct-token-in-the-list form is O(types x tokens) and quadratic
+    # on long documents. The sorted array sits in its own projection so
+    # its many get() references evaluate it once; out-of-range get() is
+    # NULL, coalesced to "differs" at the boundaries.
+    srt = F.col("__srt")
+    n = F.size(srt)
+
+    def _is_hapax(i):
+        return F.when(
+            F.coalesce(F.get(srt, i - 1) != F.get(srt, i), F.lit(True))
+            & F.coalesce(F.get(srt, i + 1) != F.get(srt, i), F.lit(True)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+
+    hapax = F.when(
+        n > 0,
+        F.aggregate(
+            F.sequence(F.lit(0), n - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + _is_hapax(i),
+        ),
+    ).otherwise(F.lit(0))
     denom = F.when(F.col("n_tokens") > 0, F.col("n_tokens"))
     return (
-        df.select(
-            F.col(id_col),
-            n_tok.cast("bigint").alias("n_tokens"),
-            n_typ.cast("bigint").alias("n_types"),
-            F.coalesce(hapax, F.lit(0)).cast("bigint").alias("__hapax"),
-        )
+        staged.withColumn("__hapax", F.coalesce(hapax, F.lit(0)))
         .withColumn("ttr", F.round(F.col("n_types") / denom, 9))
         .withColumn("hapax_ratio", F.round(F.col("__hapax") / denom, 9))
-        .drop("__hapax")
+        .drop("__srt", "__hapax")
     )
 
 
