@@ -384,12 +384,16 @@ def kmeans_centroids_local(
     sample_size: int = 1024,
     iters: int = 8,
     seed: int = 42,
+    id_filter=None,
 ) -> list[list[float]]:
     """Spark-free twin of :func:`_kmeans_centroids` over a parquet file.
 
     Same md5 sample ordering, same numpy loop, same floats — used by the
     DuckDB oracle to embed the exact centroids the Spark query trains, so
-    the "approximate" IVF result has an exact oracle.
+    the "approximate" IVF result has an exact oracle. ``id_filter``
+    (callable on the id) restricts the training population first — the
+    replica of training on a FILTERED frame (e.g. the labeled slice in
+    ``knn_label(engine="ivf")``).
     """
     import numpy as np
     import pyarrow.parquet as pq
@@ -397,6 +401,10 @@ def kmeans_centroids_local(
     t = pq.read_table(parquet_path, columns=[id_col, vec_col])
     ids = t.column(id_col).to_pylist()
     vecs = t.column(vec_col).to_pylist()
+    if id_filter is not None:
+        keep = [j for j in range(len(ids)) if id_filter(ids[j])]
+        ids = [ids[j] for j in keep]
+        vecs = [vecs[j] for j in keep]
     order = sorted(range(len(ids)), key=lambda j: (_md5_sample_key(ids[j], seed), ids[j]))
     X = np.array([vecs[j] for j in order[:sample_size]], dtype=np.float64)
     return _lloyd(X, n_centroids, iters=iters, seed=seed)
@@ -1786,6 +1794,8 @@ def knn_label(
     vec_col: str = "embedding",
     label_col: str = "label",
     k: int = 5,
+    engine: str = "exact",
+    **engine_opts,
 ) -> DataFrame:
     """kNN majority-vote label propagation: predict each query vector's
     label from its ``k`` nearest LABELED neighbors by cosine — the
@@ -1801,10 +1811,13 @@ def knn_label(
     neighbor-id-keyed label join moves k·|queries| three-column rows.
     The vote is one partial-agg count per (query, label); the winner is
     elected by ``(votes desc, label asc)`` — a total order, so the
-    prediction is unique and replayable in SQL. For query sets past the
-    broadcast budget, run the same vote over an ANN candidate set
-    (:func:`ivf_ann_topk` / :func:`ivfpq_rerank`) instead of the exact
-    top-k.
+    prediction is unique and replayable in SQL. ``engine="ivf"`` is the
+    scale path past the broadcast budget: neighbors come from
+    :func:`ivf_ann_topk` (deterministic k-means cells trained on the
+    LABELED slice, ``n_centroids``/``n_probe`` via ``engine_opts``) —
+    the candidate join touches ~n_probe/n_centroids of the labeled
+    corpus per query, and because the quantizer is deterministic even
+    the approximate vote has an exact oracle.
 
     Returns ``(id_col, label_col, n_votes, vote_frac)`` — one row per
     query; ``vote_frac`` = winner votes / neighbors found (< 1 when the
@@ -1815,10 +1828,18 @@ def knn_label(
         raise ValueError(f"k must be >= 1: {k}")
     if label_col not in labeled.columns:
         raise ValueError(f"column {label_col!r} not in labeled frame")
-    nn = cosine_topk(
-        labeled, queries, id_col=id_col, vec_col=vec_col, k=k,
-        exclude_self=True,
-    )
+    if engine == "exact":
+        nn = cosine_topk(
+            labeled, queries, id_col=id_col, vec_col=vec_col, k=k,
+            exclude_self=True,
+        )
+    elif engine == "ivf":
+        nn = ivf_ann_topk(
+            labeled, queries, id_col=id_col, vec_col=vec_col, k=k,
+            exclude_self=True, **engine_opts,
+        )
+    else:
+        raise ValueError(f"engine must be 'exact' or 'ivf': {engine!r}")
     votes = (
         nn.join(
             labeled.select(

@@ -4867,3 +4867,108 @@ PIPELINE_ORACLE_SQL["embedding_drift"] = f"""
            ROUND(sqrt(s.d2), 6) AS centroid_shift
     FROM stats s JOIN na USING (label) JOIN nb USING (label)
 """
+
+
+def q_knn_label_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_label on the IVF scale path: the same labeled/query split as
+    knn_label, neighbors from deterministic k-means cells trained on
+    the LABELED slice (6-of-16 probe) — the engine for query sets past
+    the exact path's broadcast budget. The quantizer is deterministic,
+    so even the approximate vote replays exactly in SQL."""
+    from polars_nexpresso_spark.functions.similarity import knn_label
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    labeled = emb.filter(F.col("vec_id") % 5 != 0)
+    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    return knn_label(
+        labeled, queries, k=5, engine="ivf", n_centroids=16, n_probe=6
+    )
+
+
+PIPELINE_QUERIES["knn_label_ann"] = q_knn_label_ann
+
+
+def _knn_label_ann_oracle() -> str | None:
+    """The ivf_ann_topk oracle skeleton with centroids trained on the
+    LABELED slice (id_filter replica), candidates restricted to the
+    split, then the knn_label vote/election. Rows-only without
+    readable testdata."""
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from polars_nexpresso_spark.functions.similarity import (
+            kmeans_centroids_local,
+        )
+
+        cents = kmeans_centroids_local(
+            f"{sf_dir}/embeddings.parquet",
+            n_centroids=16,
+            id_filter=lambda i: i % 5 != 0,
+        )
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return None
+    values = ",\n                 ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(i, v) AS (
+          VALUES {values}
+        ),
+        ranked AS (
+          SELECT e.vec_id, c.i,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.v) ASC,
+                            c.i ASC
+                 ) AS rn
+          FROM embeddings e, cents c
+        ),
+        corpus_cell AS (
+          SELECT vec_id, i AS cell FROM ranked
+          WHERE rn = 1 AND vec_id % 5 != 0
+        ),
+        query_cell AS (
+          SELECT vec_id, i AS cell FROM ranked
+          WHERE rn <= 6 AND vec_id % 5 = 0
+        ),
+        nn AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY qb.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(
+                         c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                              DESC, cb.vec_id ASC
+                   ) AS rank
+            FROM corpus_cell cb
+            JOIN query_cell qb ON cb.cell = qb.cell
+            JOIN embeddings c ON c.vec_id = cb.vec_id
+            JOIN embeddings q ON q.vec_id = qb.vec_id
+            WHERE cb.vec_id != qb.vec_id
+          ) WHERE rank <= 5
+        ),
+        votes AS (
+          SELECT n.query_id, l.label, COUNT(*) AS nv
+          FROM nn n JOIN embeddings l ON l.vec_id = n.neighbor_id
+          GROUP BY 1, 2
+        ),
+        tot AS (SELECT query_id, SUM(nv) AS t FROM votes GROUP BY 1),
+        win AS (
+          SELECT query_id, label, nv,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY nv DESC, label ASC
+                 ) AS rn
+          FROM votes
+        )
+        SELECT w.query_id AS vec_id, w.label AS label,
+               w.nv::BIGINT AS n_votes,
+               ROUND(w.nv::DOUBLE / t.t, 9) AS vote_frac
+        FROM win w JOIN tot t USING (query_id) WHERE w.rn = 1
+    """
+
+
+_knn_ann_oracle = _knn_label_ann_oracle()
+if _knn_ann_oracle is not None:
+    PIPELINE_ORACLE_SQL["knn_label_ann"] = _knn_ann_oracle

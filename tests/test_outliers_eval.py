@@ -404,3 +404,35 @@ def test_embedding_drift_detects_a_moved_label(spark):
     row = embedding_drift(za, zb, dim=2).collect()[0]
     assert row["centroid_cosine"] is None
     assert row["centroid_shift"] == pytest.approx(5.0)
+
+
+def test_knn_label_ivf_engine_agrees_on_clean_clusters(spark):
+    """On well-separated clusters the IVF engine reaches the exact
+    engine's predictions (candidates may differ; the vote agrees) —
+    and an unknown engine fails fast."""
+    from polars_nexpresso_spark.functions.similarity import knn_label
+
+    labeled_rows = (
+        [(i, [1.0 + 0.001 * i, 0.0], 0) for i in range(6)]
+        + [(10 + i, [0.0, 1.0 + 0.001 * i], 1) for i in range(6)]
+    )
+    labeled = spark.createDataFrame(
+        labeled_rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = spark.createDataFrame(
+        [(100, [0.95, 0.05]), (101, [0.05, 0.95])],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        r["vec_id"]: r["label"]
+        for r in knn_label(labeled, queries, k=3).collect()
+    }
+    ann = {
+        r["vec_id"]: r["label"]
+        for r in knn_label(
+            labeled, queries, k=3, engine="ivf", n_centroids=2, n_probe=1
+        ).collect()
+    }
+    assert exact == ann == {100: 0, 101: 1}
+    with pytest.raises(ValueError, match="engine"):
+        knn_label(labeled, queries, engine="bogus")
