@@ -1199,6 +1199,14 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # (semantic_dedup .. audio_near_dup) stay as the round-10 rotation
 # pool; the round-8 four (dedup_index .. decontaminate_bloom) hold only
 # ONE driver row each and stay in the window to earn their second.
+# Round-10 rotation TODO: the nine round-9 operators registered after
+# the window (`dedup_index_stream`, `knn_label`, `knn_label_ann`,
+# `diversity_sample`, `oov_rate`, `lexical_diversity`,
+# `curriculum_shards`, `oov_annotate`, `embedding_drift` — each ALL
+# PASS via scripts/check_oracle.py at sf0.001 AND sf0.01 in round 9)
+# are owed driver rows next round; rotate them in against the
+# two-green round-6/7 pool (semantic_dedup .. audio_near_dup, plus any
+# window entries earning their second green in CORRECTNESS_r09).
 _MULTIPLY_PROVEN_TAIL = [
     # round-9 rotation
     "multimodal_video",
