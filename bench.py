@@ -600,8 +600,8 @@ GROUPS: dict[str, object] = {
         "cosine_topk", "cosine_topk_pandas", "cosine_topk_int8",
         "lsh_ann_topk", "ivf_ann_topk", "label_centroids",
         "project_embeddings", "multimodal_video", "embedding_outliers",
-        "knn_label", "diversity_sample",
-        "cluster_purity",
+        "knn_label", "knn_label_ann", "diversity_sample",
+        "embedding_drift", "cluster_purity",
     )),
     "ann_cascade": _registry_group((
         "pq_ann_topk", "ivfpq_ann_topk", "ivfpq_rerank", "hard_negatives",
