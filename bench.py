@@ -823,8 +823,9 @@ SCALE_PROBE_QUERIES = (
     "soft_dedup_weights", "novelty_frac", "pmi_bigrams",
     "embedding_outliers", "dedup_pair_recall", "soft_dedup_sample",
     # round-9 operators
-    "dedup_index_stream", "knn_label", "diversity_sample", "oov_rate",
-    "lexical_diversity", "curriculum_shards",
+    "dedup_index_stream", "knn_label", "knn_label_ann",
+    "diversity_sample", "oov_rate", "lexical_diversity",
+    "curriculum_shards", "oov_annotate", "embedding_drift",
 )
 
 
