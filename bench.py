@@ -256,6 +256,14 @@ SEAL_SPOT = frozenset({
     "source_mix", "strip_markup", "temperature_mix", "text_stats",
     "tfidf_keywords", "token_budget", "token_shift", "top_events_salted",
     "truncate_tokens", "vocab_topk",
+    # r8->r9 two-consecutive-sealed-rounds promotions (VERDICT r09 item
+    # 4; ratios from the r8 seal vs the r9 driver/BENCH_DETAILS seal:
+    # bloom_dedup 1.22x, dedup_index 1.26x, decontaminate_bloom 0.99x —
+    # all inside the 1.3x band both rounds). bm25_index read 1.72x r9 vs
+    # r8, outside the band in the regression direction, so it stays FULL
+    # and keeps re-proving itself; containment_keepset likewise stays
+    # FULL pending its r10 like-for-like re-read (VERDICT r09 item 3).
+    "bloom_dedup", "dedup_index", "decontaminate_bloom",
     # r7->r8 improvement-direction movers (second promotion clause;
     # headline pack-family names stay FULL regardless)
     "any_child", "bm25_topk", "chunk_dedup", "cosine_topk_pandas",
@@ -321,6 +329,7 @@ def _make_bench(spark, timings, peaks, errors, runs_out=None,
                 peaks[name] = peak
 
     bench.errors = errors  # group runners record non-query failures here
+    bench.timings = timings  # io_write derives rows/s from its medians
     return bench
 
 
@@ -557,6 +566,134 @@ def _registry_group(names: tuple[str, ...]):
     return run
 
 
+def _group_io_write(spark, sf_dir: str, bench) -> dict:
+    """Write-path operators (VERDICT r09 item 5): the four materializing
+    writers get the same per-round timing visibility queries have, plus
+    a write-shaped extras row — rows/s, files written, and for the
+    z-order layout the both-column file-span locality the reader
+    actually buys (mean per-file min/max span as a fraction of the
+    column's range; lower = better skipping). All four write REAL
+    parquet to a scratch dir (overwrite mode, so warmup+median reuse
+    the path) — lineitem (600k rows at sf0.1) for the row-heavy
+    writers, the documents curriculum plan for write_curriculum."""
+    import shutil
+    import tempfile
+
+    from polars_nexpresso_spark.functions.sampling import curriculum_shards
+    from polars_nexpresso_spark.sources.io import (
+        write_curriculum,
+        write_ordered,
+        write_sharded,
+        write_zordered,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    docs = read_table(spark, sf_dir, "documents")
+    n_li = li.count()
+    n_docs = docs.count()
+    root = tempfile.mkdtemp(prefix="pns_bench_io_")
+    paths = {
+        name: f"{root}/{name}"
+        for name in (
+            "write_sharded", "write_ordered", "write_zordered",
+            "write_curriculum",
+        )
+    }
+    plan = curriculum_shards(
+        docs, "n_chars", "doc_id", n_stages=3, n_shards=4
+    )
+    try:
+        bench(
+            "write_sharded",
+            lambda: write_sharded(
+                li, paths["write_sharded"], "l_orderkey", n_shards=16
+            ),
+        )
+        bench(
+            "write_ordered",
+            lambda: write_ordered(
+                li, paths["write_ordered"], "l_extendedprice",
+                tiebreak_col="l_orderkey", n_files=16,
+            ),
+        )
+        bench(
+            "write_zordered",
+            lambda: write_zordered(
+                li, paths["write_zordered"],
+                ["l_orderkey", "l_partkey"], bits=8, n_files=16,
+            ),
+        )
+        bench(
+            "write_curriculum",
+            lambda: write_curriculum(plan, paths["write_curriculum"]),
+        )
+
+        def _n_files(path: str) -> int:
+            return sum(
+                1 for p in Path(path).rglob("*.parquet")
+                if not p.name.startswith("_")
+            )
+
+        def _span_frac(path: str, col: str) -> float | None:
+            """Mean per-file (max-min) span of ``col`` as a fraction of
+            the column's global range — the min/max-skipping quality a
+            reader filtering on ``col`` gets from this layout."""
+            from pyspark.sql import functions as F
+
+            df = spark.read.parquet(path).withColumn(
+                "__f", F.input_file_name()
+            )
+            spans = df.groupBy("__f").agg(
+                (F.max(col) - F.min(col)).alias("span")
+            )
+            glob_row = df.agg(
+                (F.max(col) - F.min(col)).alias("r")
+            ).collect()[0]
+            if not glob_row["r"]:
+                return None
+            mean_span = spans.agg(F.avg("span")).collect()[0][0]
+            return round(float(mean_span) / float(glob_row["r"]), 4)
+
+        extras: dict[str, dict] = {}
+        rows_by_op = {
+            "write_sharded": n_li,
+            "write_ordered": n_li,
+            "write_zordered": n_li,
+            "write_curriculum": n_docs,
+        }
+        for name, n_rows in rows_by_op.items():
+            t = bench.timings.get(name)
+            rec: dict = {"rows": int(n_rows)}
+            if t:
+                rec["rows_per_sec"] = int(n_rows / t)
+            try:
+                rec["files"] = _n_files(paths[name])
+            except Exception:  # noqa: BLE001 — timing already recorded
+                pass
+            extras[name] = rec
+        try:
+            extras["write_zordered"]["span_frac"] = {
+                "l_orderkey": _span_frac(
+                    paths["write_zordered"], "l_orderkey"
+                ),
+                "l_partkey": _span_frac(
+                    paths["write_zordered"], "l_partkey"
+                ),
+            }
+            # the single-column-sorted layout has NO second-column
+            # locality: the z-order span on BOTH columns is the win
+            extras["write_ordered"]["span_frac"] = {
+                "l_extendedprice": _span_frac(
+                    paths["write_ordered"], "l_extendedprice"
+                ),
+            }
+        except Exception as e:  # noqa: BLE001
+            bench.errors["io_write_span"] = f"{type(e).__name__}: {e}"[:200]
+        return extras
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Group membership is subsystem-shaped; every name except the pack-family
 # specials and bpe_pipeline is a registry (oracle-paired) query.
 GROUPS: dict[str, object] = {
@@ -601,7 +738,7 @@ GROUPS: dict[str, object] = {
         "lsh_ann_topk", "ivf_ann_topk", "label_centroids",
         "project_embeddings", "multimodal_video", "embedding_outliers",
         "knn_label", "knn_label_ann", "diversity_sample",
-        "embedding_drift", "cluster_purity",
+        "embedding_drift", "cluster_purity", "mmr_per_query",
     )),
     "ann_cascade": _registry_group((
         "pq_ann_topk", "ivfpq_ann_topk", "ivfpq_rerank", "hard_negatives",
@@ -613,6 +750,9 @@ GROUPS: dict[str, object] = {
         "repeat_upsample", "apply_mix", "clean_ingest", "soft_dedup_sample",
         "curriculum_shards",
     )),
+    # write-path operators: timings land in `queries` like everything
+    # else; rows/s + file counts + z-order span land in details.io_write
+    "io_write": _group_io_write,
 }
 
 
@@ -826,6 +966,8 @@ SCALE_PROBE_QUERIES = (
     "dedup_index_stream", "knn_label", "knn_label_ann",
     "diversity_sample", "oov_rate", "lexical_diversity",
     "curriculum_shards", "oov_annotate", "embedding_drift",
+    # round-10 operators
+    "mmr_per_query",
 )
 
 
@@ -1125,6 +1267,8 @@ def _run_child_group(
             extras["scale_probe"] = _scale_probe(
                 spark, sf_dir, merged, errors
             )
+        elif group == "io_write":
+            extras["io_write"] = _group_io_write(spark, sf_dir, bench)
         else:
             GROUPS[group](spark, sf_dir, bench)
     except Exception as e:  # noqa: BLE001
@@ -1186,6 +1330,7 @@ def main() -> None:
     ann_dial: dict[str, dict] = {}
     scale_probe: dict[str, dict] = {}
     query_stats: dict[str, dict] = {}
+    io_write_extras: dict[str, dict] = {}
     run_scale = os.environ.get("SPARK_GRAFT_SCALE_PROBE", "1") != "0"
 
     if isolated:
@@ -1248,6 +1393,8 @@ def main() -> None:
                 rec = _spawn_group(
                     group, sf_dir, child_idx=cidx, n_children=n_children
                 )
+                if rec.get("extras", {}).get("io_write"):
+                    io_write_extras = rec["extras"]["io_write"]
                 for qname, rlist in rec.get("runs", {}).items():
                     group_runs.setdefault(qname, []).extend(rlist)
                 for qname, pk in rec.get("peaks", {}).items():
@@ -1296,7 +1443,9 @@ def main() -> None:
             if only and group not in only.split(","):
                 continue
             try:
-                runner(spark, sf_dir, bench)
+                out = runner(spark, sf_dir, bench)
+                if group == "io_write" and out:
+                    io_write_extras = out
             except Exception as e:  # noqa: BLE001
                 errors[group] = f"{type(e).__name__}: {e}"[:500]
         ann_dial = {} if only else _ann_dial(spark, sf_dir, errors)
@@ -1396,6 +1545,10 @@ def main() -> None:
         # despite the 3x protocol; the SEAL_SPOT set and its promotion
         # rule live next to its definition in bench.py.
         "query_stats": query_stats,
+        # Write-path visibility (VERDICT r09 item 5): rows/s, files
+        # written, and the z-order both-column file-span locality for
+        # the four materializing writers; timings ride `queries`.
+        "io_write": io_write_extras,
         # Since round 8 the DEFAULT protocol is fresh-JVM-per-group
         # (1 warmup + median-of-3 inside each child), closing the r07
         # seal-vs-driver gap: rounds 5-7 kept flagging rotating sets of

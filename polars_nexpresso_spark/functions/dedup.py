@@ -38,39 +38,13 @@ from polars_nexpresso_spark.functions.text import (
 )
 
 # Blocking tables persisted by the pair finders (minhash buckets, simhash
-# chunks, ngram shingles). A lazily-returned plan gives the library no
-# "last action" signal to unpersist on, so the caches are retained until
-# released. Identical re-plans are deduplicated by Spark's cache manager,
-# but DIFFERENT inputs in one long-lived session accumulate cached blocks
-# — call :func:`release_blocking_caches` between corpora (or
-# ``spark.catalog.clearCache()`` for everything).
-_BLOCKING_CACHES: list[DataFrame] = []
-
-
-def _persist_blocking(df: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _BLOCKING_CACHES.append(df)
-    return df
-
-
-def release_blocking_caches() -> int:
-    """Unpersist every blocking table cached by the pair finders in this
-    process and return how many were released.
-
-    Call between corpora in a long-lived session; safe while earlier
-    result DataFrames are still alive (Spark recomputes on next action).
-    """
-    released = 0
-    while _BLOCKING_CACHES:
-        df = _BLOCKING_CACHES.pop()
-        try:
-            df.unpersist()
-            released += 1
-        except Exception:  # noqa: BLE001 — session may already be gone
-            pass
-    return released
+# chunks, ngram shingles). Lifecycle notes and the shared registry live in
+# functions/_caching.py (shared with text.oov_rate — text can't import
+# dedup without a cycle); these names stay as the public surface.
+from polars_nexpresso_spark.functions._caching import (  # noqa: E402
+    persist_tracked as _persist_blocking,
+    release_tracked_caches as release_blocking_caches,
+)
 
 
 def exact_dedup(
@@ -2058,11 +2032,15 @@ def compact_dedup_index(
     by construction (same rows, same bucketing).
 
     ``num_buckets`` defaults to the BUILD-TIME bucket count read from
-    the catalog, so the rewrite preserves the bucketing spec and
-    :func:`dedup_against_index` probes keep their zero-exchange
-    property (plan-pinned in test_plan_shapes.py); pass it explicitly
-    only to deliberately re-bucket (e.g. when the reference has grown
-    past the original bucket parallelism).
+    the catalog PER TABLE (an ``_lsh`` table re-bucketed differently
+    from ``_fp`` keeps both specs), so the rewrite preserves the
+    bucketing and :func:`dedup_against_index` probes keep their
+    zero-exchange property (plan-pinned in test_plan_shapes.py); pass
+    it explicitly only to deliberately re-bucket (e.g. when the
+    reference has grown past the original bucket parallelism). An index
+    built with an external ``path`` must be compacted WITH a (new)
+    ``path`` — omitting it fails fast rather than silently rewriting
+    the tables as managed and stranding the external data files.
 
     Both tables are snapshotted with ``localCheckpoint`` BEFORE the old
     tables drop — overwriting a table a pending plan still reads would
@@ -2071,16 +2049,46 @@ def compact_dedup_index(
     Returns ``{"files_before", "files_after", "fp_rows", "lsh_rows"}``.
     """
     from polars_nexpresso_spark.sources.io import (
+        catalog_is_external,
         catalog_num_buckets,
         write_bucketed,
     )
 
-    if num_buckets is None:
-        num_buckets = catalog_num_buckets(spark, f"{table_name}_fp")
-        if num_buckets is None:
+    if path is None:
+        # Rewriting an external index (built with a path) without a new
+        # path would re-create both tables as MANAGED warehouse tables
+        # and strand the old external data files — fail fast instead.
+        external = [
+            t
+            for t in (f"{table_name}_fp", f"{table_name}_lsh")
+            if catalog_is_external(spark, t)
+        ]
+        if external:
             raise ValueError(
-                f"{table_name}_fp has no bucket spec in the catalog; "
-                "pass num_buckets explicitly"
+                f"{', '.join(external)} are EXTERNAL tables; compacting "
+                "without `path` would rewrite them as managed warehouse "
+                "tables and strand the external data files — pass a new "
+                "compaction path"
+            )
+    # Bucket counts are read PER TABLE so an index whose _lsh table was
+    # deliberately re-bucketed differently from _fp keeps both specs.
+    nb_fp = num_buckets
+    nb_lsh = num_buckets
+    if num_buckets is None:
+        nb_fp = catalog_num_buckets(spark, f"{table_name}_fp")
+        nb_lsh = catalog_num_buckets(spark, f"{table_name}_lsh")
+        if nb_fp is None or nb_lsh is None:
+            missing = [
+                t
+                for t, nb in (
+                    (f"{table_name}_fp", nb_fp),
+                    (f"{table_name}_lsh", nb_lsh),
+                )
+                if nb is None
+            ]
+            raise ValueError(
+                f"{', '.join(missing)} have no bucket spec in the "
+                "catalog; pass num_buckets explicitly"
             )
     fp = spark.table(f"{table_name}_fp")
     lsh = spark.table(f"{table_name}_lsh")
@@ -2091,14 +2099,14 @@ def compact_dedup_index(
         folded_fp,
         f"{table_name}_fp",
         ["fp"],
-        num_buckets,
+        nb_fp,
         path=f"{path}_fp" if path else None,
     )
     write_bucketed(
         folded_lsh,
         f"{table_name}_lsh",
         ["bkey"],
-        num_buckets,
+        nb_lsh,
         path=f"{path}_lsh" if path else None,
     )
     files_after = len(

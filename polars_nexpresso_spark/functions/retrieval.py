@@ -481,10 +481,27 @@ def compact_text_index(
     ``{"term_rows_before", "term_rows_after", "stats_rows_before"}``.
     """
     from polars_nexpresso_spark.sources.io import (
+        catalog_is_external,
         catalog_num_buckets,
         write_bucketed,
     )
 
+    if path is None:
+        # Same guard as compact_dedup_index: compacting an external
+        # index without a new path would rewrite the tables as managed
+        # and strand the external data files.
+        external = [
+            t
+            for t in (f"{table_name}_terms", f"{table_name}_stats")
+            if catalog_is_external(spark, t)
+        ]
+        if external:
+            raise ValueError(
+                f"{', '.join(external)} are EXTERNAL tables; compacting "
+                "without `path` would rewrite them as managed warehouse "
+                "tables and strand the external data files — pass a new "
+                "compaction path"
+            )
     if num_buckets is None:
         num_buckets = catalog_num_buckets(spark, f"{table_name}_terms")
         if num_buckets is None:

@@ -1939,6 +1939,69 @@ def diversity_sample(
     )
 
 
+_MMR_ID_TYPES = {
+    "tinyint": "long",
+    "smallint": "long",
+    "int": "long",
+    "bigint": "long",
+    "string": "string",
+}
+
+
+def _mmr_id_sql_type(df: DataFrame, id_col: str) -> str:
+    """Validate the id column's dtype for MMR and return the OUTPUT SQL
+    type it maps to (integrals widen to long; strings stay strings).
+    Anything else fails fast with a clear message instead of an opaque
+    numpy/createDataFrame error downstream."""
+    if id_col not in df.columns:
+        raise ValueError(f"column {id_col!r} not in {df.columns}")
+    dtype = dict(df.dtypes)[id_col]
+    out = _MMR_ID_TYPES.get(dtype)
+    if out is None:
+        raise ValueError(
+            f"mmr_rerank supports integral or string id columns; "
+            f"{id_col!r} is {dtype!r}"
+        )
+    return out
+
+
+def _mmr_greedy(ids, mat, query_vec, k: int, lam: float):
+    """The sequential MMR kernel shared by the driver-side
+    :func:`mmr_rerank` and the per-query groups of
+    :func:`mmr_rerank_by_query` (batch==driver parity is test-pinned on
+    this sharing). ``ids`` is a sequence of python id values (int or
+    str), ``mat`` an ``(n, dim)`` float array. Returns
+    ``[(id, mmr_score, rank), ...]`` in selection order — ties break by
+    id asc, scores round to 6, exactly the documented contract."""
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    qv = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    rel = unit @ (qv / (qn if qn > 0 else 1.0))
+
+    n = len(ids)
+    out = []
+    max_sim = np.full(n, -np.inf)
+    remaining = np.ones(n, dtype=bool)
+    for rank in range(1, min(k, n) + 1):
+        penalty = np.where(np.isfinite(max_sim), max_sim, 0.0)
+        score = lam * rel - (1.0 - lam) * penalty
+        score = np.round(score, 6)
+        # argmax with id-asc tie-break among remaining
+        best, best_key = None, None
+        for i in np.flatnonzero(remaining):
+            key = (-score[i], ids[i])
+            if best_key is None or key < best_key:
+                best, best_key = int(i), key
+        remaining[best] = False
+        out.append((ids[best], float(score[best]), rank))
+        max_sim = np.maximum(max_sim, unit @ unit[best])
+    return out
+
+
 def mmr_rerank(
     candidates: DataFrame,
     query_vec,
@@ -1970,6 +2033,10 @@ def mmr_rerank(
     Returns ``(id_col, mmr_score, rank)`` — ``rank`` 1-based selection
     order, ``mmr_score`` the criterion value at selection time (the
     first pick's score is ``lam * cos(query, d)``; diversity penalty 0).
+    ``id_col`` must be integral (returned as long) or string (returned
+    as string); other dtypes fail fast. For MANY queries at once use
+    :func:`mmr_rerank_by_query` — same kernel, one group per query,
+    fully distributed.
     """
     import numpy as np
 
@@ -1977,6 +2044,7 @@ def mmr_rerank(
         raise ValueError(f"k must be >= 1: {k}")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1]: {lam}")
+    id_type = _mmr_id_sql_type(candidates, id_col)
     rows = candidates.select(F.col(id_col), F.col(vec_col)).collect()
     if len(rows) > max_candidates:
         raise ValueError(
@@ -1986,38 +2054,105 @@ def mmr_rerank(
         )
     if not rows:
         raise ValueError("candidates is empty")
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    ids = [r[0] for r in rows]
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0.0] = 1.0
-    unit = mat / norms[:, None]
-    qv = np.asarray(list(query_vec), dtype=np.float64)
-    qn = np.linalg.norm(qv)
-    rel = unit @ (qv / (qn if qn > 0 else 1.0))
-
-    n = len(ids)
-    selected: list[int] = []
-    out: list[tuple[int, float, int]] = []
-    max_sim = np.full(n, -np.inf)
-    remaining = np.ones(n, dtype=bool)
-    for rank in range(1, min(k, n) + 1):
-        penalty = np.where(np.isfinite(max_sim), max_sim, 0.0)
-        score = lam * rel - (1.0 - lam) * penalty
-        score = np.round(score, 6)
-        # argmax with id-asc tie-break among remaining
-        best, best_key = None, None
-        for i in np.flatnonzero(remaining):
-            key = (-score[i], ids[i])
-            if best_key is None or key < best_key:
-                best, best_key = int(i), key
-        selected.append(best)
-        remaining[best] = False
-        out.append((int(ids[best]), float(score[best]), rank))
-        max_sim = np.maximum(max_sim, unit @ unit[best])
+    out = _mmr_greedy(ids, mat, query_vec, k, lam)
     spark = candidates.sparkSession
     return spark.createDataFrame(
-        out, f"{id_col} long, mmr_score double, rank int"
+        out, f"{id_col} {id_type}, mmr_score double, rank int"
     )
+
+
+def mmr_rerank_by_query(
+    candidates: DataFrame,
+    queries: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+    lam: float = 0.5,
+    max_candidates_per_query: int = 10_000,
+) -> DataFrame:
+    """Distributed many-query MMR: :func:`mmr_rerank` for a PIPELINE —
+    thousands of retrieval queries each carrying their own bounded
+    candidate shortlist (the batch half of RAG context assembly, or
+    diversifying every result page of an offline eval set in one job).
+    ``candidates`` holds ``(query_id_col, id_col, vec_col)`` shortlist
+    rows (an upstream :func:`ivf_ann_topk` / :func:`cosine_topk` output
+    keyed by query); ``queries`` holds one ``(query_id_col,
+    query_vec_col)`` row per query.
+
+    Scale shape: the query vector joins onto its shortlist BY QUERY ID
+    and the greedy kernel runs per query group via ``applyInPandas`` —
+    the join and the groupBy hash the SAME key, so Catalyst plans ONE
+    exchange for both, and each group is shortlist-sized (k-ish rows)
+    by construction. MMR stays inherently sequential, but only WITHIN a
+    query; across queries it is embarrassingly parallel, which is
+    exactly what the grouped kernel exploits. The kernel is the SAME
+    function the driver-side :func:`mmr_rerank` runs
+    (:func:`_mmr_greedy` — parity is test-pinned), so per-query results
+    are identical to calling :func:`mmr_rerank` once per query.
+    ``max_candidates_per_query`` fail-fasts inside the task if a group
+    arrives unbounded (someone keyed a corpus, not a shortlist).
+
+    Returns ``(query_id_col, id_col, mmr_score, rank)`` — same contract
+    as :func:`mmr_rerank` per query; queries with no candidate rows
+    yield no output rows. Id and query-id columns must be integral
+    (returned as long) or string; other dtypes fail fast.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+    for col, frame, name in (
+        (query_id_col, candidates, "candidates"),
+        (id_col, candidates, "candidates"),
+        (vec_col, candidates, "candidates"),
+        (query_id_col, queries, "queries"),
+        (query_vec_col, queries, "queries"),
+    ):
+        if col not in frame.columns:
+            raise ValueError(f"column {col!r} not in {name}: {frame.columns}")
+    id_type = _mmr_id_sql_type(candidates, id_col)
+    qid_type = _mmr_id_sql_type(candidates, query_id_col)
+    import numpy as np
+    import pandas as pd
+
+    joined = candidates.select(
+        F.col(query_id_col), F.col(id_col), F.col(vec_col).alias("__vec")
+    ).join(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
+        ),
+        on=query_id_col,
+    )
+    out_schema = (
+        f"{query_id_col} {qid_type}, {id_col} {id_type}, "
+        "mmr_score double, rank int"
+    )
+
+    def _per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_candidates_per_query:
+            raise ValueError(
+                f"mmr_rerank_by_query got {len(pdf)} candidates for "
+                f"query {pdf[query_id_col].iloc[0]!r} > "
+                f"max_candidates_per_query={max_candidates_per_query}. "
+                "Bound each query's candidates with an ANN engine first."
+            )
+        ids = list(pdf[id_col])
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+        )
+        picks = _mmr_greedy(ids, mat, pdf["__qvec"].iloc[0], k, lam)
+        qid = pdf[query_id_col].iloc[0]
+        return pd.DataFrame(
+            [(qid, i, s, r) for i, s, r in picks],
+            columns=[query_id_col, id_col, "mmr_score", "rank"],
+        )
+
+    return joined.groupBy(query_id_col).applyInPandas(_per_query, out_schema)
 
 
 def embedding_drift(

@@ -1296,8 +1296,11 @@ def oov_rate(
     side is ``vocab_size`` rows by construction. The count table feeds
     BOTH the vocabulary and the measurement, so it is persisted
     (MEMORY_AND_DISK, Zipf-small) — without the cache the corpus-scale
-    tokenize+count pipeline evaluates twice. NULL/empty texts
-    contribute no tokens.
+    tokenize+count pipeline evaluates twice. The cache is registered
+    with the shared tracked registry; long-lived sessions calling this
+    repeatedly over different corpora should release between corpora
+    via :func:`~polars_nexpresso_spark.functions.dedup
+    .release_blocking_caches`. NULL/empty texts contribute no tokens.
 
     Returns ``(group_col, n_tokens, n_oov, oov_rate)`` with ``oov_rate``
     rounded to 9 (NULL when the group has no tokens).
@@ -1311,11 +1314,17 @@ def oov_rate(
     tok_rows = df.select(
         F.col(group_col), F.explode(tokens(F.col(text_col))).alias("__tok")
     )
-    from pyspark import StorageLevel
+    # Registered with the shared tracked-cache registry: a lazy return
+    # gives this function no "last action" to unpersist on, so without
+    # tracking every call would leak a cache entry for the session's
+    # lifetime. Long-lived sessions release between corpora via
+    # dedup.release_blocking_caches() (same contract as the LSH
+    # blocking tables).
+    from polars_nexpresso_spark.functions._caching import persist_tracked
 
-    counts = tok_rows.groupBy(group_col, "__tok").agg(
-        F.count("*").alias("__n")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    counts = persist_tracked(
+        tok_rows.groupBy(group_col, "__tok").agg(F.count("*").alias("__n"))
+    )
     vocab = (
         counts.groupBy("__tok")
         .agg(F.sum("__n").alias("__freq"))
@@ -1368,13 +1377,18 @@ def lexical_diversity(
         raise ValueError(
             f"columns {text_col!r}/{id_col!r} not both in {df.columns}"
         )
-    toks = tokens(F.col(text_col))
+    # Coalesce the token ARRAY (not just size()) so NULL text is an
+    # empty list before size() ever runs: under legacy non-ANSI
+    # sizeOfNull semantics size(NULL) is -1, which would leak
+    # n_tokens/n_types=-1 and break the documented "n_tokens 0"
+    # contract (same fix as bm25_route_stream, retrieval.py).
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
     staged = df.select(
         F.col(id_col),
-        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias("n_tokens"),
-        F.coalesce(F.size(F.array_distinct(toks)), F.lit(0))
-        .cast("bigint")
-        .alias("n_types"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
         F.array_sort(toks).alias("__srt"),
     )
     # hapax count on the SORTED token array: a token occurs exactly once
@@ -1466,9 +1480,15 @@ def oov_annotate_stream(
         np.array([r["__h"] for r in vocab_rows], dtype=np.int64)
     )
     in_count = pandas_member_count(vocab_sorted).asNondeterministic()
-    toks = tokens(F.col(text_col))
+    # NULL text → empty ARRAY before size(): legacy non-ANSI
+    # sizeOfNull would report size(NULL) = -1, violating the
+    # documented "NULL text → 0 tokens" contract and the pinned
+    # aggregate-to-oov_rate parity (same fix as bm25_route_stream).
+    toks = F.coalesce(
+        tokens(F.col(text_col)), F.array().cast("array<string>")
+    )
     tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    n_tok = F.coalesce(F.size(toks), F.lit(0)).cast("bigint")
+    n_tok = F.size(toks).cast("bigint")
     annotated = df.withColumn(
         "n_tokens", n_tok
     ).withColumn(

@@ -4972,3 +4972,141 @@ def _knn_label_ann_oracle() -> str | None:
 _knn_ann_oracle = _knn_label_ann_oracle()
 if _knn_ann_oracle is not None:
     PIPELINE_ORACLE_SQL["knn_label_ann"] = _knn_ann_oracle
+
+
+def q_mmr_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed many-query MMR over real shortlists: every tenth
+    embedding plays a retrieval query, cosine_topk bounds each query's
+    candidates to 20, then mmr_rerank_by_query diversifies every
+    shortlist to 8 picks in ONE grouped-kernel job (lam=0.5). The
+    greedy selection is sequential only WITHIN a query; the oracle
+    replays it exactly with a recursive CTE over the same shortlists."""
+    from polars_nexpresso_spark.functions.similarity import (
+        cosine_topk,
+        mmr_rerank_by_query,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    shortlist = cosine_topk(emb, queries, k=20)
+    candidates = shortlist.select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    ).join(emb.select("vec_id", "embedding"), on="vec_id")
+    return mmr_rerank_by_query(
+        candidates,
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=8,
+        lam=0.5,
+    )
+
+
+PIPELINE_QUERIES["mmr_per_query"] = q_mmr_per_query
+# mmr_per_query: the cosine_topk oracle bounds each query's shortlist,
+# then a recursive CTE replays the greedy kernel rank by rank — the
+# selected set rides along as list columns (ids for the remaining-filter,
+# vectors for the diversity penalty), argmax per rank = ROW_NUMBER over
+# (rounded score desc, id asc), exactly the kernel's tie-break.
+PIPELINE_ORACLE_SQL["mmr_per_query"] = """
+    WITH RECURSIVE shortlist AS (
+      SELECT query_id, neighbor_id AS vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                     c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                          DESC, c.vec_id ASC
+               ) AS rank
+        FROM embeddings c
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0) q
+        WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 20
+    ),
+    scored AS (
+      SELECT s.query_id, s.vec_id, e.embedding::DOUBLE[] AS vec,
+             list_cosine_similarity(
+               e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS rel
+      FROM shortlist s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    picks AS (
+      SELECT query_id, vec_id, mmr_score, 1 AS rank,
+             [vec_id] AS sel_ids, [vec] AS sel_vecs
+      FROM (
+        SELECT query_id, vec_id, vec,
+               ROUND(0.5 * rel, 6) AS mmr_score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY ROUND(0.5 * rel, 6) DESC, vec_id ASC
+               ) AS rn
+        FROM scored
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT query_id, vec_id, mmr_score, rank,
+             list_append(sel_ids, vec_id), list_append(sel_vecs, vec)
+      FROM (
+        SELECT s.query_id, s.vec_id, s.vec, p.sel_ids, p.sel_vecs,
+               p.rank + 1 AS rank,
+               ROUND(0.5 * s.rel - 0.5 * list_max(list_transform(
+                   p.sel_vecs,
+                   sv -> list_cosine_similarity(s.vec, sv))), 6)
+                 AS mmr_score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.query_id
+                 ORDER BY ROUND(0.5 * s.rel - 0.5 * list_max(
+                     list_transform(p.sel_vecs,
+                       sv -> list_cosine_similarity(s.vec, sv))), 6)
+                          DESC, s.vec_id ASC
+               ) AS rn
+        FROM scored s JOIN picks p USING (query_id)
+        WHERE NOT list_contains(p.sel_ids, s.vec_id) AND p.rank < 8
+      ) WHERE rn = 1
+    )
+    SELECT query_id, vec_id, mmr_score, rank FROM picks
+"""
+
+
+def q_curriculum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curriculum materialization inside the correctness
+    gate: the sf curriculum_shards plan is WRITTEN with
+    write_curriculum (one hive dir per (stage, shard), rows stored in
+    pos order) and read back from the files — the result must carry
+    exactly the plan's (doc_id, stage, shard, pos) rows, proving the
+    repartition + sortWithinPartitions + partitionBy write path loses
+    and reorders nothing. (The file-ORDER half of the contract — read
+    sequence == pos sequence with no sort — is pinned separately in
+    test_sources.py; the oracle compare is order-insensitive by
+    design.) Writes to a scratch dir derived from the sf name so
+    repeated bench/driver runs overwrite rather than accumulate."""
+    import tempfile
+    from pathlib import Path as _P
+
+    from polars_nexpresso_spark.functions.sampling import (
+        curriculum_shards,
+    )
+    from polars_nexpresso_spark.sources.io import write_curriculum
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    plan = curriculum_shards(
+        docs, "n_chars", "doc_id", n_stages=3, n_shards=4
+    )
+    out = str(
+        _P(tempfile.gettempdir())
+        / f"pns_curriculum_replay_{_P(sf_dir).name}"
+    )
+    write_curriculum(plan, out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "doc_id",
+        F.col("stage").cast("string").alias("stage"),
+        F.col("shard").cast("int").alias("shard"),
+        "pos",
+    )
+
+
+PIPELINE_QUERIES["curriculum_replay"] = q_curriculum_replay
+# curriculum_replay: the files must replay the PLAN, so the oracle is
+# curriculum_shards' own SQL — identical rows surviving the write/read.
+PIPELINE_ORACLE_SQL["curriculum_replay"] = PIPELINE_ORACLE_SQL[
+    "curriculum_shards"
+]

@@ -1199,15 +1199,33 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # (semantic_dedup .. audio_near_dup) stay as the round-10 rotation
 # pool; the round-8 four (dedup_index .. decontaminate_bloom) hold only
 # ONE driver row each and stay in the window to earn their second.
-# Round-10 rotation TODO: the nine round-9 operators registered after
-# the window (`dedup_index_stream`, `knn_label`, `knn_label_ann`,
-# `diversity_sample`, `oov_rate`, `lexical_diversity`,
-# `curriculum_shards`, `oov_annotate`, `embedding_drift` — each ALL
-# PASS via scripts/check_oracle.py at sf0.001 AND sf0.01 in round 9)
-# are owed driver rows next round; rotate them in against the
-# two-green round-6/7 pool (semantic_dedup .. audio_near_dup, plus any
-# window entries earning their second green in CORRECTNESS_r09).
+# Round-10 rotation (per VERDICT r09 item 1): the nine round-9
+# operators registered after the window (`dedup_index_stream`,
+# `knn_label`, `knn_label_ann`, `diversity_sample`, `oov_rate`,
+# `lexical_diversity`, `curriculum_shards`, `oov_annotate`,
+# `embedding_drift` — each ALL PASS via scripts/check_oracle.py at
+# sf0.001 AND sf0.01 in round 9, re-verified by the round-9 judge)
+# move INTO the window to earn driver rows in CORRECTNESS_r10. Out:
+# nine entries from the deepest-history pool — the round-6/7 block
+# holds THREE driver-green rows each (r07+r08+r09, counted from the
+# CORRECTNESS_r07-r09 artifacts), so the first nine of that block
+# rotate to the tail: semantic_dedup, intradoc_dedup, source_overlap,
+# token_budget, nb_quality, nb_quality_stream, image_near_dup,
+# fixed_boilerplate, dedup_best_keep. The rest of the block
+# (hard_negatives .. audio_near_dup, three greens) plus the round-8
+# four (dedup_index .. decontaminate_bloom, two greens after r09) form
+# the round-11 rotation pool.
 _MULTIPLY_PROVEN_TAIL = [
+    # round-10 rotation
+    "semantic_dedup",
+    "intradoc_dedup",
+    "source_overlap",
+    "token_budget",
+    "nb_quality",
+    "nb_quality_stream",
+    "image_near_dup",
+    "fixed_boilerplate",
+    "dedup_best_keep",
     # round-9 rotation
     "multimodal_video",
     "dup_window_frac",

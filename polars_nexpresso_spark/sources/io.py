@@ -209,6 +209,20 @@ def catalog_num_buckets(spark, table: str) -> int | None:
     return None
 
 
+def catalog_is_external(spark, table: str) -> bool:
+    """True when the catalog records ``table`` as EXTERNAL (built with an
+    explicit ``path``). Index compactors use this to fail fast instead
+    of silently rewriting an external index as managed warehouse tables
+    (which would strand the old external data files)."""
+    try:
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+            if str(r[0]).strip().lower() == "type":
+                return str(r[1]).strip().upper() == "EXTERNAL"
+    except Exception:  # noqa: BLE001 — missing table: treat as managed
+        return False
+    return False
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

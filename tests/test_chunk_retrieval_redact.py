@@ -983,3 +983,7 @@ def test_compact_text_index_folds_partials_scores_unchanged(spark, tmp_path):
     from polars_nexpresso_spark.sources.io import catalog_num_buckets
 
     assert catalog_num_buckets(spark, "pns_t_compact_terms") == 4
+    # external index + no path: fail fast instead of silently rewriting
+    # as managed tables and stranding the external data files
+    with pytest.raises(ValueError, match="EXTERNAL"):
+        compact_text_index(spark, "pns_t_compact")

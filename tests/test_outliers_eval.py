@@ -4,6 +4,7 @@ pair recall/precision eval."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from polars_nexpresso_spark.functions.dedup import dedup_pair_recall
 from polars_nexpresso_spark.functions.similarity import embedding_outliers
@@ -364,6 +365,116 @@ def test_mmr_rerank_contracts(spark):
         mmr_rerank(cands, [0.0, 1.0], k=2, lam=1.5)
     with pytest.raises(ValueError, match="k must"):
         mmr_rerank(cands, [0.0, 1.0], k=0)
+
+
+def test_mmr_rerank_id_dtypes(spark):
+    """String ids flow through with their dtype; unsupported id dtypes
+    (double) fail fast with a clear message instead of an opaque numpy
+    error — the round-9 ADVICE contract."""
+    from polars_nexpresso_spark.functions.similarity import mmr_rerank
+
+    str_cands = spark.createDataFrame(
+        [("b", [1.0, 0.0]), ("a", [1.0, 0.0]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<float>",
+    )
+    out = mmr_rerank(str_cands, [1.0, 0.0], k=3, lam=1.0).orderBy("rank")
+    assert dict(out.dtypes)["vec_id"] == "string"
+    picks = [r["vec_id"] for r in out.collect()]
+    assert picks[0] == "a"  # equal relevance: id-asc tie-break, strings
+    bad = spark.createDataFrame(
+        [(1.5, [1.0, 0.0])], "vec_id double, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="integral or string"):
+        mmr_rerank(bad, [1.0, 0.0], k=1)
+
+
+def test_mmr_rerank_by_query_matches_driver_kernel(spark):
+    """Batch==driver-kernel parity: mmr_rerank_by_query over a
+    many-query candidate table returns, for EVERY query, exactly the
+    rows the driver-side mmr_rerank produces on that query's shortlist
+    alone — the engine-equality pin that makes the distributed variant
+    a drop-in for the loop-over-queries pattern."""
+    import random
+
+    from polars_nexpresso_spark.functions.similarity import (
+        mmr_rerank,
+        mmr_rerank_by_query,
+    )
+
+    rng = random.Random(7)
+    qvecs = {q: [rng.uniform(-1, 1) for _ in range(4)] for q in range(6)}
+    cand_rows = [
+        (q, i, [rng.uniform(-1, 1) for _ in range(4)])
+        for q in qvecs
+        for i in range(rng.randint(1, 12))
+    ]
+    cands = spark.createDataFrame(
+        cand_rows, "query_id long, vec_id long, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(q, v) for q, v in qvecs.items()],
+        "query_id long, embedding array<float>",
+    )
+    grouped = (
+        mmr_rerank_by_query(cands, queries, k=5, lam=0.4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    # feed the driver path the SAME float32-truncated query vectors the
+    # grouped path reads back from the array<float> column
+    stored_qvecs = {
+        r["query_id"]: r["embedding"] for r in queries.collect()
+    }
+    expected = []
+    for q in sorted(qvecs):
+        solo = mmr_rerank(
+            cands.filter(F.col("query_id") == q),
+            stored_qvecs[q],
+            k=5,
+            lam=0.4,
+        )
+        expected += [
+            (q, r["vec_id"], r["mmr_score"], r["rank"])
+            for r in solo.orderBy("rank").collect()
+        ]
+    got = [
+        (r["query_id"], r["vec_id"], r["mmr_score"], r["rank"])
+        for r in grouped
+    ]
+    assert got == expected
+
+
+def test_mmr_rerank_by_query_contracts(spark):
+    from polars_nexpresso_spark.functions.similarity import (
+        mmr_rerank_by_query,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, i, [float(i), 1.0]) for i in range(5)],
+        "query_id long, vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0])],
+        "query_id long, embedding array<float>",
+    )
+    # query 2 has no candidates: no output rows for it, no error
+    out = mmr_rerank_by_query(cands, queries, k=3).collect()
+    assert {r["query_id"] for r in out} == {1}
+    assert sorted(r["rank"] for r in out) == [1, 2, 3]
+    # per-query bound enforced inside the task
+    import py4j.protocol
+
+    with pytest.raises(
+        (py4j.protocol.Py4JJavaError, Exception),
+        match="max_candidates_per_query",
+    ):
+        mmr_rerank_by_query(
+            cands, queries, k=2, max_candidates_per_query=3
+        ).collect()
+    with pytest.raises(ValueError, match="lam"):
+        mmr_rerank_by_query(cands, queries, k=2, lam=-0.1)
+    with pytest.raises(ValueError, match="not in queries"):
+        mmr_rerank_by_query(cands, queries.drop("embedding"), k=2)
 
 
 # ----------------------------------------------------- round-9: drift

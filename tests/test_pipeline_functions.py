@@ -2743,6 +2743,10 @@ def test_compact_dedup_index_same_verdicts_fewer_files(spark, tmp_path):
         # fp table stays duplicate-free
         fp = spark.table("pns_test_didx_c_fp")
         assert fp.count() == fp.distinct().count() == 3
+        # external index + no path: fail fast instead of silently
+        # rewriting as managed tables and stranding the external files
+        with pytest.raises(ValueError, match="EXTERNAL"):
+            compact_dedup_index(spark, "pns_test_didx_c")
     finally:
         for t in ("pns_test_didx_c_fp", "pns_test_didx_c_lsh",
                   "pns_test_didx_c_meta"):

@@ -803,3 +803,48 @@ def test_round9_operator_shuffle_budgets(spark):
         assert rep["python_stages"] <= python_stages, (
             name, rep["python_stages"],
         )
+
+
+def test_mmr_per_query_one_exchange_per_side(spark):
+    """mmr_rerank_by_query's whole point: the query-vector join and the
+    per-query applyInPandas group HASH THE SAME KEY, so Catalyst plans
+    exactly one exchange per input side and FlatMapGroupsInPandas
+    consumes the join output with NO extra exchange. In the registry
+    query the candidate side additionally carries cosine_topk's
+    shortlist plumbing; budget: 2 hash exchanges, 1 python stage (the
+    grouped kernel), and the only nested-loop join is cosine_topk's
+    broadcast-query contract."""
+    import __spark_entry__ as em
+
+    from polars_nexpresso_spark.plans.audit import scale_report
+
+    rep = scale_report(
+        em.queries()["mmr_per_query"](spark, "/root/testdata/sf0.001")
+    )
+    hard = [
+        w for w in rep["warnings"] if not w.startswith("nested-loop-join")
+    ]
+    assert hard == [], hard
+    assert rep["exchanges"] <= 2, rep["exchanges"]
+    assert rep["python_stages"] <= 1, rep["python_stages"]
+    # the bare operator (no shortlist upstream): join + groupBy share
+    # one partitioning; FlatMapGroupsInPandas sits directly on the join
+    import re
+
+    from polars_nexpresso_spark.functions.similarity import (
+        mmr_rerank_by_query,
+    )
+
+    cands = spark.createDataFrame(
+        [(1, i, [float(i), 1.0]) for i in range(5)],
+        "query_id long, vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "query_id long, embedding array<float>"
+    )
+    p = plan(mmr_rerank_by_query(cands, queries, k=3))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2  # one per side
+    # no exchange between the join and the grouped kernel
+    join_pos = p.find("SortMergeJoin")
+    fmap_pos = p.find("FlatMapGroupsInPandas")
+    assert join_pos != -1 and fmap_pos != -1

@@ -370,3 +370,44 @@ def test_write_curriculum_files_replay_pos_order(spark, tmp_path):
         assert pos_as_read[0] == 1
     with pytest.raises(ValueError, match="column"):
         write_curriculum(df, p)
+
+
+def test_write_curriculum_composes_with_registry_plan(spark, tmp_path):
+    """End-to-end composition (VERDICT r09 item 6): materializing the
+    REAL sf0.01 curriculum_shards registry plan and reading each
+    (stage, shard) directory back in FILE order — no sort, the training
+    loader's actual access pattern — replays the exact (stage, shard,
+    pos → doc_id) sequence of the plan itself. This is the stage
+    interaction the separate tests can't see: the write's repartition +
+    sortWithinPartitions + partitionBy must preserve precisely the
+    order the plan assigned."""
+    import itertools
+
+    import __spark_entry__ as em
+
+    from polars_nexpresso_spark.sources.io import write_curriculum
+
+    plan = em.queries()["curriculum_shards"](spark, "/root/testdata/sf0.01")
+    p = str(tmp_path / "curr_e2e")
+    n_pairs = write_curriculum(plan, p)
+    assert n_pairs == 12  # 3 stages x 4 shards
+    expected = {}
+    for r in plan.collect():
+        expected.setdefault((r["stage"], r["shard"]), []).append(
+            (r["pos"], r["doc_id"])
+        )
+    stages = sorted({k[0] for k in expected})
+    shards = sorted({k[1] for k in expected})
+    total = 0
+    for stage, shard in itertools.product(stages, shards):
+        # file order, NOT pos order: no orderBy on the read side
+        got = [
+            r["doc_id"]
+            for r in spark.read.parquet(
+                f"{p}/stage={stage}/shard={shard}"
+            ).collect()
+        ]
+        want = [d for _, d in sorted(expected[(stage, shard)])]
+        assert got == want, (stage, shard)
+        total += len(got)
+    assert total == plan.count()
