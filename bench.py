@@ -1418,6 +1418,12 @@ def main() -> None:
                     ),
                 }
             _emit_partial(group)
+        # children report rows/s from their own single run; re-derive it
+        # from the sealed cross-JVM median so the two numbers agree
+        for qname, rec_w in io_write_extras.items():
+            t = timings.get(qname)
+            if t and rec_w.get("rows"):
+                rec_w["rows_per_sec"] = int(rec_w["rows"] / t)
         if not _over_deadline("ann_dial"):
             rec = _spawn_group("ann_dial", sf_dir)
             ann_dial = rec.get("extras", {}).get("ann_recall_at_k", {})
