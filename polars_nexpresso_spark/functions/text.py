@@ -1508,3 +1508,47 @@ def oov_annotate_stream(
         )
         .drop("__in")
     )
+
+
+def quality_calibrate(
+    df,
+    score_col: str,
+    group_col: str,
+    id_col: str,
+):
+    """Per-group percent-rank calibration of a quality score — the
+    standard normalization step before a single global quality
+    threshold is applied across heterogeneous sources: raw classifier /
+    heuristic scores are not comparable across domains (code scores
+    cluster high, web-crawl scores low), so a global cut keeps whole
+    domains and drops others; calibrating each score to its rank
+    WITHIN its source makes "keep the top 30% of every source" a
+    one-predicate filter.
+
+    Scale shape: ONE partitioned window (hash exchange on
+    ``group_col``, per-group sort) — no global sort, no driver
+    collection; the per-group sort is the exact cost a per-source
+    quantile cut would pay anyway. Rows with NULL scores calibrate to
+    NULL and are EXCLUDED from the rank denominator (they would
+    otherwise pin percent_rank's NULLS FIRST ordering to engine
+    defaults, which differ between engines).
+
+    Returns ``(id_col, group_col, score_col, calibrated)`` with
+    ``calibrated`` = percent_rank in [0, 1] ascending (rounded to 9;
+    ties share a rank, single-row groups calibrate to 0.0).
+    """
+    from pyspark.sql.window import Window
+
+    for c in (score_col, group_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in {df.columns}")
+    base = df.select(id_col, group_col, score_col)
+    scored = base.filter(F.col(score_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    ranked = scored.withColumn(
+        "calibrated", F.round(F.percent_rank().over(w), 9)
+    )
+    nulls = base.filter(F.col(score_col).isNull()).withColumn(
+        "calibrated", F.lit(None).cast("double")
+    )
+    return ranked.unionByName(nulls)

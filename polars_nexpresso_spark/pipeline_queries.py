@@ -5110,3 +5110,30 @@ PIPELINE_QUERIES["curriculum_replay"] = q_curriculum_replay
 PIPELINE_ORACLE_SQL["curriculum_replay"] = PIPELINE_ORACLE_SQL[
     "curriculum_shards"
 ]
+
+
+def q_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percent-rank calibration of the n_chars quality proxy
+    — makes 'keep the top X% of EVERY source' a single predicate where
+    a raw global threshold would keep whole domains and drop others.
+    One partitioned window: hash exchange on source + per-group sort,
+    no global sort (plan-budgeted)."""
+    from polars_nexpresso_spark.functions.text import quality_calibrate
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return quality_calibrate(docs, "n_chars", "source", "doc_id")
+
+
+PIPELINE_QUERIES["quality_calibrate"] = q_quality_calibrate
+# quality_calibrate: PERCENT_RANK is SQL-native; NULL scores calibrate
+# to NULL outside the rank denominator (engine NULLS-ordering defaults
+# differ, so the operator excludes them by contract).
+PIPELINE_ORACLE_SQL["quality_calibrate"] = """
+    SELECT doc_id, source, n_chars,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY source ORDER BY n_chars ASC), 9) AS calibrated
+    FROM documents WHERE n_chars IS NOT NULL
+    UNION ALL
+    SELECT doc_id, source, n_chars, NULL AS calibrated
+    FROM documents WHERE n_chars IS NULL
+"""

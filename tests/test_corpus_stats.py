@@ -377,3 +377,49 @@ def test_nb_quality_stream_null_and_empty_text(spark):
     assert got[1][0] == 1 and got[1][1] > 0
     assert got[2] == (0, None)
     assert got[3] == (0, None)
+
+
+def test_quality_calibrate_contracts(spark):
+    """Per-group percent_rank: ties share a rank, single-row groups
+    calibrate to 0, NULL scores calibrate to NULL outside the rank
+    denominator, and 'top 30% of every source' becomes one predicate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from polars_nexpresso_spark.functions.text import quality_calibrate
+
+    df = spark.createDataFrame(
+        [
+            (1, "web", 10), (2, "web", 20), (3, "web", 20), (4, "web", 40),
+            (5, "code", 90),                     # single-row group
+            (6, "web", None), (7, "code", None),  # NULL scores
+        ],
+        "doc_id long, source string, score int",
+    )
+    out = {r["doc_id"]: r["calibrated"]
+           for r in quality_calibrate(df, "score", "source", "doc_id")
+           .collect()}
+    assert out[1] == 0.0
+    assert out[2] == out[3] == pytest.approx(1 / 3, abs=1e-9)  # tie
+    assert out[4] == 1.0
+    assert out[5] == 0.0            # single-row group
+    assert out[6] is None and out[7] is None
+    # NULL rows did not shift the denominator: web has 4 ranked rows
+    with pytest.raises(ValueError, match="column"):
+        quality_calibrate(df, "nope", "source", "doc_id")
+
+
+def test_quality_calibrate_plan_budget(spark):
+    """One partitioned window = one hash exchange on the group column;
+    no global sort, no python, no unpartitioned window."""
+    from polars_nexpresso_spark.functions.text import quality_calibrate
+    from polars_nexpresso_spark.plans.audit import scale_report
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    rep = scale_report(
+        quality_calibrate(docs, "n_chars", "source", "doc_id")
+    )
+    assert rep["warnings"] == [], rep["warnings"]
+    assert rep["exchanges"] <= 1, rep["exchanges"]
+    assert rep["python_stages"] == 0

@@ -317,6 +317,17 @@ def test_release_blocking_caches(docs):
     assert release_blocking_caches() == 0  # idempotent drain
     after = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert after == before
+    # oov_rate's (group, token) count-table persist registers with the
+    # SAME registry (round-9 ADVICE: it used to leak one cache entry
+    # per call for the session's lifetime) and recomputes identically
+    # after release
+    from polars_nexpresso_spark.functions.text import oov_rate
+
+    rates = oov_rate(docs, "text", "doc_id", vocab_size=5)
+    first = {(r[0], r["n_tokens"], r["n_oov"]) for r in rates.collect()}
+    assert release_blocking_caches() >= 1
+    assert {(r[0], r["n_tokens"], r["n_oov"])
+            for r in rates.collect()} == first
 
 
 def test_simhash_pairs_identical(docs):
