@@ -724,7 +724,7 @@ GROUPS: dict[str, object] = {
         "quality_percentiles", "quality_filter", "quality_buckets",
         "lm_score", "lm_score_stream", "nb_quality", "nb_quality_stream",
         "novelty_frac", "pmi_bigrams", "oov_rate", "lexical_diversity",
-        "oov_annotate", "quality_calibrate",
+        "oov_annotate", "quality_calibrate", "char_entropy",
     )),
     "text_transform": _registry_group((
         "chunk_documents", "bm25_topk", "bm25_index", "bm25_route",
@@ -967,7 +967,7 @@ SCALE_PROBE_QUERIES = (
     "diversity_sample", "oov_rate", "lexical_diversity",
     "curriculum_shards", "oov_annotate", "embedding_drift",
     # round-10 operators
-    "mmr_per_query", "quality_calibrate",
+    "mmr_per_query", "quality_calibrate", "char_entropy",
 )
 
 

@@ -1552,3 +1552,61 @@ def quality_calibrate(
         "calibrated", F.lit(None).cast("double")
     )
     return ranked.unionByName(nulls)
+
+
+def char_entropy(
+    df,
+    text_col: str,
+    id_col: str,
+):
+    """Per-document character-level Shannon entropy (natural log) — the
+    cheap gibberish detector that complements :func:`repetition` and
+    :func:`lexical_diversity`: base64 blobs, binary spills, and
+    hex dumps score anomalously HIGH (near-uniform character use),
+    padded/repeated-character boilerplate scores near ZERO, natural
+    language sits in a narrow band per script. A standard pretraining
+    gate alongside length/stopword filters.
+
+    Scale shape: pure per-row array arithmetic, ZERO shuffle, zero
+    Python (plan-budgeted). The per-row character histogram is never
+    materialized as rows — the text's chars are ``array_sort``-ed and
+    the run-length boundaries of the sorted array (the same
+    sorted-neighbor trick :func:`lexical_diversity` uses for hapax
+    counting) yield the per-character counts:
+    ``H = -Σ (len/n)·ln(len/n)`` over sorted runs — O(n log n) per row,
+    no explode. (An explode+groupBy formulation would shuffle one row
+    PER CHARACTER — the shape that dies at 100 TB.)
+
+    Returns ``(id_col, n_chars, entropy)`` — entropy rounded to 9,
+    NULL for NULL/empty text (``n_chars`` 0 for empty, NULL for NULL).
+    """
+    if text_col not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"columns {text_col!r}/{id_col!r} not both in {df.columns}"
+        )
+    txt = F.col(text_col)
+    s = F.array_sort(F.split(txt, ""))
+    n = F.size(s)
+    # run starts: position 0 plus every index whose char differs from
+    # its left neighbor; run lengths = next start - this start
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == F.lit(0)) | (F.get(s, i - 1) != F.get(s, i)),
+    )
+    nxt = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n),
+    )
+    lens = F.zip_with(starts, nxt, lambda a, b: b - a)
+    ent = -F.aggregate(
+        lens,
+        F.lit(0.0),
+        lambda acc, run: acc + (run / n) * F.log(run / n),
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(txt).cast("bigint").alias("n_chars"),
+        F.round(
+            F.when(F.length(txt) > 0, ent), 9
+        ).alias("entropy"),
+    )

@@ -5137,3 +5137,40 @@ PIPELINE_ORACLE_SQL["quality_calibrate"] = """
     SELECT doc_id, source, n_chars, NULL AS calibrated
     FROM documents WHERE n_chars IS NULL
 """
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy gibberish gate over documents — high = base64/
+    binary spill, near-zero = padded boilerplate. Pure map-side run-
+    length arithmetic on the sorted char array: zero shuffle, zero
+    Python (plan-budgeted); the oracle recomputes the histogram the
+    relational way (unnest + two aggregations), small-sf only."""
+    from polars_nexpresso_spark.functions.text import char_entropy
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return char_entropy(docs, "text", "doc_id")
+
+
+PIPELINE_QUERIES["char_entropy"] = q_char_entropy
+PIPELINE_ORACLE_SQL["char_entropy"] = """
+    WITH cnt AS (
+      SELECT doc_id, c, COUNT(*)::DOUBLE AS k
+      FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0
+      ) GROUP BY doc_id, c
+    ),
+    h AS (
+      SELECT doc_id,
+             -SUM((k / n) * ln(k / n)) AS ent
+      FROM (SELECT doc_id, c, k,
+                   SUM(k) OVER (PARTITION BY doc_id) AS n
+            FROM cnt)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE length(d.text) END::BIGINT AS n_chars,
+           ROUND(h.ent, 9) AS entropy
+    FROM documents d LEFT JOIN h USING (doc_id)
+"""

@@ -423,3 +423,53 @@ def test_quality_calibrate_plan_budget(spark):
     assert rep["warnings"] == [], rep["warnings"]
     assert rep["exchanges"] <= 1, rep["exchanges"]
     assert rep["python_stages"] == 0
+
+
+def test_char_entropy_contracts(spark):
+    """Hand-computed entropies: 'aab' = -(2/3 ln 2/3 + 1/3 ln 1/3),
+    uniform 'abcd' = ln 4, constant 'aaaa' = 0; NULL text -> NULL
+    n_chars + NULL entropy, empty text -> 0 chars + NULL entropy; the
+    gibberish ordering (base64-ish > english-ish > padding) holds."""
+    import math
+
+    import pytest
+
+    from polars_nexpresso_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aab"), (2, "abcd"), (3, "aaaa"), (4, None), (5, ""),
+            (6, "QmFzZTY0IGJsb2Ih8J+YhA=="),       # base64-ish
+            (7, "the cat sat on the mat"),          # natural-ish
+            (8, "____________________"),            # padding
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(df, "text", "doc_id")
+            .collect()}
+    assert rows[1]["entropy"] == pytest.approx(
+        -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3)), abs=1e-9
+    )
+    assert rows[2]["entropy"] == pytest.approx(math.log(4), abs=1e-9)
+    assert rows[3]["entropy"] == 0.0
+    assert rows[4]["n_chars"] is None and rows[4]["entropy"] is None
+    assert rows[5]["n_chars"] == 0 and rows[5]["entropy"] is None
+    assert rows[6]["entropy"] > rows[7]["entropy"] > rows[8]["entropy"]
+    assert rows[8]["entropy"] == 0.0
+    with pytest.raises(ValueError, match="columns"):
+        char_entropy(df, "nope", "doc_id")
+
+
+def test_char_entropy_plan_budget(spark):
+    """Pure map-side: ZERO exchanges, zero Python, no explode — the
+    per-character-row shuffle an explode formulation would pay is the
+    shape that dies at 100 TB."""
+    from polars_nexpresso_spark.functions.text import char_entropy
+    from polars_nexpresso_spark.plans.audit import scale_report
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    rep = scale_report(char_entropy(docs, "text", "doc_id"))
+    assert rep["warnings"] == [], rep["warnings"]
+    assert rep["exchanges"] == 0, rep["exchanges"]
+    assert rep["python_stages"] == 0
