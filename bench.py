@@ -725,6 +725,7 @@ GROUPS: dict[str, object] = {
         "lm_score", "lm_score_stream", "nb_quality", "nb_quality_stream",
         "novelty_frac", "pmi_bigrams", "oov_rate", "lexical_diversity",
         "oov_annotate", "quality_calibrate", "char_entropy",
+        "encoding_quality",
     )),
     "text_transform": _registry_group((
         "chunk_documents", "bm25_topk", "bm25_index", "bm25_route",
@@ -968,6 +969,7 @@ SCALE_PROBE_QUERIES = (
     "curriculum_shards", "oov_annotate", "embedding_drift",
     # round-10 operators
     "mmr_per_query", "quality_calibrate", "char_entropy",
+    "encoding_quality",
 )
 
 

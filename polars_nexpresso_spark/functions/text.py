@@ -1610,3 +1610,49 @@ def char_entropy(
             F.when(F.length(txt) > 0, ent), 9
         ).alias("entropy"),
     )
+
+
+# Control characters that signal a binary spill / wrong decode when they
+# appear in "text": C0 controls except tab/newline/carriage-return, plus
+# DEL. U+FFFD is the decoder's own replacement marker — any nonzero
+# count means bytes were already lost upstream.
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_REPLACEMENT_RE = "�"
+
+
+def encoding_quality(
+    df,
+    text_col: str,
+    id_col: str,
+):
+    """Per-document encoding-health gate: how much of the text is
+    decoder damage (U+FFFD replacement characters — bytes already lost
+    upstream) or stray control characters (binary spilled into a text
+    column, wrong charset decode). The standard ingest check BEFORE
+    language-ID/quality scoring — mojibake fragments under the
+    tokenizer and poisons every downstream signal, so pipelines route
+    high-ratio docs to re-extraction rather than scoring them.
+
+    Pure map-side ``regexp_count`` projections — zero shuffle, zero
+    Python (plan-budgeted). Returns ``(id_col, n_chars, n_replacement,
+    n_control, replacement_ratio, control_ratio)`` — ratios rounded to
+    9, NULL for NULL/empty text (``n_chars`` 0 for empty, NULL for
+    NULL).
+    """
+    if text_col not in df.columns or id_col not in df.columns:
+        raise ValueError(
+            f"columns {text_col!r}/{id_col!r} not both in {df.columns}"
+        )
+    txt = F.col(text_col)
+    n = F.length(txt)
+    n_rep = F.regexp_count(txt, F.lit(_REPLACEMENT_RE))
+    n_ctl = F.regexp_count(txt, F.lit(_CONTROL_RE))
+    denom = F.when(n > 0, n.cast("double"))
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        n_rep.cast("bigint").alias("n_replacement"),
+        n_ctl.cast("bigint").alias("n_control"),
+        F.round(n_rep / denom, 9).alias("replacement_ratio"),
+        F.round(n_ctl / denom, 9).alias("control_ratio"),
+    )

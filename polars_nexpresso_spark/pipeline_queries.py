@@ -5174,3 +5174,36 @@ PIPELINE_ORACLE_SQL["char_entropy"] = """
            ROUND(h.ent, 9) AS entropy
     FROM documents d LEFT JOIN h USING (doc_id)
 """
+
+
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health gate over documents: U+FFFD (decoder damage) and
+    stray control characters (binary spill / wrong charset) per doc —
+    the ingest check run BEFORE language-ID/quality scoring. Pure
+    map-side regexp_count projections, zero shuffle (plan-budgeted)."""
+    from polars_nexpresso_spark.functions.text import encoding_quality
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return encoding_quality(docs, "text", "doc_id")
+
+
+PIPELINE_QUERIES["encoding_quality"] = q_encoding_quality
+PIPELINE_ORACLE_SQL["encoding_quality"] = """
+    SELECT doc_id,
+           length(text)::BIGINT AS n_chars,
+           CASE WHEN text IS NULL THEN NULL ELSE
+             len(regexp_extract_all(text, '\\x{FFFD}'))
+           END::BIGINT AS n_replacement,
+           CASE WHEN text IS NULL THEN NULL ELSE
+             len(regexp_extract_all(text,
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]'))
+           END::BIGINT AS n_control,
+           ROUND(len(regexp_extract_all(text, '\\x{FFFD}'))::DOUBLE
+                 / (CASE WHEN length(text) > 0 THEN length(text) END), 9)
+               AS replacement_ratio,
+           ROUND(len(regexp_extract_all(text,
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]'))::DOUBLE
+                 / (CASE WHEN length(text) > 0 THEN length(text) END), 9)
+               AS control_ratio
+    FROM documents
+"""

@@ -473,3 +473,50 @@ def test_char_entropy_plan_budget(spark):
     assert rep["warnings"] == [], rep["warnings"]
     assert rep["exchanges"] == 0, rep["exchanges"]
     assert rep["python_stages"] == 0
+
+
+def test_encoding_quality_contracts(spark):
+    """Crafted mojibake: U+FFFD and C0-control counts are exact (tab/
+    newline/CR are NOT control hits), ratios divide by char count,
+    NULL/empty text contracts hold."""
+    import pytest
+
+    from polars_nexpresso_spark.functions.text import encoding_quality
+
+    df = spark.createDataFrame(
+        [
+            (1, "ab�c�\x01\x02\tx"),  # 2 repl, 2 control
+            (2, "clean text\nwith lines\r\n"),   # whitespace is fine
+            (3, None),
+            (4, ""),
+            (5, "\x00\x7f"),                     # pure binary spill
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r
+            for r in encoding_quality(df, "text", "doc_id").collect()}
+    assert rows[1]["n_chars"] == 9
+    assert rows[1]["n_replacement"] == 2 and rows[1]["n_control"] == 2
+    assert rows[1]["replacement_ratio"] == pytest.approx(2 / 9, abs=1e-9)
+    assert rows[2]["n_replacement"] == 0 and rows[2]["n_control"] == 0
+    assert rows[3]["n_chars"] is None
+    assert rows[3]["replacement_ratio"] is None
+    assert rows[4]["n_chars"] == 0 and rows[4]["control_ratio"] is None
+    assert rows[5]["n_control"] == 2
+    assert rows[5]["control_ratio"] == 1.0
+    with pytest.raises(ValueError, match="columns"):
+        encoding_quality(df, "nope", "doc_id")
+
+
+def test_encoding_quality_plan_budget(spark):
+    """Pure map-side regexp_count projections: zero exchanges, zero
+    Python."""
+    from polars_nexpresso_spark.functions.text import encoding_quality
+    from polars_nexpresso_spark.plans.audit import scale_report
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    rep = scale_report(encoding_quality(docs, "text", "doc_id"))
+    assert rep["warnings"] == [], rep["warnings"]
+    assert rep["exchanges"] == 0
+    assert rep["python_stages"] == 0
