@@ -520,3 +520,50 @@ def test_encoding_quality_plan_budget(spark):
     assert rep["warnings"] == [], rep["warnings"]
     assert rep["exchanges"] == 0
     assert rep["python_stages"] == 0
+
+
+def test_char_entropy_and_encoding_quality_stream_parity(spark):
+    """Both gates are pure projections, so they run UNCHANGED on a real
+    readStream (availableNow drain) with rows identical to the static
+    run — the property that lets an ingest pipeline gate encoding
+    health and gibberish before any stateful stage."""
+    import shutil
+    import tempfile
+
+    from polars_nexpresso_spark.functions.text import (
+        char_entropy,
+        encoding_quality,
+    )
+    from polars_nexpresso_spark.sources.io import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    tmp = tempfile.mkdtemp(prefix="pns_gate_stream_")
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+        static = spark.read.parquet(f"{tmp}/in")
+        for name, op in (
+            ("char_entropy", lambda d: char_entropy(d, "text", "doc_id")),
+            ("encoding_quality",
+             lambda d: encoding_quality(d, "text", "doc_id")),
+        ):
+            expected = {tuple(r) for r in op(static).collect()}
+            stream = spark.readStream.schema(static.schema).parquet(
+                f"{tmp}/in"
+            )
+            out = op(stream)
+            assert out.isStreaming
+            q = (
+                out.writeStream.format("memory")
+                .queryName(f"gate_stream_{name}")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = {
+                tuple(r)
+                for r in spark.table(f"gate_stream_{name}").collect()
+            }
+            assert got == expected, name
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
