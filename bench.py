@@ -740,6 +740,7 @@ GROUPS: dict[str, object] = {
         "project_embeddings", "multimodal_video", "embedding_outliers",
         "knn_label", "knn_label_ann", "diversity_sample",
         "embedding_drift", "cluster_purity", "mmr_per_query",
+        "mmr_diversity_eval",
     )),
     "ann_cascade": _registry_group((
         "pq_ann_topk", "ivfpq_ann_topk", "ivfpq_rerank", "hard_negatives",
@@ -969,7 +970,7 @@ SCALE_PROBE_QUERIES = (
     "curriculum_shards", "oov_annotate", "embedding_drift",
     # round-10 operators
     "mmr_per_query", "quality_calibrate", "char_entropy",
-    "encoding_quality",
+    "encoding_quality", "mmr_diversity_eval",
 )
 
 

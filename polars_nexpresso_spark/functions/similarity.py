@@ -2222,3 +2222,85 @@ def embedding_drift(
             F.round(F.sqrt(F.col("__d2")), 6).alias("centroid_shift"),
         )
     )
+
+
+def intra_list_similarity(
+    ranked: DataFrame,
+    vectors: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean pairwise cosine WITHIN each query's ranked list — the
+    diversity metric that justifies (or indicts) a diversification
+    stage: pure relevance top-k over a near-dup-heavy corpus scores
+    high intra-list similarity (five copies of one passage), and the
+    whole point of :func:`mmr_rerank_by_query` is to push this number
+    DOWN at a bounded relevance cost. The eval twin of
+    :func:`ann_recall_eval`, run as a distributed op (never a driver
+    loop over queries).
+
+    ``ranked`` holds ``(query_id_col, id_col)`` list rows (ranks
+    ignored — the metric is order-free); ``vectors`` maps ``id_col`` to
+    ``vec_col``. Scale shape: vectors join onto list rows by id, then a
+    WITHIN-QUERY self-join on ``id_a < id_b`` — candidate pairs are
+    bounded by k² per query by construction, and the join + grouping
+    hash the same query key. Lists with fewer than 2 items yield NULL
+    (no pairs).
+
+    Returns ``(query_id_col, n_items, n_pairs, mean_pairwise_cosine)``
+    — cosine rounded to 6 per pair (the cross-engine contract), mean
+    rounded to 9.
+    """
+    for col, frame, name in (
+        (query_id_col, ranked, "ranked"),
+        (id_col, ranked, "ranked"),
+        (id_col, vectors, "vectors"),
+        (vec_col, vectors, "vectors"),
+    ):
+        if col not in frame.columns:
+            raise ValueError(f"column {col!r} not in {name}: {frame.columns}")
+    lists = ranked.select(query_id_col, id_col).join(
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            _norm(F.col(vec_col)).alias("__n"),
+        ),
+        on=id_col,
+    )
+    a = lists.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = lists.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = a.join(b, on=query_id_col).filter(F.col("__ida") < F.col("__idb"))
+    cos = F.round(
+        _dot(F.col("__va"), F.col("__vb"))
+        / (F.col("__na") * F.col("__nb")),
+        6,
+    )
+    counts = lists.groupBy(query_id_col).agg(
+        F.count("*").cast("bigint").alias("n_items")
+    )
+    stats = pairs.select(query_id_col, cos.alias("__cos")).groupBy(
+        query_id_col
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("__cos"), 9).alias("mean_pairwise_cosine"),
+    )
+    return counts.join(stats, on=query_id_col, how="left").select(
+        query_id_col,
+        "n_items",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("bigint")).alias(
+            "n_pairs"
+        ),
+        "mean_pairwise_cosine",
+    )

@@ -5207,3 +5207,93 @@ PIPELINE_ORACLE_SQL["encoding_quality"] = """
                AS control_ratio
     FROM documents
 """
+
+
+def q_mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metric that justifies the MMR stage: per query, mean
+    pairwise cosine WITHIN the mmr_per_query top-8 vs within the plain
+    relevance top-8 from the same k=20 shortlists — diversification
+    should push the first number below the second at a bounded
+    relevance cost. Both sides run through the distributed
+    intra_list_similarity op (bounded k² pairs per query, query-keyed
+    joins); nothing loops on the driver."""
+    from polars_nexpresso_spark.functions.similarity import (
+        cosine_topk,
+        intra_list_similarity,
+        mmr_rerank_by_query,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    shortlist = cosine_topk(emb, queries, k=20)
+    candidates = shortlist.select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    ).join(emb.select("vec_id", "embedding"), on="vec_id")
+    mmr = mmr_rerank_by_query(
+        candidates,
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=8,
+        lam=0.5,
+    )
+    topk8 = shortlist.filter(F.col("rank") <= 8).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    vecs = emb.select("vec_id", "embedding")
+    ils_mmr = intra_list_similarity(mmr, vecs).select(
+        "query_id",
+        F.col("mean_pairwise_cosine").alias("mmr_mean_cos"),
+    )
+    ils_topk = intra_list_similarity(topk8, vecs).select(
+        "query_id",
+        F.col("mean_pairwise_cosine").alias("topk_mean_cos"),
+    )
+    return ils_mmr.join(ils_topk, on="query_id")
+
+
+PIPELINE_QUERIES["mmr_diversity_eval"] = q_mmr_diversity_eval
+# mmr_diversity_eval: the mmr_per_query recursive CTE supplies the MMR
+# lists, the shortlist CTE supplies the relevance top-8; each side's
+# mean pairwise cosine is a within-query self-join (id_a < id_b) over
+# round-6 pair cosines, mean rounded to 9 — the operator's contract.
+PIPELINE_ORACLE_SQL["mmr_diversity_eval"] = (
+    "WITH mmr AS (" + PIPELINE_ORACLE_SQL["mmr_per_query"] + """),
+    topk AS (
+      SELECT query_id, neighbor_id AS vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(
+                     c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)
+                          DESC, c.vec_id ASC
+               ) AS rank
+        FROM embeddings c
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 10 = 0) q
+        WHERE c.vec_id != q.vec_id
+      ) WHERE rank <= 8
+    ),
+    pm AS (
+      SELECT a.query_id,
+             ROUND(list_cosine_similarity(
+               e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS c
+      FROM mmr a JOIN mmr b
+        ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+      JOIN embeddings e1 ON e1.vec_id = a.vec_id
+      JOIN embeddings e2 ON e2.vec_id = b.vec_id
+    ),
+    pt AS (
+      SELECT a.query_id,
+             ROUND(list_cosine_similarity(
+               e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS c
+      FROM topk a JOIN topk b
+        ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+      JOIN embeddings e1 ON e1.vec_id = a.vec_id
+      JOIN embeddings e2 ON e2.vec_id = b.vec_id
+    )
+    SELECT m.query_id,
+           ROUND(m.mc, 9) AS mmr_mean_cos,
+           ROUND(t.tc, 9) AS topk_mean_cos
+    FROM (SELECT query_id, AVG(c) AS mc FROM pm GROUP BY 1) m
+    JOIN (SELECT query_id, AVG(c) AS tc FROM pt GROUP BY 1) t
+      USING (query_id)
+"""
+)

@@ -547,3 +547,57 @@ def test_knn_label_ivf_engine_agrees_on_clean_clusters(spark):
     assert exact == ann == {100: 0, 101: 1}
     with pytest.raises(ValueError, match="engine"):
         knn_label(labeled, queries, engine="bogus")
+
+
+# -------------------------------------------------- round-10: MMR eval
+
+
+def test_intra_list_similarity_contracts(spark):
+    """Hand-checkable lists: a list of two identical vectors scores
+    cosine 1.0, orthogonal pair 0.0, singleton list NULL (0 pairs),
+    and pair counts are k-choose-2."""
+    from polars_nexpresso_spark.functions.similarity import (
+        intra_list_similarity,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    ranked = spark.createDataFrame(
+        [(10, 1), (10, 2),            # identical pair -> 1.0
+         (20, 1), (20, 3),            # orthogonal pair -> 0.0
+         (30, 1),                      # singleton -> NULL
+         (40, 1), (40, 2), (40, 3)],   # 3 items -> 3 pairs
+        "query_id long, vec_id long",
+    )
+    out = {r["query_id"]: r
+           for r in intra_list_similarity(ranked, vecs).collect()}
+    assert out[10]["mean_pairwise_cosine"] == 1.0
+    assert out[20]["mean_pairwise_cosine"] == 0.0
+    assert out[30]["n_pairs"] == 0
+    assert out[30]["mean_pairwise_cosine"] is None
+    assert out[40]["n_items"] == 3 and out[40]["n_pairs"] == 3
+    assert out[40]["mean_pairwise_cosine"] == pytest.approx(
+        (1.0 + 0.0 + 0.0) / 3, abs=1e-9
+    )
+    with pytest.raises(ValueError, match="not in vectors"):
+        intra_list_similarity(ranked, vecs.drop("embedding"))
+
+
+def test_mmr_reduces_intra_list_similarity_on_real_data(spark):
+    """The diversification claim, pinned on the real sf0.001 registry
+    query: MMR's intra-list similarity is <= the plain top-k's for
+    EVERY query (and strictly lower on average)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["mmr_diversity_eval"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(df) > 0
+    assert all(r["mmr_mean_cos"] <= r["topk_mean_cos"] for r in df)
+    import statistics
+
+    assert statistics.mean(r["mmr_mean_cos"] for r in df) < statistics.mean(
+        r["topk_mean_cos"] for r in df
+    )
