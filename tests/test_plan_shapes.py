@@ -848,3 +848,43 @@ def test_mmr_per_query_one_exchange_per_side(spark):
     join_pos = p.find("SortMergeJoin")
     fmap_pos = p.find("FlatMapGroupsInPandas")
     assert join_pos != -1 and fmap_pos != -1
+
+
+def test_round10_gate_and_eval_shuffle_budgets(spark):
+    """Round-10 operators. quality_calibrate = 1 exchange (the
+    per-source window). char_entropy / encoding_quality /
+    curriculum_replay(read side) = pure map-side, ZERO exchanges.
+    mmr_diversity_eval is an EVAL op composing two shortlist builds
+    (cosine_topk's broadcast-query contract — the nested-loop warning
+    is that contract) with two intra-list self-joins: its exchanges all
+    carry k-BOUNDED shortlist rows (n_queries x 20 at most), never the
+    corpus — the corpus-scale cosine scoring stays map-side; budget 16
+    exchanges / 3 Arrow stages pins today's shape against silent
+    regressions."""
+    import __spark_entry__ as em
+
+    from polars_nexpresso_spark.plans.audit import scale_report
+
+    sf = "/root/testdata/sf0.001"
+    qs = em.queries()
+    budgets = {
+        "quality_calibrate": (1, 0),
+        "char_entropy": (0, 0),
+        "encoding_quality": (0, 0),
+        "mmr_diversity_eval": (16, 3),
+    }
+    for name, (max_exchanges, python_stages) in budgets.items():
+        rep = scale_report(qs[name](spark, sf))
+        hard = [
+            w
+            for w in rep["warnings"]
+            if not (
+                name == "mmr_diversity_eval"
+                and w.startswith("nested-loop-join")
+            )
+        ]
+        assert hard == [], (name, hard)
+        assert rep["exchanges"] <= max_exchanges, (name, rep["exchanges"])
+        assert rep["python_stages"] <= python_stages, (
+            name, rep["python_stages"],
+        )
