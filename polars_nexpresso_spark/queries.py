@@ -1215,6 +1215,15 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # (hard_negatives .. audio_near_dup, three greens) plus the round-8
 # four (dedup_index .. decontaminate_bloom, two greens after r09) form
 # the round-11 rotation pool.
+# Round-11 rotation TODO: the six round-10 operators registered after
+# the window (`mmr_per_query`, `curriculum_replay`, `quality_calibrate`,
+# `char_entropy`, `encoding_quality`, `mmr_diversity_eval` — each ALL
+# PASS via scripts/check_oracle.py at sf0.001 AND sf0.01 in round 10)
+# are owed driver rows next round; rotate them in against the deepest-
+# history pool: the remaining round-6/7 block (hard_negatives ..
+# audio_near_dup, three driver greens each) — the round-8 four
+# (dedup_index .. decontaminate_bloom) hold two greens and can follow
+# in round 12 if more slots are needed.
 _MULTIPLY_PROVEN_TAIL = [
     # round-10 rotation
     "semantic_dedup",
