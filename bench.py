@@ -779,7 +779,9 @@ ANN_DIALS = {
         "high": {"m": 8, "n_codes": 64},
     },
     # The composed index: IVF bounds candidates, PQ bounds bytes;
-    # the dial widens the probe and raises codebook resolution.
+    # residual encoding (default since r11) quantizes u - ĉ_cell so
+    # same-cell members stop collapsing to identical codes; the
+    # no_residual point keeps the r10 pathology on the record.
     "ivfpq": {
         "default": {
             "n_centroids": 16, "n_probe": 6, "m": 8, "n_codes": 16,
@@ -787,17 +789,24 @@ ANN_DIALS = {
         "high": {
             "n_centroids": 16, "n_probe": 8, "m": 8, "n_codes": 64,
         },
+        "no_residual": {
+            "n_centroids": 16, "n_probe": 6, "m": 8, "n_codes": 16,
+            "residual": False,
+        },
     },
-    # The full cascade: compressed 30-candidate over-fetch + exact
-    # re-rank. Recall should recover to ~the IVF cell bound (the
-    # only approximation left is candidate membership) while the
-    # candidate join still moves codes, not vectors.
+    # The full cascade: compressed over-fetch + exact re-rank. The
+    # over-fetch multiplier is the recall lever (r10: 30 -> 0.52
+    # clustered; r11 study: 60 + residual -> ~0.9): PQ mis-ranks
+    # WITHIN a shortlist far more than it misses the shortlist, and
+    # a wider shortlist still moves codes, not vectors.
     "ivfpq_rerank": {
         "default": {
             "n_centroids": 16, "n_probe": 6, "m": 8, "n_codes": 16,
+            "overfetch": 60,
         },
         "high": {
             "n_centroids": 16, "n_probe": 8, "m": 8, "n_codes": 16,
+            "overfetch": 100,
         },
     },
 }
@@ -846,8 +855,10 @@ def _recall_curve(corpus, queries, dim) -> dict[str, dict]:
                         corpus, queries, k=5, **params
                     )
                 elif engine == "ivfpq_rerank":
+                    p = dict(params)
+                    overfetch = p.pop("overfetch", 60)
                     cand = ivfpq_ann_topk(
-                        corpus, queries, k=30, **params
+                        corpus, queries, k=overfetch, **p
                     )
                     res = exact_rerank(cand, corpus, queries, k=5)
                 else:

@@ -433,6 +433,42 @@ def pandas_pq_codes(codebooks):
     return codes
 
 
+def pandas_ivfpq_residual_codes(centroids, chat, codebooks):
+    """UDF factory for the residual IVF-PQ corpus side: one
+    ``struct<cell:int, codes:array<int>>`` per vector — the raw-space
+    nearest coarse cell AND the per-subspace nearest codeword of the
+    UNIT-space residual ``u - ĉ[cell]`` (standard IVF-PQ). One
+    vectorized distance computation per (batch, subspace); ties take
+    the lowest index, matching the expression/oracle tie-break."""
+    cent = np.asarray(centroids, dtype=np.float64)  # (k, dim) raw
+    ch = np.asarray(chat, dtype=np.float64)  # (k, dim) unit
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+
+    @pandas_udf("struct<cell:int, codes:array<int>>")
+    def cell_codes(v: pd.Series) -> pd.DataFrame:
+        mat = np.stack(v.to_list()).astype(np.float64)
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+        cell = d.argmin(axis=1)  # first occurrence on ties
+        norms = np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+        norms[norms == 0.0] = 1.0
+        res = mat / norms - ch[cell]
+        parts = []
+        off = 0
+        for cb in cbs:
+            sub = res[:, off : off + cb.shape[1]]
+            sd = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=-1)
+            parts.append(
+                np.argsort(sd, axis=1, kind="stable")[:, 0].astype(np.int32)
+            )
+            off += cb.shape[1]
+        arr = np.stack(parts, axis=1)
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32), "codes": list(arr)}
+        )
+
+    return cell_codes
+
+
 def pandas_bloom_member(bits):
     """UDF factory: True when EVERY bit position in a row's
     ``array<long>`` column is set in the packed Bloom bitmap (int64

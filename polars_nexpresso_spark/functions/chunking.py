@@ -34,6 +34,12 @@ def chunk_spans(toks: Column, chunk_size: int, stride: int) -> Column:
     DuckDB oracle reproduces the window count exactly:
     ``n_chunks = (n - chunk_size + stride - 1) div stride + 1``.
     """
+    # ``toks`` should be a PLAIN COLUMN REFERENCE staged by the caller
+    # (chunk_documents stages tokens(text) in its own projection): a
+    # full expression here would re-run once per window inside the
+    # lambda — O(len²) per row, the hof_reeval_risks rake. (A let_bound
+    # wrapper is NOT the fix: its nested lambda breaks ExtractPythonUDFs
+    # for any downstream pandas-UDF consumer — see word_ngrams_all.)
     n = F.size(toks)
     n_chunks = (
         F.when(n <= 0, F.lit(0).cast("long"))
@@ -88,9 +94,16 @@ def chunk_documents(
             f"chunk_size={chunk_size}"
         )
     stride = chunk_size - overlap
-    spans = chunk_spans(tokens(F.col(text_col)), chunk_size, stride)
+    # Stage the token array as a REAL column first: chunk_spans's window
+    # lambda references it per window, so a full tokens(text) expression
+    # there would re-tokenize once per window (O(len²) per row).
+    staged = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    spans = chunk_spans(F.col("__toks"), chunk_size, stride)
     return (
-        df.select(F.col(id_col).alias("__id"), F.explode(spans).alias("__c"))
+        staged.select(F.col("__id"), F.explode(spans).alias("__c"))
         .select(
             F.col("__id").alias(id_col),
             F.col("__c.chunk_id").alias("chunk_id"),

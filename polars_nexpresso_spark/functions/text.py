@@ -39,6 +39,37 @@ STOPWORDS = [
 ]
 
 
+def let_bound(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE and pass it to ``body`` as a bound lambda
+    variable — a let-binding for Column expressions.
+
+    Spark higher-order-function lambdas re-evaluate every non-argument
+    expression per element, so a helper that references an expensive
+    expression (``tokens(col)``, a cast embedding, a sorted array)
+    inside a ``F.transform``/``F.filter`` lambda silently goes
+    O(len²) per row — the round-10 char_entropy rake, tripwired by
+    :func:`polars_nexpresso_spark.plans.audit.hof_reeval_risks`.
+    DataFrame-level code stages such expressions as real columns in
+    their own projection; Column-in/Column-out helpers can't, so this
+    wraps ``value`` as the single element of an array literal (HOF
+    *arguments* are evaluated once), binds it to the lambda variable,
+    and unwraps the single result. Works for any value type, including
+    arrays-of-arrays (``F.get`` unwraps by index, not by flattening).
+
+    CAVEAT — JVM-only consumers: when ``body`` itself contains a lambda
+    that references the outer variable (the usual reason to let-bind),
+    the result is a NESTED-lambda expression, and Spark's
+    ExtractPythonUDFs cannot extract a Python UDF whose argument
+    contains one (the UDF's ``references`` leak the outer lambda
+    variable; the un-extracted UDF then dies at runtime with
+    INTERNAL_ERROR "Cannot evaluate expression"). Never feed a
+    let_bound expression into a pandas UDF — stage it as a real column
+    in a DataFrame projection instead (see word_ngrams_all for the
+    extraction-safe zip alternative when no DataFrame is in reach).
+    """
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def normalize_text(col: Column) -> Column:
     """Lowercase, collapse whitespace runs to single spaces, trim."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
@@ -271,11 +302,37 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
 
 def word_ngrams_all(col: Column, n: int = 3) -> Column:
     """Word n-grams WITH duplicates (the multiset) — what repetition
-    statistics need; ``word_ngrams`` dedups this for similarity joins."""
+    statistics need; ``word_ngrams`` dedups this for similarity joins.
+
+    Built by zipping ``n`` SHIFTED slices of the token array —
+    ``zip_with(toks[1:N], toks[2:N+1], concat) ...`` — because every
+    slice is a HOF *argument* (evaluated once) and every lambda touches
+    only its own variables. The two rejected shapes: referencing
+    ``tokens(col)`` inside a window lambda re-runs normalize+split per
+    window — O(len²) per row (the hof_reeval_risks rake) — and the
+    :func:`let_bound` form, whose nested lambda (inner body referencing
+    the outer variable) breaks Spark's ExtractPythonUDFs whenever the
+    expression collapses into a Python-UDF argument (the UDF's
+    ``references`` leak the outer lambda variable, the Filter keeps the
+    raw PythonUDF, and the task dies with INTERNAL_ERROR "Cannot
+    evaluate expression" — decontaminate_bloom reproduced this). This
+    helper feeds both JVM-only and pandas-UDF consumers, so it must be
+    extraction-safe. Cost: tokens re-evaluates once per shift, O(n·len)
+    per row — constant-factor, not quadratic."""
     toks = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    n_windows = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    grams = F.slice(toks, 1, n_windows)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, n_windows),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # Shorter-than-n documents yield their full token sequence as one
+    # shingle (zip_with would NULL-pad ragged slices); NULL text keeps
+    # the [NULL] contract via the otherwise branch.
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.array_join(toks, " "))
     )
 
 
@@ -1569,13 +1626,20 @@ def char_entropy(
 
     Scale shape: pure per-row array arithmetic, ZERO shuffle, zero
     Python (plan-budgeted). The per-row character histogram is never
-    materialized as rows — the text's chars are ``array_sort``-ed and
-    the run-length boundaries of the sorted array (the same
-    sorted-neighbor trick :func:`lexical_diversity` uses for hapax
-    counting) yield the per-character counts:
-    ``H = -Σ (len/n)·ln(len/n)`` over sorted runs — O(n log n) per row,
-    no explode. (An explode+groupBy formulation would shuffle one row
-    PER CHARACTER — the shape that dies at 100 TB.)
+    materialized as rows — the text's chars are ``array_sort``-ed (the
+    same sorted-neighbor trick :func:`lexical_diversity` uses for
+    hapax counting) and ONE forward ``F.aggregate`` pass over the
+    sorted array run-length-encodes it, folding
+    ``H = -Σ (run/n)·ln(run/n)`` as each run closes — O(n log n) per
+    row (the sort dominates; the pass is O(n)), no explode. (An
+    explode+groupBy formulation would shuffle one row PER CHARACTER —
+    the shape that dies at 100 TB.) The sorted array is staged as a
+    real column BEFORE any lambda touches it: Spark higher-order-
+    function lambdas re-evaluate non-argument expressions per element,
+    so referencing ``array_sort(split(...))`` inside a lambda body
+    re-splits and re-sorts the text once per character —
+    O(len²·log len) per row, the rake this function shipped with in
+    round 10 (83 s for 1.5 MB of text) before being restaged.
 
     Returns ``(id_col, n_chars, entropy)`` — entropy rounded to 9,
     NULL for NULL/empty text (``n_chars`` 0 for empty, NULL for NULL).
@@ -1585,30 +1649,54 @@ def char_entropy(
             f"columns {text_col!r}/{id_col!r} not both in {df.columns}"
         )
     txt = F.col(text_col)
-    s = F.array_sort(F.split(txt, ""))
-    n = F.size(s)
-    # run starts: position 0 plus every index whose char differs from
-    # its left neighbor; run lengths = next start - this start
-    starts = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: (i == F.lit(0)) | (F.get(s, i - 1) != F.get(s, i)),
-    )
-    nxt = F.concat(
-        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-        F.array(n),
-    )
-    lens = F.zip_with(starts, nxt, lambda a, b: b - a)
-    ent = -F.aggregate(
-        lens,
-        F.lit(0.0),
-        lambda acc, run: acc + (run / n) * F.log(run / n),
-    )
-    return df.select(
+    # The empty-string filter pins the histogram against split('')'s
+    # version-sensitive trailing-empty behavior (a no-op on Spark 4.1,
+    # verified live — a phantom '' symbol would shift every entropy).
+    staged = df.select(
         F.col(id_col),
         F.length(txt).cast("bigint").alias("n_chars"),
-        F.round(
-            F.when(F.length(txt) > 0, ent), 9
-        ).alias("entropy"),
+        F.array_sort(
+            F.filter(F.split(txt, ""), lambda c: c != F.lit(""))
+        ).alias("__srt"),
+    ).withColumn("__n", F.size(F.col("__srt")))
+    n = F.col("__n")
+
+    # Carry (prev char, open-run length, accumulator) across the sorted
+    # array; a boundary (or the finish lambda) closes the open run by
+    # folding its (run/n)·ln(run/n) term. The only non-argument
+    # expression the lambdas reference is the plain column read __n —
+    # O(1) per element. Terms accumulate in sorted-run order with the
+    # exact per-term expression of the round-10 formulation, so the
+    # round(…, 9) values are bitwise-identical to the sealed oracle.
+    def _close_run(acc):
+        return F.when(
+            acc["run"] > 0,
+            acc["acc"] + (acc["run"] / n) * F.log(acc["run"] / n),
+        ).otherwise(acc["acc"])
+
+    ent = -F.aggregate(
+        F.col("__srt"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda acc, c: F.struct(
+            c.alias("prev"),
+            F.when(acc["prev"].eqNullSafe(c), acc["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("run"),
+            F.when(acc["prev"].eqNullSafe(c), acc["acc"])
+            .otherwise(_close_run(acc))
+            .alias("acc"),
+        ),
+        _close_run,
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        F.round(F.when(n > 0, ent), 9).alias("entropy"),
     )
 
 

@@ -3387,13 +3387,18 @@ def _ivfpq_oracle():
 
 
 def _ivfpq_with_body():
-    """Shared WITH-clause body for the IVF+PQ oracles, ending at the
-    ADC-``scored`` CTE; None if the testdata is unreadable at import."""
+    """Shared WITH-clause body for the residual IVF+PQ oracles, ending
+    at the ADC-``scored`` CTE; None if the testdata is unreadable at
+    import. Replays the full residual cascade Spark-free: raw-space
+    cell assignment, unit-space residual vs the normalized centroid,
+    residual-trained codebooks (``pq_codebooks_local(residual_cents=
+    ...)``), ADC = exact ``<q, ĉ_cell>`` + LUT sum."""
     import os
 
     sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
         from polars_nexpresso_spark.functions.similarity import (
+            _chat,
             kmeans_centroids_local,
             pq_codebooks_local,
         )
@@ -3402,15 +3407,24 @@ def _ivfpq_with_body():
             f"{sf_dir}/embeddings.parquet", n_centroids=16
         )
         cbs = pq_codebooks_local(
-            f"{sf_dir}/embeddings.parquet", m=8, n_codes=16
+            f"{sf_dir}/embeddings.parquet",
+            m=8,
+            n_codes=16,
+            residual_cents=cents,
         )
+        chat = _chat(cents)
     except Exception:  # noqa: BLE001 — import must survive missing testdata
         return None
     cent_values = ",\n                 ".join(
         f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
         for i, c in enumerate(cents)
     )
+    chat_values = ",\n                 ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(chat)
+    )
     sub = len(cbs[0][0])
+    dim = sub * len(cbs)
     cb_values = ",\n             ".join(
         f"({mi}, {ci}, [{', '.join(repr(x) for x in cw)}]::DOUBLE[])"
         for mi, cb in enumerate(cbs)
@@ -3419,6 +3433,9 @@ def _ivfpq_with_body():
     return f"""
         WITH cents(i, v) AS (
           VALUES {cent_values}
+        ),
+        chat(i, v) AS (
+          VALUES {chat_values}
         ),
         cb(mi, ci, v) AS (
           VALUES {cb_values}
@@ -3447,12 +3464,20 @@ def _ivfpq_with_body():
                    (CASE WHEN nn = 0 THEN 1.0 ELSE nn END)) AS unit
           FROM n
         ),
+        res AS (
+          SELECT u.vec_id,
+                 list_transform(range(0, {dim}),
+                   j -> u.unit[j+1] - ch.v[j+1]) AS r
+          FROM u
+          JOIN corpus_cell cc ON cc.vec_id = u.vec_id
+          JOIN chat ch ON ch.i = cc.cell
+        ),
         d AS (
-          SELECT u.vec_id, cb.mi, cb.ci,
+          SELECT res.vec_id, cb.mi, cb.ci,
                  list_distance(
-                   list_slice(u.unit, cb.mi*{sub}+1, cb.mi*{sub}+{sub}),
+                   list_slice(res.r, cb.mi*{sub}+1, cb.mi*{sub}+{sub}),
                    cb.v) AS dist
-          FROM u, cb
+          FROM res, cb
         ),
         a AS (
           SELECT vec_id, mi, ci,
@@ -3480,14 +3505,20 @@ def _ivfpq_with_body():
           SELECT query_id, list(lut ORDER BY mi) AS luts
           FROM lut1 GROUP BY query_id
         ),
+        qcdot AS (
+          SELECT u.vec_id AS query_id, ch.i AS cell,
+                 list_inner_product(u.unit, ch.v) AS cdot
+          FROM u, chat ch WHERE u.vec_id < 10
+        ),
         scored AS (
           SELECT l.query_id, c.vec_id AS neighbor_id,
-                 ROUND(list_sum(list_transform(range(0, {len(cbs)}),
+                 ROUND(qd.cdot + list_sum(list_transform(range(0, {len(cbs)}),
                    mi -> l.luts[mi+1][c.codes[mi+1]+1])), 6) AS score
           FROM corpus_cell cc
           JOIN query_cell qc ON cc.cell = qc.cell
           JOIN codes c ON c.vec_id = cc.vec_id
           JOIN luts l ON l.query_id = qc.vec_id
+          JOIN qcdot qd ON qd.query_id = qc.vec_id AND qd.cell = cc.cell
           WHERE cc.vec_id != qc.vec_id
         )
     """
@@ -3499,10 +3530,14 @@ if _ivfpq_oracle_sql is not None:
 
 
 def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieve-then-rerank: the compressed IVF+PQ index over-fetches
-    30 candidates per query (compact shuffles), then exact cosine
-    re-ranks them to the final top-5 — the two-stage pattern that makes
-    a quantized index usable when exact ids matter. Both stages are
+    """Retrieve-then-rerank: the residual IVF+PQ index over-fetches
+    60 candidates per query (compact shuffles — the candidate join
+    still moves codes, not vectors), then exact cosine re-ranks them
+    to the final top-5 — the two-stage pattern that makes a quantized
+    index usable when exact ids matter. The 60-candidate over-fetch is
+    the recall lever the r10 dial study measured (30 → 0.52 recall@5
+    clustered, 60 + residual → ~0.9): PQ mis-ranks WITHIN a shortlist
+    far more than it misses the shortlist. Both stages are
     deterministic, so the whole cascade replays in SQL hash-exact."""
     from polars_nexpresso_spark.functions.similarity import (
         exact_rerank,
@@ -3514,7 +3549,7 @@ def q_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ivfpq_ann_topk(
         emb,
         queries,
-        k=30,
+        k=60,
         n_centroids=16,
         n_probe=6,
         m=8,
@@ -3528,9 +3563,9 @@ PIPELINE_QUERIES["ivfpq_rerank"] = q_ivfpq_rerank
 
 
 def _ivfpq_rerank_oracle():
-    """DuckDB replica of ``q_ivfpq_rerank``: the shared IVF+PQ CTEs
-    produce the 30-candidate over-fetch, then exact cosine re-ranks —
-    the same final SELECT shape as the IVF oracle."""
+    """DuckDB replica of ``q_ivfpq_rerank``: the shared residual IVF+PQ
+    CTEs produce the 60-candidate over-fetch, then exact cosine
+    re-ranks — the same final SELECT shape as the IVF oracle."""
     body = _ivfpq_with_body()
     if body is None:
         return None
@@ -3542,7 +3577,7 @@ def _ivfpq_rerank_oracle():
             SELECT *, ROW_NUMBER() OVER (
               PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC
             ) AS rank FROM scored
-          ) WHERE rank <= 30
+          ) WHERE rank <= 60
         )
         SELECT query_id, neighbor_id, cosine, rank FROM (
           SELECT s.query_id, s.neighbor_id,
@@ -5076,8 +5111,12 @@ def q_curriculum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reorders nothing. (The file-ORDER half of the contract — read
     sequence == pos sequence with no sort — is pinned separately in
     test_sources.py; the oracle compare is order-insensitive by
-    design.) Writes to a scratch dir derived from the sf name so
-    repeated bench/driver runs overwrite rather than accumulate."""
+    design.) The scratch dir is keyed by (sf name, pid): same-process
+    reruns (bench warmup+timed) overwrite in place, while concurrent
+    processes on the same sf (parallel CI, overlapping bench/driver
+    runs) get disjoint paths instead of racing reader-vs-overwriter
+    (r10 advice)."""
+    import os
     import tempfile
     from pathlib import Path as _P
 
@@ -5092,7 +5131,7 @@ def q_curriculum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = str(
         _P(tempfile.gettempdir())
-        / f"pns_curriculum_replay_{_P(sf_dir).name}"
+        / f"pns_curriculum_replay_{_P(sf_dir).name}_{os.getpid()}"
     )
     write_curriculum(plan, out)
     back = spark.read.parquet(out)
@@ -5297,3 +5336,187 @@ PIPELINE_ORACLE_SQL["mmr_diversity_eval"] = (
       USING (query_id)
 """
 )
+
+
+def q_mmr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED retrieval path the standalone MMR queries only
+    simulate (mmr_per_query synthesizes its shortlists from exact
+    cosine): IVF over-fetches a 20-candidate shortlist per query
+    (cells prune the corpus, no all-pairs scan), mmr_rerank_by_query
+    diversifies it to the final 8, and intra_list_similarity scores
+    BOTH the MMR list and the plain relevance top-8 of the same
+    shortlists — per query, MMR's mean pairwise cosine should sit at
+    or below the top-8's (the ≤-diversity claim, pinned on this
+    composed path in test_pipeline_functions.py). All three stages
+    are the production operators; nothing loops on the driver."""
+    from polars_nexpresso_spark.functions.similarity import (
+        intra_list_similarity,
+        ivf_ann_topk,
+        mmr_rerank_by_query,
+    )
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    shortlist = ivf_ann_topk(
+        emb, queries, k=20, n_centroids=16, n_probe=6
+    )
+    candidates = shortlist.select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    ).join(emb.select("vec_id", "embedding"), on="vec_id")
+    mmr = mmr_rerank_by_query(
+        candidates,
+        queries.select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=8,
+        lam=0.5,
+    )
+    top8 = shortlist.filter(F.col("rank") <= 8).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    vecs = emb.select("vec_id", "embedding")
+    ils_mmr = intra_list_similarity(mmr, vecs).select(
+        "query_id",
+        F.col("mean_pairwise_cosine").alias("mmr_mean_cos"),
+    )
+    ils_top8 = intra_list_similarity(top8, vecs).select(
+        "query_id",
+        F.col("mean_pairwise_cosine").alias("topk_mean_cos"),
+    )
+    return ils_mmr.join(ils_top8, on="query_id")
+
+
+PIPELINE_QUERIES["mmr_retrieval_eval"] = q_mmr_retrieval_eval
+
+
+def _mmr_retrieval_eval_oracle() -> str | None:
+    """DuckDB replica of ``q_mmr_retrieval_eval``: the IVF oracle's
+    centroid VALUES + 6-cell probe produce the 20-candidate
+    shortlists, the mmr_per_query recursive CTE replays the greedy
+    kernel over them (k=8, lam=0.5), and each side's mean pairwise
+    cosine is the intra-list self-join. None (rows-only) if the
+    oracle-SF testdata is unreadable at import."""
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from polars_nexpresso_spark.functions.similarity import (
+            kmeans_centroids_local,
+        )
+
+        cents = kmeans_centroids_local(
+            f"{sf_dir}/embeddings.parquet", n_centroids=16
+        )
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return None
+    values = ",\n                 ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+    WITH RECURSIVE cents(i, v) AS (
+      VALUES {values}
+    ),
+    rankedc AS (
+      SELECT e.vec_id, c.i,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.v) ASC, c.i ASC
+             ) AS rn
+      FROM embeddings e, cents c
+    ),
+    corpus_cell AS (SELECT vec_id, i AS cell FROM rankedc WHERE rn = 1),
+    query_cell AS (
+      SELECT vec_id, i AS cell FROM rankedc WHERE rn <= 6 AND vec_id < 10
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qb.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(c.embedding::DOUBLE[],
+                                                       q.embedding::DOUBLE[]), 6)
+                          DESC, cb.vec_id ASC
+               ) AS rank
+        FROM corpus_cell cb
+        JOIN query_cell qb ON cb.cell = qb.cell
+        JOIN embeddings c ON c.vec_id = cb.vec_id
+        JOIN embeddings q ON q.vec_id = qb.vec_id
+        WHERE cb.vec_id != qb.vec_id
+      ) WHERE rank <= 20
+    ),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id AS vec_id,
+             e.embedding::DOUBLE[] AS vec,
+             list_cosine_similarity(
+               e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS rel
+      FROM ivf s
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    picks AS (
+      SELECT query_id, vec_id, mmr_score, 1 AS rank,
+             [vec_id] AS sel_ids, [vec] AS sel_vecs
+      FROM (
+        SELECT query_id, vec_id, vec,
+               ROUND(0.5 * rel, 6) AS mmr_score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY ROUND(0.5 * rel, 6) DESC, vec_id ASC
+               ) AS rn
+        FROM scored
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT query_id, vec_id, mmr_score, rank,
+             list_append(sel_ids, vec_id), list_append(sel_vecs, vec)
+      FROM (
+        SELECT s.query_id, s.vec_id, s.vec, p.sel_ids, p.sel_vecs,
+               p.rank + 1 AS rank,
+               ROUND(0.5 * s.rel - 0.5 * list_max(list_transform(
+                   p.sel_vecs,
+                   sv -> list_cosine_similarity(s.vec, sv))), 6)
+                 AS mmr_score,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.query_id
+                 ORDER BY ROUND(0.5 * s.rel - 0.5 * list_max(
+                     list_transform(p.sel_vecs,
+                       sv -> list_cosine_similarity(s.vec, sv))), 6)
+                          DESC, s.vec_id ASC
+               ) AS rn
+        FROM scored s JOIN picks p USING (query_id)
+        WHERE NOT list_contains(p.sel_ids, s.vec_id) AND p.rank < 8
+      ) WHERE rn = 1
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id AS vec_id FROM ivf WHERE rank <= 8
+    ),
+    pm AS (
+      SELECT a.query_id,
+             ROUND(list_cosine_similarity(
+               e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS c
+      FROM picks a JOIN picks b
+        ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+      JOIN embeddings e1 ON e1.vec_id = a.vec_id
+      JOIN embeddings e2 ON e2.vec_id = b.vec_id
+    ),
+    pt AS (
+      SELECT a.query_id,
+             ROUND(list_cosine_similarity(
+               e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS c
+      FROM topk a JOIN topk b
+        ON a.query_id = b.query_id AND a.vec_id < b.vec_id
+      JOIN embeddings e1 ON e1.vec_id = a.vec_id
+      JOIN embeddings e2 ON e2.vec_id = b.vec_id
+    )
+    SELECT m.query_id,
+           ROUND(m.mc, 9) AS mmr_mean_cos,
+           ROUND(t.tc, 9) AS topk_mean_cos
+    FROM (SELECT query_id, AVG(c) AS mc FROM pm GROUP BY 1) m
+    JOIN (SELECT query_id, AVG(c) AS tc FROM pt GROUP BY 1) t
+      USING (query_id)
+    """
+
+
+_mmr_retrieval_eval_oracle_sql = _mmr_retrieval_eval_oracle()
+if _mmr_retrieval_eval_oracle_sql is not None:
+    PIPELINE_ORACLE_SQL["mmr_retrieval_eval"] = (
+        _mmr_retrieval_eval_oracle_sql
+    )

@@ -70,6 +70,141 @@ def _has_unpartitioned_window(plan: str) -> bool:
     return False
 
 
+# Per-row-expensive function prints (analyzed-plan spelling): each is
+# O(row-payload) work, so evaluating one inside a higher-order-function
+# lambda body — where Spark re-evaluates every non-argument expression
+# once PER ELEMENT — turns an O(n log n)-per-row plan into O(n²·log n).
+# This is the exact rake char_entropy shipped with in round 10 (83 s for
+# 1.5 MB of text; the sorted array must sit in its OWN projection, per
+# lexical_diversity's comment) — the plan budget counted exchanges and
+# waved it through, hence this tripwire.
+_HOF_EXPENSIVE: tuple[str, ...] = (
+    "array_sort(",
+    "sort_array(",
+    "split(",
+    "regexp_replace(",
+    "regexp_extract(",
+    "regexp_extract_all(",
+    "regexp_count(",
+    "regexp_substr(",
+    "sentences(",
+    "array_distinct(",
+    "aggregate(",
+    "transform(",
+    "filter(",
+    "zip_with(",
+    "arrays_zip(",
+    "flatten(",
+    "sequence(",
+    "from_json(",
+)
+
+_LAMBDA_ARG_RE = None  # compiled lazily; module avoids importing re at top
+
+
+def _call_spans(plan: str, needle: str) -> list[tuple[int, int]]:
+    """(start, end) spans of each balanced-paren ``needle...)`` call.
+
+    Matches whole function names only (the char before the needle must
+    not be an identifier char, so ``split(`` does not match inside
+    ``regexp_split(``). Unclosed spans (truncated plan prints) are
+    skipped.
+    """
+    spans: list[tuple[int, int]] = []
+    start = 0
+    while True:
+        i = plan.find(needle, start)
+        if i < 0:
+            return spans
+        start = i + 1
+        if i > 0 and (plan[i - 1].isalnum() or plan[i - 1] == "_"):
+            continue
+        depth = 0
+        for k in range(i + len(needle) - 1, len(plan)):
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    spans.append((i, k + 1))
+                    break
+
+
+def _lambda_args(lambda_text: str) -> list[str]:
+    """Declared variables of one printed ``lambdafunction(...)`` call.
+
+    Analyzed plans print ``lambdafunction(<body>, lambda x_1#5[, lambda
+    y_2#6...], false)`` — the args are the depth-0 comma components
+    after the body that look like ``lambda <name>#<id>``.
+    """
+    inner = lambda_text[lambda_text.index("(") + 1 : -1]
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    out = []
+    for p in parts[1:]:
+        name = p[len("lambda "):] if p.startswith("lambda ") else ""
+        if name and "#" in name and "(" not in name and " " not in name:
+            out.append(p)
+    return out
+
+
+def hof_reeval_risks(df: DataFrame) -> list[str]:
+    """Flag per-row-expensive expressions evaluated INSIDE a
+    higher-order-function lambda body — Spark re-evaluates every
+    non-argument expression in a lambda once per element, so an
+    ``array_sort(split(text, ''))`` referenced in a ``F.filter`` lambda
+    re-splits and re-sorts the text once PER CHARACTER (O(len²·log len)
+    per row). The fix is always the same: stage the expression as a
+    real column in its own projection first.
+
+    A call is legit (not flagged) when it references one of the
+    enclosing lambda's OWN variables — splitting each element of an
+    array is inherent work, not re-evaluation. Driver-side string
+    inspection of the analyzed plan only: no jobs run.
+    """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lam_spans = _call_spans(plan, "lambdafunction(")
+    if not lam_spans:
+        return []
+    risks: list[str] = []
+    seen: set[str] = set()
+    for needle in _HOF_EXPENSIVE:
+        for a, b in _call_spans(plan, needle):
+            enclosing = [
+                (la, lb) for la, lb in lam_spans if la < a and b <= lb
+            ]
+            if not enclosing:
+                continue
+            la, lb = min(enclosing, key=lambda t: t[1] - t[0])
+            args = _lambda_args(plan[la:lb])
+            call_text = plan[a:b]
+            if any(arg in call_text for arg in args):
+                continue
+            head = call_text if len(call_text) <= 80 else call_text[:77] + "..."
+            key = needle + head
+            if key in seen:
+                continue
+            seen.add(key)
+            risks.append(
+                f"hof-reevaluation: {head!r} is evaluated once PER "
+                "ELEMENT inside a lambda body (it references none of the "
+                "lambda's variables); stage it as a real column in its "
+                "own projection before the lambda"
+            )
+    return risks
+
+
 def audit_plan(
     df: DataFrame, *, max_exchanges: int | None = None
 ) -> list[str]:
@@ -82,6 +217,7 @@ def audit_plan(
     for wid, needle, why in _ANTIPATTERNS:
         if needle.lower() in plan.lower():
             warnings.append(f"{wid}: {why}")
+    warnings.extend(hof_reeval_risks(df))
     if _has_unpartitioned_window(plan):
         warnings.append(
             "window-without-partitionBy: single-partition sort of the "

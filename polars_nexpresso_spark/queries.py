@@ -1215,16 +1215,27 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # (hard_negatives .. audio_near_dup, three greens) plus the round-8
 # four (dedup_index .. decontaminate_bloom, two greens after r09) form
 # the round-11 rotation pool.
-# Round-11 rotation TODO: the six round-10 operators registered after
-# the window (`mmr_per_query`, `curriculum_replay`, `quality_calibrate`,
+# Round-11 rotation (per VERDICT r10 item 3, executing the plan below):
+# the six round-10 operators registered after the window
+# (`mmr_per_query`, `curriculum_replay`, `quality_calibrate`,
 # `char_entropy`, `encoding_quality`, `mmr_diversity_eval` — each ALL
-# PASS via scripts/check_oracle.py at sf0.001 AND sf0.01 in round 10)
-# are owed driver rows next round; rotate them in against the deepest-
-# history pool: the remaining round-6/7 block (hard_negatives ..
-# audio_near_dup, three driver greens each) — the round-8 four
-# (dedup_index .. decontaminate_bloom) hold two greens and can follow
-# in round 12 if more slots are needed.
+# PASS via scripts/check_oracle.py at sf0.001 AND sf0.01 in round 10,
+# re-verified by the round-10 judge) move INTO the window to earn
+# driver rows in CORRECTNESS_r11. Out: the six deepest-history entries
+# of the round-6/7 block, each holding THREE driver-green rows
+# (r07+r08+r09 per those artifacts): hard_negatives,
+# exact_substring_dedup, temperature_mix, leakage_free_split,
+# hard_negatives_ann, audio_near_dup. The round-8 four (dedup_index ..
+# decontaminate_bloom, two greens) stay in-window and can rotate in
+# round 12 if more slots are needed.
 _MULTIPLY_PROVEN_TAIL = [
+    # round-11 rotation
+    "hard_negatives",
+    "exact_substring_dedup",
+    "temperature_mix",
+    "leakage_free_split",
+    "hard_negatives_ann",
+    "audio_near_dup",
     # round-10 rotation
     "semantic_dedup",
     "intradoc_dedup",

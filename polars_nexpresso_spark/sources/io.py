@@ -214,12 +214,18 @@ def catalog_is_external(spark, table: str) -> bool:
     explicit ``path``). Index compactors use this to fail fast instead
     of silently rewriting an external index as managed warehouse tables
     (which would strand the old external data files)."""
+    # Only a MISSING table is "managed" — a transient DESCRIBE failure
+    # must propagate, not silently disable the strand-external-files
+    # guard this check exists for (r10 advice).
+    from pyspark.errors import AnalysisException
+
     try:
-        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
-            if str(r[0]).strip().lower() == "type":
-                return str(r[1]).strip().upper() == "EXTERNAL"
-    except Exception:  # noqa: BLE001 — missing table: treat as managed
+        rows = spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    except AnalysisException:
         return False
+    for r in rows:
+        if str(r[0]).strip().lower() == "type":
+            return str(r[1]).strip().upper() == "EXTERNAL"
     return False
 
 

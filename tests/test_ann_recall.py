@@ -425,10 +425,14 @@ def test_exact_rerank_restores_exact_order(spark):
 
 
 def test_exact_rerank_lifts_ivfpq_to_exact_ids(emb_and_exact):
-    """The two-stage cascade on the real sf corpus: IVF+PQ over-fetches
-    30 compressed candidates, exact re-rank restores true ordering
-    among them — recall@5 must beat the raw quantized top-5 and clear
-    the IVF floor (the candidate bound is the same cells)."""
+    """The two-stage cascade on the real sf corpus at the registry dial
+    (residual IVF+PQ, 60-candidate over-fetch — the r11 recall fix):
+    exact re-rank restores true ordering among the compressed
+    candidates — recall@5 must beat the raw quantized top-5 and clear
+    the floor. (This corpus is near-uniform — ANN's worst case, where
+    residual encoding costs ~one over-fetch step because the coarse
+    centroids are weak; on the clustered bench corpus the same dial
+    measures 0.84, `ann_recall_at_k`.)"""
     from polars_nexpresso_spark.functions.similarity import (
         exact_rerank,
         ivfpq_ann_topk,
@@ -436,7 +440,7 @@ def test_exact_rerank_lifts_ivfpq_to_exact_ids(emb_and_exact):
 
     emb, queries, exact = emb_and_exact
     cand = ivfpq_ann_topk(
-        emb, queries, k=30, n_centroids=16, n_probe=6, m=8, n_codes=16
+        emb, queries, k=60, n_centroids=16, n_probe=6, m=8, n_codes=16
     )
     rr = exact_rerank(cand, emb, queries, k=K)
     raw = ivfpq_ann_topk(
@@ -547,3 +551,29 @@ def test_ivfpq_deterministic_across_layouts(spark):
         )
     )
     assert a == b
+
+
+def test_hard_negatives_ivfpq_overlaps_exact_mining(spark):
+    """r10 verdict item 4 follow-up: hard negatives mined through the
+    residual IVF+PQ index must substantially agree with exact-cosine
+    mining — mining "hard" negatives from an index that misses most
+    true neighbors yields easy ones. Measured post-fix on the sf
+    corpora: 0.64-0.68 pair overlap (pre-residual the raw index's
+    recall@5 was 0.14); floor pinned loosely to catch a collapse, not
+    host noise."""
+    from polars_nexpresso_spark.pipeline_queries import PIPELINE_QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    ex = {
+        (r["query_id"], r["neighbor_id"])
+        for r in PIPELINE_QUERIES["hard_negatives"](spark, sf).collect()
+    }
+    ap = {
+        (r["query_id"], r["neighbor_id"])
+        for r in PIPELINE_QUERIES["hard_negatives_ivfpq"](
+            spark, sf
+        ).collect()
+    }
+    assert len(ex) > 0 and len(ap) > 0
+    overlap = len(ex & ap) / len(ex)
+    assert overlap >= 0.5, f"ivfpq hard-negative overlap collapsed: {overlap:.3f}"

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from polars_nexpresso_spark.plans.audit import audit_plan
@@ -145,3 +146,100 @@ def test_scale_report_shape(spark):
         spark.range(10).withColumnRenamed("id", "id2")
     )
     assert scale_report(bad)["warnings"]
+
+
+def test_hof_reeval_tripwire_flags_prefix_char_entropy_shape(spark):
+    """The round-10 char_entropy rake: ``array_sort(split(text, ''))``
+    referenced INSIDE a ``F.filter`` lambda is re-split and re-sorted
+    once per character — O(len²·log len) per row (measured 83 s for
+    1.5 MB of text). The auditor's exchange budget waved it through;
+    hof_reeval_risks must not."""
+    from polars_nexpresso_spark.plans.audit import (
+        audit_plan,
+        hof_reeval_risks,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "hello world")], ["doc_id", "text"]
+    )
+    txt = F.col("text")
+    s = F.array_sort(F.split(txt, ""))
+    n = F.size(s)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == F.lit(0)) | (F.get(s, i - 1) != F.get(s, i)),
+    )
+    bad = df.select(F.size(starts).alias("x"))
+    risks = hof_reeval_risks(bad)
+    assert any("array_sort" in r for r in risks)
+    # and the general auditor now carries the finding too
+    assert any(r.startswith("hof-reevaluation") for r in audit_plan(bad))
+
+
+def test_hof_reeval_tripwire_clean_on_staged_and_inherent_shapes(spark):
+    """No false positives on the three legit shapes: (1) the FIXED
+    char_entropy (sorted array staged as a real column), (2)
+    lexical_diversity (the staging pattern the fix copies), (3) an
+    expensive call that operates on the lambda's OWN variable —
+    per-element splitting is inherent work, not re-evaluation."""
+    from polars_nexpresso_spark.functions.text import (
+        char_entropy,
+        lexical_diversity,
+    )
+    from polars_nexpresso_spark.plans.audit import hof_reeval_risks
+
+    df = spark.createDataFrame(
+        [("a", "hello world"), ("b", None)], ["doc_id", "text"]
+    )
+    assert hof_reeval_risks(char_entropy(df, "text", "doc_id")) == []
+    assert hof_reeval_risks(lexical_diversity(df, "text", "doc_id")) == []
+    legit = df.select(
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.split(w, "-")
+        ).alias("y")
+    )
+    assert hof_reeval_risks(legit) == []
+
+
+def test_python_udf_extraction_survives_ngram_args(spark):
+    """Nested-lambda expressions (a lambda whose body references an
+    OUTER lambda's variable, e.g. a let-binding) break Spark's
+    ExtractPythonUDFs when they collapse into a Python-UDF argument:
+    the UDF's ``references`` leak the outer lambda variable, the raw
+    PythonUDF stays in the Filter, and the task dies with
+    INTERNAL_ERROR "Cannot evaluate expression". word_ngrams_all must
+    therefore stay extraction-safe (zip-shifted slices, no nested
+    lambdas) — pinned here by planning the decontaminate_bloom shape
+    under an aggregate (the collapse trigger) and asserting the UDF
+    reached an ArrowEvalPython stage."""
+    from pyspark.sql.functions import pandas_udf
+
+    from polars_nexpresso_spark.functions.text import word_ngrams
+
+    @pandas_udf("boolean")
+    def probe(arr: pd.Series) -> pd.Series:
+        return pd.Series(
+            [a is not None and len(a) > 0 for a in arr], dtype=bool
+        )
+
+    probe = probe.asNondeterministic()
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, None)], ["doc_id", "text"]
+    ).repartition(2)
+    pos = F.flatten(
+        F.transform(
+            word_ngrams(F.col("text"), 3),
+            lambda s: F.array(F.xxhash64(s)),
+        )
+    )
+    out = (
+        df.withColumn("__p", pos)
+        .filter(~probe(F.col("__p")))
+        .drop("__p")
+        .groupBy()
+        .count()
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    # and it actually runs (the pre-fix shape planned but died on eval)
+    assert out.collect()[0]["count"] >= 0
