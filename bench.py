@@ -745,6 +745,7 @@ GROUPS: dict[str, object] = {
     "ann_cascade": _registry_group((
         "pq_ann_topk", "ivfpq_ann_topk", "ivfpq_rerank", "hard_negatives",
         "hard_negatives_ann", "hard_negatives_ivfpq", "ann_recall",
+        "mmr_retrieval_eval",
     )),
     "sampling": _registry_group((
         "sequence_pack", "cap_per_source", "source_mix", "dsir_weights",
@@ -982,6 +983,8 @@ SCALE_PROBE_QUERIES = (
     # round-10 operators
     "mmr_per_query", "quality_calibrate", "char_entropy",
     "encoding_quality", "mmr_diversity_eval",
+    # round-11 operators
+    "mmr_retrieval_eval",
 )
 
 

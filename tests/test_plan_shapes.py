@@ -871,7 +871,16 @@ def test_round10_gate_and_eval_shuffle_budgets(spark):
         "quality_calibrate": (1, 0),
         "char_entropy": (0, 0),
         "encoding_quality": (0, 0),
-        "mmr_diversity_eval": (16, 3),
+        # 16 -> 18 in r11: intra_list_similarity now de-duplicates
+        # (query, id) rows before pairing (r10 advice) — one extra
+        # k-bounded exchange per eval side, still never the corpus.
+        "mmr_diversity_eval": (18, 3),
+        # r11 composed cascade (IVF shortlists -> MMR -> intra-list):
+        # every exchange carries n_queries x <= 20 shortlist rows; the
+        # python_stages count is plan-STRING occurrences — the shared
+        # IVF subplan (pandas cell assignment) prints once per branch
+        # that reuses it, not once per executed stage.
+        "mmr_retrieval_eval": (14, 30),
     }
     for name, (max_exchanges, python_stages) in budgets.items():
         rep = scale_report(qs[name](spark, sf))
