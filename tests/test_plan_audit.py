@@ -243,3 +243,30 @@ def test_python_udf_extraction_survives_ngram_args(spark):
     assert plan.count("ArrowEvalPython") == 1, plan
     # and it actually runs (the pre-fix shape planned but died on eval)
     assert out.collect()[0]["count"] >= 0
+
+
+def test_udf_consuming_registry_queries_survive_count_pruning(spark):
+    """groupBy().count() prunes every output column, collapsing
+    projections INTO filter conditions — the trigger that turned the
+    word_ngrams let-binding into an un-extracted PythonUDF runtime
+    INTERNAL_ERROR (decontaminate_bloom, r11). Pin the pandas-UDF-
+    consuming registry queries against that class: each must still
+    execute under full pruning. (A one-off sweep verified all 142
+    registry queries; this keeps the high-risk subset in CI.)"""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    for name in (
+        "decontaminate_bloom",
+        "decontaminate_stream",
+        "ref_dedup",
+        "fixed_boilerplate",
+        "oov_annotate",
+    ):
+        n = (
+            qs[name](spark, "/root/testdata/sf0.001")
+            .groupBy()
+            .count()
+            .collect()[0]["count"]
+        )
+        assert n >= 0, name
