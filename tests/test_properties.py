@@ -388,3 +388,85 @@ def test_remove_duplicated_windows_properties(spark, corpus, window):
             )
             assert is_subsequence(kept, full), (i, kept, full)
         assert soft[i]["n_removed"] <= hard[i]["n_removed"], i
+
+
+# ---------------------------------------------------------------------------
+# r11 rewrites, pinned against slow Python reference models: char_entropy's
+# single-pass run-length fold and word_ngrams_all's zip-shifted windows were
+# both restructured for plan reasons (HOF re-evaluation / ExtractPythonUDFs)
+# — the VALUES must be indistinguishable from the naive formulations on
+# hostile inputs (unicode, repeats, whitespace runs, empties).
+# ---------------------------------------------------------------------------
+
+_doc_text = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",), blacklist_characters="\x00"
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_doc_text, min_size=1, max_size=6))
+def test_char_entropy_matches_python_model(spark, texts):
+    import math
+    from collections import Counter
+
+    from polars_nexpresso_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in char_entropy(df, "text", "doc_id").collect()}
+    for i, t in enumerate(texts):
+        expect = None
+        if len(t) > 0:
+            n = len(t)
+            expect = round(
+                -sum((c / n) * math.log(c / n) for c in Counter(t).values()),
+                9,
+            )
+        assert got[i]["n_chars"] == len(t)
+        if expect is None:
+            assert got[i]["entropy"] is None, (t, got[i])
+        else:
+            assert got[i]["entropy"] == pytest.approx(expect, abs=2e-9), (
+                t, got[i]["entropy"], expect,
+            )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(_doc_text, min_size=1, max_size=5),
+    st.integers(min_value=2, max_value=5),
+)
+def test_word_ngrams_all_matches_python_model(spark, texts, n):
+    from polars_nexpresso_spark.functions.text import word_ngrams_all
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", word_ngrams_all(F.col("text"), n).alias("g")
+        ).collect()
+    }
+    import re
+
+    for i, t in enumerate(texts):
+        # replicate tokens() exactly: Java regex \s is [ \t\n\x0B\f\r]
+        # (narrower than Python's str.split() whitespace — \x1c-\x1f and
+        # unicode spaces are TOKEN CHARS to the operator)
+        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower()).strip(
+            " \t\n\x0b\f\r"
+        )
+        toks = norm.split(" ") if norm else []
+        if len(toks) >= n:
+            expect = [
+                " ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)
+            ]
+        else:
+            expect = [" ".join(toks)]
+        assert got[i] == expect, (t, n, got[i], expect)
