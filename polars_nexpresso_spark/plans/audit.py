@@ -99,9 +99,6 @@ _HOF_EXPENSIVE: tuple[str, ...] = (
     "from_json(",
 )
 
-_LAMBDA_ARG_RE = None  # compiled lazily; module avoids importing re at top
-
-
 def _call_spans(plan: str, needle: str) -> list[tuple[int, int]]:
     """(start, end) spans of each balanced-paren ``needle...)`` call.
 
