@@ -705,7 +705,8 @@ GROUPS: dict[str, object] = {
         "fuzzy_name_pairs",
     )),
     "dedup_core": _registry_group((
-        "exact_dedup", "minhash_lsh", "dedup_clusters", "ngram_jaccard",
+        "exact_dedup", "robust_dedup", "minhash_lsh", "dedup_clusters",
+        "ngram_jaccard",
         "simhash_pairs", "embedding_dedup", "dup_window_frac",
         "intradoc_dedup", "source_overlap", "dedup_best_keep", "chunk_dedup",
         "soft_dedup_weights", "dedup_pair_recall", "containment_pairs",
@@ -984,7 +985,7 @@ SCALE_PROBE_QUERIES = (
     "mmr_per_query", "quality_calibrate", "char_entropy",
     "encoding_quality", "mmr_diversity_eval",
     # round-11 operators
-    "mmr_retrieval_eval",
+    "mmr_retrieval_eval", "robust_dedup",
 )
 
 

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from polars_nexpresso_spark.functions.text import (
     tokens,
     doc_fingerprint,
+    robust_fingerprint,
     simhash_table,
     word_ngrams,
     word_ngrams_all,
@@ -58,6 +59,34 @@ def exact_dedup(
     return (
         df.select(
             doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("__id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def robust_dedup(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact dedup on the CANONICALIZED fingerprint
+    (:func:`~polars_nexpresso_spark.functions.text.robust_fingerprint`:
+    digits collapsed, punctuation stripped) — the cheap rung between
+    :func:`exact_dedup` and MinHash: it merges the crawl's
+    timestamp/counter/id variants of one page WITHOUT shingling, at
+    exactly exact-dedup's cost (one map-side expression, one groupBy
+    shuffle with map-side partial aggregation).
+
+    Returns ``(fingerprint, keep_id, dup_count)`` with the smallest id
+    as the deterministic representative, the :func:`exact_dedup`
+    contract.
+    """
+    return (
+        df.select(
+            robust_fingerprint(F.col(text_col)).alias("fingerprint"),
             F.col(id_col).alias("__id"),
         )
         .groupBy("fingerprint")

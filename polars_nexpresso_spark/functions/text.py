@@ -186,6 +186,22 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
+def robust_fingerprint(col: Column) -> Column:
+    """Canonicalized content fingerprint for near-boilerplate EXACT
+    dedup: lowercase → digit runs collapsed to a single ``0`` → ASCII
+    punctuation to spaces → whitespace runs collapsed → trim → md5.
+    Catches the standard crawl pathology :func:`doc_fingerprint`
+    misses — pages identical up to timestamps, view counters, session
+    ids, or prices ("posted 2024-01-02, 1,372 views" vs "posted
+    2026-08-16, 9 views") — while staying one map-side expression and
+    one groupBy shuffle, the same scale shape as exact dedup. Every
+    regex class is ASCII-only, so Java regex (Spark) and RE2 (DuckDB)
+    agree byte-for-byte and the md5 keys are engine-portable."""
+    canon = F.regexp_replace(F.lower(col), "[0-9]+", "0")
+    canon = F.regexp_replace(canon, "[!-/:-@\\[-`{-~]", " ")
+    return F.md5(F.trim(F.regexp_replace(canon, r"\s+", " ")))
+
+
 def token_hash60(col: Column) -> Column:
     """60-bit integer hash of a token derived from md5.
 

@@ -247,6 +247,19 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "text", "doc_id")
 
 
+def q_robust_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the canonicalized fingerprint (digits collapsed,
+    ASCII punctuation stripped): merges timestamp/counter/id variants
+    of one page at plain exact-dedup cost — one map-side expression,
+    one groupBy shuffle. All-ASCII regex classes keep the Java-regex /
+    RE2 canonical strings byte-identical, so the md5 keys replay
+    hash-exact in the oracle."""
+    from polars_nexpresso_spark.functions.dedup import robust_dedup
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return robust_dedup(docs, "text", "doc_id")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents"))
     # persist_shingles: the exploded-shingle subtree feeds three shuffles;
@@ -1332,6 +1345,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_fingerprint": q_token_fingerprint,
     "language_id": q_language_id,
     "exact_dedup": q_exact_dedup,
+    "robust_dedup": q_robust_dedup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -1451,6 +1465,13 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
     "language_id": _language_id_oracle(),
     "exact_dedup": f"""
         SELECT md5({_NORM}) AS fingerprint,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_count
+        FROM documents
+        GROUP BY 1
+    """,
+    "robust_dedup": """
+        SELECT md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '[0-9]+', '0', 'g'), '[!-/:-@\\[-`{-~]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint,
                MIN(doc_id) AS keep_id,
                COUNT(*) AS dup_count
         FROM documents

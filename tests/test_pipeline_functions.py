@@ -80,6 +80,37 @@ def test_exact_dedup(docs):
     assert result.count() == 4  # 5 docs → 4 distinct fingerprints
 
 
+def test_robust_dedup_merges_counter_variants(spark):
+    """The canonical-fingerprint rung: pages identical up to digits /
+    punctuation (timestamps, view counters, ids, prices) merge into one
+    cluster, while genuinely different text and NULLs keep the
+    exact-dedup conventions."""
+    from polars_nexpresso_spark.functions.dedup import robust_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Posted 2024-01-02; 1,372 views. Great article!"),
+            (2, "posted 2026-08-16:   9,999 views... (great) article"),
+            (3, "Posted 2024-01-02; 1,372 views. Terrible article!"),
+            (4, None),
+            (5, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["keep_id"]: r for r in robust_dedup(df, "text", "doc_id").collect()}
+    assert out[1]["dup_count"] == 2  # 1 and 2 canonicalize identically
+    assert out[3]["dup_count"] == 1
+    assert out[4]["fingerprint"] is None and out[4]["dup_count"] == 1
+    assert out[5]["dup_count"] == 1  # whitespace-only != NULL
+    # the regex classes are ASCII-only by contract (Java regex and RE2
+    # must agree byte-for-byte): unicode punctuation like an em-dash
+    # survives canonicalization, so such variants do NOT merge
+    df2 = spark.createDataFrame(
+        [(1, "a — b"), (2, "a . b")], ["doc_id", "text"]
+    )
+    assert robust_dedup(df2, "text", "doc_id").count() == 2
+
+
 def test_ngram_jaccard_pairs(docs):
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
