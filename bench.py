@@ -715,7 +715,8 @@ GROUPS: dict[str, object] = {
     "dedup_corpus": _registry_group((
         "decontaminate_stream", "contamination_report", "boilerplate_tokens",
         "fixed_boilerplate", "exact_substring_dedup", "ref_dedup",
-        "ref_dedup_stream", "leakage_free_split", "semantic_dedup",
+        "ref_dedup_stream", "ref_dedup_robust", "leakage_free_split",
+        "semantic_dedup",
         "image_near_dup", "audio_near_dup", "dedup_index", "bloom_dedup",
         "decontaminate_bloom", "decontaminate_fraction",
         "dedup_index_stream",
@@ -985,7 +986,7 @@ SCALE_PROBE_QUERIES = (
     "mmr_per_query", "quality_calibrate", "char_entropy",
     "encoding_quality", "mmr_diversity_eval",
     # round-11 operators
-    "mmr_retrieval_eval", "robust_dedup",
+    "mmr_retrieval_eval", "robust_dedup", "ref_dedup_robust",
 )
 
 

@@ -1424,12 +1424,33 @@ def source_overlap(
     )
 
 
+def _ref_dedup_basis(canon: str):
+    """Fingerprint basis for the reference-dedup pair: ``"exact"`` keys
+    on the normalized text (case/whitespace variants merge);
+    ``"robust"`` keys on
+    :func:`~polars_nexpresso_spark.functions.text.robust_canonical_text`
+    (digits collapsed, ASCII punctuation stripped) — the dial that
+    makes "new crawl vs what we already have" catch RE-CRAWLS, whose
+    timestamps and view counters changed while the content did not."""
+    from polars_nexpresso_spark.functions.text import (
+        normalize_text,
+        robust_canonical_text,
+    )
+
+    if canon == "exact":
+        return normalize_text
+    if canon == "robust":
+        return robust_canonical_text
+    raise ValueError(f"canon must be 'exact' or 'robust': {canon!r}")
+
+
 def dedup_against_reference(
     df: DataFrame,
     ref: DataFrame,
     text_col: str,
     *,
     strategy: str = "join",
+    canon: str = "exact",
 ) -> DataFrame:
     """Incremental-ingest dedup: drop rows of ``df`` whose normalized
     content already exists in a REFERENCE corpus — the "new crawl vs
@@ -1462,14 +1483,12 @@ def dedup_against_reference(
         raise ValueError(f"unknown strategy: {strategy!r}")
     if text_col not in df.columns or text_col not in ref.columns:
         raise ValueError(f"both frames need column {text_col!r}")
-    from polars_nexpresso_spark.functions.text import normalize_text
+    basis = _ref_dedup_basis(canon)
 
     def fp(c):
         # NULL text -> NULL key (anti-join keeps it); non-null text ->
         # 8-byte content hash.
-        return F.when(
-            c.isNotNull(), F.xxhash64(normalize_text(c))
-        )
+        return F.when(c.isNotNull(), F.xxhash64(basis(c)))
 
     ref_fps = (
         ref.select(fp(F.col(text_col)).alias("__fp"))
@@ -1491,6 +1510,7 @@ def dedup_against_reference_stream(
     text_col: str,
     *,
     max_ref_fingerprints: int = 50_000_000,
+    canon: str = "exact",
 ) -> DataFrame:
     """Stream-safe :func:`dedup_against_reference`: STATELESS, map-side.
 
@@ -1511,13 +1531,13 @@ def dedup_against_reference_stream(
     from polars_nexpresso_spark.functions._vectorized import (
         pandas_scalar_member,
     )
-    from polars_nexpresso_spark.functions.text import normalize_text
 
     if text_col not in df.columns or text_col not in ref.columns:
         raise ValueError(f"both frames need column {text_col!r}")
+    basis = _ref_dedup_basis(canon)
     pdf = (
         ref.filter(F.col(text_col).isNotNull())
-        .select(F.xxhash64(normalize_text(F.col(text_col))).alias("__h"))
+        .select(F.xxhash64(basis(F.col(text_col))).alias("__h"))
         .distinct()
         .toPandas()
     )
@@ -1535,7 +1555,7 @@ def dedup_against_reference_stream(
     probe_key = F.coalesce(
         F.when(
             F.col(text_col).isNotNull(),
-            F.xxhash64(normalize_text(F.col(text_col))),
+            F.xxhash64(basis(F.col(text_col))),
         ),
         F.lit(0).cast("bigint"),
     )

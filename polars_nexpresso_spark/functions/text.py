@@ -197,9 +197,16 @@ def robust_fingerprint(col: Column) -> Column:
     one groupBy shuffle, the same scale shape as exact dedup. Every
     regex class is ASCII-only, so Java regex (Spark) and RE2 (DuckDB)
     agree byte-for-byte and the md5 keys are engine-portable."""
+    return F.md5(robust_canonical_text(col))
+
+
+def robust_canonical_text(col: Column) -> Column:
+    """The canonical string :func:`robust_fingerprint` hashes —
+    exposed so the reference-dedup family can key on the same
+    canonicalization (``canon="robust"``)."""
     canon = F.regexp_replace(F.lower(col), "[0-9]+", "0")
     canon = F.regexp_replace(canon, "[!-/:-@\\[-`{-~]", " ")
-    return F.md5(F.trim(F.regexp_replace(canon, r"\s+", " ")))
+    return F.trim(F.regexp_replace(canon, r"\s+", " "))
 
 
 def token_hash60(col: Column) -> Column:

@@ -53,6 +53,13 @@ from polars_nexpresso_spark.sources.io import read_table, spread
 
 # DuckDB fragments shared by several oracles.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# robust_fingerprint's canonical string (digits collapsed, ASCII punct
+# stripped) — ASCII-only classes so Java regex and RE2 agree byte-for-byte
+_RCANON = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), "
+    "'[0-9]+', '0', 'g'), '[!-/:-@\\[-`{-~]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
 
 
 def _oracle_dim() -> int | None:
@@ -1470,8 +1477,8 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         FROM documents
         GROUP BY 1
     """,
-    "robust_dedup": """
-        SELECT md5(trim(regexp_replace(regexp_replace(regexp_replace(lower(text), '[0-9]+', '0', 'g'), '[!-/:-@\\[-`{-~]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint,
+    "robust_dedup": f"""
+        SELECT md5({_RCANON}) AS fingerprint,
                MIN(doc_id) AS keep_id,
                COUNT(*) AS dup_count
         FROM documents
@@ -3127,6 +3134,37 @@ PIPELINE_ORACLE_SQL["ref_dedup"] = f"""
 """
 
 PIPELINE_ORACLE_SQL["ref_dedup_stream"] = PIPELINE_ORACLE_SQL["ref_dedup"]
+
+
+def q_ref_dedup_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup keyed on the ROBUST canonicalization
+    (digits collapsed, ASCII punctuation stripped): the dial that makes
+    "new crawl vs what we already have" catch RE-CRAWLS — the reference
+    copy of a page carries last month's timestamps and view counters,
+    so the exact-normalized key misses it while the robust key drops
+    it. Same anti-join shape and 8-byte hash traffic as ref_dedup."""
+    from polars_nexpresso_spark.functions.dedup import (
+        dedup_against_reference,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    out = dedup_against_reference(docs, ref, "text", canon="robust")
+    return out.select("doc_id", "source")
+
+
+PIPELINE_QUERIES["ref_dedup_robust"] = q_ref_dedup_robust
+PIPELINE_ORACLE_SQL["ref_dedup_robust"] = f"""
+    WITH ref AS (
+      SELECT DISTINCT {_RCANON} AS canon
+      FROM documents
+      WHERE doc_id % 3 = 0 AND text IS NOT NULL
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.text IS NULL
+       OR {_RCANON.replace("text", "d.text")} NOT IN (SELECT canon FROM ref)
+"""
 
 
 def q_clean_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:

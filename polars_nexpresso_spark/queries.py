@@ -1228,10 +1228,11 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # hard_negatives_ann, audio_near_dup. The round-8 four (dedup_index ..
 # decontaminate_bloom, two greens) stay in-window and can rotate in
 # round 12 if more slots are needed.
-# Round-12 rotation TODO: the two round-11 operators registered after
-# the window (`mmr_retrieval_eval`, `robust_dedup` — each ALL PASS via
-# scripts/check_oracle.py at sf0.001 AND sf0.01 in round 11) are owed
-# driver rows next round; rotate them in against the round-8 four
+# Round-12 rotation TODO: the three round-11 operators registered after
+# the window (`mmr_retrieval_eval`, `robust_dedup`, `ref_dedup_robust`
+# — each ALL PASS via scripts/check_oracle.py at sf0.001 AND sf0.01 in
+# round 11) are owed driver rows next round; rotate them in against
+# the round-8 four
 # (dedup_index, bloom_dedup, bm25_index, decontaminate_bloom — each
 # holding two driver greens, r08 + r10, the deepest-history pool left
 # in the window).

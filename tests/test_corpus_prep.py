@@ -281,6 +281,41 @@ def test_dedup_against_reference_content_level(spark):
         assert kept == {1, 3, 4}, strategy
 
 
+def test_dedup_against_reference_robust_canon(spark):
+    """canon="robust" catches RE-CRAWLS: the reference copy carries last
+    month's timestamps/counters, the new batch today's — exact keys
+    miss them, robust keys drop them. Batch and stream paths agree, and
+    an invalid canon fails fast."""
+    import pytest
+
+    new = spark.createDataFrame(
+        [
+            (1, "Posted 2026-08-16; 9,999 views. Same old article!"),
+            (2, "genuinely new content"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    ref = spark.createDataFrame(
+        [(100, "posted 2024-01-02:   1,372 views... same (old) article")],
+        ["doc_id", "text"],
+    )
+    # exact canon: no match — doc 1 survives
+    exact = {
+        r["doc_id"]
+        for r in dedup_against_reference(new, ref, "text").collect()
+    }
+    assert exact == {1, 2, 3}
+    # robust canon: doc 1 is the re-crawl and drops, on BOTH paths
+    for out in (
+        dedup_against_reference(new, ref, "text", canon="robust"),
+        dedup_against_reference_stream(new, ref, "text", canon="robust"),
+    ):
+        assert {r["doc_id"] for r in out.collect()} == {2, 3}
+    with pytest.raises(ValueError, match="canon must be"):
+        dedup_against_reference(new, ref, "text", canon="fuzzy")
+
+
 def test_dedup_against_reference_stream_matches_batch(spark):
     new, ref = _new_and_ref(spark)
     batch = {
