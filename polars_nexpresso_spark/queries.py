@@ -1228,15 +1228,30 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # hard_negatives_ann, audio_near_dup. The round-8 four (dedup_index ..
 # decontaminate_bloom, two greens) stay in-window and can rotate in
 # round 12 if more slots are needed.
-# Round-12 rotation TODO: the three round-11 operators registered after
-# the window (`mmr_retrieval_eval`, `robust_dedup`, `ref_dedup_robust`
-# — each ALL PASS via scripts/check_oracle.py at sf0.001 AND sf0.01 in
-# round 11) are owed driver rows next round; rotate them in against
-# the round-8 four
-# (dedup_index, bloom_dedup, bm25_index, decontaminate_bloom — each
-# holding two driver greens, r08 + r10, the deepest-history pool left
-# in the window).
+# Round-12 rotation (per VERDICT r11 items 1 and 6, correcting the
+# stale r11-era note): `robust_dedup` and `ref_dedup_robust` already
+# earned driver rows in CORRECTNESS_r11 (they landed mid-round at
+# window positions 6 and 14) — they are NOT owed rows. The real debt
+# is the three queries that have sat just outside the 50-query window
+# for two rounds: `encoding_quality` (pos 50), `mmr_diversity_eval`
+# (pos 51), `mmr_retrieval_eval` (pos 52) — each ALL PASS via
+# scripts/check_oracle.py at sf0.001 AND sf0.01 (r10/r11) and
+# re-verified green by the round-11 judge at sf0.01. Out: the round-8
+# four (dedup_index, bloom_dedup, bm25_index, decontaminate_bloom —
+# each holding THREE driver greens, r08 + r10 + r11, the
+# deepest-history pool left in the window). Moving four out pulls the
+# three debtors to positions 46-48; position 49 backfills from the
+# tail head (dedup_index, harmlessly earning a 4th green) and is
+# displaced by any new round-12 registration, so new queries land
+# in-window. tests/test_coverage_lockstep.py now asserts the window
+# invariant (every registered query holds a driver CORRECTNESS row or
+# a first-50 slot), making under-rotation a CI failure.
 _MULTIPLY_PROVEN_TAIL = [
+    # round-12 rotation
+    "dedup_index",
+    "bloom_dedup",
+    "bm25_index",
+    "decontaminate_bloom",
     # round-11 rotation
     "hard_negatives",
     "exact_substring_dedup",

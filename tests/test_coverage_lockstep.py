@@ -33,6 +33,37 @@ def test_every_registry_query_appears_in_coverage_md():
     )
 
 
+def test_driver_window_rotation_covers_every_query():
+    """Every registered query must hold a driver CORRECTNESS row in some
+    past round OR sit inside the driver's first-50 window.
+
+    The driver verifies only the first 50 entries of ``queries()`` per
+    round; three rounds running, late-registered queries sat just
+    outside that window and the judge had to re-verify them by hand
+    (VERDICT r11 item 1). This test makes under-rotation a CI failure:
+    a new query must be registered in-window (before the
+    _MULTIPLY_PROVEN_TAIL reordering), and a rotation that evicts a
+    row-less query from the window fails here.
+    """
+    import json
+
+    from polars_nexpresso_spark.queries import QUERIES
+
+    order = list(QUERIES)
+    window = set(order[:50])
+    rows: set[str] = set()
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        data = json.loads(path.read_text())
+        rows.update(k for k, v in data.items() if isinstance(v, dict))
+    debt = [q for q in order if q not in rows and q not in window]
+    assert not debt, (
+        f"queries with no driver CORRECTNESS row sitting outside the "
+        f"first-50 driver window: {debt} — rotate multiply-proven "
+        "entries into _MULTIPLY_PROVEN_TAIL (queries.py) until these "
+        "hold a window slot"
+    )
+
+
 def test_coverage_md_oracle_mentions_are_not_stale():
     """Names cited as 'oracle: X' / 'oracles: X AND Y' in COVERAGE.md
     must still exist in the registry (catches renames that orphan a
