@@ -1503,7 +1503,15 @@ def pq_ann_topk(
     ids with the retrieve-then-rerank cascade: residual
     :func:`ivfpq_ann_topk` + a 60-candidate :func:`exact_rerank`
     measures 0.84-1.0 recall@5 on the clustered corpus at the same
-    compression.
+    compression. That rescue is DISTRIBUTION-BOUND: on the uniform
+    (unclustered) corpus the cascade tops out at 0.52 even at the high
+    dial (overfetch 100) — residuals, n_codes=64, and wider shortlists
+    were all measured and none lifts it further. For embeddings that
+    do not cluster (whitened outputs, random projections), no PQ
+    variant is the answer: use :func:`lsh_ann_topk` (0.88-0.96 there)
+    or :func:`ivf_ann_topk` (0.75-0.86) and pay the full-width scan.
+    The engine chooser table in docs/api/pipeline.md keys these
+    recommendations to the sealed grid.
 
     Returns ``(query_id, neighbor_id, score, rank)`` — ``score`` is the
     ADC cosine approximation (rounded to 6), ranked desc with the id
@@ -1580,6 +1588,14 @@ def ivfpq_ann_topk(
     bounded above by the IVF cell recall and below by PQ quantization
     error; raise ``n_probe``/``n_codes`` to trade cost for recall
     (measured points in ``BENCH_DETAILS.json:ann_recall_at_k``).
+
+    APPLICABILITY: the cascade's recall rescue presumes a CLUSTERED
+    corpus. On the uniform bench corpus the high-dial rerank cascade
+    (overfetch 100) ceilings at 0.52 recall@5 — measured, not tunable
+    away — so for unclustered embeddings steer to :func:`lsh_ann_topk`
+    (0.88-0.96) or :func:`ivf_ann_topk` (0.75-0.86) instead of any PQ
+    variant; the chooser table in docs/api/pipeline.md keys the
+    recommendation to the sealed grid.
 
     ``assign="expr"`` (default) keeps cell ranking and code assignment
     as sequential-arithmetic parsed expressions — deterministic

@@ -341,8 +341,21 @@ def word_ngrams_all(col: Column, n: int = 3) -> Column:
     evaluate expression" — decontaminate_bloom reproduced this). This
     helper feeds both JVM-only and pandas-UDF consumers, so it must be
     extraction-safe. Cost: tokens re-evaluates once per shift, O(n·len)
-    per row — constant-factor, not quadratic."""
-    toks = tokens(col)
+    per row — constant-factor, not quadratic. DataFrame consumers that
+    can stage a real token column should call
+    :func:`word_ngrams_from_tokens` on it instead (r11 advice): a
+    staged column reference is free per shift, so the n+3
+    re-tokenizations collapse to one."""
+    return word_ngrams_from_tokens(tokens(col), n)
+
+
+def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """``word_ngrams_all`` over an already-tokenized array column.
+
+    Same shifted-slice zip construction and same short-document /
+    NULL contracts; ``toks`` is referenced n+3 times, so pass a staged
+    COLUMN (cheap per reference), not an inline ``tokens(...)``
+    expression — that is what :func:`word_ngrams_all` is for."""
     n_windows = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     grams = F.slice(toks, 1, n_windows)
     for k in range(1, n):
@@ -370,9 +383,18 @@ def repetition_table(
     by total n-gram occurrences. Explode + two key-local aggregations with
     map-side combine; the shuffle carries one row per (doc, distinct gram).
     """
+    # Stage tokens ONCE as a real column: word_ngrams_all inline would
+    # re-run normalize+split n+3 times per row (r11 advice). Catalyst's
+    # CollapseProject keeps the staged alias because it is non-cheap
+    # and multiply-referenced — verified in test_text.py's plan pin.
     exploded = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        "__id",
+        F.explode(
+            word_ngrams_from_tokens(F.col("__toks"), n)
+        ).alias("__gram"),
     )
     per_gram = exploded.groupBy("__id", "__gram").agg(
         F.count("*").alias("__c")
@@ -548,10 +570,17 @@ def ngram_lm_score(
     # both are noise, not grams — filter them on every explode so
     # degenerate docs drop out instead of scoring a phantom gram.
     def _real_grams(frame):
-        return frame.select(
-            "*",
-            F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram"),
-        ).filter(F.col("__gram").isNotNull() & (F.length("__gram") > 0))
+        # Token column staged once per row (see repetition_table note).
+        return (
+            frame.withColumn("__toks", tokens(F.col(text_col)))
+            .select(
+                *frame.columns,
+                F.explode(
+                    word_ngrams_from_tokens(F.col("__toks"), n)
+                ).alias("__gram"),
+            )
+            .filter(F.col("__gram").isNotNull() & (F.length("__gram") > 0))
+        )
 
     # ONE explode over the reference: count by gram STRING first, then
     # derive both hash-keyed tables from the distinct-gram counts — the
@@ -643,9 +672,15 @@ def ngram_lm_score_stream(
 
     # Same degenerate-text rule as the batch scorer: NULL text yields a
     # [null] gram and empty text [""] — neither is a real gram.
-    ref_grams = reference.select(
-        F.explode(word_ngrams_all(F.col(text_col), n)).alias("__gram")
-    ).filter(F.col("__gram").isNotNull() & (F.length("__gram") > 0))
+    ref_grams = (
+        reference.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.explode(
+                word_ngrams_from_tokens(F.col("__toks"), n)
+            ).alias("__gram")
+        )
+        .filter(F.col("__gram").isNotNull() & (F.length("__gram") > 0))
+    )
     # Same one-explode shape as the batch scorer: count by gram string,
     # then derive both hash-keyed dictionaries from the distinct-gram
     # counts (the prefix sum runs over distinct grams, not occurrences).

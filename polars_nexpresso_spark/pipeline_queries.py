@@ -5188,10 +5188,28 @@ def q_curriculum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan = curriculum_shards(
         docs, "n_chars", "doc_id", n_stages=3, n_shards=4
     )
-    out = str(
-        _P(tempfile.gettempdir())
-        / f"pns_curriculum_replay_{_P(sf_dir).name}_{os.getpid()}"
-    )
+    # Scavenge scratch dirs left by DEAD processes before writing our
+    # own: the returned DataFrame lazily re-reads `out`, so this
+    # process cannot rmtree its own dir (the driver collects after we
+    # return) — but pid-keyed dirs from exited runs would otherwise
+    # accumulate forever on long-lived CI/bench hosts (r11 advice).
+    # Live pids keep their dirs, preserving the concurrent-process
+    # isolation the pid key exists for.
+    import shutil
+
+    tmp = _P(tempfile.gettempdir())
+    prefix = f"pns_curriculum_replay_{_P(sf_dir).name}_"
+    for old in tmp.glob(f"{prefix}*"):
+        pid_part = old.name[len(prefix):]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)
+        except ProcessLookupError:
+            shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass  # pid exists but isn't ours (EPERM) — leave it
+    out = str(tmp / f"{prefix}{os.getpid()}")
     write_curriculum(plan, out)
     back = spark.read.parquet(out)
     return back.select(
@@ -5432,13 +5450,27 @@ def q_mmr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("neighbor_id").alias("vec_id")
     )
     vecs = emb.select("vec_id", "embedding")
-    ils_mmr = intra_list_similarity(mmr, vecs).select(
-        "query_id",
-        F.col("mean_pairwise_cosine").alias("mmr_mean_cos"),
+    # n_pairs > 0 on BOTH sides: intra_list_similarity keeps <2-item
+    # lists as NULL-mean rows, but the DuckDB oracle's AVG-over-pairs
+    # CTEs have no row at all for such queries — a degenerate IVF
+    # shortlist (probed cells holding <2 candidates) would otherwise
+    # produce a row-set mismatch (r11 advice). Dropping pairless
+    # queries is the shared contract.
+    ils_mmr = (
+        intra_list_similarity(mmr, vecs)
+        .filter(F.col("n_pairs") > 0)
+        .select(
+            "query_id",
+            F.col("mean_pairwise_cosine").alias("mmr_mean_cos"),
+        )
     )
-    ils_top8 = intra_list_similarity(top8, vecs).select(
-        "query_id",
-        F.col("mean_pairwise_cosine").alias("topk_mean_cos"),
+    ils_top8 = (
+        intra_list_similarity(top8, vecs)
+        .filter(F.col("n_pairs") > 0)
+        .select(
+            "query_id",
+            F.col("mean_pairwise_cosine").alias("topk_mean_cos"),
+        )
     )
     return ils_mmr.join(ils_top8, on="query_id")
 

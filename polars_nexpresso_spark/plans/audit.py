@@ -99,24 +99,30 @@ _HOF_EXPENSIVE: tuple[str, ...] = (
     "from_json(",
 )
 
-def _call_spans(plan: str, needle: str) -> list[tuple[int, int]]:
-    """(start, end) spans of each balanced-paren ``needle...)`` call.
+def _call_spans(
+    plan: str, needle: str
+) -> tuple[list[tuple[int, int]], bool]:
+    """(spans, truncated): (start, end) of each balanced-paren
+    ``needle...)`` call, plus whether any span was left UNCLOSED.
 
     Matches whole function names only (the char before the needle must
     not be an identifier char, so ``split(`` does not match inside
-    ``regexp_split(``). Unclosed spans (truncated plan prints) are
-    skipped.
+    ``regexp_split(``). An unclosed span means the plan print was
+    truncated mid-call — the caller must surface that rather than
+    report CLEAN on a plan it only partially inspected (r11 advice).
     """
     spans: list[tuple[int, int]] = []
+    truncated = False
     start = 0
     while True:
         i = plan.find(needle, start)
         if i < 0:
-            return spans
+            return spans, truncated
         start = i + 1
         if i > 0 and (plan[i - 1].isalnum() or plan[i - 1] == "_"):
             continue
         depth = 0
+        closed = False
         for k in range(i + len(needle) - 1, len(plan)):
             if plan[k] == "(":
                 depth += 1
@@ -124,7 +130,17 @@ def _call_spans(plan: str, needle: str) -> list[tuple[int, int]]:
                 depth -= 1
                 if depth == 0:
                     spans.append((i, k + 1))
+                    closed = True
                     break
+        if not closed:
+            truncated = True
+
+
+_TRUNCATED_WARNING = (
+    "plan-truncated: an unclosed call span was found (truncated plan "
+    "print) — the HOF re-evaluation sweep could not inspect the whole "
+    "plan, so a CLEAN result here is NOT a clean verdict"
+)
 
 
 def _lambda_args(lambda_text: str) -> list[str]:
@@ -171,13 +187,17 @@ def hof_reeval_risks(df: DataFrame) -> list[str]:
     inspection of the analyzed plan only: no jobs run.
     """
     plan = df._jdf.queryExecution().analyzed().toString()
-    lam_spans = _call_spans(plan, "lambdafunction(")
-    if not lam_spans:
-        return []
+    lam_spans, truncated = _call_spans(plan, "lambdafunction(")
     risks: list[str] = []
+    if not lam_spans:
+        if truncated:
+            risks.append(_TRUNCATED_WARNING)
+        return risks
     seen: set[str] = set()
     for needle in _HOF_EXPENSIVE:
-        for a, b in _call_spans(plan, needle):
+        needle_spans, n_trunc = _call_spans(plan, needle)
+        truncated = truncated or n_trunc
+        for a, b in needle_spans:
             enclosing = [
                 (la, lb) for la, lb in lam_spans if la < a and b <= lb
             ]
@@ -189,7 +209,10 @@ def hof_reeval_risks(df: DataFrame) -> list[str]:
             if any(arg in call_text for arg in args):
                 continue
             head = call_text if len(call_text) <= 80 else call_text[:77] + "..."
-            key = needle + head
+            # Dedupe by the FULL call text (not the display head): two
+            # distinct sites sharing an 80-char prefix must both report
+            # (r11 advice).
+            key = needle + call_text
             if key in seen:
                 continue
             seen.add(key)
@@ -199,6 +222,8 @@ def hof_reeval_risks(df: DataFrame) -> list[str]:
                 "lambda's variables); stage it as a real column in its "
                 "own projection before the lambda"
             )
+    if truncated:
+        risks.append(_TRUNCATED_WARNING)
     return risks
 
 

@@ -170,6 +170,24 @@ def test_repetition_table(spark):
     assert got[2]["repetition_ratio"] == 0.25
 
 
+def test_repetition_table_tokenizes_once(spark):
+    """The staged token column must survive optimization: inline
+    word_ngrams_all re-runs normalize+split n+3 times per row, and a
+    CollapseProject regression (inlining the non-cheap multiply-
+    referenced alias) would silently restore that cost (r11 advice).
+    One `split(` in the optimized plan == one tokenization."""
+    from polars_nexpresso_spark.functions.text import repetition_table
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = (
+        repetition_table(df, "text", "doc_id", n=3)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan
+
+
 def test_hash_split_deterministic_and_leak_free(spark):
     """Same id → same split regardless of run or row order; duplicate ids
     can never straddle train/test."""

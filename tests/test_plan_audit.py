@@ -270,3 +270,41 @@ def test_udf_consuming_registry_queries_survive_count_pruning(spark):
             .collect()[0]["count"]
         )
         assert n >= 0, name
+
+
+def test_call_spans_reports_truncated_span():
+    """An unclosed call (truncated plan print) must be REPORTED, not
+    silently skipped — a CLEAN sweep over a partially-inspected plan
+    would otherwise be indistinguishable from a genuinely clean one
+    (r11 advice)."""
+    from polars_nexpresso_spark.plans.audit import _call_spans
+
+    spans, truncated = _call_spans("concat(a, concat(b, c)", "concat(")
+    # the inner call closes; the outer one never does
+    assert truncated
+    assert len(spans) == 1
+    spans, truncated = _call_spans("concat(a, b) and concat(c, d)", "concat(")
+    assert not truncated and len(spans) == 2
+
+
+def test_hof_sweep_flags_truncated_plan(monkeypatch):
+    """hof_reeval_risks must append the plan-truncated warning when the
+    analyzed plan holds an unclosed lambdafunction span."""
+    from polars_nexpresso_spark.plans import audit
+
+    class _FakeQE:
+        def analyzed(self):
+            class _P:
+                def toString(self):
+                    return "Project [lambdafunction(array_sort(split(x"
+            return _P()
+
+    class _FakeJdf:
+        def queryExecution(self):
+            return _FakeQE()
+
+    class _FakeDF:
+        _jdf = _FakeJdf()
+
+    risks = audit.hof_reeval_risks(_FakeDF())
+    assert any("plan-truncated" in r for r in risks), risks
