@@ -733,8 +733,8 @@ GROUPS: dict[str, object] = {
         "fuzzy_name_pairs",
     )),
     "dedup_core": _registry_group((
-        "exact_dedup", "robust_dedup", "minhash_lsh", "dedup_clusters",
-        "ngram_jaccard",
+        "exact_dedup", "robust_dedup", "robust_dedup_unicode",
+        "minhash_lsh", "dedup_clusters", "ngram_jaccard",
         "simhash_pairs", "embedding_dedup", "dup_window_frac",
         "intradoc_dedup", "source_overlap", "dedup_best_keep", "chunk_dedup",
         "soft_dedup_weights", "dedup_pair_recall", "containment_pairs",
@@ -759,7 +759,7 @@ GROUPS: dict[str, object] = {
     )),
     "text_transform": _registry_group((
         "chunk_documents", "bm25_topk", "bm25_index", "bm25_route",
-        "tfidf_keywords",
+        "cross_rerank", "tfidf_keywords",
         "redact_pii", "corpus_report", "corpus_diff", "unicode_nfc",
         "strip_markup", "truncate_tokens", "token_shift", "bpe_pipeline",
         "unigram_pipeline", "tokenizer_train_envelope",
@@ -1015,6 +1015,8 @@ SCALE_PROBE_QUERIES = (
     "encoding_quality", "mmr_diversity_eval",
     # round-11 operators
     "mmr_retrieval_eval", "robust_dedup", "ref_dedup_robust",
+    # round-12 operators
+    "robust_dedup_unicode", "cross_rerank",
 )
 
 

@@ -521,3 +521,30 @@ def pandas_bloom_any_member(bits, num_hashes: int):
         return pd.Series(out)
 
     return member
+
+
+@pandas_udf("double")
+def pandas_pair_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise Jaccard |A∩B| / |A∪B| of two SORTED-distinct long-array
+    columns — the pairwise joint-scoring slot of the cross-encoder
+    rerank cascade (a real model would consume the raw pair here with
+    the same Arrow batch shape). Sorted inputs make the intersection
+    one merge per row (np.intersect1d with assume_unique); both-empty
+    pairs score 0.0, a NULL side scores NULL (no text, no judgment) —
+    the contract the DuckDB oracle mirrors with NULLIF + COALESCE.
+    Rounded to 6 (the cross-engine float contract)."""
+    out = np.full(len(a), np.nan)
+    for i, (xa, xb) in enumerate(zip(a.to_list(), b.to_list())):
+        if xa is None or xb is None:
+            continue
+        na, nb = len(xa), len(xb)
+        if na == 0 and nb == 0:
+            out[i] = 0.0
+            continue
+        inter = np.intersect1d(
+            np.asarray(xa, dtype=np.int64),
+            np.asarray(xb, dtype=np.int64),
+            assume_unique=True,
+        ).size
+        out[i] = round(inter / (na + nb - inter), 6)
+    return pd.Series(out)

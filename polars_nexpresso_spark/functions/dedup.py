@@ -70,7 +70,7 @@ def exact_dedup(
 
 
 def robust_dedup(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame, text_col: str, id_col: str, *, fold_unicode: bool = False
 ) -> DataFrame:
     """Exact dedup on the CANONICALIZED fingerprint
     (:func:`~polars_nexpresso_spark.functions.text.robust_fingerprint`:
@@ -80,13 +80,22 @@ def robust_dedup(
     exactly exact-dedup's cost (one map-side expression, one groupBy
     shuffle with map-side partial aggregation).
 
+    ``fold_unicode=True`` widens the canon with the fixed literal
+    Unicode punctuation fold (smart quotes/dashes/NBSP → space), so a
+    page and its typographically re-rendered copy merge too; the
+    explicit-character-list contract keeps the md5 keys Java∩RE2
+    byte-identical (see ``robust_fingerprint``). Same cost — still one
+    map-side expression, one shuffle.
+
     Returns ``(fingerprint, keep_id, dup_count)`` with the smallest id
     as the deterministic representative, the :func:`exact_dedup`
     contract.
     """
     return (
         df.select(
-            robust_fingerprint(F.col(text_col)).alias("fingerprint"),
+            robust_fingerprint(
+                F.col(text_col), fold_unicode=fold_unicode
+            ).alias("fingerprint"),
             F.col(id_col).alias("__id"),
         )
         .groupBy("fingerprint")

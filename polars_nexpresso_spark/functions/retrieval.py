@@ -541,3 +541,109 @@ def compact_text_index(
         "term_rows_after": int(folded_terms.count()),
         "stats_rows_before": int(n_stats_before),
     }
+
+
+def cross_encoder_rerank(
+    pairs: DataFrame,
+    texts: DataFrame,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    text_id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    scorer: str = "lexical",
+) -> DataFrame:
+    """Cross-encoder-STYLE second-stage rerank: score each retrieved
+    (query, candidate) pair JOINTLY and keep the top-``k`` per query —
+    the cascade stage after any first-stage retriever (BM25, n-gram
+    Jaccard, ANN), where bi-encoder/lexical shortlists get re-ordered
+    by a pairwise scorer that sees both texts at once.
+
+    ``scorer="lexical"`` (default) is the deterministic stand-in this
+    container can run: distinct-token-hash Jaccard between the two
+    texts, computed by the Arrow-batched kernel
+    ``pandas_pair_jaccard``. The PLUMBING is the real deliverable and
+    is identical for a neural cross-encoder: pairs join their two
+    texts (token-hash arrays staged JVM-side, one tokenization per
+    text row), the scorer consumes Arrow batches of paired columns,
+    and a bounded per-query window ranks the scores — swap the kernel
+    body for a model forward pass and nothing else changes.
+    ``scorer="model"`` names that backend and raises
+    ``NotImplementedError`` here (no inference runtime in this
+    container — the same documented stub policy as the multimodal
+    decoders, multimodal.py).
+
+    Scale shape: candidates are bounded (k_retrieve per query) by the
+    first stage; the two text joins are plain equi-joins on the id
+    (broadcast when texts is a dim-sized side); scoring is map-side;
+    the final window partitions by query over ≤k_retrieve rows. No
+    all-pairs path — the first-stage retriever owns candidate
+    generation.
+
+    Returns ``(query_col, doc_col, ce_score, rank)``; ties rank by
+    ``doc_col`` for cross-engine determinism; both-empty token sets
+    score 0.0, a NULL text scores NULL (kept, ranked last — the
+    oracle mirrors with NULLS LAST).
+    """
+    if scorer == "model":
+        raise NotImplementedError(
+            "cross_encoder_rerank(scorer='model'): no inference runtime "
+            "in this environment; the lexical kernel exercises the same "
+            "pair-join/Arrow-batch/window plumbing (stub policy, see "
+            "multimodal.py)"
+        )
+    if scorer != "lexical":
+        raise ValueError(f"unknown scorer: {scorer!r}")
+    for col, frame, name in (
+        (query_col, pairs, "pairs"),
+        (doc_col, pairs, "pairs"),
+        (text_id_col, texts, "texts"),
+        (text_col, texts, "texts"),
+    ):
+        if col not in frame.columns:
+            raise ValueError(f"column {col!r} not in {name}: {frame.columns}")
+    from pyspark.sql import Window
+
+    from polars_nexpresso_spark.functions._vectorized import (
+        pandas_pair_jaccard,
+    )
+    from polars_nexpresso_spark.functions.text import token_hash60
+
+    # One tokenization per TEXT row (not per pair): distinct token
+    # hashes, sorted so the kernel's merge-intersection is O(n).
+    tok_sets = texts.select(
+        F.col(text_id_col).alias("__tid"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(tokens(F.col(text_col)), token_hash60)
+            )
+        ).alias("__ths"),
+    )
+    scored = (
+        pairs.select(query_col, doc_col)
+        .join(
+            tok_sets.select(
+                F.col("__tid").alias(query_col),
+                F.col("__ths").alias("__qh"),
+            ),
+            on=query_col,
+        )
+        .join(
+            tok_sets.select(
+                F.col("__tid").alias(doc_col), F.col("__ths").alias("__dh")
+            ),
+            on=doc_col,
+        )
+        .withColumn(
+            "ce_score", pandas_pair_jaccard(F.col("__qh"), F.col("__dh"))
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("ce_score").desc_nulls_last(), F.col(doc_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_col, doc_col, "ce_score", "rank")
+    )

@@ -186,7 +186,7 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(normalize_text(col))
 
 
-def robust_fingerprint(col: Column) -> Column:
+def robust_fingerprint(col: Column, *, fold_unicode: bool = False) -> Column:
     """Canonicalized content fingerprint for near-boilerplate EXACT
     dedup: lowercase → digit runs collapsed to a single ``0`` → ASCII
     punctuation to spaces → whitespace runs collapsed → trim → md5.
@@ -196,15 +196,46 @@ def robust_fingerprint(col: Column) -> Column:
     2026-08-16, 9 views") — while staying one map-side expression and
     one groupBy shuffle, the same scale shape as exact dedup. Every
     regex class is ASCII-only, so Java regex (Spark) and RE2 (DuckDB)
-    agree byte-for-byte and the md5 keys are engine-portable."""
-    return F.md5(robust_canonical_text(col))
+    agree byte-for-byte and the md5 keys are engine-portable.
+
+    ``fold_unicode=True`` additionally folds the FIXED literal set of
+    common Unicode punctuation/space characters
+    (:data:`UNICODE_PUNCT_CLASS`) to spaces first, merging the smart-
+    quote/em-dash/NBSP re-render of a page with its ASCII original.
+    The same engine-portability contract holds BECAUSE the class is an
+    explicit character list, never a ``\\p{P}``-style property class —
+    property classes are Unicode-version-dependent and Java vs RE2
+    may disagree on them, while a literal list compares byte-for-byte
+    in both engines."""
+    return F.md5(robust_canonical_text(col, fold_unicode=fold_unicode))
 
 
-def robust_canonical_text(col: Column) -> Column:
+# The EXPLICIT Unicode punctuation/space characters fold_unicode maps
+# to spaces — literal chars + literal ranges only (the engine-portable
+# contract; see robust_fingerprint). Covers: NBSP, guillemets, middle
+# dot, the U+2000 space block + ZWSP, hyphen/dash block, smart
+# single/double quotes, bullet, ellipsis, per-mille, prime/double
+# prime, single guillemets, minus sign, narrow NBSP, ideographic
+# space, CJK angle brackets and comma/full stop.
+UNICODE_PUNCT_CLASS = (
+    "\u00a0\u00ab\u00b7\u00bb"  # NBSP, guillemets, middle dot
+    "\u2000-\u200b"  # en-quad..hair-space + ZWSP (range)
+    "\u2010-\u2015"  # hyphen..horizontal-bar dash block (range)
+    "\u2018-\u201e"  # smart single/double quotes (range)
+    "\u2022\u2026\u2030\u2032\u2033"  # bullet, ellipsis, permille, primes
+    "\u2039\u203a\u2212\u202f"  # single guillemets, minus, narrow NBSP
+    "\u3000\u300a\u300b\u3001\u3002"  # ideographic space, CJK brackets/punct
+)
+
+
+def robust_canonical_text(col: Column, *, fold_unicode: bool = False) -> Column:
     """The canonical string :func:`robust_fingerprint` hashes —
     exposed so the reference-dedup family can key on the same
     canonicalization (``canon="robust"``)."""
-    canon = F.regexp_replace(F.lower(col), "[0-9]+", "0")
+    canon = F.lower(col)
+    if fold_unicode:
+        canon = F.regexp_replace(canon, f"[{UNICODE_PUNCT_CLASS}]", " ")
+    canon = F.regexp_replace(canon, "[0-9]+", "0")
     canon = F.regexp_replace(canon, "[!-/:-@\\[-`{-~]", " ")
     return F.trim(F.regexp_replace(canon, r"\s+", " "))
 

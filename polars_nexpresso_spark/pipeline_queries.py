@@ -40,6 +40,7 @@ from polars_nexpresso_spark.functions.similarity import (
 from polars_nexpresso_spark.functions.text import (
     LANG_PROFILES,
     STOPWORDS,
+    UNICODE_PUNCT_CLASS as _UPC,
     avg_token_length,
     doc_fingerprint,
     language_id,
@@ -57,6 +58,16 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # stripped) — ASCII-only classes so Java regex and RE2 agree byte-for-byte
 _RCANON = (
     "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), "
+    "'[0-9]+', '0', 'g'), '[!-/:-@\\[-`{-~]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+# robust canon with the Unicode-punctuation fold: the SAME literal
+# character class the Spark side uses (imported at the top, not
+# re-typed, so the two engines can never drift), applied first, then
+# the ASCII passes.
+_RCANON_U = (
+    "trim(regexp_replace(regexp_replace(regexp_replace("
+    f"regexp_replace(lower(text), '[{_UPC}]', ' ', 'g'), "
     "'[0-9]+', '0', 'g'), '[!-/:-@\\[-`{-~]', ' ', 'g'), "
     "'\\s+', ' ', 'g'))"
 )
@@ -265,6 +276,22 @@ def q_robust_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(read_table(spark, sf_dir, "documents"))
     return robust_dedup(docs, "text", "doc_id")
+
+
+def q_robust_dedup_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`robust_dedup` with the Unicode-punctuation fold on: the
+    canon additionally maps the FIXED literal set of common Unicode
+    punctuation/space chars (smart quotes, dash block, NBSP/ZWSP,
+    ideographic space — UNICODE_PUNCT_CLASS) to spaces, merging a page
+    with its typographically re-rendered copy. Same plan shape as
+    robust_dedup (one map-side expression, one shuffle); the explicit
+    character list — never a \\p{P} property class — keeps the Java
+    regex (Spark) and RE2 (DuckDB) canonical strings byte-identical,
+    which the hash-exact oracle proves on every doc."""
+    from polars_nexpresso_spark.functions.dedup import robust_dedup
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    return robust_dedup(docs, "text", "doc_id", fold_unicode=True)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,6 +780,30 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         docs, "text", "doc_id", "hash join spill window", k=20
     )
+
+
+def q_cross_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve-then-rerank with a pairwise JOINT scorer (the
+    cross-encoder cascade shape): exact 3-gram Jaccard pairs at the
+    0.8 threshold are the first-stage shortlist, and
+    cross_encoder_rerank re-scores each (query, candidate) pair with
+    the distinct-token-hash Jaccard kernel — a different granularity
+    (unigram sets vs 3-gram shingles), so the rerank genuinely
+    re-orders — keeping top-3 per query. The lexical kernel is the
+    documented deterministic stand-in for a neural cross-encoder; the
+    pair-join/Arrow-batch/bounded-window plumbing is the deliverable
+    and is identical for the real model."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        cross_encoder_rerank,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8
+    ).select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("doc_id")
+    )
+    return cross_encoder_rerank(pairs, docs, k=3)
 
 
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,6 +1404,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "exact_dedup": q_exact_dedup,
     "robust_dedup": q_robust_dedup,
+    "robust_dedup_unicode": q_robust_dedup_unicode,
+    "cross_rerank": q_cross_rerank,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -1484,7 +1537,58 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
         FROM documents
         GROUP BY 1
     """,
+    "robust_dedup_unicode": f"""
+        SELECT md5({_RCANON_U}) AS fingerprint,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS dup_count
+        FROM documents
+        GROUP BY 1
+    """,
     "ngram_jaccard": _jaccard_pairs_oracle(0.8),
+    # cross_rerank: the 0.8-Jaccard shortlist re-scored by distinct-
+    # token-hash Jaccard (the cross-encoder slot's deterministic
+    # stand-in), top-3 per query, ties by doc_id; token hashes replay
+    # via the shared md5-conv fragment, NULL-text sides rank last.
+    "cross_rerank": f"""
+        WITH shingled AS (
+          SELECT doc_id, {_SHINGLES} AS sh
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        pairs AS (
+          SELECT a.doc_id AS query_id, b.doc_id AS doc_id
+          FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+          WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / (len(a.sh) + len(b.sh)
+                         - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
+        ),
+        toksets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(toks,
+                   t -> CAST(concat('0x', substr(md5(t), 1, 15))
+                             AS BIGINT))) AS ths
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        scored AS (
+          SELECT p.query_id, p.doc_id,
+                 CASE WHEN len(qa.ths) = 0 AND len(qb.ths) = 0 THEN 0.0
+                      ELSE ROUND(
+                        len(list_intersect(qa.ths, qb.ths))::DOUBLE
+                        / (len(qa.ths) + len(qb.ths)
+                           - len(list_intersect(qa.ths, qb.ths))), 6)
+                 END AS ce_score
+          FROM pairs p
+          JOIN toksets qa ON qa.doc_id = p.query_id
+          JOIN toksets qb ON qb.doc_id = p.doc_id
+        )
+        SELECT query_id, doc_id, ce_score, rank FROM (
+          SELECT query_id, doc_id, ce_score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ce_score DESC NULLS LAST, doc_id ASC
+                 ) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """,
     # minhash banding has recall 1-(1-j^2)^16 ≈ 1 at the 0.8 threshold on
     # this data (planted near-dups have j ≈ 0.99), and verification is exact
     # Jaccard — so the LSH output equals the brute-force pairs.

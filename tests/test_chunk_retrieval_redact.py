@@ -987,3 +987,64 @@ def test_compact_text_index_folds_partials_scores_unchanged(spark, tmp_path):
     # as managed tables and stranding the external data files
     with pytest.raises(ValueError, match="EXTERNAL"):
         compact_text_index(spark, "pns_t_compact")
+
+
+# --- cross-encoder rerank ---------------------------------------------------
+
+
+def test_cross_encoder_rerank(spark):
+    """Pairwise joint scoring over a shortlist: hand-computable
+    distinct-token Jaccard scores, per-query top-k with the doc_id
+    tie-break, 0.0 for both-empty, NULL text ranked last, and the
+    model backend raising per the stub policy."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        cross_encoder_rerank,
+    )
+
+    texts = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),   # 3/5 with doc 1
+            (3, "alpha beta zeta eta"),        # 2/6 with doc 1
+            (4, "alpha beta gamma delta"),     # 4/4 with doc 1
+            (5, None),                         # NULL text
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], ["query_id", "doc_id"]
+    )
+    out = cross_encoder_rerank(pairs, texts, k=3).collect()
+    got = {r["doc_id"]: r for r in out}
+    assert len(out) == 3  # k=3 of 4 candidates
+    assert got[4]["rank"] == 1 and got[4]["ce_score"] == 1.0
+    assert got[2]["rank"] == 2 and got[2]["ce_score"] == 0.6
+    assert got[3]["rank"] == 3 and abs(got[3]["ce_score"] - 1 / 3) < 1e-6
+    # NULL-text candidate ranked last -> cut by k=3
+    assert 5 not in got
+
+    # tie-break: equal scores rank by doc_id ascending
+    tie_pairs = spark.createDataFrame(
+        [(1, 4), (1, 2)], ["query_id", "doc_id"]
+    )
+    tie = {
+        r["doc_id"]: r["rank"]
+        for r in cross_encoder_rerank(tie_pairs, texts, k=2).collect()
+    }
+    assert tie[4] == 1 and tie[2] == 2
+
+    # both-empty pair scores 0.0 (not NULL)
+    empty = spark.createDataFrame([(7, ""), (8, "")], ["doc_id", "text"])
+    z = cross_encoder_rerank(
+        spark.createDataFrame([(7, 8)], ["query_id", "doc_id"]),
+        empty,
+        k=1,
+    ).collect()
+    assert z[0]["ce_score"] == 0.0
+
+    with pytest.raises(NotImplementedError):
+        cross_encoder_rerank(pairs, texts, scorer="model")
+    with pytest.raises(ValueError):
+        cross_encoder_rerank(pairs, texts, scorer="tfidf")
+    with pytest.raises(ValueError):
+        cross_encoder_rerank(pairs.withColumnRenamed("query_id", "q"), texts)

@@ -111,6 +111,35 @@ def test_robust_dedup_merges_counter_variants(spark):
     assert robust_dedup(df2, "text", "doc_id").count() == 2
 
 
+def test_robust_dedup_unicode_fold(spark):
+    """fold_unicode=True merges typographic re-renders (smart quotes,
+    em-dash, NBSP, ellipsis) with their ASCII originals; off by default
+    (the base canon is ASCII-only by contract). The fold class is a
+    FIXED literal list, so Spark's Java regex and the DuckDB oracle's
+    RE2 agree byte-for-byte — the oracle-gate query
+    robust_dedup_unicode proves that on every doc."""
+    from polars_nexpresso_spark.functions.dedup import robust_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, 'He said "wait" - then left...'),
+            (2, "He said “wait” — then left…"),
+            (3, "He said shout - then left..."),
+        ],
+        ["doc_id", "text"],
+    )
+    # default: unicode punctuation survives, no merge
+    assert robust_dedup(df, "text", "doc_id").count() == 3
+    out = {
+        r["keep_id"]: r
+        for r in robust_dedup(
+            df, "text", "doc_id", fold_unicode=True
+        ).collect()
+    }
+    assert out[1]["dup_count"] == 2  # 1 and 2 fold to the same canon
+    assert out[3]["dup_count"] == 1
+
+
 def test_ngram_jaccard_pairs(docs):
     pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}

@@ -897,3 +897,31 @@ def test_round10_gate_and_eval_shuffle_budgets(spark):
         assert rep["python_stages"] <= python_stages, (
             name, rep["python_stages"],
         )
+
+
+def test_round12_operator_shuffle_budgets(spark):
+    """Round-12 operators. robust_dedup_unicode = 1 exchange (the
+    groupBy on the folded fingerprint — identical to robust_dedup: the
+    Unicode fold is one more map-side regexp, not a new shuffle).
+    cross_rerank = 4 exchanges, all carrying shortlist-bounded or
+    distinct-shingle rows (the ngram_jaccard candidate join's two
+    sides, the token-set attach, the per-query rank window) + exactly
+    1 Arrow stage (the pairwise jaccard kernel — the cross-encoder
+    scoring slot); text never moves past the token-hash projection."""
+    import __spark_entry__ as em
+
+    from polars_nexpresso_spark.plans.audit import scale_report
+
+    sf = "/root/testdata/sf0.001"
+    qs = em.queries()
+    budgets = {
+        "robust_dedup_unicode": (1, 0),
+        "cross_rerank": (4, 1),
+    }
+    for name, (max_exchanges, python_stages) in budgets.items():
+        rep = scale_report(qs[name](spark, sf))
+        assert rep["warnings"] == [], (name, rep["warnings"])
+        assert rep["exchanges"] <= max_exchanges, (name, rep["exchanges"])
+        assert rep["python_stages"] <= python_stages, (
+            name, rep["python_stages"],
+        )
