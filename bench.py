@@ -700,21 +700,28 @@ def _group_io_write(spark, sf_dir: str, bench) -> dict:
                 pass
             extras[name] = rec
         try:
-            extras["write_zordered"]["span_frac"] = {
-                "l_orderkey": _span_frac(
-                    paths["write_zordered"], "l_orderkey"
-                ),
-                "l_partkey": _span_frac(
-                    paths["write_zordered"], "l_partkey"
-                ),
-            }
+            # Guard on the path existing: SPOT-promoted writers run in
+            # child 0 only, so children 1+ never materialize their
+            # dirs — the span read would PATH_NOT_FOUND (r12). main()
+            # merges extras per key across children, so child 0's
+            # span_frac survives.
+            if Path(paths["write_zordered"]).exists():
+                extras["write_zordered"]["span_frac"] = {
+                    "l_orderkey": _span_frac(
+                        paths["write_zordered"], "l_orderkey"
+                    ),
+                    "l_partkey": _span_frac(
+                        paths["write_zordered"], "l_partkey"
+                    ),
+                }
             # the single-column-sorted layout has NO second-column
             # locality: the z-order span on BOTH columns is the win
-            extras["write_ordered"]["span_frac"] = {
-                "l_extendedprice": _span_frac(
-                    paths["write_ordered"], "l_extendedprice"
-                ),
-            }
+            if Path(paths["write_ordered"]).exists():
+                extras["write_ordered"]["span_frac"] = {
+                    "l_extendedprice": _span_frac(
+                        paths["write_ordered"], "l_extendedprice"
+                    ),
+                }
         except Exception as e:  # noqa: BLE001
             bench.errors["io_write_span"] = f"{type(e).__name__}: {e}"[:200]
         return extras
@@ -1453,8 +1460,15 @@ def main() -> None:
                 rec = _spawn_group(
                     group, sf_dir, child_idx=cidx, n_children=n_children
                 )
-                if rec.get("extras", {}).get("io_write"):
-                    io_write_extras = rec["extras"]["io_write"]
+                # Merge per key: SPOT-promoted writers materialize (and
+                # compute span_frac) in child 0 only, so a last-child-
+                # wins assignment would drop them (r12).
+                for wq, rec_w in rec.get("extras", {}).get(
+                    "io_write", {}
+                ).items():
+                    merged = io_write_extras.setdefault(wq, {})
+                    for wk, wv in rec_w.items():
+                        merged.setdefault(wk, wv)
                 for qname, rlist in rec.get("runs", {}).items():
                     group_runs.setdefault(qname, []).extend(rlist)
                 for qname, pk in rec.get("peaks", {}).items():
