@@ -647,3 +647,64 @@ def cross_encoder_rerank(
         .filter(F.col("rank") <= k)
         .select(query_col, doc_col, "ce_score", "rank")
     )
+
+
+def distillation_pairs(
+    scored: DataFrame,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "ce_score",
+    n_negatives: int = 4,
+) -> DataFrame:
+    """Turn a per-query scored candidate ranking into the standard
+    cross-encoder-distillation TRIPLET table: per query, the top-scored
+    candidate becomes the positive and the ``n_negatives``
+    hardest negatives (smallest teacher margin — the pairs that teach a
+    bi-encoder student the most, per Margin-MSE distillation) each emit
+    ``(query, pos_id, neg_id, margin)`` with
+    ``margin = pos_score - neg_score``.
+
+    ``scored`` is any ``(query_col, doc_col, score_col)`` frame —
+    normally :func:`cross_encoder_rerank`'s output with ``k`` = the
+    full shortlist, so the teacher sees every retrieved candidate.
+    Deterministic: ties in the positive election break to the lowest
+    doc id, ties in hardness to the lowest neg id; NULL-scored
+    candidates (no text) can never be the positive and rank softest.
+
+    Scale shape: two bounded per-query windows + one per-query
+    self-join whose sides are both <= k_retrieve rows — everything
+    downstream of candidate generation stays k-bounded per query, the
+    distillation table is ``n_queries x n_negatives`` rows.
+
+    Returns ``(query_col, pos_id, neg_id, margin, neg_rank)``.
+    """
+    from pyspark.sql import Window
+
+    w_pos = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(doc_col).asc()
+    )
+    ranked = scored.select(query_col, doc_col, score_col).withColumn(
+        "__r", F.row_number().over(w_pos)
+    )
+    pos = ranked.filter(F.col("__r") == 1).select(
+        query_col,
+        F.col(doc_col).alias("pos_id"),
+        F.col(score_col).alias("__pos_score"),
+    )
+    negs = ranked.filter(F.col("__r") > 1).select(
+        query_col,
+        F.col(doc_col).alias("neg_id"),
+        F.col(score_col).alias("__neg_score"),
+    )
+    pairs = pos.join(negs, on=query_col).withColumn(
+        "margin", F.round(F.col("__pos_score") - F.col("__neg_score"), 6)
+    )
+    w_hard = Window.partitionBy(query_col).orderBy(
+        F.col("margin").asc_nulls_last(), F.col("neg_id").asc()
+    )
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w_hard))
+        .filter(F.col("neg_rank") <= n_negatives)
+        .select(query_col, "pos_id", "neg_id", "margin", "neg_rank")
+    )

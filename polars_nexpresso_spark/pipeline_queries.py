@@ -806,6 +806,35 @@ def q_cross_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_encoder_rerank(pairs, docs, k=3)
 
 
+def q_distill_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full contrastive-training data loop, composed from
+    production operators: IVF ANN retrieves a 20-candidate shortlist
+    per query over the embeddings (cells bound the candidates — no
+    all-pairs scan), cross_encoder_rerank re-scores every (query,
+    candidate) pair jointly over the aligned documents' TEXT (the
+    teacher stand-in), and distillation_pairs emits the
+    (query, positive, hardest-negative, margin) triplets a bi-encoder
+    student trains on (Margin-MSE shape). Everything after candidate
+    generation is k-bounded per query; the embeddings and documents
+    tables share the id space by construction (TESTDATA)."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        cross_encoder_rerank,
+        distillation_pairs,
+    )
+    from polars_nexpresso_spark.functions.similarity import ivf_ann_topk
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    shortlist = ivf_ann_topk(
+        emb, queries, k=20, n_centroids=16, n_probe=6
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"))
+    docs = spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    ce = cross_encoder_rerank(shortlist, docs, k=20)
+    return distillation_pairs(ce, n_negatives=4)
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: the corpus text is salted with deterministically
     constructed emails / IPs / SSNs / phone numbers (both engines build
@@ -1213,6 +1242,112 @@ def _ivf_ann_oracle() -> str | None:
     """
 
 
+def _distill_pairs_oracle() -> str | None:
+    """DuckDB replica of ``q_distill_pairs``: the IVF oracle's centroid
+    VALUES + 6-cell probe build the 20-candidate shortlists, the
+    cross_rerank token-hash-Jaccard CTE replays the teacher scores,
+    and two ROW_NUMBER windows elect the positive (ce DESC, id ASC)
+    and the 4 hardest negatives (margin ASC, id ASC). None (rows-only)
+    when the oracle-SF testdata is unreadable at import."""
+    import os
+
+    sf_dir = os.environ.get("PNS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        from polars_nexpresso_spark.functions.similarity import (
+            kmeans_centroids_local,
+        )
+
+        cents = kmeans_centroids_local(
+            f"{sf_dir}/embeddings.parquet", n_centroids=16
+        )
+    except Exception:  # noqa: BLE001 — import must survive missing testdata
+        return None
+    values = ",\n                 ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(i, v) AS (
+          VALUES {values}
+        ),
+        rankedc AS (
+          SELECT e.vec_id, c.i,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.v) ASC,
+                            c.i ASC
+                 ) AS rn
+          FROM embeddings e, cents c
+        ),
+        corpus_cell AS (SELECT vec_id, i AS cell FROM rankedc WHERE rn = 1),
+        query_cell AS (
+          SELECT vec_id, i AS cell FROM rankedc WHERE rn <= 6 AND vec_id < 10
+        ),
+        shortlist AS (
+          SELECT query_id, doc_id FROM (
+            SELECT qb.vec_id AS query_id, cb.vec_id AS doc_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY qb.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(
+                                c.embedding::DOUBLE[],
+                                q.embedding::DOUBLE[]), 6) DESC,
+                              cb.vec_id ASC
+                   ) AS rank
+            FROM corpus_cell cb
+            JOIN query_cell qb ON cb.cell = qb.cell
+            JOIN embeddings c ON c.vec_id = cb.vec_id
+            JOIN embeddings q ON q.vec_id = qb.vec_id
+            WHERE cb.vec_id != qb.vec_id
+          ) WHERE rank <= 20
+        ),
+        toksets AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(toks,
+                   t -> CAST(concat('0x', substr(md5(t), 1, 15))
+                             AS BIGINT))) AS ths
+          FROM (SELECT doc_id, {{_TOKS}} AS toks FROM documents)
+        ),
+        ce AS (
+          SELECT s.query_id, s.doc_id,
+                 CASE WHEN len(qa.ths) = 0 AND len(qb.ths) = 0 THEN 0.0
+                      ELSE ROUND(
+                        len(list_intersect(qa.ths, qb.ths))::DOUBLE
+                        / (len(qa.ths) + len(qb.ths)
+                           - len(list_intersect(qa.ths, qb.ths))), 6)
+                 END AS ce_score
+          FROM shortlist s
+          JOIN toksets qa ON qa.doc_id = s.query_id
+          JOIN toksets qb ON qb.doc_id = s.doc_id
+        ),
+        ranked AS (
+          SELECT query_id, doc_id, ce_score,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ce_score DESC NULLS LAST, doc_id ASC
+                 ) AS r
+          FROM ce
+        ),
+        pos AS (
+          SELECT query_id, doc_id AS pos_id, ce_score AS pos_score
+          FROM ranked WHERE r = 1
+        ),
+        pairs AS (
+          SELECT p.query_id, p.pos_id, n.doc_id AS neg_id,
+                 ROUND(p.pos_score - n.ce_score, 6) AS margin
+          FROM pos p JOIN ranked n
+            ON n.query_id = p.query_id AND n.r > 1
+        )
+        SELECT query_id, pos_id, neg_id, margin, neg_rank FROM (
+          SELECT query_id, pos_id, neg_id, margin,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY margin ASC NULLS LAST, neg_id ASC
+                 ) AS neg_rank
+          FROM pairs
+        ) WHERE neg_rank <= 4
+    """.replace("{_TOKS}", _TOKS)
+
+
 def _jaccard_pairs_oracle(threshold: float) -> str:
     return f"""
         WITH shingled AS (
@@ -1406,6 +1541,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_dedup": q_robust_dedup,
     "robust_dedup_unicode": q_robust_dedup_unicode,
     "cross_rerank": q_cross_rerank,
+    "distill_pairs": q_distill_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -2234,6 +2370,10 @@ if _lsh_oracle is not None:
 _ivf_oracle = _ivf_ann_oracle()
 if _ivf_oracle is not None:
     PIPELINE_ORACLE_SQL["ivf_ann_topk"] = _ivf_oracle
+
+_distill_oracle = _distill_pairs_oracle()
+if _distill_oracle is not None:
+    PIPELINE_ORACLE_SQL["distill_pairs"] = _distill_oracle
 
 
 def _hard_negatives_ann_oracle() -> str | None:

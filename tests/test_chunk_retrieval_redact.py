@@ -1048,3 +1048,36 @@ def test_cross_encoder_rerank(spark):
         cross_encoder_rerank(pairs, texts, scorer="tfidf")
     with pytest.raises(ValueError):
         cross_encoder_rerank(pairs.withColumnRenamed("query_id", "q"), texts)
+
+
+def test_distillation_pairs(spark):
+    """Hand-computable triplet election: the top-scored candidate is
+    the positive, margins are pos-neg, hardest (smallest margin)
+    negatives rank first, NULL-scored candidates are never the
+    positive and rank softest."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        distillation_pairs,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            (1, 10, 0.9),
+            (1, 11, 0.8),   # margin 0.1 — hardest
+            (1, 12, 0.3),   # margin 0.6
+            (1, 13, None),  # NULL — softest, cut by n_negatives=2
+            (2, 20, 0.5),
+            (2, 21, 0.5),   # tie: lowest id (20) wins the positive
+        ],
+        "query_id long, doc_id long, ce_score double",
+    )
+    out = distillation_pairs(scored, n_negatives=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    q1 = sorted(by_q[1], key=lambda r: r["neg_rank"])
+    assert [r["pos_id"] for r in q1] == [10, 10]
+    assert [r["neg_id"] for r in q1] == [11, 12]
+    assert abs(q1[0]["margin"] - 0.1) < 1e-9
+    assert abs(q1[1]["margin"] - 0.6) < 1e-9
+    (q2,) = by_q[2]
+    assert q2["pos_id"] == 20 and q2["neg_id"] == 21 and q2["margin"] == 0.0

@@ -917,6 +917,12 @@ def test_round12_operator_shuffle_budgets(spark):
     budgets = {
         "robust_dedup_unicode": (1, 0),
         "cross_rerank": (4, 1),
+        # distill_pairs composes the IVF shortlist (its pandas cell-
+        # assignment subplan prints per reusing branch — plan-STRING
+        # occurrences, not executed stages) with the CE pair scorer
+        # and two k-bounded elections; every exchange carries
+        # n_queries x <= 20 shortlist/triplet rows, never the corpus.
+        "distill_pairs": (4, 10),
     }
     for name, (max_exchanges, python_stages) in budgets.items():
         rep = scale_report(qs[name](spark, sf))
