@@ -1252,10 +1252,11 @@ _MULTIPLY_PROVEN_TAIL = [
     "bloom_dedup",
     "bm25_index",
     "decontaminate_bloom",
-    # round-12 mid-round additions (robust_dedup_unicode, cross_rerank)
-    # consumed two window slots, so three four-green r08-r11 entries
-    # rotate out to keep the debtors in-window with one slot spare —
-    # the lockstep window test enforces the invariant from here on.
+    # round-12 mid-round additions (robust_dedup_unicode, cross_rerank,
+    # distill_pairs) consumed three window slots, so three four-green
+    # r08-r11 entries rotate out to keep the debtors in-window (final
+    # r12 positions: debtors 46-48, one spare slot at 49) — the
+    # lockstep window test enforces the invariant from here on.
     "token_shift",
     "strip_markup",
     "truncate_tokens",
