@@ -754,24 +754,38 @@ def ngram_lm_score_stream(
     ph, pc = _sorted_sum(gram_pdf["__ph"].to_numpy(dtype=np.int64), counts)
 
     score = pandas_lm_score(gh, gc, ph, pc, vocab_size, k)
-    grams = F.filter(
-        word_ngrams_all(F.col(text_col), n),
-        lambda g: g.isNotNull() & (F.length(g) > 0),
+    # Tokens and the filtered gram array stage ONCE as real columns
+    # (the repetition_table staging pattern, r11 advice): the previous
+    # Column-only form rebuilt word_ngrams_all inside BOTH hash
+    # projections — ~2(n+3) tokenizations per row in the stream-scorer
+    # hot path. Both aliases are non-cheap and multiply-referenced, so
+    # CollapseProject keeps them; pure stateless projections, still
+    # readStream-safe.
+    valid = F.size(F.col("__toks")) > 0
+    g_hashes = F.when(
+        valid, F.transform(F.col("__grams"), lambda g: F.xxhash64(g))
     )
-    valid = F.size(tokens(F.col(text_col))) > 0
-    g_hashes = F.when(valid, F.transform(grams, lambda g: F.xxhash64(g)))
     p_hashes = F.when(
-        valid, F.transform(grams, lambda g: F.xxhash64(prefix_of(g)))
+        valid,
+        F.transform(F.col("__grams"), lambda g: F.xxhash64(prefix_of(g))),
     )
     return (
-        df.withColumn("__g", g_hashes)
+        df.withColumn("__toks", tokens(F.col(text_col)))
+        .withColumn(
+            "__grams",
+            F.filter(
+                word_ngrams_from_tokens(F.col("__toks"), n),
+                lambda g: g.isNotNull() & (F.length(g) > 0),
+            ),
+        )
+        .withColumn("__g", g_hashes)
         .withColumn("__p", p_hashes)
         .withColumn(
             "n_grams",
             F.when(valid, F.size("__g")).otherwise(F.lit(0)).cast("bigint"),
         )
         .withColumn("avg_neg_logp", score(F.col("__g"), F.col("__p")))
-        .drop("__g", "__p")
+        .drop("__g", "__p", "__toks", "__grams")
     )
 
 
