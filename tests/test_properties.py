@@ -470,3 +470,55 @@ def test_word_ngrams_all_matches_python_model(spark, texts, n):
         else:
             expect = [" ".join(toks)]
         assert got[i] == expect, (t, n, got[i], expect)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_robust_canonical_text_properties(spark, texts):
+    """The robust canon (both fold modes) is IDEMPOTENT — canon(canon(x))
+    == canon(x) — and the unicode fold leaves no folded-class character
+    behind. Idempotence is what makes the fingerprint a safe incremental
+    key: re-canonicalizing an already-canonical reference corpus cannot
+    change its md5s."""
+    from polars_nexpresso_spark.functions.text import (
+        UNICODE_PUNCT_CLASS,
+        robust_canonical_text,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    for fold in (False, True):
+        once = df.select(
+            "doc_id",
+            robust_canonical_text(
+                F.col("text"), fold_unicode=fold
+            ).alias("c1"),
+        )
+        twice = once.select(
+            "doc_id",
+            "c1",
+            robust_canonical_text(
+                F.col("c1"), fold_unicode=fold
+            ).alias("c2"),
+        )
+        for r in twice.collect():
+            assert r["c2"] == r["c1"], (fold, r)
+            if fold and r["c1"]:
+                # expand the class ranges to a concrete char set
+                import re as _re
+
+                assert not _re.search(
+                    "[" + UNICODE_PUNCT_CLASS + "]", r["c1"]
+                ), r
