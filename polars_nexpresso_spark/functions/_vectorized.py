@@ -528,11 +528,13 @@ def pandas_pair_jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
     """Row-wise Jaccard |A∩B| / |A∪B| of two SORTED-distinct long-array
     columns — the pairwise joint-scoring slot of the cross-encoder
     rerank cascade (a real model would consume the raw pair here with
-    the same Arrow batch shape). Sorted inputs make the intersection
-    one merge per row (np.intersect1d with assume_unique); both-empty
-    pairs score 0.0, a NULL side scores NULL (no text, no judgment) —
-    the contract the DuckDB oracle mirrors with NULLIF + COALESCE.
-    Rounded to 6 (the cross-engine float contract)."""
+    the same Arrow batch shape). assume_unique lets np.intersect1d
+    skip its per-array dedup pass (it still concatenates and sorts the
+    pair internally); both-empty pairs score 0.0, a NULL side scores
+    NULL (no text, no judgment) — the contract the DuckDB oracles
+    mirror with a CASE WHEN both-len-0 THEN 0.0 branch over
+    empty-token-filtered hash sets. Rounded to 6 (the cross-engine
+    float contract)."""
     out = np.full(len(a), np.nan)
     for i, (xa, xb) in enumerate(zip(a.to_list(), b.to_list())):
         if xa is None or xb is None:

@@ -670,7 +670,10 @@ def distillation_pairs(
     full shortlist, so the teacher sees every retrieved candidate.
     Deterministic: ties in the positive election break to the lowest
     doc id, ties in hardness to the lowest neg id; NULL-scored
-    candidates (no text) can never be the positive and rank softest.
+    candidates (no text) rank below every scored candidate, so one can
+    become the positive only when a query has NO scored candidate at
+    all — that degenerate query then emits all-NULL margins (the
+    oracle's NULLS LAST windows behave identically).
 
     Scale shape: two bounded per-query windows + one per-query
     self-join whose sides are both <= k_retrieve rows — everything

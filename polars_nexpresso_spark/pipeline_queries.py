@@ -1301,8 +1301,11 @@ def _distill_pairs_oracle() -> str | None:
           ) WHERE rank <= 20
         ),
         toksets AS (
+          -- list_filter: see the cross_rerank oracle — maps DuckDB's
+          -- [''] empty-split to Spark's tokens('') = [] contract.
           SELECT doc_id,
-                 list_distinct(list_transform(toks,
+                 list_distinct(list_transform(
+                   list_filter(toks, t -> t != ''),
                    t -> CAST(concat('0x', substr(md5(t), 1, 15))
                              AS BIGINT))) AS ths
           FROM (SELECT doc_id, {{_TOKS}} AS toks FROM documents)
@@ -1698,8 +1701,14 @@ PIPELINE_ORACLE_SQL: dict[str, str] = {
                          - len(list_intersect(a.sh, b.sh))), 6) >= 0.8
         ),
         toksets AS (
+          -- list_filter guards DuckDB's string_split('', ' ') = ['']:
+          -- Spark tokens('') is [], so an empty-normalized doc must get
+          -- an EMPTY hash set here too, making the both-empty -> 0.0
+          -- branch below genuinely mirror pandas_pair_jaccard (ADVICE
+          -- r12: the branch was unreachable with a {{hash('')}} set).
           SELECT doc_id,
-                 list_distinct(list_transform(toks,
+                 list_distinct(list_transform(
+                   list_filter(toks, t -> t != ''),
                    t -> CAST(concat('0x', substr(md5(t), 1, 15))
                              AS BIGINT))) AS ths
           FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
@@ -5421,6 +5430,7 @@ def q_curriculum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (r10 advice)."""
     import os
     import tempfile
+    import time
     from pathlib import Path as _P
 
     from polars_nexpresso_spark.functions.sampling import (
@@ -5443,10 +5453,21 @@ def q_curriculum_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = _P(tempfile.gettempdir())
     prefix = f"pns_curriculum_replay_{_P(sf_dir).name}_"
+    stale_after = 6 * 3600  # pid-recycle / EPERM backstop (r12 advice)
     for old in tmp.glob(f"{prefix}*"):
         pid_part = old.name[len(prefix):]
         if not pid_part.isdigit() or int(pid_part) == os.getpid():
             continue
+        # Age backstop first: a recycled pid (or an EPERM hit on an
+        # unrelated process) would otherwise shadow a dead run's dir
+        # forever. No live run keeps its scratch dir for hours, so an
+        # old-enough dir is reclaimed regardless of what os.kill says.
+        try:
+            if time.time() - old.stat().st_mtime > stale_after:
+                shutil.rmtree(old, ignore_errors=True)
+                continue
+        except OSError:
+            pass
         try:
             os.kill(int(pid_part), 0)
         except ProcessLookupError:
