@@ -1246,7 +1246,22 @@ ORACLE_SQL.update(PIPELINE_ORACLE_SQL)
 # in-window. tests/test_coverage_lockstep.py now asserts the window
 # invariant (every registered query holds a driver CORRECTNESS row or
 # a first-50 slot), making under-rotation a CI failure.
+# Round-13 rotation (per VERDICT r12 item 5): `lm_score`,
+# `lm_score_stream`, and `repetition` leave the tail and re-enter the
+# window — their only driver rows (r02-r04) predate the r12
+# staged-token rewrite of text.py's tokenization (judge-green at sf0.01
+# in the r12 session, but a driver row postdating the rewrite is the
+# durable record). Out: four five-green r08-r12 entries (epoch_plan,
+# repeat_upsample, clean_ingest, apply_mix), prepended below. Net: the
+# window keeps ONE spare slot (position 49) for the round-13
+# registration (`ref_distill`), which lands in-window per the lockstep
+# window test.
 _MULTIPLY_PROVEN_TAIL = [
+    # round-13 rotation
+    "epoch_plan",
+    "repeat_upsample",
+    "clean_ingest",
+    "apply_mix",
     # round-12 rotation
     "dedup_index",
     "bloom_dedup",
@@ -1332,7 +1347,6 @@ _MULTIPLY_PROVEN_TAIL = [
     "skew_topkeys",
     "top_events_per_user",
     "text_stats",
-    "repetition",
     "token_fingerprint",
     "language_id",
     "exact_dedup",
@@ -1349,8 +1363,6 @@ _MULTIPLY_PROVEN_TAIL = [
     "ivf_ann_topk",
     "multimodal_features",
     "multimodal_audio",
-    "lm_score",
-    "lm_score_stream",
     "source_mix",
     "cosine_topk_int8",
     "nested_expr_select",
