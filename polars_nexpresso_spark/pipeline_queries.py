@@ -835,6 +835,57 @@ def q_distill_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distillation_pairs(ce, n_negatives=4)
 
 
+def q_ref_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete student-training data path as ONE oracle-paired plan
+    (VERDICT r12 item 7): IVF ANN retrieves a bounded 20-candidate
+    shortlist per query, cross_encoder_rerank re-scores every pair over
+    the aligned documents' text (the teacher stand-in),
+    distillation_pairs emits the Margin-MSE triplets, and the split
+    step makes held-out evaluation honest the same way
+    ``leakage_free_split`` does — the md5 split decision hashes the
+    POSITIVE document's near-dup CLUSTER id (MinHash+LSH connected
+    components), so a triplet whose positive is a near-duplicate of any
+    test-side document lands on the test side with it, never in train.
+
+    Scale shape: everything after candidate generation is k-bounded per
+    query, so the triplet table (``n_queries x n_negatives`` rows) is
+    broadcast-eligible by construction and broadcasts INTO the
+    corpus-sized cluster/split table — the corpus never shuffles for
+    the final join. Cluster discovery itself is the banded-LSH +
+    iterative min-label machinery shared with ``dedup_clusters``
+    (near-dup pairs, never all-pairs)."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        cross_encoder_rerank,
+        distillation_pairs,
+    )
+    from polars_nexpresso_spark.functions.sampling import hash_split
+    from polars_nexpresso_spark.functions.similarity import ivf_ann_topk
+
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    shortlist = ivf_ann_topk(
+        emb, queries, k=20, n_centroids=16, n_probe=6
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"))
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    ce = cross_encoder_rerank(
+        shortlist, docs.select("doc_id", "text"), k=20
+    )
+    trip = distillation_pairs(ce, n_negatives=4)
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
+    )
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    split = hash_split(clusters, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+    return split.join(
+        F.broadcast(trip), split["doc_id"] == trip["pos_id"]
+    ).select(
+        "query_id", "pos_id", "neg_id", "margin", "neg_rank",
+        "cluster_id", "split",
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: the corpus text is salted with deterministically
     constructed emails / IPs / SSNs / phone numbers (both engines build
@@ -1545,6 +1596,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robust_dedup_unicode": q_robust_dedup_unicode,
     "cross_rerank": q_cross_rerank,
     "distill_pairs": q_distill_pairs,
+    "ref_distill": q_ref_distill,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -2383,6 +2435,54 @@ if _ivf_oracle is not None:
 _distill_oracle = _distill_pairs_oracle()
 if _distill_oracle is not None:
     PIPELINE_ORACLE_SQL["distill_pairs"] = _distill_oracle
+
+
+def _ref_distill_oracle() -> str | None:
+    """DuckDB replica of ``q_ref_distill``: the full distill_pairs
+    oracle nests as a CTE (its own centroid VALUES + CE replay), the
+    leakage_free_split recursive-CTE cluster discovery runs beside it,
+    and the final join replays hash_split's md5 arithmetic on the
+    POSITIVE's cluster id. None (rows-only) when the distill base is
+    unavailable at import (missing testdata)."""
+    base = _distill_pairs_oracle()
+    if base is None:
+        return None
+    return f"""
+        WITH RECURSIVE shingled AS (
+          SELECT doc_id, {_SHINGLES} AS sh
+          FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        ),
+        jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+          WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                6) >= 0.8
+        ),
+        e AS (
+          SELECT id_a AS a, id_b AS b FROM jp
+          UNION ALL SELECT id_b, id_a FROM jp
+        ),
+        r(n, m) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT r.n, e.b FROM r JOIN e ON e.a = r.m
+        ),
+        cl AS (SELECT n AS doc_id, MIN(m) AS cluster_id FROM r GROUP BY n),
+        d AS ({base})
+        SELECT d.query_id, d.pos_id, d.neg_id, d.margin, d.neg_rank,
+               cl.cluster_id,
+               CASE WHEN CAST(concat('0x', substr(
+                        md5('42:' || CAST(cl.cluster_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 1000000 < 100000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM d JOIN cl ON cl.doc_id = d.pos_id
+    """
+
+
+_ref_distill = _ref_distill_oracle()
+if _ref_distill is not None:
+    PIPELINE_ORACLE_SQL["ref_distill"] = _ref_distill
 
 
 def _hard_negatives_ann_oracle() -> str | None:

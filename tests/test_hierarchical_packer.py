@@ -533,3 +533,32 @@ def test_empty_frame_pack_unpack_schema_fidelity(packer, apartment_level_df):
     for name, t in tables_empty.items():
         assert t.schema.simpleString() == tables_ref[name].schema.simpleString()
         assert t.count() == 0
+
+
+def test_agg_sum_empty_and_all_null_contract(spark):
+    """Pin the NULL-vs-0 contract of the agg='sum' head+tail fold
+    (crosslevel._agg_sum): SUM over an EMPTY or ALL-NULL child list is
+    NULL — ANSI-SQL aggregate semantics, which the DuckDB oracles
+    replicate cell-for-cell (list_sum([]) IS NULL, list_sum([NULL,..])
+    IS NULL) — and a documented divergence from the reference's Polars
+    ``list.sum()``, which returns dtype-zero 0 for an empty list.
+    NULL elements inside a non-empty list are skipped, matching both
+    engines' aggregate null-skipping (VERDICT r12 item 7)."""
+    import duckdb
+
+    from polars_nexpresso_spark.operators.crosslevel import _agg_sum
+
+    df = spark.createDataFrame(
+        [(1, []), (2, None), (3, [None, None]), (4, [1, None, 2])],
+        schema="id bigint, a array<bigint>",
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", _agg_sum(F.col("a")).alias("s")).collect()
+    }
+    assert got == {1: None, 2: None, 3: None, 4: 3}
+    duck = duckdb.sql(
+        "SELECT list_sum([]::BIGINT[]), list_sum(NULL::BIGINT[]), "
+        "list_sum([NULL, NULL]::BIGINT[]), list_sum([1, NULL, 2]::BIGINT[])"
+    ).fetchone()
+    assert list(duck) == [None, None, None, 3]

@@ -931,3 +931,23 @@ def test_round12_operator_shuffle_budgets(spark):
         assert rep["python_stages"] <= python_stages, (
             name, rep["python_stages"],
         )
+
+
+def test_round13_ref_distill_shuffle_budget(spark):
+    """Round-13 composed ingest: ref_distill = the distill_pairs plan
+    (4 exchanges / Arrow stages bounded as in round 12) plus the
+    cluster/split attach, whose final join BROADCASTS the k-bounded
+    triplet table into the corpus-sized cluster table — the corpus
+    never shuffles for it, so the exchange budget does not grow over
+    distill_pairs' own."""
+    import __spark_entry__ as em
+
+    from polars_nexpresso_spark.plans.audit import scale_report
+
+    df = em.queries()["ref_distill"](spark, "/root/testdata/sf0.001")
+    rep = scale_report(df)
+    assert rep["warnings"] == [], rep["warnings"]
+    assert rep["exchanges"] <= 5, rep["exchanges"]
+    assert rep["python_stages"] <= 10, rep["python_stages"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
