@@ -782,7 +782,7 @@ GROUPS: dict[str, object] = {
     "ann_cascade": _registry_group((
         "pq_ann_topk", "ivfpq_ann_topk", "ivfpq_rerank", "hard_negatives",
         "hard_negatives_ann", "hard_negatives_ivfpq", "ann_recall",
-        "mmr_retrieval_eval", "distill_pairs",
+        "mmr_retrieval_eval", "distill_pairs", "ref_distill",
     )),
     "sampling": _registry_group((
         "sequence_pack", "cap_per_source", "source_mix", "dsir_weights",
@@ -1024,6 +1024,8 @@ SCALE_PROBE_QUERIES = (
     "mmr_retrieval_eval", "robust_dedup", "ref_dedup_robust",
     # round-12 operators
     "robust_dedup_unicode", "cross_rerank", "distill_pairs",
+    # round-13 operators
+    "ref_distill",
 )
 
 
