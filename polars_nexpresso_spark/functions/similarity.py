@@ -1319,35 +1319,75 @@ def _sql_arr(cw) -> str:
 def _sql_dot(vec_sql: str, cw) -> str:
     """SQL text producing the same tree as ``_dot(vec, lit-array)``:
     sequential left-to-right double fold, so values are bit-identical to
-    the Column form (and to the DuckDB oracle's replay)."""
+    the Column form (and to the DuckDB oracle's replay). ``cw`` is a
+    vector (emitted as an inline array literal) or pre-built SQL text
+    for the codeword operand (r13: ``element_at`` into a folded
+    ``from_json`` literal — see ``_json_arr2``)."""
+    cw_sql = cw if isinstance(cw, str) else _sql_arr(cw)
     return (
-        f"aggregate(zip_with({vec_sql}, {_sql_arr(cw)}, "
+        f"aggregate(zip_with({vec_sql}, {cw_sql}, "
         "(x, y) -> CAST(x AS DOUBLE) * y), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
 
 def _sql_sqdist(vec_sql: str, cw) -> str:
+    cw_sql = cw if isinstance(cw, str) else _sql_arr(cw)
     return (
-        f"aggregate(zip_with({vec_sql}, {_sql_arr(cw)}, "
+        f"aggregate(zip_with({vec_sql}, {cw_sql}, "
         "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
 
+def _json_arr2(vecs) -> str:
+    """One compact foldable literal for a list of double vectors:
+    ``from_json('[[...]]', 'array<array<double>>')``. The SQL parser
+    sees ONE string token instead of ~35 chars of CAST text per element
+    (the old per-codeword ``_sql_arr`` form), and ConstantFolding
+    collapses the from_json to an array Literal before execution, so
+    per-row cost is unchanged. repr() emits the shortest round-trip
+    form; the JSON reader parses numbers with Double.parseDouble
+    semantics, so the folded doubles are bit-identical to the Python
+    floats (the same contract ``_sql_double`` documents)."""
+    import math
+
+    for v in vecs:
+        for x in v:
+            if not math.isfinite(x):
+                raise ValueError(f"non-finite codebook value: {x!r}")
+    body = ",".join(
+        "[" + ",".join(repr(float(x)) for x in v) + "]" for v in vecs
+    )
+    return f"from_json('[{body}]', 'array<array<double>>')"
+
+
 def _pq_codes_sql(codebooks, col: str = "__unit") -> str:
     """SQL text assigning per-subspace nearest codewords (ties to the
-    lowest index) over the pre-materialized ``col`` column."""
+    lowest index) over the pre-materialized ``col`` column.
+
+    r13 (guide §3.3/§7.2 — planning cost): the per-codeword sqdist
+    template is emitted ONCE per subspace inside a
+    ``transform(sequence(...))`` loop over a folded ``from_json``
+    codebook literal, instead of once per codeword with an inline
+    array literal — ~6x less text to parse/analyze at the default
+    m=8 × n_codes=16 dials, the same per-row evaluation count, and
+    bit-identical doubles (``_json_arr2``). Ordering is unchanged:
+    ``named_struct('d', …, 'i', ci)`` structs sorted by ``array_sort``
+    keep (distance asc, index asc), and ``sequence(0, n-1)`` yields
+    the same int indices the old text wrote literally."""
     m = len(codebooks)
+    n_codes = len(codebooks[0])
     dim = sum(len(cb[0]) for cb in codebooks) // m * m
     per_m = []
     for mi, (off, sub) in enumerate(_pq_split(dim, m)):
         sub_sql = f"slice({col}, {off + 1}, {sub})"
-        structs = ", ".join(
-            f"named_struct('d', {_sql_sqdist(sub_sql, cw)}, 'i', {ci})"
-            for ci, cw in enumerate(codebooks[mi])
+        cw_sql = f"element_at({_json_arr2(codebooks[mi])}, ci + 1)"
+        structs = (
+            f"transform(sequence(0, {n_codes - 1}), ci -> "
+            f"named_struct('d', {_sql_sqdist(sub_sql, cw_sql)}, 'i', ci))"
         )
-        per_m.append(f"array_sort(array({structs}))[0].i")
+        per_m.append(f"array_sort({structs})[0].i")
     return f"array({', '.join(per_m)})"
 
 
@@ -1357,7 +1397,8 @@ def _cdots_sql(chat_vecs) -> str:
     the residual ADC decomposition, over a pre-materialized ``__unit``
     column."""
     return (
-        f"array({', '.join(_sql_dot('__unit', ch) for ch in chat_vecs)})"
+        f"transform({_json_arr2(chat_vecs)}, "
+        f"ch -> {_sql_dot('__unit', 'ch')})"
     )
 
 
@@ -1366,7 +1407,7 @@ def _residual_sql(chat_vecs) -> str:
     pre-materialized ``__unit``/``__cell`` columns. The ĉ table rides
     the expression as one literal array-of-arrays; both zip_with inputs
     are HOF *arguments* (evaluated once per row)."""
-    chat_arr = f"array({', '.join(_sql_arr(ch) for ch in chat_vecs)})"
+    chat_arr = _json_arr2(chat_vecs)
     return (
         f"zip_with(__unit, element_at({chat_arr}, __cell + 1), "
         "(a, b) -> a - b)"
@@ -1377,12 +1418,16 @@ def _pq_luts_sql(codebooks) -> str:
     """SQL text for the per-query m x n_codes inner-product lookup
     tables over a pre-materialized ``__unit`` column."""
     m = len(codebooks)
+    n_codes = len(codebooks[0])
     dim = sum(len(cb[0]) for cb in codebooks) // m * m
     luts = []
     for mi, (off, sub) in enumerate(_pq_split(dim, m)):
         sub_sql = f"slice(__unit, {off + 1}, {sub})"
-        dots = ", ".join(_sql_dot(sub_sql, cw) for cw in codebooks[mi])
-        luts.append(f"array({dots})")
+        cw_sql = f"element_at({_json_arr2(codebooks[mi])}, ci + 1)"
+        luts.append(
+            f"transform(sequence(0, {n_codes - 1}), "
+            f"ci -> {_sql_dot(sub_sql, cw_sql)})"
+        )
     return f"array({', '.join(luts)})"
 
 
@@ -1390,11 +1435,13 @@ def _cells_ranked_sql(cent_vecs) -> str:
     """SQL text ranking every coarse-quantizer cell by squared distance
     to the raw vector column ``__v`` (ties to the lowest index) —
     the same ordering the IVF oracle replays via ``list_distance``."""
-    structs = ", ".join(
-        f"named_struct('d', {_sql_sqdist('__v', cv)}, 'i', {i})"
-        for i, cv in enumerate(cent_vecs)
+    k = len(cent_vecs)
+    cw_sql = f"element_at({_json_arr2(cent_vecs)}, i + 1)"
+    structs = (
+        f"transform(sequence(0, {k - 1}), i -> "
+        f"named_struct('d', {_sql_sqdist('__v', cw_sql)}, 'i', i))"
     )
-    return f"transform(array_sort(array({structs})), s -> s.i)"
+    return f"transform(array_sort({structs}), s -> s.i)"
 
 
 def _adc_sum():
