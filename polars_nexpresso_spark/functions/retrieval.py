@@ -610,18 +610,37 @@ def cross_encoder_rerank(
     )
     from polars_nexpresso_spark.functions.text import token_hash60
 
+    # r13 (guide §2.3/§2.4): the candidate set is k-bounded per query by
+    # the first-stage contract, so pin it once with localCheckpoint —
+    # without this the retriever subtree would execute again for the id
+    # projection below, and at 100 TB the two tok_sets joins would each
+    # re-tokenize the FULL text table. With the pin, tokenization runs
+    # only on texts that actually appear in a candidate pair (left-semi
+    # prefilter), once, and is itself pinned before being joined twice
+    # (query side + doc side).
+    cand = pairs.select(query_col, doc_col).localCheckpoint(eager=True)
+    pair_ids = (
+        cand.select(F.col(query_col).alias("__pns_ce_id"))
+        .union(cand.select(F.col(doc_col).alias("__pns_ce_id")))
+        .distinct()
+    )
+    needed = texts.join(
+        pair_ids,
+        F.col(text_id_col) == F.col("__pns_ce_id"),
+        "left_semi",
+    )
     # One tokenization per TEXT row (not per pair): distinct token
     # hashes, sorted so the kernel's merge-intersection is O(n).
-    tok_sets = texts.select(
+    tok_sets = needed.select(
         F.col(text_id_col).alias("__tid"),
         F.array_sort(
             F.array_distinct(
                 F.transform(tokens(F.col(text_col)), token_hash60)
             )
         ).alias("__ths"),
-    )
+    ).localCheckpoint(eager=True)
     scored = (
-        pairs.select(query_col, doc_col)
+        cand
         .join(
             tok_sets.select(
                 F.col("__tid").alias(query_col),
@@ -687,8 +706,17 @@ def distillation_pairs(
     w_pos = Window.partitionBy(query_col).orderBy(
         F.col(score_col).desc_nulls_last(), F.col(doc_col).asc()
     )
-    ranked = scored.select(query_col, doc_col, score_col).withColumn(
-        "__r", F.row_number().over(w_pos)
+    # r13 (guide §2.4): the positive election and the negative set below
+    # both read `ranked`; without materialization the entire upstream
+    # scorer (e.g. the CE rerank cascade, itself fed by a retriever)
+    # executes TWICE — once per join branch. The ranking is k-bounded
+    # per query by the first-stage contract, so one localCheckpoint pins
+    # it: compute once, and truncate the upstream plan out of both
+    # branches of the self-join.
+    ranked = (
+        scored.select(query_col, doc_col, score_col)
+        .withColumn("__r", F.row_number().over(w_pos))
+        .localCheckpoint(eager=True)
     )
     pos = ranked.filter(F.col("__r") == 1).select(
         query_col,

@@ -1042,8 +1042,16 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_nexpresso_spark.functions.text import ngram_lm_score
 
     docs = spread(read_table(spark, sf_dir, "documents"))
-    scored = ngram_lm_score(docs, "text", "doc_id", n=2, k=0.5).join(
-        docs.select("doc_id", "source"), on="doc_id"
+    # r13 (guide §2.4): score_buckets reads its input twice (the
+    # per-source threshold aggregation and the labeling join), which
+    # re-ran the whole self-trained LM pipeline. The scored frame is a
+    # narrow 3-column (doc_id, avg_neg_logp, source) table — pin it so
+    # the LM trains and scores once.
+    scored = (
+        ngram_lm_score(docs, "text", "doc_id", n=2, k=0.5)
+        .join(docs.select("doc_id", "source"), on="doc_id")
+        .select("doc_id", "avg_neg_logp", "source")
+        .localCheckpoint(eager=True)
     )
     out = score_buckets(scored, "avg_neg_logp", by=["source"])
     return out.select("doc_id", "source", "avg_neg_logp", "bucket")
@@ -1081,8 +1089,14 @@ def q_quality_topfrac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_nexpresso_spark.functions.text import ngram_lm_score
 
     docs = spread(read_table(spark, sf_dir, "documents"))
-    scored = ngram_lm_score(docs, "text", "doc_id", n=2, k=0.5).join(
-        docs.select("doc_id", "source"), on="doc_id"
+    # r13 (guide §2.4): keep_top_fraction reads its input twice (the
+    # per-source quantile aggregation and the keep filter) — same
+    # narrow-score pin as q_quality_buckets so the LM runs once.
+    scored = (
+        ngram_lm_score(docs, "text", "doc_id", n=2, k=0.5)
+        .join(docs.select("doc_id", "source"), on="doc_id")
+        .select("doc_id", "avg_neg_logp", "source")
+        .localCheckpoint(eager=True)
     )
     kept = keep_top_fraction(
         scored, "avg_neg_logp", frac=0.3, by=["source"], keep="lowest"
@@ -5706,7 +5720,12 @@ def q_mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    shortlist = cosine_topk(emb, queries, k=20)
+    # r13 (guide §2.4): same shared-shortlist pin as q_mmr_retrieval_eval
+    # — bounded queries × 20 rows, three downstream consumers, the exact
+    # cosine scan runs once instead of once per consumer.
+    shortlist = cosine_topk(emb, queries, k=20).localCheckpoint(
+        eager=True
+    )
     candidates = shortlist.select(
         "query_id", F.col("neighbor_id").alias("vec_id")
     ).join(emb.select("vec_id", "embedding"), on="vec_id")
@@ -5799,9 +5818,14 @@ def q_mmr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
+    # r13 (guide §2.4): the shortlist feeds THREE consumers below (the
+    # MMR candidate join, the plain top-8, and through them both ILS
+    # sides); unpinned, the whole IVF retrieval subtree executed once
+    # per consumer. It is bounded at queries × 20 rows, so one
+    # localCheckpoint runs IVF once and truncates its plan everywhere.
     shortlist = ivf_ann_topk(
         emb, queries, k=20, n_centroids=16, n_probe=6
-    )
+    ).localCheckpoint(eager=True)
     candidates = shortlist.select(
         "query_id", F.col("neighbor_id").alias("vec_id")
     ).join(emb.select("vec_id", "embedding"), on="vec_id")

@@ -1081,3 +1081,41 @@ def test_distillation_pairs(spark):
     assert abs(q1[1]["margin"] - 0.6) < 1e-9
     (q2,) = by_q[2]
     assert q2["pos_id"] == 20 and q2["neg_id"] == 21 and q2["margin"] == 0.0
+
+
+def test_cross_encoder_rerank_prefilter_invariance(spark):
+    """r13 optimization pin: cross_encoder_rerank left-semi-filters the
+    text table to the ids that appear in a candidate pair before
+    tokenizing (then localCheckpoints the bounded token sets). Adding
+    text rows that NO pair references must not change a single output
+    row — the inner pair joins dropped them before, the semi-join drops
+    them now."""
+    from polars_nexpresso_spark.functions.retrieval import (
+        cross_encoder_rerank,
+    )
+
+    texts = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "alpha beta zeta eta"),
+        ],
+        ["doc_id", "text"],
+    )
+    extra = texts.unionByName(
+        spark.createDataFrame(
+            [(90, "noise text one"), (91, None), (92, "")],
+            ["doc_id", "text"],
+        )
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], ["query_id", "doc_id"]
+    )
+    base = sorted(
+        map(tuple, cross_encoder_rerank(pairs, texts, k=5).collect())
+    )
+    with_extra = sorted(
+        map(tuple, cross_encoder_rerank(pairs, extra, k=5).collect())
+    )
+    assert base == with_extra
+    assert len(base) == 2
