@@ -1937,20 +1937,52 @@ def build_dedup_index(
         path=f"{path}_lsh" if path else None,
     )
     # Geometry metadata: probes and appends read (n, num_hashes, bands)
-    # from here instead of trusting their callers — a mismatched probe
-    # would silently find zero candidates (band keys hash different
-    # signature components), the worst failure mode for a dedup gate.
-    meta = ref.sparkSession.createDataFrame(
-        [(int(n), int(num_hashes), int(bands))],
-        "n int, num_hashes int, bands int",
+    # from the index itself instead of trusting their callers — a
+    # mismatched probe would silently find zero candidates (band keys
+    # hash different signature components), the worst failure mode for a
+    # dedup gate. r13 (guide §1.2 — fixed job overhead): stored as
+    # TBLPROPERTIES on the _lsh table (a catalog-only ALTER, no Spark
+    # job) instead of a third one-row saveAsTable write (~0.6 s of pure
+    # DROP+write+commit overhead per build). Legacy ``_meta`` tables
+    # remain readable via the fallback chain in
+    # ``_resolve_index_geometry``.
+    _set_index_geometry(ref.sparkSession, table_name, n, num_hashes, bands)
+
+
+_GEOM_PROPS = ("pns.dedup.n", "pns.dedup.num_hashes", "pns.dedup.bands")
+
+
+def _set_index_geometry(
+    spark, table_name: str, n: int, num_hashes: int, bands: int
+) -> None:
+    """Stamp the index geometry as TBLPROPERTIES of the ``_lsh`` table —
+    a catalog-only operation (no Spark job), r13 replacement for the
+    one-row ``_meta`` table write."""
+    props = ", ".join(
+        f"'{k}'='{int(v)}'"
+        for k, v in zip(_GEOM_PROPS, (n, num_hashes, bands))
     )
-    write_bucketed(
-        meta,
-        f"{table_name}_meta",
-        ["n"],
-        1,
-        path=f"{path}_meta" if path else None,
+    spark.sql(
+        f"ALTER TABLE `{table_name}_lsh` SET TBLPROPERTIES ({props})"
     )
+
+
+def _get_index_geometry_props(
+    spark, table_name: str
+) -> tuple[int, int, int] | None:
+    """Geometry from the ``_lsh`` table's TBLPROPERTIES, or None for a
+    legacy index (pre-r13 ``_meta`` table, or pre-meta)."""
+    try:
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES `{table_name}_lsh`"
+        ).collect()
+    except Exception:  # noqa: BLE001 — no such table / no catalog
+        return None
+    d = {r["key"]: r["value"] for r in rows}
+    try:
+        return tuple(int(d[k]) for k in _GEOM_PROPS)  # type: ignore[return-value]
+    except (KeyError, ValueError):
+        return None
 
 
 def _resolve_index_geometry(
@@ -1961,7 +1993,8 @@ def _resolve_index_geometry(
     bands: int | None,
 ) -> tuple[int, int, int]:
     """(n, num_hashes, bands) for a stored dedup index: read from the
-    ``_meta`` table and fail fast when an explicitly passed value
+    ``_lsh`` table's TBLPROPERTIES (r13), falling back to the legacy
+    ``_meta`` table, and fail fast when an explicitly passed value
     disagrees; for a pre-meta index, fall back to the caller's values
     (old defaults) validated against the stored signature length."""
     if (
@@ -1970,13 +2003,18 @@ def _resolve_index_geometry(
         and num_hashes % bands != 0
     ):
         raise ValueError("num_hashes must be divisible by bands")
-    try:
-        row = spark.table(f"{table_name}_meta").first()
-    except Exception:  # noqa: BLE001 — legacy index without metadata
+    stored = _get_index_geometry_props(spark, table_name)
+    if stored is None:
+        try:
+            row = spark.table(f"{table_name}_meta").first()
+        except Exception:  # noqa: BLE001 — legacy index without metadata
+            row = None
+    else:
         row = None
     given = (n, num_hashes, bands)
     if row is not None:
         stored = (int(row["n"]), int(row["num_hashes"]), int(row["bands"]))
+    if stored is not None:
         for name, g, s in zip(("n", "num_hashes", "bands"), given, stored):
             if g is not None and g != s:
                 raise ValueError(
@@ -2022,7 +2060,8 @@ def extend_dedup_index(
     Fingerprints already present are anti-joined away first (one
     bucketed join against the new batch's — typically tiny —
     fingerprint set), keeping the fp table duplicate-free. The minhash
-    geometry comes from the index's own ``_meta`` table (leave the
+    geometry comes from the index's stored geometry (TBLPROPERTIES,
+    legacy ``_meta`` fallback — leave the
     parameters unset); explicitly passed values that disagree with the
     stored geometry fail fast instead of silently appending rows keyed
     under a different banding scheme.
@@ -2151,6 +2190,10 @@ def compact_dedup_index(
     fp = spark.table(f"{table_name}_fp")
     lsh = spark.table(f"{table_name}_lsh")
     files_before = len(fp.inputFiles()) + len(lsh.inputFiles())
+    # The r13 geometry TBLPROPERTIES live on the _lsh table and would be
+    # lost by the DROP+rewrite — snapshot and restore them (legacy
+    # _meta-table indexes are untouched by compaction, as before).
+    geom = _get_index_geometry_props(spark, table_name)
     folded_fp = fp.distinct().localCheckpoint(eager=True)
     folded_lsh = lsh.localCheckpoint(eager=True)
     write_bucketed(
@@ -2167,6 +2210,8 @@ def compact_dedup_index(
         nb_lsh,
         path=f"{path}_lsh" if path else None,
     )
+    if geom is not None:
+        _set_index_geometry(spark, table_name, *geom)
     files_after = len(
         spark.table(f"{table_name}_fp").inputFiles()
     ) + len(spark.table(f"{table_name}_lsh").inputFiles())
@@ -2196,8 +2241,8 @@ def dedup_against_index(
     ``threshold``. Similarity is estimated as the fraction of agreeing
     minhash components (an unbiased estimator of Jaccard), so the
     reference corpus is never re-shingled — the whole probe touches
-    only hashes. The minhash geometry comes from the index's ``_meta``
-    table (leave the parameters unset); explicit values that disagree
+    only hashes. The minhash geometry comes from the index's stored geometry
+    (TBLPROPERTIES, legacy ``_meta`` fallback — leave the parameters unset); explicit values that disagree
     fail fast — a silently mismatched probe would find zero candidates
     and keep every near-duplicate.
 
