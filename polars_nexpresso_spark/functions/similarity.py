@@ -243,6 +243,24 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def _lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """One parsed SQL expression for the sign bit-vector bucket id —
+    r13 (guide §3.3) replacement for :func:`lsh_bucket_expr`'s
+    per-plane Column loop, which cost hundreds of py4j round trips per
+    call site (num_planes × dim ``F.lit`` calls, twice per query). The
+    per-plane dot is the same ``_sql_dot`` fold over the same doubles
+    (``_json_arr2``), the bucket is the same left-to-right integer sum
+    of ``1 << i`` sign terms, and a NULL vector folds to the same
+    bucket the Column form produced (NULL dot → the 0 branch)."""
+    dot = _sql_dot(
+        vec_sql, f"element_at({_json_arr2(planes)}, i + 1)"
+    )
+    return (
+        f"aggregate(sequence(0, {len(planes) - 1}), 0, "
+        f"(acc, i) -> acc + IF({dot} >= 0, shiftleft(1, i), 0))"
+    )
+
+
 def _sqdist(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
@@ -555,36 +573,59 @@ def lsh_ann_topk(
     if assign == "pandas":
         bucket_of = _pandas_lsh_bucket(planes)
     elif assign == "expr":
-        def bucket_of(vec):
-            return lsh_bucket_expr(vec, planes)
+        # r13: one parsed SQL string per call site instead of the
+        # num_planes × dim F.lit Column loop (same doubles, same
+        # folds — see _lsh_bucket_sql). The vector stages in its own
+        # projection so the SQL references a plain column.
+        bucket_sql = _lsh_bucket_sql("__pns_bvec", planes)
     else:
         raise ValueError(f"assign must be 'pandas' or 'expr', got {assign!r}")
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
-        bucket_of(F.col(vec_col)).alias("__bucket"),
-    )
-
-    q_base = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        _norm(F.col(vec_col)).alias("__qn"),
-        bucket_of(F.col(vec_col)).alias("__qbucket"),
-    )
+    if assign == "expr":
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            _norm(F.col(vec_col)).alias("__cn"),
+            F.col(vec_col).alias("__pns_bvec"),
+        ).withColumn("__bucket", F.expr(bucket_sql)).drop("__pns_bvec")
+        q_base = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
+            F.col(vec_col).alias("__pns_bvec"),
+        ).withColumn("__qbucket", F.expr(bucket_sql)).drop("__pns_bvec")
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            _norm(F.col(vec_col)).alias("__cn"),
+            bucket_of(F.col(vec_col)).alias("__bucket"),
+        )
+        q_base = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
+            bucket_of(F.col(vec_col)).alias("__qbucket"),
+        )
     # Multi-probe: each query also probes every bucket within Hamming
-    # distance ``multiprobe`` of its own.
+    # distance ``multiprobe`` of its own. r13: the probe list is one
+    # parsed transform over a literal mask array (mask 0 first — XOR
+    # identity — replays the original probes[0] = __qbucket) instead
+    # of sum(C(num_planes, d)) Column bitwiseXOR round trips.
     from itertools import combinations
 
-    probes = [F.col("__qbucket")]
+    masks = [0]
     for dist in range(1, multiprobe + 1):
         for bits in combinations(range(num_planes), dist):
             mask = 0
             for b in bits:
                 mask |= 1 << b
-            probes.append(F.col("__qbucket").bitwiseXOR(F.lit(mask)))
-    q = q_base.withColumn("__bucket", F.explode(F.array(*probes)))
+            masks.append(mask)
+    masks_sql = "from_json('" + str(masks) + "', 'array<int>')"
+    q = q_base.withColumn(
+        "__bucket",
+        F.explode(F.expr(f"transform({masks_sql}, m -> __qbucket ^ m)")),
+    )
 
     joined = c.join(F.broadcast(q), on="__bucket")
     if exclude_self:
