@@ -675,15 +675,24 @@ def label_centroids(
     between engines).
     """
     if dim <= max_expr_dims:
+        # r13 (guide §3.3): each aggregate/mean is one parsed SQL string
+        # instead of ~4 py4j Column calls — same GetArrayItem + cast +
+        # sum tree, same round(sum/count, 6) arithmetic (Spark SQL `[]`
+        # is 0-based like Column.getItem), ~4x fewer driver round trips
+        # per call site at dim=64.
         sums = df.groupBy(F.col(label_col).alias("label")).agg(
             F.count("*").alias("__n"),
             *[
-                F.sum(F.col(vec_col)[i].cast("double")).alias(f"__s{i}")
+                F.expr(
+                    f"sum(cast(`{vec_col}`[{i}] as double)) as `__s{i}`"
+                )
                 for i in range(dim)
             ],
         )
-        means = F.array(
-            *[F.round(F.col(f"__s{i}") / F.col("__n"), 6) for i in range(dim)]
+        means = F.expr(
+            "array("
+            + ", ".join(f"round(`__s{i}` / `__n`, 6)" for i in range(dim))
+            + ")"
         )
         return sums.select(
             "label", F.posexplode(means).alias("dim", "centroid")
@@ -865,14 +874,19 @@ def project_embeddings(
         raise ValueError(f"need 0 < out_dim <= dim: {out_dim} vs {dim}")
     mat = rademacher_matrix(out_dim, dim, seed)
     inv_sqrt_k = 1.0 / math.sqrt(out_dim)
-    v = F.col(vec_col)
-    coords = [
-        (
-            _dot(v, F.array(*[F.lit(s) for s in row])) * F.lit(inv_sqrt_k)
-        ).cast("double")
-        for row in mat
-    ]
-    return df.select(F.col(id_col), F.array(*coords).alias("proj"))
+    # r13 (guide §3.3): one parsed SQL transform over the folded ±1
+    # matrix literal instead of out_dim × dim F.lit py4j round trips.
+    # Each coordinate is the same _sql_dot fold × the same scale
+    # literal, in the same row order, so values are bit-identical to
+    # the old Column form (and the oracle's replay).
+    coords_sql = (
+        f"transform({_json_arr2(mat)}, r -> "
+        f"CAST({_sql_dot(f'`{vec_col}`', 'r')} * "
+        f"{_sql_double(inv_sqrt_k)} AS DOUBLE))"
+    )
+    return df.select(
+        F.col(id_col), F.expr(coords_sql).alias("proj")
+    )
 
 
 def auto_centroid_count(
