@@ -474,7 +474,6 @@ def ivf_ann_topk(
         ]
     else:
         raise ValueError(f"centroids must be 'kmeans' or 'sample', got {centroids!r}")
-    cent_lits = [F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs]
 
     if assign == "pandas":
 
@@ -482,6 +481,12 @@ def ivf_ann_topk(
             return _pandas_nearest_cells(cent_vecs, n)(vec)
 
     elif assign == "expr":
+        # r13: built only on the branch that uses it — the n_centroids
+        # × dim F.lit loop cost ~1.5 s of py4j round trips per call
+        # even when the pandas kernels did the assignment.
+        cent_lits = [
+            F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs
+        ]
 
         def nearest_cells(vec, n):
             ranked = F.array_sort(
@@ -993,7 +998,14 @@ def semantic_dedup(
         raise ValueError(
             f"centroids must be 'kmeans' or 'sample', got {centroids!r}"
         )
-    cent_lits = [F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs]
+    # r13: the centroid literal arrays are built only on the expr
+    # branch — the n_centroids × dim F.lit py4j loop is pure waste when
+    # the pandas kernel does the assignment (the default).
+    cent_lits = (
+        [F.array(*[F.lit(float(x)) for x in cv]) for cv in cent_vecs]
+        if assign == "expr"
+        else None
+    )
 
     def nearest_cell(vec):
         if assign == "pandas":
