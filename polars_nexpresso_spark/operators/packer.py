@@ -256,6 +256,67 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
             df = df.drop(*extra_cols)
 
         target_idx = self.spec.index_of(to_level)
+        grouped = [
+            i
+            for i in range(target_idx, len(self._levels_meta))
+            if self._levels_meta[i].ancestor_keys
+        ]
+        if skew_salt is None and len(grouped) >= 2:
+            # r13 (guide §2.4/§8): chained level folds group by a strict
+            # SUBSET chain of keys (K_leaf ⊃ … ⊃ K_coarsest), so one
+            # up-front hash repartition on the SECOND-COARSEST grouped
+            # level's keys satisfies every finer level's clustering
+            # requirement (HashPartitioning on a subset of the groupBy
+            # keys) — the FLAT rows shuffle once and only the coarsest
+            # fold pays a further exchange, instead of re-shuffling
+            # progressively nested array<struct> payloads once per
+            # level (N-level pack: N exchanges → 2, and the heavy ones
+            # now carry flat rows). Row ids (best-effort child order)
+            # are assigned BEFORE the repartition so they keep
+            # reflecting input order; in-agg sorting makes list
+            # contents deterministic exactly as before. Skipped under
+            # skew_salt (the salt exists to spread one hot parent
+            # across reducers, which a coarser pre-partition would
+            # undo) and — via the plan probe below — when the input
+            # already arrives suitably distributed (bucketed level
+            # tables plan their folds with ZERO added exchanges; an
+            # unconditional repartition would regress that pinned
+            # property).
+            if self.preserve_child_order:
+                df = self._with_row_id(df)
+
+            def _hash_exchanges(frame: DataFrame) -> int:
+                plan = frame._jdf.queryExecution().executedPlan().toString()
+                return plan.count("Exchange hashpartitioning")
+
+            naive = df
+            for level_idx in reversed(range(target_idx, len(self._levels_meta))):
+                naive = self._pack_single_level(
+                    naive, level_idx, validate=False, salt=None
+                )
+            try:
+                # Fire only when every grouped fold pays its own
+                # exchange in the naive plan (raw/joined inputs); any
+                # pre-satisfied distribution (bucketed scans) keeps the
+                # cheaper natural plan.
+                fire = (
+                    _hash_exchanges(naive) - _hash_exchanges(df)
+                    >= len(grouped)
+                )
+            except Exception:  # noqa: BLE001 — Connect: no plan handle
+                fire = True
+            if fire:
+                df = df.repartition(
+                    *[
+                        qcol(k)
+                        for k in self._levels_meta[grouped[1]].ancestor_keys
+                    ]
+                )
+            elif not self.validate_on_pack:
+                # The probe plan IS the result plan — reuse it.
+                if added_cols:
+                    naive = naive.drop(*added_cols)
+                return self._drop_internal_columns(naive)
         for level_idx in reversed(range(target_idx, len(self._levels_meta))):
             df = self._pack_single_level(
                 df, level_idx, validate=self.validate_on_pack, salt=skew_salt

@@ -208,6 +208,15 @@ def hof_reeval_risks(df: DataFrame) -> list[str]:
             call_text = plan[a:b]
             if any(arg in call_text for arg in args):
                 continue
+            if "#" not in call_text:
+                # All-literal arguments (no attribute/lambda-var
+                # references, which always print as ``name#id``):
+                # ConstantFolding collapses the call to a single
+                # Literal before execution — e.g. the r13
+                # ``from_json('[[...]]')`` codebook literals — so
+                # nothing re-evaluates per element. The auditor reads
+                # the ANALYZED plan, which predates that folding.
+                continue
             head = call_text if len(call_text) <= 80 else call_text[:77] + "..."
             # Dedupe by the FULL call text (not the display head): two
             # distinct sites sharing an 80-char prefix must both report

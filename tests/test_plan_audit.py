@@ -201,6 +201,28 @@ def test_hof_reeval_tripwire_clean_on_staged_and_inherent_shapes(spark):
     assert hof_reeval_risks(legit) == []
 
 
+def test_hof_reeval_tripwire_clean_on_constant_foldable_calls(spark):
+    """r13: a call whose arguments are ALL literals (no ``name#id``
+    attribute references) inside a lambda body is collapsed to one
+    Literal by ConstantFolding before execution — the r13 PQ/LSH
+    ``from_json('[[...]]')`` codebook literals — so the tripwire must
+    not flag it. The auditor reads the ANALYZED plan, which predates
+    that folding."""
+    from polars_nexpresso_spark.plans.audit import hof_reeval_risks
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["id", "v"])
+    folded = df.select(
+        F.expr(
+            "transform(sequence(0, 1), i -> aggregate(zip_with(v, "
+            "element_at(from_json('[[1.0,2.0],[3.0,4.0]]', "
+            "'array<array<double>>'), i + 1), (x, y) -> x * y), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        ).alias("dots")
+    )
+    risks = hof_reeval_risks(folded)
+    assert [r for r in risks if "from_json" in r] == [], risks
+
+
 def test_python_udf_extraction_survives_ngram_args(spark):
     """Nested-lambda expressions (a lambda whose body references an
     OUTER lambda's variable, e.g. a let-binding) break Spark's
