@@ -631,6 +631,12 @@ def cross_encoder_rerank(
     )
     # One tokenization per TEXT row (not per pair): distinct token
     # hashes, sorted so the kernel's merge-intersection is O(n).
+    # Deliberately NOT pinned: tok_sets derives from the pinned `cand`
+    # plus a semi-joined text scan, so both join branches below
+    # re-tokenize only the BOUNDED candidate texts — cheap at any
+    # scale, and one fewer sequential job than a second checkpoint
+    # (the interleaved A/B showed the extra job costs more locally
+    # than the bounded recompute it saves).
     tok_sets = needed.select(
         F.col(text_id_col).alias("__tid"),
         F.array_sort(
@@ -638,7 +644,7 @@ def cross_encoder_rerank(
                 F.transform(tokens(F.col(text_col)), token_hash60)
             )
         ).alias("__ths"),
-    ).localCheckpoint(eager=True)
+    )
     scored = (
         cand
         .join(
