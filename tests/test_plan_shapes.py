@@ -922,7 +922,13 @@ def test_round12_operator_shuffle_budgets(spark):
     qs = em.queries()
     budgets = {
         "robust_dedup_unicode": (1, 0),
-        "cross_rerank": (4, 1),
+        # 4 -> 5 in r13: cross_encoder_rerank now pins its bounded
+        # candidate set and LEFT-SEMI prefilters the text table to ids
+        # that appear in a pair before tokenizing (full-corpus
+        # tokenization 2x -> bounded 1-2x at scale); the pair-id
+        # distinct + semi-join add one bounded exchange to the static
+        # count while the retriever subtree left it (checkpoint scan).
+        "cross_rerank": (5, 1),
         # distill_pairs composes the IVF shortlist (its pandas cell-
         # assignment subplan prints per reusing branch — plan-STRING
         # occurrences, not executed stages) with the CE pair scorer
