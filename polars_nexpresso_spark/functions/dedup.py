@@ -26,6 +26,8 @@ reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -535,12 +537,97 @@ def embedding_cosine_pairs(
     )
 
 
+_EDGE_ROW_BYTES = 32  # two 64-bit ids + per-row overhead, deliberately generous
+
+
+def _propagation_knob(spark, key: str, env: str, default: float) -> float:
+    """Scale knob: session conf first, env var second, default last —
+    the bench's local defaults stay untouched while a cluster deploy can
+    re-point the gate without code changes."""
+    try:
+        raw = spark.conf.get(key, None)
+    except Exception:  # noqa: BLE001 — Connect without conf passthrough
+        raw = None
+    if raw is None:
+        raw = os.environ.get(env)
+    try:
+        return float(raw) if raw is not None else default
+    except ValueError:
+        return default
+
+
+def _resolve_propagation(propagate: str, node_ids: DataFrame, edges: DataFrame):
+    """Pick :func:`dedup_clusters`'s iteration set; returns ``(mode,
+    edges)`` with ``edges`` checkpointed appropriately for the mode.
+
+    ``"adaptive"`` fires the edge-bounded loop only when BOTH driver-side
+    stats agree it pays (guide §2.1/§2.4 — shuffle corpus-sized frames as
+    few times as possible):
+
+    - the corpus id projection's Catalyst scan estimate exceeds
+      ``minNodesBytesForEdgeLoop`` (default 256 MiB — far above any
+      local-bench input, far below any production corpus), so the
+      per-iteration corpus-sized shuffles are worth two extra stitch
+      joins; and
+    - the MATERIALIZED edge list is small relative to it. Catalyst's
+      static estimate for the derived pairs plan is useless here (join
+      selectivities multiply: measured 4.5e22 "bytes" for a 594 KB
+      corpus), so the ratio reads the real pinned row count instead —
+      free at this point, because the loop is about to materialize
+      ``edges`` anyway and counting pinned blocks launches no recompute.
+
+    Everything falls back to the classic full loop (today's behavior) on
+    Spark Connect or missing stats — the probe failing must never make
+    the plan worse.
+    """
+    if propagate not in ("adaptive", "full", "edges"):
+        raise ValueError(
+            f"propagate must be 'adaptive', 'full' or 'edges', got "
+            f"{propagate!r}"
+        )
+    if propagate == "full":
+        return "full", edges.localCheckpoint(eager=False)
+    if propagate == "edges":
+        return "edges", edges.localCheckpoint(eager=True)
+    try:
+        from polars_nexpresso_spark.plans.stats import plan_size_bytes
+
+        nodes_bytes = plan_size_bytes(node_ids)
+    except Exception:  # noqa: BLE001 — Connect: no plan handle
+        return "full", edges.localCheckpoint(eager=False)
+    if nodes_bytes >= 1 << 60:
+        # Catalyst returns spark.sql.defaultSizeInBytes (Long.MaxValue)
+        # for leaves without stats (LogicalRDD, some views): that is
+        # "unknown", not "huge" — keep today's loop.
+        return "full", edges.localCheckpoint(eager=False)
+    spark = node_ids.sparkSession
+    floor = _propagation_knob(
+        spark,
+        "spark.pns.dedupClusters.minNodesBytesForEdgeLoop",
+        "PNS_DEDUP_EDGE_MIN_NODES_BYTES",
+        256.0 * 1024 * 1024,
+    )
+    if nodes_bytes < floor:
+        return "full", edges.localCheckpoint(eager=False)
+    frac = _propagation_knob(
+        spark,
+        "spark.pns.dedupClusters.maxEdgesFracForEdgeLoop",
+        "PNS_DEDUP_EDGE_MAX_FRAC",
+        0.25,
+    )
+    edges = edges.localCheckpoint(eager=True)
+    if edges.count() * _EDGE_ROW_BYTES <= nodes_bytes * frac:
+        return "edges", edges
+    return "full", edges
+
+
 def dedup_clusters(
     nodes: DataFrame,
     pairs: DataFrame,
     id_col: str,
     *,
     max_iter: int = 25,
+    propagate: str = "adaptive",
 ) -> DataFrame:
     """Canonicalize near-duplicate PAIRS into connected-component clusters.
 
@@ -562,40 +649,89 @@ def dedup_clusters(
     dup clusters are shallow; ``max_iter`` is a safety bound, convergence
     is detected exactly). Lineage is truncated per round with
     ``localCheckpoint`` so the plan does not grow with iterations — the
-    driver loop only orchestrates; all data work is distributed.
+    driver loop only orchestrates; all data work is distributed. NOTE:
+    those per-round eager checkpoints mean merely CONSTRUCTING the result
+    runs Spark jobs (the loop executes during the call, the returned frame
+    is a cheap read of the last pinned round).
+
+    r14 convergence read (guide §2.4): each round's self rows carry the
+    previous label into the min-aggregation as ``__old`` (``min`` ignores
+    the NULLs on neighbor rows), so "did anything change" is a
+    filter+limit over the round's OWN checkpointed blocks instead of the
+    old corpus-wide ``combined ⋈ labels`` re-join — one join and one
+    corpus-sized shuffle fewer per iteration, identical decision (an id
+    first reached this round has no self row → NULL ``__old`` → excluded,
+    exactly like the old inner join).
+
+    ``propagate`` selects the iteration set: ``"full"`` loops over every
+    node (the classic loop), ``"edges"`` loops only over nodes incident to
+    at least one pair — bounded by 2·|pairs| rows; untouched nodes can
+    never change label, so they are stitched back as self-label singletons
+    at the end and the results are identical — and ``"adaptive"``
+    (default) picks per input via :func:`_resolve_propagation`: the edge
+    loop when the corpus is large and the edge list is relatively small
+    (per-iteration exchanges become pair-bounded — the 100 TB shape), the
+    classic loop otherwise (locally the two extra stitch joins cost more
+    than the tiny iterations save — measured 1.10× at sf0.1, r13). Knobs:
+    ``spark.pns.dedupClusters.minNodesBytesForEdgeLoop`` (env
+    ``PNS_DEDUP_EDGE_MIN_NODES_BYTES``, default 256 MiB) and
+    ``spark.pns.dedupClusters.maxEdgesFracForEdgeLoop`` (env
+    ``PNS_DEDUP_EDGE_MAX_FRAC``, default 0.25).
     """
     # Undirected edge list, both directions.
     ab = pairs.select(F.col("id_a").alias("__src"), F.col("id_b").alias("__dst"))
     edges = ab.unionByName(
         ab.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=False)
 
-    labels = nodes.select(
-        F.col(id_col).alias("__id"), F.col(id_col).alias("__label")
-    )
+    node_ids = nodes.select(F.col(id_col).alias("__id"))
+    mode, edges = _resolve_propagation(propagate, node_ids, edges)
+    rest = None
+    if mode == "edges":
+        touched = (
+            edges.select(F.col("__src").alias("__id"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        rest = node_ids.join(touched, on="__id", how="left_anti")
+        seeds = node_ids.join(touched, on="__id", how="left_semi")
+    else:
+        seeds = node_ids
+    labels = seeds.select("__id", F.col("__id").alias("__label"))
+    label_type = labels.schema["__label"].dataType
+
     for _ in range(max_iter):
         neighbor_min = edges.join(
             labels.withColumnRenamed("__id", "__src"), on="__src"
-        ).select(F.col("__dst").alias("__id"), "__label")
+        ).select(
+            F.col("__dst").alias("__id"),
+            "__label",
+            F.lit(None).cast(label_type).alias("__old"),
+        )
         combined = (
-            labels.unionByName(neighbor_min)
+            labels.withColumn("__old", F.col("__label"))
+            .unionByName(neighbor_min)
             .groupBy("__id")
-            .agg(F.min("__label").alias("__label"))
+            .agg(
+                F.min("__label").alias("__label"),
+                F.min("__old").alias("__old"),
+            )
         )
         combined = combined.localCheckpoint(eager=True)
         changed = (
-            combined.join(
-                labels.withColumnRenamed("__label", "__old"), on="__id"
-            )
-            .filter(F.col("__label") < F.col("__old"))
+            combined.filter(F.col("__label") < F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = combined
+        labels = combined.drop("__old")
         if changed == 0:
             break
-    return labels.select(
+    out = labels
+    if rest is not None:
+        out = out.unionByName(
+            rest.select("__id", F.col("__id").alias("__label"))
+        )
+    return out.select(
         F.col("__id").alias(id_col), F.col("__label").alias("cluster_id")
     )
 
