@@ -52,6 +52,51 @@ from polars_nexpresso_spark.functions.text import (
 )
 from polars_nexpresso_spark.sources.io import read_table, spread
 
+def _checkpoint_at_scale(df: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Pin a shared subtree with ``localCheckpoint`` only when the
+    CORPUS it deduplicates scans of is large (r14, guide §2.4 + §1.2).
+
+    The r13 unconditional pin on mmr_diversity_eval's shortlist read
+    1.23× at bench scale: locally the duplicated consumers recompute the
+    subtree IN PARALLEL inside one job, so serializing an extra eager
+    checkpoint job costs more than it saves — while at 100 TB each
+    duplicated consumer re-runs a corpus-bound scan and the pin is the
+    only sane shape. Gate on the corpus scan's Catalyst estimate (the
+    ``spread()`` driver-side plan-stat pattern — no job): floor default
+    256 MiB, overridable via conf
+    ``spark.pns.scalePin.minCorpusBytes`` / env
+    ``PNS_SCALE_PIN_MIN_CORPUS_BYTES``. Unknown stats (Connect, stat-less
+    leaves reporting defaultSizeInBytes) skip the pin — the unpinned
+    plan is never worse than the pre-r13 shape.
+    """
+    import os
+
+    try:
+        from polars_nexpresso_spark.plans.stats import plan_size_bytes
+
+        corpus_bytes = plan_size_bytes(corpus)
+    except Exception:  # noqa: BLE001 — Connect: no plan handle
+        return df
+    if corpus_bytes >= 1 << 60:  # defaultSizeInBytes == "unknown"
+        return df
+    raw = None
+    try:
+        raw = df.sparkSession.conf.get(
+            "spark.pns.scalePin.minCorpusBytes", None
+        )
+    except Exception:  # noqa: BLE001
+        raw = None
+    if raw is None:
+        raw = os.environ.get("PNS_SCALE_PIN_MIN_CORPUS_BYTES")
+    try:
+        floor = float(raw) if raw is not None else 256.0 * 1024 * 1024
+    except ValueError:
+        floor = 256.0 * 1024 * 1024
+    if corpus_bytes < floor:
+        return df
+    return df.localCheckpoint(eager=True)
+
+
 # DuckDB fragments shared by several oracles.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 # robust_fingerprint's canonical string (digits collapsed, ASCII punct
@@ -5720,12 +5765,17 @@ def q_mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 10 == 0)
-    # r13 (guide §2.4): same shared-shortlist pin as q_mmr_retrieval_eval
-    # — bounded queries × 20 rows, three downstream consumers, the exact
-    # cosine scan runs once instead of once per consumer.
-    shortlist = cosine_topk(emb, queries, k=20).localCheckpoint(
-        eager=True
-    )
+    # r13 pinned this shortlist unconditionally (guide §2.4: three
+    # downstream consumers, the exact cosine scan runs once instead of
+    # once per consumer) but the r13 driver bench regressed 1.23×:
+    # UNLIKE mmr_retrieval_eval's 10-query shortlist, queries here are
+    # 10% of the corpus, so the eager pin job carries the whole
+    # 0.1·corpus² scoring pass serially before the main job — locally
+    # the three consumers recompute it cheaper IN PARALLEL. r14: pin
+    # only at corpus scale, where the duplicated scans are the real
+    # cost (interleaved A/B of the unpinned local shape: 0.99×, i.e.
+    # parity in a quiet window instead of the driver's 1.23× hit).
+    shortlist = _checkpoint_at_scale(cosine_topk(emb, queries, k=20), emb)
     candidates = shortlist.select(
         "query_id", F.col("neighbor_id").alias("vec_id")
     ).join(emb.select("vec_id", "embedding"), on="vec_id")
