@@ -1861,10 +1861,27 @@ def exact_rerank(
     Returns ``(query_id, neighbor_id, cosine, rank)`` — the
     :func:`cosine_topk` contract, with the same rounding and
     deterministic (cosine desc, id asc) tie-break.
+
+    r14 (guide §2.4/§3.3): the distinct candidate id set — queries ×
+    overfetch rows by the first-stage contract — is pinned with an
+    EAGER ``localCheckpoint`` before it broadcasts. Without the pin the
+    whole candidate-generation cascade (e.g. the IVF+PQ retrieval plan)
+    sits under the rerank join's BroadcastExchange: it bloats the plan
+    the rerank query re-optimizes, and at scale it runs inside the
+    broadcast build thread against ``spark.sql.broadcastTimeout``. With
+    the pin the rerank plan reads two bounded pinned relations and
+    scans the corpus exactly ONCE (the cascade's own corpus scan runs
+    in the bounded pin job). Note this makes CONSTRUCTING the returned
+    frame execute Spark jobs (the established pin idiom — see
+    ``cross_encoder_rerank``).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    cand = candidates.select("query_id", "neighbor_id").distinct()
+    cand = (
+        candidates.select("query_id", "neighbor_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     fetched = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
