@@ -339,6 +339,55 @@ def _lloyd(X, n_centroids: int, *, iters: int = 8, seed: int = 42):
 # FIFO; keyed by the ANALYZED plan, so a changed corpus retrains.
 _CENTROID_MEMO: dict[tuple, list[list[float]]] = {}
 
+# Shared training-sample memo (r14): the coarse quantizer and the PQ
+# codebooks train on the SAME md5-ordered bounded sample (identical
+# orderBy+limit query), yet each ran its own full-corpus TakeOrdered +
+# collect — two corpus passes per cold JVM for ivfpq constructors. One
+# memoized sample stage feeds both Lloyd's calls bit-identically (the
+# trainings consume the collected array exactly as before). Same
+# disclosure as _CENTROID_MEMO: deterministic, keyed on the analyzed
+# plan + params, bounded FIFO; only the per-call sampling action is
+# skipped on a warm repeat, never any result.
+_SAMPLE_MEMO: dict[tuple, "object"] = {}
+
+
+def _training_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_size: int,
+    seed: int,
+):
+    """The ≤ ``sample_size`` float64 training matrix: pseudo-random but
+    reproducible in any engine (md5-derived order key, id tie-break)."""
+    import numpy as np
+
+    memo_key = None
+    try:
+        memo_key = (
+            corpus.semanticHash(),
+            id_col,
+            vec_col,
+            sample_size,
+            seed,
+        )
+    except Exception:  # noqa: BLE001 — Connect or hash failure
+        memo_key = None
+    if memo_key is not None and memo_key in _SAMPLE_MEMO:
+        return _SAMPLE_MEMO[memo_key]
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(_sample_key_expr(F.col("i"), seed), F.col("i"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if memo_key is not None:
+        if len(_SAMPLE_MEMO) >= 8:
+            _SAMPLE_MEMO.pop(next(iter(_SAMPLE_MEMO)))
+        _SAMPLE_MEMO[memo_key] = X
+    return X
+
 
 def _kmeans_centroids(
     corpus: DataFrame,
@@ -360,8 +409,6 @@ def _kmeans_centroids(
     on the driver; it is O(k·dim), not O(corpus)). Results are memoized
     per (corpus plan, params) — see ``_CENTROID_MEMO``.
     """
-    import numpy as np
-
     memo_key = None
     try:
         memo_key = (
@@ -378,13 +425,7 @@ def _kmeans_centroids(
     if memo_key is not None and memo_key in _CENTROID_MEMO:
         return _CENTROID_MEMO[memo_key]
 
-    rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(_sample_key_expr(F.col("i"), seed), F.col("i"))
-        .limit(sample_size)
-        .collect()
-    )
-    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X = _training_sample(corpus, id_col, vec_col, sample_size, seed)
     cents = _lloyd(X, n_centroids, iters=iters, seed=seed)
     if memo_key is not None:
         if len(_CENTROID_MEMO) >= 8:
@@ -1253,16 +1294,13 @@ def pq_codebooks(
     the unit-normalized centroid of the sample row's raw-space nearest
     cell (standard IVF-PQ, Jégou et al. 2011): within a cell the
     residuals carry the between-member differences the raw unit vectors
-    bury under the shared cluster direction."""
-    import numpy as np
+    bury under the shared cluster direction.
 
-    rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(_sample_key_expr(F.col("i"), seed), F.col("i"))
-        .limit(sample_size)
-        .collect()
-    )
-    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    r14: the sample comes from the shared :func:`_training_sample`
+    stage — one TakeOrdered+collect feeds this AND the coarse-quantizer
+    training when an ivfpq constructor needs both (it previously ran
+    its own identical corpus pass)."""
+    X = _training_sample(corpus, id_col, vec_col, sample_size, seed)
     return _pq_train_sample(
         X,
         m=m,

@@ -474,6 +474,33 @@ def test_exact_rerank_plan_never_shuffles_the_corpus(spark):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_ivfpq_trainings_share_one_sample_collect(spark, monkeypatch):
+    """r14: the coarse-quantizer and PQ-codebook trainings consume ONE
+    shared md5-ordered sample — both ask, but only one corpus
+    TakeOrdered+collect runs (the second request memo-hits the same
+    key), halving the cold-JVM training passes of every ivfpq
+    constructor."""
+    from polars_nexpresso_spark.functions import similarity as S
+
+    corpus = _clustered_corpus(spark, n_per=30, dim=16)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    S._SAMPLE_MEMO.clear()
+    S._CENTROID_MEMO.clear()
+    asks = []
+    orig = S._training_sample
+
+    def counting(*args, **kwargs):
+        asks.append(args[3:])  # (sample_size, seed)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(S, "_training_sample", counting)
+    S.ivfpq_ann_topk(
+        corpus, queries, k=5, n_centroids=8, n_probe=2, m=4, n_codes=8
+    )
+    assert len(asks) == 2  # coarse + PQ both request the sample
+    assert len(S._SAMPLE_MEMO) == 1  # one key -> one collect fed both
+
+
 def test_ann_recall_table_counts_hits(spark):
     """Hand-built tables: known hit counts, duplicate approx pairs
     dedupe, queries with zero hits keep a row with recall 0."""
