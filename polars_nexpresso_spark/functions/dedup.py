@@ -241,6 +241,14 @@ def minhash_signatures(
     # 32-bit token hashes and a mod-(2^31-1) polynomial keep every operand
     # comfortably inside signed-64 under ANSI overflow checking:
     # acc < 2^31, acc*B < 2^51, + th < 2^51 + 2^32.
+    # r14 (guide §3.3 — the r13 C4/C5 pattern): the window fold and the
+    # ``num_hashes`` affine-min aggregates parse as SQL strings instead
+    # of several hundred py4j Column round trips (~1-2 s of driver
+    # Python per call); the trees Catalyst sees are identical — get()
+    # is the same 0-based accessor, %, * and + keep the same literal
+    # types (int literals stay INT, the 33-bit prime parses BIGINT) and
+    # the same left-associative fold order, so signatures are
+    # bit-identical (oracle-pinned).
     _B, _M = _SHINGLE_B, _SHINGLE_M
     tok_hashes = df.select(
         F.col(id_col).alias("__id"),
@@ -250,30 +258,21 @@ def minhash_signatures(
         ).alias("__th"),
     )
 
-    def window_hash(i):
-        acc = F.get(F.col("__th"), i) % F.lit(_M)
-        for j in range(1, n):
-            acc = (acc * F.lit(_B) + F.get(F.col("__th"), i + j)) % F.lit(_M)
-        return acc
-
-    full_fold = F.aggregate(
-        F.col("__th"),
-        F.lit(0).cast("long"),
-        lambda a, x: (a * F.lit(_B) + x) % F.lit(_M),
+    acc = f"(get(__th, i) % {_M})"
+    for j in range(1, n):
+        acc = f"((({acc} * {_B}) + get(__th, i + {j})) % {_M})"
+    full_fold = (
+        f"aggregate(__th, CAST(0 AS BIGINT), "
+        f"(a, x) -> (((a * {_B}) + x) % {_M}))"
     )
-    shingle_hashes = F.when(
-        F.size(F.col("__th")) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(F.col("__th")) - n), window_hash
-        ),
-    ).otherwise(F.array(full_fold))
-    hashed = tok_hashes.select(
-        "__id", F.explode(shingle_hashes).alias("__h")
+    shingle_sql = (
+        f"CASE WHEN size(__th) >= {n} "
+        f"THEN transform(sequence(0, size(__th) - {n}), i -> {acc}) "
+        f"ELSE array({full_fold}) END"
     )
+    hashed = tok_hashes.selectExpr("__id", f"explode({shingle_sql}) AS __h")
     aggs = [
-        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)).alias(
-            f"mh_{i}"
-        )
+        F.expr(f"min(((__h * {a}) + {b}) % {_MINHASH_PRIME}) AS mh_{i}")
         for i, (a, b) in enumerate(_affine_params(num_hashes, seed))
     ]
     return hashed.groupBy("__id").agg(*aggs)
@@ -317,17 +316,17 @@ def minhash_lsh_pairs(
     )
     # One pass: band bucket ids as an array, then posexplode — the signature
     # pipeline is evaluated once per row, not once per band (a 16-band union
-    # of selects would recompute all shingle hashing 16×).
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"mh_{b * r + j}") for j in range(r)]
-            )
-            for b in range(bands)
-        ]
+    # of selects would recompute all shingle hashing 16×). Parsed as one
+    # SQL string (r14, guide §3.3): same xxhash64(band, mh...) trees,
+    # ~60 fewer py4j round trips per call.
+    band_sql = ", ".join(
+        "xxhash64({})".format(
+            ", ".join([str(b)] + [f"mh_{b * r + j}" for j in range(r)])
+        )
+        for b in range(bands)
     )
-    buckets = sigs.select(
-        F.col("__id"), F.posexplode(band_hashes).alias("__band", "__bucket")
+    buckets = sigs.selectExpr(
+        "__id", f"posexplode(array({band_sql})) AS (__band, __bucket)"
     )
     if persist_buckets:
         buckets = _persist_blocking(buckets)

@@ -328,20 +328,24 @@ def simhash_table(
         F.col(id_col).alias(id_col),
         F.explode_outer(F.array_distinct(tokens(F.col(text_col)))).alias("__tok"),
     ).select(id_col, token_hash60(F.col("__tok")).alias("__h"))
-    aggs = [F.count(F.col("__h")).alias("__n")] + [
-        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+    # r14 (guide §3.3 — the r13 C4/C5 pattern): the 60 per-bit aggregates
+    # and the 60 majority-vote terms parse as SQL strings instead of
+    # ~400 py4j Column round trips — the same expression trees reach
+    # Catalyst (shiftright/&/CASE/coalesce map 1:1, literals keep their
+    # int/bigint types), but building them cost 1.6-2.2 s of driver
+    # Python per call at any scale. Measured construct: 2.2 → <0.2 s.
+    aggs = [F.expr("count(__h) AS __n")] + [
+        F.expr(f"sum(shiftright(__h, {i}) & 1) AS __b{i}")
         for i in range(bits)
     ]
     grouped = hashes.groupBy(id_col).agg(*aggs)
-    terms = [
-        F.when(
-            F.coalesce(F.col(f"__b{i}"), F.lit(0)) * 2 >= F.col("__n"),
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
+    vote_sql = " + ".join(
+        f"(CASE WHEN (coalesce(__b{i}, 0) * 2) >= __n "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i in range(bits)
-    ]
+    )
     return grouped.select(
-        F.col(id_col), reduce(lambda a, b: a + b, terms).alias("simhash")
+        F.col(id_col), F.expr(vote_sql).alias("simhash")
     )
 
 
