@@ -2080,7 +2080,11 @@ def build_dedup_index(
     # job) instead of a third one-row saveAsTable write (~0.6 s of pure
     # DROP+write+commit overhead per build). Legacy ``_meta`` tables
     # remain readable via the fallback chain in
-    # ``_resolve_index_geometry``.
+    # ``_resolve_index_geometry`` — and a REBUILD over a pre-r13 index
+    # drops any stale ``_meta`` shadow (r14, ADVICE r13): if the
+    # TBLPROPERTIES were ever lost, a leftover ``_meta`` with different
+    # geometry would silently win the fallback.
+    ref.sparkSession.sql(f"DROP TABLE IF EXISTS `{table_name}_meta`")
     _set_index_geometry(ref.sparkSession, table_name, n, num_hashes, bands)
 
 

@@ -585,6 +585,14 @@ def cross_encoder_rerank(
     ``doc_col`` for cross-engine determinism; both-empty token sets
     score 0.0, a NULL text scores NULL (kept, ranked last — the
     oracle mirrors with NULLS LAST).
+
+    EAGER-EXECUTION contract (r13 pin, documented r14 per ADVICE):
+    merely CONSTRUCTING the returned frame runs Spark jobs — the
+    bounded candidate set is pinned with ``localCheckpoint(eager=True)``
+    during the call, which executes the upstream retriever and holds
+    non-fault-tolerant executor-local blocks (a lost executor fails the
+    job instead of recomputing). Plan-only and streaming callers should
+    account for both.
     """
     if scorer == "model":
         raise NotImplementedError(
@@ -704,6 +712,12 @@ def distillation_pairs(
     self-join whose sides are both <= k_retrieve rows — everything
     downstream of candidate generation stays k-bounded per query, the
     distillation table is ``n_queries x n_negatives`` rows.
+
+    EAGER-EXECUTION contract (r13 pin, documented r14 per ADVICE):
+    constructing the returned frame executes the whole upstream scorer
+    once (the ranked candidate pin is an eager ``localCheckpoint`` of
+    executor-local, non-fault-tolerant blocks) — see
+    :func:`cross_encoder_rerank` for the same caveat.
 
     Returns ``(query_col, pos_id, neg_id, margin, neg_rank)``.
     """

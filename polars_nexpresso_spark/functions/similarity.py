@@ -1467,6 +1467,21 @@ def _json_arr2(vecs) -> str:
     return f"from_json('[{body}]', 'array<array<double>>')"
 
 
+def _uniform_codebook_len(codebooks) -> int:
+    """The shared codeword count, asserting uniformity (r14, ADVICE
+    r13): the generated SQL indexes every subspace with the FIRST
+    codebook's length, so a ragged caller-supplied codebook would make
+    ``element_at`` run past the end and return NULL distances —
+    silently corrupting code assignment instead of failing."""
+    sizes = {len(cb) for cb in codebooks}
+    if len(sizes) != 1:
+        raise ValueError(
+            f"ragged PQ codebooks: per-subspace codeword counts "
+            f"{sorted(sizes)} — all subspaces must share one n_codes"
+        )
+    return len(codebooks[0])
+
+
 def _pq_codes_sql(codebooks, col: str = "__unit") -> str:
     """SQL text assigning per-subspace nearest codewords (ties to the
     lowest index) over the pre-materialized ``col`` column.
@@ -1482,7 +1497,7 @@ def _pq_codes_sql(codebooks, col: str = "__unit") -> str:
     keep (distance asc, index asc), and ``sequence(0, n-1)`` yields
     the same int indices the old text wrote literally."""
     m = len(codebooks)
-    n_codes = len(codebooks[0])
+    n_codes = _uniform_codebook_len(codebooks)
     dim = sum(len(cb[0]) for cb in codebooks) // m * m
     per_m = []
     for mi, (off, sub) in enumerate(_pq_split(dim, m)):
@@ -1523,7 +1538,7 @@ def _pq_luts_sql(codebooks) -> str:
     """SQL text for the per-query m x n_codes inner-product lookup
     tables over a pre-materialized ``__unit`` column."""
     m = len(codebooks)
-    n_codes = len(codebooks[0])
+    n_codes = _uniform_codebook_len(codebooks)
     dim = sum(len(cb[0]) for cb in codebooks) // m * m
     luts = []
     for mi, (off, sub) in enumerate(_pq_split(dim, m)):

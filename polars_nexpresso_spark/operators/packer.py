@@ -304,7 +304,12 @@ class HierarchicalPacker(CrossLevelMixin, IntrospectionMixin):
                     >= len(grouped)
                 )
             except Exception:  # noqa: BLE001 — Connect: no plan handle
-                fire = True
+                # Probe unavailable (Spark Connect): keep the naive plan.
+                # It is never worse than pre-r13 behavior, whereas an
+                # unconditional repartition would regress bucketed
+                # inputs off their pinned zero-exchange plans — exactly
+                # what the probe exists to prevent (r14, ADVICE r13).
+                fire = False
             if fire:
                 df = df.repartition(
                     *[

@@ -4,9 +4,14 @@
     python scripts/dump_plans.py r13 before [names...]
 
 Writes plans/<tag>/<query>_<suffix>.txt for each query (all registered
-queries when no names are given). One shared session — explain does not
-execute the plan, so warmth does not matter; queries whose construction
-itself fails get an ERROR file so the failure is visible in review.
+queries when no names are given). One shared session. NOTE (r14, per
+ADVICE r13): explain itself does not execute the FINAL plan, but
+several queries pin bounded intermediates with eager localCheckpoint
+during CONSTRUCTION (cross_encoder_rerank, distillation_pairs,
+exact_rerank, the dedup_clusters loop, index builds) — dumping those
+plans runs the pinned stages' Spark jobs, so a full-registry dump takes
+minutes, not seconds. Queries whose construction fails get an ERROR
+file so the failure is visible in review.
 """
 
 from __future__ import annotations

@@ -2687,6 +2687,60 @@ def test_dedup_index_roundtrip(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_dedup_index_legacy_meta_fallback_and_rebuild_drop(spark, tmp_path):
+    """ADVICE r13: a pre-r13 index (TBLPROPERTIES absent, legacy
+    ``_meta`` table present) must resolve geometry through the fallback
+    — probes keep working, conflicting explicit parameters fail fast —
+    and REBUILDING over it must drop the stale ``_meta`` shadow so a
+    later props loss can never resurrect the old geometry."""
+    from polars_nexpresso_spark.functions.dedup import (
+        _resolve_index_geometry,
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    ref = spark.createDataFrame([(100, _LONG)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [(1, _LONG.upper()), (3, "a genuinely fresh document here")],
+        "doc_id long, text string",
+    )
+    build_dedup_index(
+        ref, "text", "doc_id", "pns_test_didx_m",
+        n=4, num_hashes=24, bands=6, num_buckets=2,
+        path=str(tmp_path / "didxm"),
+    )
+    try:
+        # Simulate the legacy layout: props lost, one-row _meta present.
+        spark.sql(
+            "ALTER TABLE `pns_test_didx_m_lsh` UNSET TBLPROPERTIES "
+            "('pns.dedup.n', 'pns.dedup.num_hashes', 'pns.dedup.bands')"
+        )
+        spark.createDataFrame(
+            [(4, 24, 6)], "n int, num_hashes int, bands int"
+        ).write.saveAsTable("pns_test_didx_m_meta")
+        assert _resolve_index_geometry(
+            spark, "pns_test_didx_m", None, None, None
+        ) == (4, 24, 6)
+        out = dedup_against_index(batch, "text", "doc_id", "pns_test_didx_m")
+        assert sorted(r["doc_id"] for r in out.collect()) == [3]
+        with pytest.raises(ValueError, match="was built with"):
+            _resolve_index_geometry(spark, "pns_test_didx_m", 3, None, None)
+        # Rebuild over the legacy index: stale shadow dropped, new props win.
+        build_dedup_index(
+            ref, "text", "doc_id", "pns_test_didx_m",
+            n=5, num_hashes=24, bands=6, num_buckets=2,
+            path=str(tmp_path / "didxm2"),
+        )
+        assert not spark.catalog.tableExists("pns_test_didx_m_meta")
+        assert _resolve_index_geometry(
+            spark, "pns_test_didx_m", None, None, None
+        ) == (5, 24, 6)
+    finally:
+        for t in ("pns_test_didx_m_fp", "pns_test_didx_m_lsh",
+                  "pns_test_didx_m_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_dedup_index_matches_reference_dedup_plus_lsh(spark, tmp_path):
     """On data where minhash estimation is decisive (planted j≈1 and
     j≈0 only), the index survivors equal dedup_against_reference's
