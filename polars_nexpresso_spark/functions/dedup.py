@@ -870,6 +870,7 @@ def duplicated_window_fraction(
     *,
     window: int = 8,
     min_df: int = 2,
+    persist_windows: bool = True,
 ) -> DataFrame:
     """Per-document fraction of token windows whose content also appears
     in at least ``min_df`` distinct documents — the exact-substring
@@ -902,6 +903,12 @@ def duplicated_window_fraction(
         F.col(id_col),
         F.explode(word_ngrams_all(F.col(text_col), window)).alias("__win"),
     ).select(F.col(id_col), F.xxhash64(F.col("__win")).alias("__h"))
+    if persist_windows:
+        # r14: both the duplicated-hash aggregation and the marked join
+        # side read `exploded`; uncached the corpus window explode runs
+        # twice (aliasing breaks exchange reuse — the minhash buckets
+        # discipline). Narrow (id, hash) rows, MEMORY_AND_DISK.
+        exploded = _persist_blocking(exploded)
     dup = (
         exploded.groupBy("__h")
         .agg(F.countDistinct(F.col(id_col)).alias("__df"))
@@ -1341,6 +1348,14 @@ def remove_duplicated_windows(
     occ = src.select(
         F.col(id_col), F.posexplode(win_hashes).alias("__pos", "__h")
     )
+    # NOTE (r14): `occ` feeds three consumers under keep_first and the
+    # per-side aliases break exchange reuse, but a _persist_blocking
+    # cache here measured 1.22× in the interleaved A/B and was
+    # REVERTED: occ is one row per token position (corpus-token-sized,
+    # unlike the distinct-shingle/bucket tables the discipline caches
+    # elsewhere), so materializing it costs more than recomputing the
+    # cheap map-side explode once per consumer — at any scale the cache
+    # would hold ~the tokenized corpus.
     dup_h = occ.groupBy("__h").count().filter(F.col("count") >= 2)
     if keep_first:
         # Canonical-first election rides the same aggregation key; the
@@ -1509,6 +1524,7 @@ def source_overlap(
     source_col: str,
     *,
     n: int = 13,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Pairwise n-gram overlap between corpus SOURCES: for every source
     pair, the Jaccard of their distinct word-``n``-gram hash sets — the
@@ -1525,6 +1541,15 @@ def source_overlap(
     #sources-row table). Source pairs sharing NO shingle emit no row
     (documented — a dense matrix would be #sources^2 mostly-zero).
 
+    ``persist_shingles`` (default on) caches the distinct
+    (source, hash) table: it feeds THREE consumers (per-source sizes
+    and both intersection-join sides) whose per-side aliases break
+    Catalyst's exchange reuse, so uncached the full corpus shingling
+    runs three times (r14; the minhash_lsh_pairs buckets discipline —
+    measured 2.6 → 1.7 s at sf0.1). The cache is O(distinct shingles)
+    narrow rows (``MEMORY_AND_DISK``, spills), released via
+    :func:`release_blocking_caches`.
+
     Returns ``(source_a, source_b, n_shared, jaccard)`` with
     ``source_a < source_b``.
     """
@@ -1538,6 +1563,8 @@ def source_overlap(
         .select("__src", F.xxhash64(F.col("__s")).alias("__h"))
         .distinct()
     )
+    if persist_shingles:
+        sh = _persist_blocking(sh)
     sizes = sh.groupBy("__src").agg(F.count("*").alias("__sz"))
     a = sh.select(F.col("__src").alias("source_a"), "__h")
     b = sh.select(F.col("__src").alias("source_b"), "__h")
