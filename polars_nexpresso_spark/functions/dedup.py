@@ -2076,13 +2076,6 @@ def build_dedup_index(
     fps = with_text.select(
         F.xxhash64(normalize_text(F.col(text_col))).alias("fp")
     ).distinct()
-    write_bucketed(
-        fps,
-        f"{table_name}_fp",
-        ["fp"],
-        num_buckets,
-        path=f"{path}_fp" if path else None,
-    )
     sigs = minhash_signatures(
         with_text, text_col, id_col, n=n, num_hashes=num_hashes
     )
@@ -2091,13 +2084,33 @@ def build_dedup_index(
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("sig"),
         F.explode(_band_keys(num_hashes, bands)).alias("bkey"),
     )
-    write_bucketed(
-        lsh,
-        f"{table_name}_lsh",
-        ["bkey"],
-        num_buckets,
-        path=f"{path}_lsh" if path else None,
-    )
+    # r14 (guide §2.6 — overlap independent jobs): the two index writes
+    # share no dependency (different tables, both scan the reference),
+    # so submitting them from two driver threads lets the short _fp
+    # write back-fill executors idled by the _lsh write's task tail
+    # instead of paying both job tails sequentially. Results are
+    # unchanged (independent tables); failures propagate via result().
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fp = pool.submit(
+            write_bucketed,
+            fps,
+            f"{table_name}_fp",
+            ["fp"],
+            num_buckets,
+            path=f"{path}_fp" if path else None,
+        )
+        f_lsh = pool.submit(
+            write_bucketed,
+            lsh,
+            f"{table_name}_lsh",
+            ["bkey"],
+            num_buckets,
+            path=f"{path}_lsh" if path else None,
+        )
+        f_fp.result()
+        f_lsh.result()
     # Geometry metadata: probes and appends read (n, num_hashes, bands)
     # from the index itself instead of trusting their callers — a
     # mismatched probe would silently find zero candidates (band keys

@@ -181,14 +181,6 @@ def build_text_index(
             .groupBy("term")
             .agg(F.count("*").alias("df"))
         )
-        write_bucketed(
-            terms,
-            f"{table_name}_terms",
-            ["term"],
-            num_buckets,
-            sort_cols=["term"],
-            path=f"{path}_terms" if path else None,
-        )
         # n_docs counts EVERY row (bm25_topk's idf N does); sum_dl/n_text
         # cover only docs with a token array — tokens(NULL) is NULL, and
         # avg(dl) in the direct path skips NULLs, so the index must
@@ -198,13 +190,33 @@ def build_text_index(
             F.count("dl").alias("n_text"),
             F.sum("dl").alias("sum_dl"),
         )
-        write_bucketed(
-            stats,
-            f"{table_name}_stats",
-            ["n_docs"],
-            1,
-            path=f"{path}_stats" if path else None,
-        )
+        # r14 (guide §2.6): terms depends on the WRITTEN postings table,
+        # but the 1-row stats write is independent of it — overlap the
+        # two writes from driver threads so the stats job back-fills the
+        # terms job's tail instead of running after it. Results are
+        # unchanged (independent tables); failures propagate.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_terms = pool.submit(
+                write_bucketed,
+                terms,
+                f"{table_name}_terms",
+                ["term"],
+                num_buckets,
+                sort_cols=["term"],
+                path=f"{path}_terms" if path else None,
+            )
+            f_stats = pool.submit(
+                write_bucketed,
+                stats,
+                f"{table_name}_stats",
+                ["n_docs"],
+                1,
+                path=f"{path}_stats" if path else None,
+            )
+            f_terms.result()
+            f_stats.result()
     finally:
         docs.unpersist()
 
