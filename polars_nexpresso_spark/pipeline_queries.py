@@ -908,18 +908,38 @@ def q_ref_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
-    shortlist = ivf_ann_topk(
-        emb, queries, k=20, n_centroids=16, n_probe=6
-    ).select("query_id", F.col("neighbor_id").alias("doc_id"))
     docs = spread(read_table(spark, sf_dir, "documents"))
-    ce = cross_encoder_rerank(
-        shortlist, docs.select("doc_id", "text"), k=20
-    )
-    trip = distillation_pairs(ce, n_negatives=4)
-    pairs = minhash_lsh_pairs(
-        docs, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
-    )
-    clusters = dedup_clusters(docs, pairs, "doc_id")
+
+    # r14 (guide §2.6 — overlap independent jobs): the triplet branch
+    # (IVF shortlist → CE rerank → distillation pins) and the cluster
+    # branch (MinHash pairs → label propagation) are independent until
+    # the final join, yet both run EAGER jobs during construction (the
+    # pins and the propagation loop). Building them from two driver
+    # threads overlaps those job chains — each branch's internals and
+    # results are exactly as before; failures propagate via result().
+    def _build_triplets() -> DataFrame:
+        shortlist = ivf_ann_topk(
+            emb, queries, k=20, n_centroids=16, n_probe=6
+        ).select("query_id", F.col("neighbor_id").alias("doc_id"))
+        ce = cross_encoder_rerank(
+            shortlist, docs.select("doc_id", "text"), k=20
+        )
+        return distillation_pairs(ce, n_negatives=4)
+
+    def _build_clusters() -> DataFrame:
+        pairs = minhash_lsh_pairs(
+            docs, "text", "doc_id",
+            n=3, num_hashes=32, bands=8, threshold=0.8,
+        )
+        return dedup_clusters(docs, pairs, "doc_id")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_trip = pool.submit(_build_triplets)
+        f_clusters = pool.submit(_build_clusters)
+        trip = f_trip.result()
+        clusters = f_clusters.result()
     split = hash_split(clusters, "cluster_id").select(
         "doc_id", "cluster_id", "split"
     )
